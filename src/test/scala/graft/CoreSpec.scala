@@ -1,0 +1,109 @@
+package graft
+
+import graft.core.MapReduceJob
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Reference-parity tests for the generic MapReduce contract.
+  *
+  * Mirrors the reference's own oracle trick (`test_test.go:81-119`): word
+  * count over unique integer tokens must equal the sorted distinct input
+  * with count 1.
+  */
+class CoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val n = 2000
+
+  test("MapReduceJob.run word count over unique tokens == sorted input, count 1") {
+    import spark.implicits._
+    val lines = (0 until n).map(_.toString).toDS()
+    val out = MapReduceJob.run(
+      lines,
+      line => line.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, "1")),
+      (_, vs) => vs.map(_.toInt).sum.toString,
+      nReduce = 5
+    ).collect().sortBy(_._1)
+    assert(out.length === n)
+    assert(out.forall(_._2 == "1"))
+    assert(out.map(_._1).toSeq === (0 until n).map(_.toString).sorted)
+  }
+
+  test("contract is partition-count invariant (reference fixes nMap/nReduce, oracle doesn't)") {
+    import spark.implicits._
+    val words = Seq("a b c", "a b", "a")
+    val lines = words.toDS()
+    def runWith(nReduce: Int) = MapReduceJob.run(
+      lines,
+      l => l.split(" ").iterator.map(w => (w, "1")),
+      (_, vs) => vs.size.toString,
+      nReduce
+    ).collect().toSet
+    assert(runWith(1) === runWith(7))
+    assert(runWith(3) === Set(("a", "3"), ("b", "2"), ("c", "1")))
+  }
+
+  test("runReduced (algebraic, partial-agg path) agrees with run (general path)") {
+    import spark.implicits._
+    val lines = (0 until 500).map(i => s"w${i % 37} w${i % 11}").toDS()
+    val general = MapReduceJob.run(
+      lines, l => l.split(" ").iterator.map(w => (w, "1")),
+      (_, vs) => vs.map(_.toInt).sum.toString, nReduce = 4).collect().toSet
+    val algebraic = MapReduceJob.runReduced(
+      lines, l => l.split(" ").iterator.map(w => (w, "1")),
+      (a, b) => (a.toInt + b.toInt).toString).collect().toSet
+    assert(general === algebraic)
+  }
+
+  test("wordCount (declarative) agrees with the contract path") {
+    import spark.implicits._
+    val lines = (0 until 500).map(i => s"w${i % 37} w${i % 11}").toDS()
+    val declarative = MapReduceJob.wordCount(lines)
+      .collect().map { case (w, c) => (w, c.toString) }.toSet
+    val contract = MapReduceJob.run(
+      lines, l => l.split(" ").iterator.map(w => (w, "1")),
+      (_, vs) => vs.map(_.toInt).sum.toString, nReduce = 4).collect().toSet
+    assert(declarative === contract)
+  }
+
+  test("writeSortedText emits `key: value` lines in total key order") {
+    import spark.implicits._
+    val kvs = Seq(("b", "2"), ("a", "1"), ("c", "3")).toDS()
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString + "/out"
+    MapReduceJob.writeSortedText(kvs, dir)
+    val lines = spark.read.textFile(dir).collect().toSeq
+    assert(lines === Seq("a: 1", "b: 2", "c: 3"))
+  }
+}
+
+/** Every declared query must run end-to-end on the smoke scale factor. */
+class QuerySmokeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key exists in queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
