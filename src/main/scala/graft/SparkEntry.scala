@@ -12,6 +12,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     Relational,
+    Relational2,
+    EventsQueries,
     WordCount,
   )
 

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.core.Num
+import graft.core.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream-shaped queries over the `events` table, processed batch-
+  * style (the reference is strictly batch — SURVEY.md §2.5). The same
+  * tumbling-window aggregation is also implemented as a genuine Structured
+  * Streaming job in [[graft.streaming.EventStream]]; e02 is its
+  * batch-equivalent gold result.
+  *
+  * Timestamps are emitted as epoch microseconds (BIGINT) for cross-engine
+  * hash safety (DETERMINISM.md rule 6).
+  */
+object EventsQueries extends QueryModule {
+
+  /** Semi-structured extraction: JSON props -> typed column -> agg.
+    * Spark's get_json_object is a codegen'd path expression, no UDF.
+    */
+  private def e01(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+
+  private val e01Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
+  /** Tumbling 1-hour window aggregation — the batch gold result for the
+    * Structured Streaming path. Spark's window() aligns to the epoch, so
+    * 1-hour tumbling buckets == date_trunc('hour').
+    */
+  private def e02(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        window(col("ts"), "1 hour").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Num.dsum(col("value")).as("sum_value"))
+      .select(
+        unix_micros(col("w.start")).as("bucket_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  private val e02Sql =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization: a >30-minute gap starts a new session. Classic
+    * lag + running-sum-of-boundaries pattern; at 100 TB this is one
+    * shuffle on user_id and the window work is per-partition sequential.
+    */
+  private def e03(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = lit(30L * 60 * 1000 * 1000)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("is_new")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+  }
+
+  private val e03Sql =
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM t)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts_us) AS start_us, max(ts_us) AS end_us
+      |FROM s
+      |GROUP BY user_id, session_id""".stripMargin
+
+  /** As-of lookup (event-time join within a key): for every event, the most
+    * recent signup event id by the same user at-or-before it. Composes
+    * last_value(ignore nulls) over an ordered window — the (a)-tier
+    * strategy for as-of semantics (compose built-ins) per the brief.
+    */
+  private def e04(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("last_signup_id",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("last_signup_id"))
+  }
+
+  private val e04Sql =
+    """SELECT event_id, user_id,
+      |  last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+      |FROM events""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("e01_json_extract", e01, Some(e01Sql)),
+    QueryDef("e02_tumbling_window", e02, Some(e02Sql)),
+    QueryDef("e03_sessionize", e03, Some(e03Sql)),
+    QueryDef("e04_asof_last_signup", e04, Some(e04Sql)),
+  )
+}
