@@ -15,6 +15,10 @@ object SparkEntry {
     Relational2,
     EventsQueries,
     WordCount,
+    graft.ops.TextAnalysis,
+    graft.ops.Dedup,
+    graft.ops.Similarity,
+    graft.ops.Multimodal,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)

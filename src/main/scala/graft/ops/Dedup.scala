@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft.core.Tables
+import graft.queries.{QueryDef, QueryModule}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for an LLM training-data pipeline, over the
+  * `documents` table — the full ladder:
+  *
+  *   d01 exact (hash groupBy) → d02 normalized-exact → d03 exact n-gram
+  *   Jaccard (inverted-index join) → d04 MinHash+LSH (the 100 TB path)
+  *   → d05 SimHash (bit-fingerprint blocking).
+  *
+  * Scale notes are on each operator; the common theme: everything is a
+  * hash-partitioned shuffle on a dedup key (content hash, shingle, LSH
+  * bucket, simhash band) — never an O(n²) comparison.
+  */
+object Dedup extends QueryModule {
+
+  /** d01: exact dedup via content-hash groupBy. At 100 TB this is one
+    * shuffle on md5(text); the keep-id choice (min doc_id) is the usual
+    * deterministic survivor rule.
+    */
+  private def d01(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  private val d01Sql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)""".stripMargin
+
+  /** d02: exact dedup after canonicalization (lowercase, trim, collapse
+    * whitespace) — catches formatting-only duplicates.
+    */
+  private def d02(s: SparkSession, dir: String): DataFrame = {
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    Tables.documents(s, dir)
+      .groupBy(md5(norm).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  private val d02Sql =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  /** Distinct 3-word shingles of a document, as an array column. */
+  private[ops] def shingleArr(text: Column): Column = {
+    val w = filter(split(text, " "), t => length(t) > 0)
+    array_distinct(
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+  }
+
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingleArr(col("text"))).as("shingle"))
+
+  /** Shared oracle CTE: distinct 3-gram shingles per doc in DuckDB. */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
+      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS shingle
+      |  FROM documents)""".stripMargin
+
+  /** d03: exact n-gram Jaccard near-dup pairs via inverted-index self-join
+    * (shuffle on shingle, never a crossJoin). At 100 TB add a
+    * document-frequency cap on shingles before the join (drop shingles
+    * appearing in >k docs — they only ever connect boilerplate) to bound
+    * the per-key fanout; AQE's skew handling covers the rest.
+    */
+  private def d03(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("ida") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("idb") === col("doc_id")).drop("doc_id")
+      .select(col("ida"), col("idb"), (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  private val d03Sql =
+    s"""WITH $shingleCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT a.doc_id ida, b.doc_id idb, count(*) c
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT ida, idb, c / (sa.n + sb.n - c) AS jaccard
+       |FROM cm JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+       |WHERE c / (sa.n + sb.n - c) >= 0.5""".stripMargin
+
+  // ---- d04: MinHash + LSH --------------------------------------------
+
+  /** splitmix64 — deterministic parameter derivation for the minhash
+    * permutation family (public-domain construction; no RNG state).
+    */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val NumHashes = 128
+  private val Bands     = 32 // x 4 rows per band
+  private val Rows      = NumHashes / Bands
+
+  // 31-bit parameters and base hashes: a*h+b stays under 2^62, so the
+  // arithmetic is exact under Spark's default ANSI mode (no long overflow).
+  private val Mask31 = 0x7fffffffL
+  private val hashA: IndexedSeq[Long] = (0 until NumHashes).map(i => (splitmix64(2L * i + 1) & Mask31) | 1L)
+  private val hashB: IndexedSeq[Long] = (0 until NumHashes).map(i => splitmix64(2L * i + 2) & Mask31)
+
+  /** d04: MinHash signature → banded LSH bucketing → bucket join →
+    * exact-Jaccard verification. The oracle is the brute-force pair set at
+    * the same threshold: on this corpus the near-dup gap is wide, so
+    * 32x4 LSH has recall 1.0 and the verified candidate set equals the
+    * exact answer (checked by the driver's hash gate; also unit-tested).
+    *
+    * This is the 100 TB dedup path: cost is O(docs x 128 hashes) +
+    * a shuffle on (band, bucket) + exact verification only within buckets.
+    */
+  private def d04(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleArr(col("text")).as("sh"))
+      // one 31-bit base hash per shingle; each permutation is (a*h+b)&mask
+      .withColumn("hs", transform(col("sh"), sh => xxhash64(sh).bitwiseAND(lit(Mask31))))
+    val sig = array((0 until NumHashes).map { i =>
+      array_min(transform(col("hs"),
+        h => (lit(hashA(i)) * h + lit(hashB(i))).bitwiseAND(lit(Mask31))))
+    }: _*)
+    val banded = docs
+      .withColumn("sig", sig)
+      .select(col("doc_id"), col("sh"),
+        posexplode(array((0 until Bands).map(b =>
+          xxhash64(slice(col("sig"), b * Rows + 1, Rows))): _*)).as(Seq("band", "bucket")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .dropDuplicates("ida", "idb")
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+    pairs
+      .select(col("ida"), col("idb"),
+        (inter / (size(col("sha")).cast("long") + size(col("shb")).cast("long") - inter)).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Oracle = exact brute-force pairs at the same threshold (LSH recall is
+    * 1.0 on this corpus; the unit test asserts that stays true).
+    */
+  private val d04Sql = d03Sql
+
+  // ---- d05: SimHash ---------------------------------------------------
+
+  /** d05: 64-bit SimHash fingerprint + banded blocking on 16-bit chunks +
+    * hamming<=3 verification via bit_count(xor). No SQL oracle (the
+    * fingerprint depends on xxhash64, which DuckDB lacks) — driver records
+    * the rows-only check; determinism is unit-tested instead.
+    */
+  private def d05(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleArr(col("text")).as("sh"))
+      .withColumn("hs", transform(col("sh"), sh => xxhash64(sh)))
+    // bit k of the fingerprint = sign of sum over shingles of +/-1 per bit
+    // (unrolled over k: shift amounts must be Scala literals)
+    val fp = (0 until 64).map { k =>
+      val mask = lit(1L << k)
+      val vote = aggregate(col("hs"), lit(0L),
+        (a, h) => a + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
+      when(vote > 0, mask).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withFp = docs.select(col("doc_id"), fp.as("simhash"))
+    // block on 4 x 16-bit bands: hamming<=3 implies >=1 identical band
+    val banded = withFp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "chunk")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .dropDuplicates("ida", "idb")
+      .filter(col("hamming") <= 3)
+  }
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
+    QueryDef("d02_dedup_normalized", d02, Some(d02Sql)),
+    QueryDef("d03_ngram_jaccard", d03, Some(d03Sql)),
+    QueryDef("d04_minhash_lsh", d04, Some(d04Sql)),
+    QueryDef("d05_simhash", d05, None),
+  )
+}

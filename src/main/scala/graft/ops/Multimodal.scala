@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.core.Tables
+import graft.queries.{QueryDef, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A multimodal record: opaque binary payload + typed metadata — the
+  * schema a 100 TB image/audio/video pipeline carries through Spark.
+  */
+case class MediaRecord(doc_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
+
+/** Extracted (fake) features — what a real decoder would emit. */
+case class MediaFeatures(doc_id: Long, n_bytes: Long, payload_md5: String)
+
+/** Multimodal-column plumbing. The container has no image/audio codecs, so
+  * the decode step is a clearly-marked deterministic stand-in — but the
+  * Spark-side shape is the real thing: binary column + metadata struct,
+  * partition-wise batch processing via mapPartitions on a typed Dataset
+  * (the Scala analogue of mapInPandas: one iterator per partition, so a
+  * real decoder would amortize model/codec init per partition, not per
+  * row), and a columnar parquet-friendly output schema.
+  */
+object Multimodal extends QueryModule {
+
+  /** Build the binary-media view: text bytes standing in for an encoded
+    * image payload.
+    */
+  private[ops] def media(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        lit("application/octet-stream").as("mime"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+  }
+
+  /** Deterministic stand-in for decode/feature-extraction: md5 of the
+    * payload bytes. A real pipeline would decode pixels / resample audio
+    * here; the iterator-per-partition shape is what matters.
+    */
+  private def m01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).mapPartitions { it =>
+      // per-partition init (a real decoder would load its codec once here)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        md.reset()
+        val hex = md.digest(r.payload).map("%02x".format(_)).mkString
+        MediaFeatures(r.doc_id, r.n_bytes, hex)
+      }
+    }.toDF()
+  }
+
+  /** The stand-in features are oracle-checkable: byte length + md5 of the
+    * same bytes DuckDB sees.
+    */
+  private val m01Sql =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5
+      |FROM documents""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("m01_multimodal_features", m01, Some(m01Sql)),
+  )
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.core.Tables
+import graft.queries.{QueryDef, QueryModule}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table. All pure Catalyst expressions (no UDFs) — row-level,
+  * shuffle-free, whole-stage-codegen'd, so they stream over 100 TB of text
+  * at scan speed.
+  *
+  * Cross-engine determinism: ratios are int/int IEEE double divisions with
+  * the formula mirrored token-for-token in the DuckDB oracle — identical
+  * bits, no rounding needed (docs/DETERMINISM.md).
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Whitespace tokens, empties dropped. */
+  private def toks(c: Column): Column = filter(split(c, " "), w => length(w) > 0)
+
+  /** t01: token/char counting — the cheapest quality signal. */
+  private def t01(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toks(col("text"))).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_text"),
+      col("n_chars"))
+
+  private val t01Sql =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_text,
+      |  n_chars
+      |FROM documents""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** t02: quality scoring — length, stopword ratio, mean token length,
+    * distinct-token ratio. Formula mirrored exactly in the oracle.
+    */
+  private def t02(s: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val nTok = size(w).cast("long")
+    val stopHits = size(filter(w, t => t.isInCollection(stopwords))).cast("long")
+    val sumLen = aggregate(transform(w, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+    val nDistinct = size(array_distinct(w)).cast("long")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      (stopHits / nTok).as("stop_ratio"),
+      (sumLen / nTok).as("mean_tok_len"),
+      (nDistinct / nTok).as("distinct_ratio"))
+      .withColumn("quality",
+        col("stop_ratio") * 0.25 + col("distinct_ratio") * 0.5 + col("mean_tok_len") * 0.05)
+  }
+
+  private val t02Sql =
+    s"""SELECT doc_id, n_tokens, stop_ratio, mean_tok_len, distinct_ratio,
+       |  stop_ratio * 0.25 + distinct_ratio * 0.5 + mean_tok_len * 0.05 AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(w, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS BIGINT)
+       |      / CAST(len(w) AS BIGINT) AS stop_ratio,
+       |    CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS BIGINT)
+       |      / CAST(len(w) AS BIGINT) AS mean_tok_len,
+       |    CAST(len(list_distinct(w)) AS BIGINT) / CAST(len(w) AS BIGINT) AS distinct_ratio
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+       |        FROM documents))""".stripMargin
+
+  /** Per-language marker-word sets for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: language ID at pipeline scale is a
+    * first-pass router, not a classifier.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "los", "que", "es", "y"),
+    "fr" -> Seq("le", "les", "des", "et", "est", "une"),
+  )
+
+  /** t03: language ID by marker-word voting, deterministic argmax (ties
+    * break toward the alphabetically-first language — the CASE chain
+    * encodes that identically on both engines). Falls back to "und"
+    * (undetermined) when no marker hits.
+    */
+  private def t03(s: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val scored = Tables.documents(s, dir).select(
+      (Seq(col("doc_id"), col("lang")) ++ markers.map { case (l, ms) =>
+        size(filter(w, t => t.isInCollection(ms))).cast("long").as(s"c_$l")
+      }): _*)
+    val Seq(de, en, es, fr) = markers.map(m => col(s"c_${m._1}"))
+    scored.withColumn("pred_lang",
+      when(de + en + es + fr === 0, lit("und"))
+        .when(de >= en && de >= es && de >= fr, lit("de"))
+        .when(en >= es && en >= fr, lit("en"))
+        .when(es >= fr, lit("es"))
+        .otherwise(lit("fr")))
+  }
+
+  private val t03Sql = {
+    val counts = markers.map { case (l, ms) =>
+      s"CAST(len(list_filter(w, t -> t IN (${ms.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS c_$l"
+    }.mkString(",\n    ")
+    s"""SELECT doc_id, lang, c_de, c_en, c_es, c_fr,
+       |  CASE WHEN c_de + c_en + c_es + c_fr = 0 THEN 'und'
+       |       WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+       |       WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+       |       WHEN c_es >= c_fr THEN 'es'
+       |       ELSE 'fr' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    $counts
+       |  FROM (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+       |        FROM documents))""".stripMargin
+  }
+
+  /** t04: order-insensitive document fingerprint — md5 over the sorted
+    * distinct token set. Detects word-reorder duplicates; row-level, no
+    * shuffle, and the fingerprint doubles as an exact-dedup key at scale.
+    */
+  private def t04(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")).as("fingerprint"))
+
+  private val t04Sql =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0))), ' ')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("t01_token_stats", t01, Some(t01Sql)),
+    QueryDef("t02_quality_score", t02, Some(t02Sql)),
+    QueryDef("t03_langid", t03, Some(t03Sql)),
+    QueryDef("t04_fingerprint", t04, Some(t04Sql)),
+  )
+}
