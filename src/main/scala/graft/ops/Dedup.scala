@@ -48,13 +48,12 @@ object Dedup extends QueryModule {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
-  /** Distinct 3-word shingles of a document, as an array column. */
-  private[ops] def shingleArr(text: Column): Column = {
-    val w = filter(split(text, " "), t => length(t) > 0)
-    array_distinct(
-      transform(sequence(lit(1), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-  }
+  /** Distinct 3-word shingles of a document, as an array column — a native
+    * expression: the composed transform/element_at form re-computed the
+    * split per element and ran interpreted (see TextExpressions).
+    */
+  private[graft] def shingleArr(text: Column): Column =
+    graft.functions.TextFunctions.word_shingles(text, 3)
 
   private def shingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -74,10 +73,16 @@ object Dedup extends QueryModule {
     * the per-key fanout; AQE's skew handling covers the rest.
     */
   private def d03(s: SparkSession, dir: String): DataFrame = {
+    // join on the 64-bit shingle hash, not the string: smaller shuffle +
+    // faster key compare; collision probability is ~1e-9 at this scale.
+    // persist: the inverted index is scanned by both join sides and the
+    // size aggregate — without it the shingling pipeline runs 3x.
     val sh = shingles(s, dir)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shkey"))
+      .persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shkey") === col("b.shkey") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .agg(count(lit(1)).as("c"))
     common
@@ -129,27 +134,32 @@ object Dedup extends QueryModule {
     * a shuffle on (band, bucket) + exact verification only within buckets.
     */
   private def d04(s: SparkSession, dir: String): DataFrame = {
+    // shingle sets computed once and persisted: reused for signatures and
+    // for the exact verification joins.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingleArr(col("text")).as("sh"))
       // one 31-bit base hash per shingle; each permutation is (a*h+b)&mask
       .withColumn("hs", transform(col("sh"), sh => xxhash64(sh).bitwiseAND(lit(Mask31))))
-    val sig = array((0 until NumHashes).map { i =>
-      array_min(transform(col("hs"),
-        h => (lit(hashA(i)) * h + lit(hashB(i))).bitwiseAND(lit(Mask31))))
-    }: _*)
+      .persist()
+    val sig = graft.functions.TextFunctions.minhash_signature(
+      col("hs"), hashA.toArray, hashB.toArray)
+    // candidate pairs carry only ids through the bucket join + distinct;
+    // the (fat) shingle arrays join back afterwards, once per unique pair.
     val banded = docs
       .withColumn("sig", sig)
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         posexplode(array((0 until Bands).map(b =>
           xxhash64(slice(col("sig"), b * Rows + 1, Rows))): _*)).as(Seq("band", "bucket")))
+      .persist()
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .dropDuplicates("ida", "idb")
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
     pairs
+      .join(docs.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
+      .join(docs.select(col("doc_id").as("idb"), col("sh").as("shb")), "idb")
       .select(col("ida"), col("idb"),
         (inter / (size(col("sha")).cast("long") + size(col("shb")).cast("long") - inter)).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
@@ -168,18 +178,19 @@ object Dedup extends QueryModule {
     * the rows-only check; determinism is unit-tested instead.
     */
   private def d05(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleArr(col("text")).as("sh"))
-      .withColumn("hs", transform(col("sh"), sh => xxhash64(sh)))
-    // bit k of the fingerprint = sign of sum over shingles of +/-1 per bit
-    // (unrolled over k: shift amounts must be Scala literals)
-    val fp = (0 until 64).map { k =>
-      val mask = lit(1L << k)
-      val vote = aggregate(col("hs"), lit(0L),
-        (a, h) => a + when(h.bitwiseAND(mask) =!= 0L, 1L).otherwise(-1L))
-      when(vote > 0, mask).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val withFp = docs.select(col("doc_id"), fp.as("simhash"))
+    // explode shingle hashes to rows and compute the 64 per-bit votes as
+    // one codegen'd hash aggregate (64 sum(CASE) columns) — the unrolled
+    // per-row aggregate-lambda form ran interpreted and 10x slower.
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingleArr(col("text"))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val votes = hashed.groupBy(col("doc_id")).agg(
+      sum(when(col("h").bitwiseAND(lit(1L << 0)) =!= 0L, 1L).otherwise(-1L)).as("v0"),
+      (1 until 64).map(k =>
+        sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0L, 1L).otherwise(-1L)).as(s"v$k")): _*)
+    // bit k of the fingerprint = sign of vote k
+    val fp = (0 until 64).map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+    val withFp = votes.select(col("doc_id"), fp.as("simhash"))
     // block on 4 x 16-bit bands: hamming<=3 implies >=1 identical band
     val banded = withFp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>

