@@ -61,7 +61,44 @@ object Multimodal extends QueryModule {
     """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS payload_md5
       |FROM documents""".stripMargin
 
+  /** Frame-sampled output: doc_id, frame count, sampled count, first-frame
+    * digest.
+    */
+  case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long, first_frame_md5: String)
+
+  private val FrameBytes = 16
+  private val SampleEvery = 4
+
+  /** m02: frame sampling over a "video" payload — the payload is cut into
+    * fixed-size frames and every k-th frame is kept, the shape of a
+    * video-to-training-frames pipeline. A real decoder would demux actual
+    * frames; the fixed-byte chunking is the clearly-marked stand-in. Same
+    * mapPartitions batch contract as m01.
+    */
+  private def m02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val frames = r.payload.grouped(FrameBytes).toArray
+        val sampled = frames.indices.collect { case i if i % SampleEvery == 0 => frames(i) }
+        md.reset()
+        val firstMd5 = md.digest(frames.headOption.getOrElse(Array.emptyByteArray))
+          .map("%02x".format(_)).mkString
+        FrameSample(r.doc_id, frames.length.toLong, sampled.length.toLong, firstMd5)
+      }
+    }.toDF()
+  }
+
+  private val m02Sql =
+    s"""SELECT doc_id,
+       |  CAST(ceil(strlen(text) / $FrameBytes.0) AS BIGINT) AS n_frames,
+       |  CAST(ceil(ceil(strlen(text) / $FrameBytes.0) / $SampleEvery.0) AS BIGINT) AS n_sampled,
+       |  md5(substring(text, 1, $FrameBytes)) AS first_frame_md5
+       |FROM documents""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_features", m01, Some(m01Sql)),
+    QueryDef("m02_frame_sample", m02, Some(m02Sql)),
   )
 }

@@ -1,0 +1,48 @@
+package graft.tools
+
+import graft.core.MapReduceJob
+import org.apache.spark.{SparkContext, TaskContext}
+import org.apache.spark.sql.SparkSession
+
+/** Fault-tolerance demo mirroring the reference's TestOneFailure
+  * (`/root/reference/src/test_test.go:172-186`): there, a worker dies
+  * after N RPCs and the master re-issues its tasks to surviving workers
+  * (`master.go:39-72`). In Spark the same contract is task re-execution:
+  * `local[4,3]` allows 3 attempts per task, the flaky map fails each
+  * task's first attempt, the retry succeeds, and the job's result is
+  * identical to a clean run.
+  *
+  * A main (not a ScalaTest suite) because it needs its own SparkContext
+  * with a retrying master URL — the shared test session is local[4]
+  * (maxFailures=1).
+  */
+object FaultDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4,3]") // 4 threads, 3 task attempts
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val lines = (0 until 5000).map(_.toString).toDS().repartition(8)
+
+    val flaky = MapReduceJob.run(
+      lines,
+      line => {
+        val tc = TaskContext.get()
+        if (tc != null && tc.attemptNumber() == 0 && tc.partitionId() == 3)
+          throw new RuntimeException("injected failure (first attempt, partition 3)")
+        line.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, "1"))
+      },
+      (_, vs) => vs.map(_.toInt).sum.toString,
+      nReduce = 4
+    ).collect().toMap
+
+    require(flaky.size == 5000, s"expected 5000 keys, got ${flaky.size}")
+    require(flaky.values.forall(_ == "1"), "every unique token must count 1")
+    println(s"[fault-demo] OK: job survived injected task failure; ${flaky.size} keys correct")
+    spark.stop()
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.sources.Formats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip tests for every source/sink surface. */
+class FormatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-$name").toString + "/out"
+
+  test("KeyValue newline-JSON round-trips (reference intermediate format)") {
+    import spark.implicits._
+    val kvs = Seq(("a", "1"), ("b", "2"), ("c", "x y")).toDS()
+    val path = tmp("kvjson")
+    Formats.writeKvJson(kvs, path)
+    assert(Formats.readKvJson(spark, path).collect().toSet === kvs.collect().toSet)
+  }
+
+  test("csv round-trips the documents table") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val path = tmp("csv")
+    Formats.writeCsv(docs, path)
+    val back = Formats.readCsv(spark, path, "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    assert(back.collect().toSet === docs.collect().toSet)
+  }
+
+  test("parquet round-trips with schema intact") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = tmp("parquet")
+    Formats.writeParquet(docs, path)
+    val back = Formats.readParquet(spark, path)
+    assert(back.schema === docs.schema)
+    assert(back.count() === docs.count())
+  }
+
+  test("text lines read one element per line (reference input format)") {
+    import spark.implicits._
+    val path = tmp("text")
+    Seq("line one", "line two", "line three").toDS().write.text(path)
+    assert(Formats.readTextLines(spark, path).count() === 3)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, top-k without global sort) must
+  * not silently regress.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q01: shipdate filter is pushed into the parquet scan and columns pruned") {
+    val f = formatted("q01_agg_lineitem")
+    assert(f.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!f.contains("l_orderkey"), "scan must not read unused columns")
+  }
+
+  test("q02: both predicates pushed to the scan") {
+    val f = formatted("q02_filter_project")
+    assert(f.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(f.contains("LessThan(l_quantity,25.0)"))
+  }
+
+  test("q04: dimension join is a broadcast hash join, no shuffle of the fact side") {
+    val p = plan("q04_broadcast_join_agg")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q05: all dimension joins broadcast") {
+    val p = plan("q05_multi_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q06/q07: semi and anti joins planned as such") {
+    assert(plan("q06_semi_join").contains("LeftSemi"))
+    assert(plan("q07_anti_join").contains("LeftAnti"))
+  }
+
+  test("q10: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q10_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"), "no global sort shuffle for top-k")
+  }
+
+  test("wc01: word count aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("wc01_wordcount")
+    assert(p.contains("HashAggregate"))
+    // partial agg appears below the exchange: two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("s01: knn scoring runs through the native codegen dot product") {
+    val p = plan("s01_cosine_knn")
+    assert(p.contains("dotproduct") || p.contains("DotProduct"))
+    assert(!p.contains("aggregate(zip_with"), "no interpreted HOF fold in the hot path")
+  }
+}
