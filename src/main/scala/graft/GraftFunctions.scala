@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{DotProduct, MinHashSignature, WordShingles}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL registration for graft's native expressions, so `spark.sql` users
+  * get them too:
+  *
+  *   vec_dot(a, b)                  — codegen'd array<double> dot product
+  *   word_shingles(text, n)         — distinct word n-gram shingles
+  *   minhash_sig(hashes, k)         — k-permutation MinHash signature
+  *
+  * Two paths:
+  *   - [[GraftFunctions.register]] on an existing session;
+  *   - `spark.sql.extensions=graft.GraftExtensions` at session build time
+  *     (the standard extension-library hook).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "word_shingles" -> (exprs => WordShingles(exprs(0), intArg(exprs(1), "shingle size"))),
+    "minhash_sig" -> { exprs =>
+      val k = intArg(exprs(1), "signature size")
+      val (as, bs) = Dedup31.params(k)
+      MinHashSignature(exprs(0), as, bs)
+    },
+  )
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+/** Deterministic 31-bit multiply-add MinHash parameter family (shared with
+  * ops.Dedup — same splitmix64 derivation).
+  */
+private[graft] object Dedup31 {
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private val Mask31 = 0x7fffffffL
+  def params(k: Int): (Array[Long], Array[Long]) = (
+    (0 until k).map(i => (splitmix64(2L * i + 1) & Mask31) | 1L).toArray,
+    (0 until k).map(i => splitmix64(2L * i + 2) & Mask31).toArray)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

@@ -13,6 +13,7 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     Relational,
     Relational2,
+    Relational3,
     EventsQueries,
     WordCount,
     graft.ops.TextAnalysis,

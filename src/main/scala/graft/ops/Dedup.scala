@@ -104,25 +104,15 @@ object Dedup extends QueryModule {
 
   // ---- d04: MinHash + LSH --------------------------------------------
 
-  /** splitmix64 — deterministic parameter derivation for the minhash
-    * permutation family (public-domain construction; no RNG state).
-    */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   private val NumHashes = 128
   private val Bands     = 32 // x 4 rows per band
   private val Rows      = NumHashes / Bands
 
-  // 31-bit parameters and base hashes: a*h+b stays under 2^62, so the
-  // arithmetic is exact under Spark's default ANSI mode (no long overflow).
+  // 31-bit parameters and base hashes (graft.Dedup31, splitmix64-derived):
+  // a*h+b stays under 2^62, so the arithmetic is exact under Spark's
+  // default ANSI mode (no long overflow).
   private val Mask31 = 0x7fffffffL
-  private val hashA: IndexedSeq[Long] = (0 until NumHashes).map(i => (splitmix64(2L * i + 1) & Mask31) | 1L)
-  private val hashB: IndexedSeq[Long] = (0 until NumHashes).map(i => splitmix64(2L * i + 2) & Mask31)
+  private val (hashA, hashB) = graft.Dedup31.params(NumHashes)
 
   /** d04: MinHash signature → banded LSH bucketing → bucket join →
     * exact-Jaccard verification. The oracle is the brute-force pair set at
@@ -142,7 +132,7 @@ object Dedup extends QueryModule {
       .withColumn("hs", transform(col("sh"), sh => xxhash64(sh).bitwiseAND(lit(Mask31))))
       .persist()
     val sig = graft.functions.TextFunctions.minhash_signature(
-      col("hs"), hashA.toArray, hashB.toArray)
+      col("hs"), hashA, hashB)
     // candidate pairs carry only ids through the bucket join + distinct;
     // the (fat) shingle arrays join back afterwards, once per unique pair.
     val banded = docs

@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.core.Num
+import graft.core.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Third wave: non-equi joins and exact scalar math — closing the last
+  * rows of the SURVEY.md §2.5 join/function inventory.
+  */
+object Relational3 extends QueryModule {
+
+  /** q21: range/theta (band) join — orders classified into price bands via
+    * a BETWEEN predicate against an inline dimension. Planned as a
+    * broadcast nested-loop join: with a broadcast-size band table that is
+    * exactly the right plan at any fact-side scale.
+    */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("low", 0.0, 100000.0),
+      ("mid", 100000.0, 250000.0),
+      ("high", 250000.0, 1e9)
+    ).toDF("band", "lo", "hi")
+    orders(s, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"), Num.dsum(col("o_totalprice")).as("band_rev"))
+  }
+
+  private val q21Sql =
+    """SELECT band, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS band_rev
+      |FROM orders
+      |JOIN (VALUES ('low', 0.0, 100000.0),
+      |             ('mid', 100000.0, 250000.0),
+      |             ('high', 250000.0, 1000000000.0)) AS bands(band, lo, hi)
+      |  ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band""".stripMargin
+
+  /** q22: exact scalar math functions (abs/mod/floor/ceil/sqrt/sign/
+    * greatest/least — all IEEE-exact, no libm transcendentals, so values
+    * are bit-identical cross-engine; DETERMINISM.md).
+    */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_linenumber") <= 2)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25.0).as("abs_dev"),
+        pmod(col("l_orderkey"), lit(7)).cast("long").as("key_mod7"),
+        floor(col("l_extendedprice") / 1000.0).cast("long").as("price_kfloor"),
+        ceil(col("l_discount") * 100.0).cast("long").as("disc_pct_ceil"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        signum(col("l_quantity") - 25.0).as("qty_sign"),
+        greatest(col("l_quantity"), col("l_discount") * 100.0).as("g"),
+        least(col("l_tax"), col("l_discount")).as("l"))
+
+  private val q22Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  abs(l_quantity - 25.0) AS abs_dev,
+      |  CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+      |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kfloor,
+      |  CAST(ceil(l_discount * 100.0) AS BIGINT) AS disc_pct_ceil,
+      |  sqrt(l_quantity) AS qty_sqrt,
+      |  CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
+      |  greatest(l_quantity, l_discount * 100.0) AS g,
+      |  least(l_tax, l_discount) AS l
+      |FROM lineitem
+      |WHERE l_linenumber <= 2""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("q21_band_join", q21, Some(q21Sql)),
+    QueryDef("q22_math_funcs", q22, Some(q22Sql)),
+  )
+}

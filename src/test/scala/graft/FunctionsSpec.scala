@@ -1,0 +1,59 @@
+package graft
+
+import graft.core.MapReduceJob
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-registered native functions + the typed Aggregator contract path. */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("vec_dot is callable from SQL and matches manual dot") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(got === (4.0 + 10.0 + 18.0))
+  }
+
+  test("word_shingles from SQL: distinct trigrams in order") {
+    GraftFunctions.register(spark)
+    val got = spark.sql("SELECT word_shingles('a b c d a b c d', 3) AS s")
+      .collect()(0).getSeq[String](0)
+    assert(got === Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("minhash_sig from SQL: right arity and deterministic") {
+    GraftFunctions.register(spark)
+    val q = "SELECT minhash_sig(array(12345L, 99999L, 54321L), 16) AS s"
+    val a = spark.sql(q).collect()(0).getSeq[Long](0)
+    val b = spark.sql(q).collect()(0).getSeq[Long](0)
+    assert(a.length === 16)
+    assert(a === b)
+    assert(a.forall(v => v >= 0 && v <= 0x7fffffffL))
+  }
+
+  test("runAggregated: typed Aggregator plans partial+final aggregation and sums correctly") {
+    import spark.implicits._
+    val sumAgg = new Aggregator[String, Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: String): Long = b + a.toLong
+      def merge(b1: Long, b2: Long): Long = b1 + b2
+      def finish(r: Long): Long = r
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+    val lines = (0 until 300).map(i => s"w${i % 7} w${i % 3}").toDS()
+    val out = MapReduceJob.runAggregated(
+      lines, l => l.split(" ").iterator.map(w => (w, "1")), sumAgg)
+    // partial aggregation before the shuffle (the combiner the reference lacks)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"))
+    val got = out.collect().toMap
+    val want = (0 until 300).flatMap(i => Seq(s"w${i % 7}", s"w${i % 3}"))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === want)
+  }
+}
