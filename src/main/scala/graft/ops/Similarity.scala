@@ -41,16 +41,26 @@ object Similarity extends QueryModule {
     """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)""".stripMargin
 
-  /** s01: exact cosine top-5 neighbors for every vector. */
+  /** s01: exact cosine top-5 neighbors for every vector. The per-query
+    * top-k runs through the bounded-memory TopKNeighbors Aggregator
+    * (partial+final agg; ≤k rows per group cross the shuffle) instead of a
+    * window sort over all n² scored pairs.
+    */
   private def s01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val a = vecs(s, dir).select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
     val b = vecs(s, dir).select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    a.crossJoin(b)
+    val scored = a.crossJoin(b)
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 5)
+      .as[graft.functions.KnnRow]
+    scored
+      .groupByKey(_.qid)
+      .agg(new graft.functions.TopKNeighbors(5).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.items.iterator.zipWithIndex.map { case (r, i) => (qid, r.nid, r.sim, (i + 1).toLong) }
+      }
+      .toDF("qid", "nid", "sim", "rn")
   }
 
   private val s01Sql =
