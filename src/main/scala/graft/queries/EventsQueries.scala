@@ -123,10 +123,37 @@ object EventsQueries extends QueryModule {
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
       |FROM events""".stripMargin
 
+  /** e05: interval self-join — per event, how many other events the same
+    * user produced within ±5 minutes. The time-range predicate makes this
+    * a genuine interval join; pre-bucketing by user keeps it a hash join
+    * on user_id with a range filter, the scalable shape when one key side
+    * is selective.
+    */
+  private def e05(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 5L * 60 * 1000 * 1000
+    val e = events(s, dir).select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val a = e.select(col("user_id"), col("event_id").as("eid"), col("ts_us").as("ta"))
+    val b = e.select(col("user_id"), col("event_id").as("oid"), col("ts_us").as("tb"))
+    a.join(b,
+        Seq("user_id"), "inner")
+      .filter(col("eid") =!= col("oid") &&
+        col("tb") >= col("ta") - winUs && col("tb") <= col("ta") + winUs)
+      .groupBy(col("user_id"), col("eid"))
+      .agg(count(lit(1)).as("n_nearby"))
+  }
+
+  private val e05Sql =
+    """SELECT a.user_id, a.event_id AS eid, count(*) AS n_nearby
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+      | AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 300000000 AND epoch_us(a.ts) + 300000000
+      |GROUP BY a.user_id, a.event_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_json_extract", e01, Some(e01Sql)),
     QueryDef("e02_tumbling_window", e02, Some(e02Sql)),
     QueryDef("e03_sessionize", e03, Some(e03Sql)),
     QueryDef("e04_asof_last_signup", e04, Some(e04Sql)),
+    QueryDef("e05_interval_join", e05, Some(e05Sql)),
   )
 }

@@ -70,8 +70,48 @@ object Relational3 extends QueryModule {
       |FROM lineitem
       |WHERE l_linenumber <= 2""".stripMargin
 
+  /** q23: pivot — per-linestatus quantity totals fanned out by return
+    * flag. Spark's .pivot plans the same conditional aggregation the
+    * oracle spells out.
+    */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(Num.dsum(col("l_quantity")))
+
+  private val q23Sql =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS A,
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS N,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS R
+      |FROM lineitem
+      |GROUP BY l_linestatus""".stripMargin
+
+  /** q24: scalar subquery — orders above the global mean price. The
+    * threshold is an exact-decimal sum divided in double (identical bits
+    * both engines), so the comparison is deterministic (DETERMINISM.md
+    * rule 3: never a plain avg() of doubles as a filter boundary).
+    */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val thresh = o.agg((Num.dsum(col("o_totalprice")) / count(lit(1))).as("t"))
+    o.join(broadcast(thresh))
+      .filter(col("o_totalprice") > col("t"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  private val q24Sql =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > (
+      |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM orders)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q21_band_join", q21, Some(q21Sql)),
     QueryDef("q22_math_funcs", q22, Some(q22Sql)),
+    QueryDef("q23_pivot", q23, Some(q23Sql)),
+    QueryDef("q24_scalar_subquery", q24, Some(q24Sql)),
   )
 }
