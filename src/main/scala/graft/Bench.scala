@@ -20,6 +20,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // testdata files are ~1-10 MB: the 128 MB default would scan each
+      // table in ONE task. 2 MB splits spread scans over the local cores —
+      // the analogue of the many-file layout a real warehouse has.
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
