@@ -31,17 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object MapReduceJob {
 
-  /** General (non-algebraic) contract: reduce sees all values of a key. */
+  /** General (non-algebraic) contract: reduce sees all values of a key.
+    *
+    * One shuffle: groupByKey hash-partitions on the key exactly like the
+    * reference's FNV%nReduce bucketing (an explicit repartition(nReduce)
+    * first would shuffle the data a second time for nothing). `nReduce`
+    * is accepted for contract parity; the actual reduce parallelism is
+    * governed by spark.sql.shuffle.partitions/AQE, which is the point of
+    * building on Spark — results are partition-count invariant either way
+    * (PropertySpec).
+    */
   def run(
       input: Dataset[String],
       map: String => IterableOnce[(String, String)],
       reduce: (String, Iterator[String]) => String,
-      nReduce: Int): Dataset[(String, String)] = {
+      nReduce: Int = 0): Dataset[(String, String)] = {
     val spark = input.sparkSession
     import spark.implicits._
     input
       .flatMap(map)
-      .repartition(nReduce, col("_1"))
       .groupByKey(_._1)
       .mapGroups((k, vs) => (k, reduce(k, vs.map(_._2))))
   }

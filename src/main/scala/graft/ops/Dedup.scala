@@ -128,6 +128,10 @@ object Dedup extends QueryModule {
     // for the exact verification joins.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingleArr(col("text")).as("sh"))
+      // docs with <3 words have no shingles: they can never be near-dups,
+      // and an all-MaxValue signature would bucket every such doc together
+      // (and divide by zero in the jaccard) — drop them up front
+      .filter(size(col("sh")) > 0)
       // one 31-bit base hash per shingle; each permutation is (a*h+b)&mask
       .withColumn("hs", transform(col("sh"), sh => xxhash64(sh).bitwiseAND(lit(Mask31))))
       .persist()

@@ -82,8 +82,15 @@ object Multimodal extends QueryModule {
       it.map { r =>
         val frames = r.payload.grouped(FrameBytes).toArray
         val sampled = frames.indices.collect { case i if i % SampleEvery == 0 => frames(i) }
+        // first-frame digest over the first FrameBytes CODEPOINTS of the
+        // decoded payload (not raw bytes): DuckDB's substring counts
+        // characters, and byte-slicing would silently diverge from the
+        // oracle on any non-ASCII document
+        val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+        val cps = text.codePoints().limit(FrameBytes).toArray
+        val firstFrame = new String(cps, 0, cps.length)
         md.reset()
-        val firstMd5 = md.digest(frames.headOption.getOrElse(Array.emptyByteArray))
+        val firstMd5 = md.digest(firstFrame.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           .map("%02x".format(_)).mkString
         FrameSample(r.doc_id, frames.length.toLong, sampled.length.toLong, firstMd5)
       }

@@ -45,12 +45,15 @@ object TextAnalysis extends QueryModule {
     val stopHits = size(filter(w, t => t.isInCollection(stopwords))).cast("long")
     val sumLen = aggregate(transform(w, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
     val nDistinct = size(array_distinct(w)).cast("long")
+    // zero-token guard: a whitespace-only document must yield null ratios
+    // (and so a null quality), not a divide error / engine-dependent NaN
+    def ratio(num: org.apache.spark.sql.Column) = when(nTok > 0, num / nTok)
     Tables.documents(s, dir).select(
       col("doc_id"),
       nTok.as("n_tokens"),
-      (stopHits / nTok).as("stop_ratio"),
-      (sumLen / nTok).as("mean_tok_len"),
-      (nDistinct / nTok).as("distinct_ratio"))
+      ratio(stopHits).as("stop_ratio"),
+      ratio(sumLen).as("mean_tok_len"),
+      ratio(nDistinct).as("distinct_ratio"))
       .withColumn("quality",
         col("stop_ratio") * 0.25 + col("distinct_ratio") * 0.5 + col("mean_tok_len") * 0.05)
   }
@@ -61,11 +64,11 @@ object TextAnalysis extends QueryModule {
        |FROM (
        |  SELECT doc_id,
        |    CAST(len(w) AS BIGINT) AS n_tokens,
-       |    CAST(len(list_filter(w, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS BIGINT)
-       |      / CAST(len(w) AS BIGINT) AS stop_ratio,
-       |    CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS BIGINT)
-       |      / CAST(len(w) AS BIGINT) AS mean_tok_len,
-       |    CAST(len(list_distinct(w)) AS BIGINT) / CAST(len(w) AS BIGINT) AS distinct_ratio
+       |    CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS BIGINT)
+       |      / CAST(len(w) AS BIGINT) END AS stop_ratio,
+       |    CASE WHEN len(w) > 0 THEN CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS BIGINT)
+       |      / CAST(len(w) AS BIGINT) END AS mean_tok_len,
+       |    CASE WHEN len(w) > 0 THEN CAST(len(list_distinct(w)) AS BIGINT) / CAST(len(w) AS BIGINT) END AS distinct_ratio
        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
        |        FROM documents))""".stripMargin
 

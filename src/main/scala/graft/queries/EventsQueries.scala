@@ -66,18 +66,16 @@ object EventsQueries extends QueryModule {
     * shuffle on user_id and the window work is per-partition sequential.
     */
   private def e03(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     val gapUs = lit(30L * 60 * 1000 * 1000)
     events(s, dir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(
-        Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, lit(1L))
           .otherwise(lit(0L)))
       .withColumn("session_id", sum(col("is_new")).over(
-        Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -196,9 +196,11 @@ object Relational extends QueryModule {
       |  FROM lineitem)
       |WHERE rn <= 3""".stripMargin
 
-  /** Analytic window frame: per-customer running order total. The frame
-    * order is fully deterministic and o_totalprice is 2-dp, so round(2) is
-    * a normalizing no-op (DETERMINISM.md rule 2).
+  /** Analytic window frame: per-customer running order total. Summed in
+    * exact decimal: engines are free to evaluate window aggregates in any
+    * combination order (DuckDB uses segment trees), so even a
+    * deterministic frame order doesn't pin a double sum's bits
+    * (DETERMINISM.md rule 1).
     */
   private def q09(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -207,14 +209,15 @@ object Relational extends QueryModule {
     orders(s, dir)
       .select(
         col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast("double").as("running_total"))
   }
 
   private val q09Sql =
     """SELECT o_custkey, o_orderkey,
-      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
       |        ORDER BY o_orderdate, o_orderkey
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders""".stripMargin
 
   /** Global deterministic top-k: planned as TakeOrderedAndProject — no full

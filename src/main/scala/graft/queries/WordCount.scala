@@ -36,11 +36,13 @@ object WordCount extends QueryModule {
   private def wc02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lines = Tables.documents(s, dir).select(col("text")).as[String]
+    // single-space tokenization, matching wc01 and the oracle's
+    // string_split(text, ' ') exactly (a \s+ split here would silently
+    // diverge on any tab/newline in future corpora)
     MapReduceJob.run(
       lines,
-      line => line.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, "1")),
-      (_, values) => values.map(_.toLong).sum.toString,
-      nReduce = 32)
+      line => line.split(' ').iterator.filter(_.nonEmpty).map(w => (w, "1")),
+      (_, values) => values.map(_.toLong).sum.toString)
       .toDF("word", "cnt_str")
   }
 

@@ -52,14 +52,17 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        graft.core.Num.dsum(col("value")).as("sum_value"))
       .select(
         unix_micros(col("w.start")).as("bucket_us"),
         col("event_type"), col("n"), col("sum_value"))
 
   // ---- stateful sessionization (flatMapGroupsWithState) ----------------
 
-  case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  /** ts is carried (unused by the lambda) because the watermark tag lives
+    * on that column and must survive into the grouped Dataset.
+    */
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long, ts: java.sql.Timestamp)
   case class SessionState(events: Seq[Long], lastTs: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                         start_us: Long, end_us: Long)
@@ -67,35 +70,47 @@ object EventStream {
   private val GapUs = 30L * 60 * 1000 * 1000
 
   /** Streaming sessionization with explicit state: a >30-min gap closes a
-    * session. Streaming twin of e03_sessionize (same gap rule); with event-
-    * time timeout the state for a quiet user is evicted instead of growing
-    * forever — the property that makes this viable on an unbounded stream.
+    * session. Streaming twin of e03_sessionize (same gap rule). Event-time
+    * timeout does the two things that make this viable on an unbounded
+    * stream: a session whose gap has passed the watermark is emitted
+    * without waiting for the user's next event, and the quiet user's state
+    * is then evicted instead of growing forever.
     */
   def sessionize(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
     import spark.implicits._
-    case class Acc(sessionId: Long, buf: Vector[Long])
-
     events
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Vector[Long]), SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Ev], state: GroupState[(Long, Vector[Long])]) =>
-          // batch iterator order is not guaranteed: sort by (ts, id)
-          val evs = it.toVector.sortBy(e => (e.ts_us, e.event_id))
-          var (nextSession, open) = state.getOption.getOrElse((1L, Vector.empty[Long]))
-          val out = Vector.newBuilder[SessionOut]
-          for (e <- evs) {
-            if (open.nonEmpty && e.ts_us - open.last > GapUs) {
-              out += SessionOut(user, nextSession, open.size.toLong, open.head, open.last)
-              nextSession += 1
-              open = Vector.empty
+          if (state.hasTimedOut) {
+            // the open session's gap has passed the watermark: close it
+            val (sessionId, open) = state.get
+            state.remove()
+            if (open.nonEmpty)
+              Iterator.single(SessionOut(user, sessionId, open.size.toLong, open.head, open.last))
+            else Iterator.empty
+          } else {
+            // batch iterator order is not guaranteed: sort by (ts, id)
+            val evs = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+            var (nextSession, open) = state.getOption.getOrElse((1L, Vector.empty[Long]))
+            val out = Vector.newBuilder[SessionOut]
+            for (e <- evs) {
+              if (open.nonEmpty && e.ts_us - open.last > GapUs) {
+                out += SessionOut(user, nextSession, open.size.toLong, open.head, open.last)
+                nextSession += 1
+                open = Vector.empty
+              }
+              open = open :+ e.ts_us
             }
-            open = open :+ e.ts_us
+            state.update((nextSession, open))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(open.last / 1000 + GapUs / 1000 + 1)
+            out.result().iterator
           }
-          state.update((nextSession, open))
-          out.result().iterator
       }
   }
 

@@ -38,15 +38,20 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.table("sessions_out")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
 
-    // gold: batch sessionization minus each user's final (still-open) session
+    // gold: every batch session except ones still legitimately open at
+    // stream end — a user's last session whose gap timeout lies beyond the
+    // final watermark (= max event time, delay 0s)
     val batch = EventStream.sessionizeBatchEquivalent(
       spark, graft.core.Tables.events(spark, dir))
+    val wmMs = graft.core.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000
     val lastPerUser = batch.groupBy(col("user_id"))
       .agg(max(col("session_id")).as("session_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = batch.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .filterNot(t => lastPerUser.contains((t._1, t._2)))
+      .filterNot(t => lastPerUser.contains((t._1, t._2)) &&
+        t._5 / 1000 + 30 * 60 * 1000 + 1 > wmMs)
       .toSet
     assert(want.nonEmpty)
     assert(got === want)
