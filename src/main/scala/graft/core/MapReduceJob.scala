@@ -88,6 +88,20 @@ object MapReduceJob {
       .agg(agg.toColumn)
   }
 
+  /** The reference's intermediate output contract (`mrtmp.<f>-res-<r>`):
+    * nReduce hash-partitioned files, each sorted by key within the
+    * partition (`mapreduce.go:243-247`). Spark form: repartition on the
+    * key + sortWithinPartitions — no global shuffle-sort, which is why the
+    * reference needs its single-threaded global Merge afterwards and
+    * [[writeSortedText]] doesn't.
+    */
+  def writePartitionedSorted(result: Dataset[(String, String)], path: String, nReduce: Int): Unit =
+    result
+      .repartition(nReduce, col("_1"))
+      .sortWithinPartitions(col("_1"))
+      .select(concat(col("_1"), lit(": "), col("_2")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+
   /** The reference's observable output contract: `key: value` lines, total
     * lexicographic order by key (`mapreduce.go:312-328`). Global order comes
     * from Spark's range-partitioned sort; a single text file (like the
