@@ -5,6 +5,7 @@ import graft.queries.{QueryDef, QueryModule}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
@@ -147,9 +148,36 @@ object Similarity extends QueryModule {
       .filter(col("rn") <= 5)
   }
 
+  /** s04: per-label centroid components — embedding analytics (cluster
+    * means, per-class prototypes). Emitted as exact decimal sums + counts
+    * per (label, position); the mean is the consumer's one division
+    * (DETERMINISM.md rule 3). posexplode keeps this one shuffle on
+    * (label, pos) regardless of vector count.
+    */
+  private def s04(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .groupBy(col("label"), (col("pos0") + 1).cast("long").as("pos"))
+      .agg(
+        // float -> shortest string -> decimal: both engines print the same
+        // shortest round-trip repr (<=9 sig digits), so the scale-12 parse
+        // is exact — a direct double->decimal cast ties at the rounding
+        // digit between Spark (rounds the string) and DuckDB (rounds the
+        // binary) roughly once per thousand sums
+        sum(col("x").cast("string").cast(DecimalType(28, 12))).cast("double").as("sx"),
+        count(lit(1)).as("n"))
+
+  private val s04Sql =
+    """SELECT label, CAST(i AS BIGINT) AS pos,
+      |  CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+      |  count(*) AS n
+      |FROM embeddings, range(1, 65) t(i)
+      |GROUP BY label, i""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_knn", s01, Some(s01Sql)),
     QueryDef("s02_cosine_neardup", s02, Some(s02Sql)),
     QueryDef("s03_ann_lsh", s03, None),
+    QueryDef("s04_label_centroid", s04, Some(s04Sql)),
   )
 }

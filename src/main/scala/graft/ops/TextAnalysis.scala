@@ -134,10 +134,33 @@ object TextAnalysis extends QueryModule {
       |  md5(array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0))), ' ')) AS fingerprint
       |FROM documents""".stripMargin
 
+  /** t05: term/document frequency inverted index — the shape under tf-idf
+    * ranking and vocabulary pruning. Counts only (ints): the idf log is
+    * left to the consumer because libm transcendentals aren't bit-stable
+    * across engines (DETERMINISM.md).
+    */
+  private def t05(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(df, "word").select(col("doc_id"), col("word"), col("tf"), col("df"))
+  }
+
+  private val t05Sql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id, tf.word AS word, tf, df
+      |FROM tf JOIN df ON tf.word = df.word""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_quality_score", t02, Some(t02Sql)),
     QueryDef("t03_langid", t03, Some(t03Sql)),
     QueryDef("t04_fingerprint", t04, Some(t04Sql)),
+    QueryDef("t05_tf_df", t05, Some(t05Sql)),
   )
 }
