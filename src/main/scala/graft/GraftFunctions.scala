@@ -44,7 +44,10 @@ object GraftFunctions {
   * ops.Dedup — same splitmix64 derivation).
   */
 private[graft] object Dedup31 {
-  private def splitmix64(seed: Long): Long = {
+  /** The one splitmix64 mixer every deterministic parameter family in
+    * graft derives from (minhash permutations, LSH hyperplanes).
+    */
+  def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

@@ -36,14 +36,16 @@ object Dedup extends QueryModule {
     * whitespace) — catches formatting-only duplicates.
     */
   private def d02(s: SparkSession, dir: String): DataFrame = {
-    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    // explicit whitespace class: Java's \s includes \x0B, RE2's doesn't —
+    // the class below means the same thing to both engines
+    val norm = lower(trim(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
     Tables.documents(s, dir)
       .groupBy(md5(norm).as("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
   private val d02Sql =
-    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash,
+    """SELECT md5(lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS norm_hash,
       |  min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents
       |GROUP BY 1""".stripMargin
@@ -59,12 +61,16 @@ object Dedup extends QueryModule {
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(shingleArr(col("text"))).as("shingle"))
 
-  /** Shared oracle CTE: distinct 3-gram shingles per doc in DuckDB. */
+  /** Shared oracle CTE: distinct 3-gram shingles per doc in DuckDB —
+    * empty tokens dropped first, mirroring WordShingles' filter exactly
+    * (string_split keeps empties on doubled/trailing spaces).
+    */
   private val shingleCte =
     """sh AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(string_split(text,' '))-1),
-      |    i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))) AS shingle
-      |  FROM documents)""".stripMargin
+      |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS shingle
+      |  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+      |        FROM documents))""".stripMargin
 
   /** d03: exact n-gram Jaccard near-dup pairs via inverted-index self-join
     * (shuffle on shingle, never a crossJoin). At 100 TB add a
@@ -195,8 +201,10 @@ object Dedup extends QueryModule {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .dropDuplicates("ida", "idb")
+      // hamming is a pure function of the pair: filter BEFORE the
+      // dedup shuffle so far-apart banded pairs never cross it
       .filter(col("hamming") <= 3)
+      .dropDuplicates("ida", "idb")
   }
 
   override def defs: Seq[QueryDef] = Seq(

@@ -96,16 +96,14 @@ object Similarity extends QueryModule {
        |WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
-    * zero-mean value derived from splitmix64 — fixed across runs/engines.
+    * zero-mean value derived from the shared splitmix64 mixer
+    * (graft.Dedup31) — fixed across runs/engines.
     */
   private val NumPlanes = 16
   private val NumTables = 8
   private def planeComponent(table: Int, plane: Int, j: Int): Double = {
-    var z = (table.toLong * 1000003L + plane.toLong * 8191L + j.toLong) + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+    val z = graft.Dedup31.splitmix64(table.toLong * 1000003L + plane.toLong * 8191L + j.toLong)
+    z.toDouble / Long.MaxValue.toDouble // in [-1, 1]
   }
 
   /** s03: sign-bit (random hyperplane) LSH over `NumTables` independent
@@ -169,9 +167,12 @@ object Similarity extends QueryModule {
 
   private val s04Sql =
     """SELECT label, CAST(i AS BIGINT) AS pos,
-      |  CAST(sum(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+      |  CAST(sum(CAST(xs AS DECIMAL(28,12))) AS DOUBLE) AS sx,
       |  count(*) AS n
-      |FROM embeddings, range(1, 65) t(i)
+      |FROM (SELECT label,
+      |        unnest(range(1, len(embedding)+1)) AS i,
+      |        unnest(list_transform(embedding, x -> CAST(x AS VARCHAR))) AS xs
+      |      FROM embeddings)
       |GROUP BY label, i""".stripMargin
 
   override def defs: Seq[QueryDef] = Seq(

@@ -51,7 +51,9 @@ object Relational3 extends QueryModule {
         abs(col("l_quantity") - 25.0).as("abs_dev"),
         pmod(col("l_orderkey"), lit(7)).cast("long").as("key_mod7"),
         floor(col("l_extendedprice") / 1000.0).cast("long").as("price_kfloor"),
-        ceil(col("l_discount") * 100.0).cast("long").as("disc_pct_ceil"),
+        // round, not ceil: 0.07*100.0 is 7.000000000000001 in binary, and
+        // ceil would report 8 percent for half of all 2-dp discounts
+        round(col("l_discount") * 100.0).cast("long").as("disc_pct"),
         sqrt(col("l_quantity")).as("qty_sqrt"),
         signum(col("l_quantity") - 25.0).as("qty_sign"),
         greatest(col("l_quantity"), col("l_discount") * 100.0).as("g"),
@@ -62,7 +64,7 @@ object Relational3 extends QueryModule {
       |  abs(l_quantity - 25.0) AS abs_dev,
       |  CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
       |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kfloor,
-      |  CAST(ceil(l_discount * 100.0) AS BIGINT) AS disc_pct_ceil,
+      |  CAST(round(l_discount * 100.0) AS BIGINT) AS disc_pct,
       |  sqrt(l_quantity) AS qty_sqrt,
       |  CAST(sign(l_quantity - 25.0) AS DOUBLE) AS qty_sign,
       |  greatest(l_quantity, l_discount * 100.0) AS g,
