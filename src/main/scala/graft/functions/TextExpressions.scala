@@ -97,7 +97,38 @@ case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long])
     copy(child = newChild)
 }
 
+/** Polynomial rolling hash over a string's Unicode codepoints:
+  * h = fold(cp, 0)((a, c) => (a*31 + c) mod 1e9+7). The classic
+  * content-defined fingerprint (order-sensitive, incremental-friendly);
+  * mirrored in DuckDB via list_reduce over ord(codepoint).
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  private val M = 1000000007L
+  private val B = 31L
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"rolling_hash expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val it = input.asInstanceOf[UTF8String].toString.codePoints().iterator()
+    var h = 0L
+    while (it.hasNext) h = (h * B + it.next()) % M
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
+  def rolling_hash(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
   def word_shingles(c: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
 

@@ -156,11 +156,54 @@ object TextAnalysis extends QueryModule {
       |SELECT doc_id, tf.word AS word, tf, df
       |FROM tf JOIN df ON tf.word = df.word""".stripMargin
 
+  /** t06: BPE-ish token counting — alnum runs + individual punctuation,
+    * the standard cheap proxy for subword-tokenizer counts. The pattern
+    * uses only constructs Java regex and RE2 agree on.
+    */
+  private def t06(s: SparkSession, dir: String): DataFrame = {
+    val bpe = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9 ]"), lit(0))
+    val nWs = size(toks(col("text"))).cast("long")
+    val nBpe = size(bpe).cast("long")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      nWs.as("n_ws_tokens"),
+      nBpe.as("n_bpe_tokens"),
+      when(nBpe > 0, length(col("text")).cast("long") / nBpe).as("chars_per_bpe"))
+  }
+
+  private val t06Sql =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+      |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) > 0
+      |    THEN CAST(length(text) AS BIGINT)
+      |      / CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS BIGINT)
+      |  END AS chars_per_bpe
+      |FROM documents""".stripMargin
+
+  /** t07: order-sensitive rolling-hash fingerprint (native expression;
+    * t04 is the order-insensitive set fingerprint).
+    */
+  private def t07(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.functions.TextFunctions.rolling_hash(col("text")).as("roll_hash"))
+
+  private val t07Sql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS roll_hash
+      |FROM documents""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_quality_score", t02, Some(t02Sql)),
     QueryDef("t03_langid", t03, Some(t03Sql)),
     QueryDef("t04_fingerprint", t04, Some(t04Sql)),
     QueryDef("t05_tf_df", t05, Some(t05Sql)),
+    QueryDef("t06_bpe_tokens", t06, Some(t06Sql)),
+    QueryDef("t07_rolling_hash", t07, Some(t07Sql)),
   )
 }
