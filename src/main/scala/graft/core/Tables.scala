@@ -29,6 +29,11 @@ object Tables {
     * microsecond precision — same truncation DuckDB applies via epoch_us.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // defensive: callers may hand us a session built without the flag
+    // (it is a runtime SQL conf; if a future Spark makes it static this
+    // no-ops and our own mains still set it at build time)
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -11,12 +11,14 @@ class OpsSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.01"
 
   test("minhash-LSH (d04) recovers exactly the exact-jaccard pair set (d03) — recall 1.0") {
-    val exact = SparkEntry.queries("d03_ngram_jaccard")(spark, dir)
-      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SparkEntry.queries("d04_minhash_lsh")(spark, dir)
-      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(exact.nonEmpty)
-    assert(lsh === exact)
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val exact = SparkEntry.queries("d03_ngram_jaccard")(spark, sf)
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = SparkEntry.queries("d04_minhash_lsh")(spark, sf)
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty, sf)
+      assert(lsh === exact, sf)
+    }
   }
 
   test("simhash (d05) pairs are a subset of exact near-dup pairs and deterministic") {
