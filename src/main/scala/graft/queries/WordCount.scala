@@ -52,8 +52,28 @@ object WordCount extends QueryModule {
       |WHERE length(word) > 0
       |GROUP BY word""".stripMargin
 
+  /** The reference's own benchmark workload (TestBasic shape:
+    * `test_test.go:14-34` — 100k unique integer lines, nMap=50), run
+    * through the generic contract including the global sort. Input is
+    * generated (the reference generates its own too), so there is no
+    * table oracle — the driver records rows>0 and the Bench JSON tracks
+    * its throughput every round. The full line-by-line oracle check lives
+    * in ReferenceParitySpec.
+    */
+  private def wc03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lines = s.range(0, 100000).map(_.toString).repartition(50)
+    MapReduceJob.run(
+      lines,
+      line => line.split("\\s+").iterator.filter(_.nonEmpty).map(w => (w, "1")),
+      (_, vs) => vs.map(_.toInt).sum.toString)
+      .toDF("word", "cnt_str")
+      .orderBy(col("word"))
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("wc01_wordcount", wc01, Some(wc01Sql)),
     QueryDef("wc02_mapreduce_contract", wc02, Some(wc02Sql)),
+    QueryDef("wc03_parity_100k", wc03, None),
   )
 }
