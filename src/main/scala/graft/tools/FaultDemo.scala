@@ -21,6 +21,10 @@ object FaultDemo {
     val spark = SparkSession.builder()
       .master("local[4,3]") // 4 threads, 3 task attempts
       .config("spark.sql.shuffle.partitions", "4")
+      // also exercises the builder-time extension injection path (the
+      // ScalaTest suites share one session, so they can only test the
+      // runtime GraftFunctions.register path)
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -43,6 +47,11 @@ object FaultDemo {
     require(flaky.size == 5000, s"expected 5000 keys, got ${flaky.size}")
     require(flaky.values.forall(_ == "1"), "every unique token must count 1")
     println(s"[fault-demo] OK: job survived injected task failure; ${flaky.size} keys correct")
+
+    val d = spark.sql("SELECT vec_dot(array(1.0d,2.0d), array(3.0d,4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    require(d == 11.0, s"vec_dot via extensions returned $d")
+    println("[fault-demo] OK: graft.GraftExtensions injected vec_dot into SQL")
     spark.stop()
   }
 }
