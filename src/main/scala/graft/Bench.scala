@@ -1,46 +1,46 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Per-round benchmark main: runs every declared query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
   * Each query is executed through the `noop` sink so the full projection
   * is computed (a bare .count() lets Catalyst prune away most of the
   * query's actual work). One warmup action initializes codegen/JIT paths
-  * before timing starts.
+  * before timing starts. Failed queries report -1 (never a fast-looking
+  * elapsed time); a context-killing failure recreates the session so the
+  * remaining queries still run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
-      // testdata files are ~1-10 MB: the 128 MB default would scan each
-      // table in ONE task. 2 MB splits spread scans over the local cores —
-      // the analogue of the many-file layout a real warehouse has.
-      .config("spark.sql.files.maxPartitionBytes", "2m")
-      .config("spark.sql.files.openCostInBytes", "262144")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession() = {
+      val s = graft.core.Sessions.builder(s"local[$cpus]", cpus)
+        // testdata files are ~1-10 MB: the 128 MB default would scan each
+        // table in ONE task. 2 MB splits spread scans over the local
+        // cores — the analogue of the many-file layout a real warehouse has.
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "262144")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = newSession()
 
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup JIT/codegen
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (spark.sparkContext.isStopped) spark = newSession()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      // a failed query must not masquerade as a fast one: report -1
-      spark.sharedState.cacheManager.clearCache() // ops persist() caches
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9 // before cache cleanup
+      if (!spark.sparkContext.isStopped)
+        spark.sharedState.cacheManager.clearCache() // ops persist() caches
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -24,11 +24,25 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${exprs.length}")
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> (exprs => DotProduct(exprs(0), exprs(1))),
-    "word_shingles" -> (exprs => WordShingles(exprs(0), intArg(exprs(1), "shingle size"))),
+    "vec_dot" -> { exprs =>
+      arity("vec_dot", exprs, 2); DotProduct(exprs(0), exprs(1))
+    },
+    "word_shingles" -> { exprs =>
+      arity("word_shingles", exprs, 2)
+      val n = intArg(exprs(1), "shingle size")
+      require(n >= 1, s"shingle size must be >= 1, got $n")
+      WordShingles(exprs(0), n)
+    },
     "minhash_sig" -> { exprs =>
+      arity("minhash_sig", exprs, 2)
       val k = intArg(exprs(1), "signature size")
+      require(k >= 1, s"signature size must be >= 1, got $k")
       val (as, bs) = Dedup31.params(k)
       MinHashSignature(exprs(0), as, bs)
     },
@@ -54,9 +68,9 @@ private[graft] object Dedup31 {
     z ^ (z >>> 31)
   }
   private val Mask31 = 0x7fffffffL
-  def params(k: Int): (Array[Long], Array[Long]) = (
-    (0 until k).map(i => (splitmix64(2L * i + 1) & Mask31) | 1L).toArray,
-    (0 until k).map(i => splitmix64(2L * i + 2) & Mask31).toArray)
+  def params(k: Int): (IndexedSeq[Long], IndexedSeq[Long]) = (
+    (0 until k).map(i => (splitmix64(2L * i + 1) & Mask31) | 1L),
+    (0 until k).map(i => splitmix64(2L * i + 2) & Mask31))
 }
 
 /** `spark.sql.extensions` entry point. */

@@ -7,23 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    def newSession(): SparkSession = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    var spark = newSession()
-    spark.sparkContext.setLogLevel("WARN")
+    var spark = graft.core.Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
     // deterministic order; a query that kills the context (e.g. broadcast
     // OOM) must not zero every query after it — recreate the session.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (spark.sparkContext.isStopped) {
-        spark = newSession()
-        spark.sparkContext.setLogLevel("WARN")
-      }
+      if (spark.sparkContext.isStopped)
+        spark = graft.core.Sessions.local(cpus)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -28,16 +28,21 @@ object Tables {
     * session builder here). Normalize to a true TimestampType at
     * microsecond precision — same truncation DuckDB applies via epoch_us.
     */
+  /** ns-long → microsecond TimestampType, shared by the batch loader and
+    * the streaming source (one place for the truncation rule).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+
   def events(s: SparkSession, d: String): DataFrame = {
     // defensive: callers may hand us a session built without the flag
     // (it is a runtime SQL conf; if a future Spark makes it static this
     // no-ops and our own mains still set it at build time)
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    normalizeEventTs(table(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

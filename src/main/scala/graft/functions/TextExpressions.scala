@@ -31,8 +31,11 @@ case class WordShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"word_shingles expects string, got ${child.dataType}")
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(s"word_shingles expects string, got ${child.dataType}")
+    else if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"word_shingles size must be >= 1, got $n")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString
@@ -63,8 +66,10 @@ case class WordShingles(child: Expression, n: Int)
   * numHashes signature values. 31-bit arithmetic keeps every product
   * exact under ANSI mode.
   */
-case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long])
+case class MinHashSignature(child: Expression, as: IndexedSeq[Long], bs: IndexedSeq[Long])
     extends UnaryExpression with CodegenFallback with Serializable {
+  // IndexedSeq (not Array): case-class equality must be structural so two
+  // identical minhash_sig calls are semanticEquals for Catalyst CSE
 
   private val Mask31 = 0x7fffffffL
 
@@ -132,6 +137,6 @@ object TextFunctions {
   def word_shingles(c: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
 
-  def minhash_signature(c: Column, as: Array[Long], bs: Array[Long]): Column =
+  def minhash_signature(c: Column, as: IndexedSeq[Long], bs: IndexedSeq[Long]): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), as, bs))
 }

@@ -28,18 +28,23 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over the events table, ts normalized ns→µs
-    * exactly like the batch loader.
+  /** File-source stream over the events table, ts normalized ns→µs via
+    * the same helper the batch loader uses.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      // file source requires a directory: stream the sf dir, filtered to
-      // the events table file(s)
-      .option("pathGlobFilter", "events*.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // same defensive conf-set as Tables.events: the raw-long schema below
+    // only reads if nanosAsLong is on
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    graft.core.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        // file source requires a directory: stream the sf dir, filtered to
+        // the events table file(s)
+        .option("pathGlobFilter", "events*.parquet")
+        .parquet(dir))
+  }
 
   /** Tumbling 1-hour window counts/sums with a 2-hour watermark —
     * streaming twin of e02_tumbling_window. Late data beyond the watermark
@@ -87,9 +92,13 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Ev], state: GroupState[(Long, Vector[Long])]) =>
           if (state.hasTimedOut) {
-            // the open session's gap has passed the watermark: close it
+            // the open session's gap has passed the watermark: close it.
+            // Keep the advanced counter (a remove() would restart a
+            // returning user at session_id 1, colliding with an emitted
+            // key) — residual state shrinks to one counter per user;
+            // full eviction would need memoryless ids (e.g. start_us).
             val (sessionId, open) = state.get
-            state.remove()
+            state.update((sessionId + 1, Vector.empty))
             if (open.nonEmpty)
               Iterator.single(SessionOut(user, sessionId, open.size.toLong, open.head, open.last))
             else Iterator.empty

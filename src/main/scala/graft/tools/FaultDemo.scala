@@ -18,14 +18,11 @@ import org.apache.spark.sql.SparkSession
   */
 object FaultDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4,3]") // 4 threads, 3 task attempts
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = graft.core.Sessions.builder("local[4,3]", "4") // 3 task attempts
       // also exercises the builder-time extension injection path (the
       // ScalaTest suites share one session, so they can only test the
       // runtime GraftFunctions.register path)
       .withExtensions(new graft.GraftExtensions)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
