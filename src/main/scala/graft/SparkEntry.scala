@@ -20,6 +20,7 @@ object SparkEntry {
     graft.ops.Dedup,
     graft.ops.Similarity,
     graft.ops.Multimodal,
+    graft.ops.Profiling,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
