@@ -110,10 +110,26 @@ object Relational3 extends QueryModule {
       |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
       |  FROM orders)""".stripMargin
 
+  /** q25: sketch aggregates — HyperLogLog++ distinct counts and an
+    * approximate quantile, the 100 TB replacements for exact distinct /
+    * exact percentile (docs/SCALE.md). Sketch internals differ across
+    * engines, so there is no DuckDB equality oracle — the driver records
+    * rows>0 and QuerySmokeSpec + OpsSpec bound the error vs the exact
+    * answers.
+    */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q21_band_join", q21, Some(q21Sql)),
     QueryDef("q22_math_funcs", q22, Some(q22Sql)),
     QueryDef("q23_pivot", q23, Some(q23Sql)),
     QueryDef("q24_scalar_subquery", q24, Some(q24Sql)),
+    QueryDef("q25_approx_sketches", q25, None),
   )
 }

@@ -66,6 +66,26 @@ class OpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_bytes") === text.getBytes("UTF-8").length.toLong)
   }
 
+  test("approx sketches (q25) land within HLL/quantile error bounds of exact answers") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("q25_approx_sketches")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val exact = graft.core.Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_suppkey")).as("s"),
+        expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (ap, as_, am)) <- approx) {
+      val (ep, es, em) = exact(k)
+      assert(math.abs(ap - ep).toDouble / ep < 0.1, s"$k parts: $ap vs $ep")
+      assert(math.abs(as_ - es).toDouble / es < 0.1, s"$k supps: $as_ vs $es")
+      assert(math.abs(am - em) / em < 0.05, s"$k median: $am vs $em")
+    }
+  }
+
   test("langid (t03) emits a valid language for every document") {
     val langs = SparkEntry.queries("t03_langid")(spark, "/root/testdata/sf0.001")
       .select("pred_lang").collect().map(_.getString(0)).toSet
