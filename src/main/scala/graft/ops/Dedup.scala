@@ -81,19 +81,23 @@ object Dedup extends QueryModule {
   private def d03(s: SparkSession, dir: String): DataFrame = {
     // join on the 64-bit shingle hash, not the string: smaller shuffle +
     // faster key compare; collision probability is ~1e-9 at this scale.
-    // persist: the inverted index is scanned by both join sides and the
-    // size aggregate — without it the shingling pipeline runs 3x.
+    // persist: the inverted index is scanned by both self-join sides —
+    // without it the shingling pipeline runs twice.
     val sh = shingles(s, dir)
       .select(col("doc_id"), xxhash64(col("shingle")).as("shkey"))
       .persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // per-doc set size is just the shingle-array length: a row-level
+    // projection broadcast to the pair stream — not a groupBy over the
+    // exploded index plus two shuffle joins
+    val sizes = Tables.documents(s, dir)
+      .select(col("doc_id"), size(shingleArr(col("text"))).cast("long").as("n"))
     val common = sh.as("a").join(sh.as("b"),
         col("a.shkey") === col("b.shkey") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .agg(count(lit(1)).as("c"))
     common
-      .join(sizes.select(col("doc_id"), col("n").as("na")), col("ida") === col("doc_id")).drop("doc_id")
-      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("idb") === col("doc_id")).drop("doc_id")
+      .join(broadcast(sizes.select(col("doc_id"), col("n").as("na"))), col("ida") === col("doc_id")).drop("doc_id")
+      .join(broadcast(sizes.select(col("doc_id"), col("n").as("nb"))), col("idb") === col("doc_id")).drop("doc_id")
       .select(col("ida"), col("idb"), (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
