@@ -36,6 +36,15 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.count() === docs.count())
   }
 
+  test("orc round-trips with schema intact") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = tmp("orc")
+    Formats.writeOrc(docs, path)
+    val back = Formats.readOrc(spark, path)
+    assert(back.schema === docs.schema)
+    assert(back.count() === docs.count())
+  }
+
   test("text lines read one element per line (reference input format)") {
     import spark.implicits._
     val path = tmp("text")

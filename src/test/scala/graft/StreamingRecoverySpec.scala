@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.EventStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Streaming state recovery: a watermarked aggregation stopped mid-stream
+  * and restarted from its checkpoint must (a) not reprocess consumed
+  * files and (b) restore its aggregation state, so the final complete-
+  * mode output equals the batch gold over ALL input — the exactly-once
+  * property the reference approximates with idempotent task re-execution
+  * over a shared FS (SURVEY.md §2.2 S4).
+  */
+class StreamingRecoverySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tumbling agg restarted from checkpoint resumes state, no reprocessing") {
+    // split the events table into 4 parquet files (same rows, test plumbing)
+    val splitDir = Files.createTempDirectory("graft-evsplit").toString
+    graft.core.Tables.events(spark, dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000")) // back to raw ns longs
+      .repartition(4)
+      .write.mode("overwrite").parquet(splitDir)
+    val parts = Files.list(Paths.get(splitDir)).toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+    assert(parts.length === 4)
+
+    val streamDir = Files.createTempDirectory("graft-evstream").toString
+    val checkpoint = Files.createTempDirectory("graft-evckpt").toString
+    def feed(ps: Seq[Path]): Unit = ps.zipWithIndex.foreach { case (p, i) =>
+      Files.copy(p, Paths.get(streamDir, s"events-${p.getFileName}"), StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def runOnce(name: String): Unit = {
+      val q = EventStream.tumblingAgg(EventStream.readEvents(spark, streamDir))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    feed(parts.take(2))
+    runOnce("recovery_phase1")
+    val phase1 = spark.table("recovery_phase1").count()
+    assert(phase1 > 0)
+
+    feed(parts.drop(2))
+    runOnce("recovery_phase2")
+
+    val got = spark.table("recovery_phase2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = SparkEntry.queries("e02_tumbling_window")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want, "post-restart complete output must equal the full batch gold")
+  }
+}
