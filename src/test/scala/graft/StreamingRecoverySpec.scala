@@ -5,12 +5,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-/** Streaming state recovery: a watermarked aggregation stopped mid-stream
-  * and restarted from its checkpoint must (a) not reprocess consumed
-  * files and (b) restore its aggregation state, so the final complete-
-  * mode output equals the batch gold over ALL input — the exactly-once
+/** Streaming state recovery: an aggregation stopped mid-stream and
+  * restarted from its checkpoint must (a) skip already-committed files
+  * and (b) restore its aggregation state, so the final complete-mode
+  * output equals the batch gold over ALL input — the exactly-once
   * property the reference approximates with idempotent task re-execution
   * over a shared FS (SURVEY.md §2.2 S4).
+  *
+  * The phase-1 files are DELETED before the restart: state restoration is
+  * then the only way phase 2 can produce the full answer, so a silently
+  * ignored checkpoint fails the assert instead of passing via reprocess.
+  * (Complete mode keeps the watermark inert — watermark restoration
+  * itself is not what this covers.)
   */
 class StreamingRecoverySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -23,15 +29,17 @@ class StreamingRecoverySpec extends AnyFunSuite {
       .withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000")) // back to raw ns longs
       .repartition(4)
       .write.mode("overwrite").parquet(splitDir)
-    val parts = Files.list(Paths.get(splitDir)).toArray.map(_.asInstanceOf[Path])
-      .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+    val parts = new java.io.File(splitDir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.toPath).sortBy(_.toString).toSeq
     assert(parts.length === 4)
 
     val streamDir = Files.createTempDirectory("graft-evstream").toString
     val checkpoint = Files.createTempDirectory("graft-evckpt").toString
-    def feed(ps: Seq[Path]): Unit = ps.zipWithIndex.foreach { case (p, i) =>
+    def feed(ps: Seq[Path]): Unit = ps.foreach { p =>
       Files.copy(p, Paths.get(streamDir, s"events-${p.getFileName}"), StandardCopyOption.REPLACE_EXISTING)
     }
+    def unfeed(ps: Seq[Path]): Unit =
+      ps.foreach(p => Files.deleteIfExists(Paths.get(streamDir, s"events-${p.getFileName}")))
 
     def runOnce(name: String): Unit = {
       val q = EventStream.tumblingAgg(EventStream.readEvents(spark, streamDir))
@@ -48,6 +56,8 @@ class StreamingRecoverySpec extends AnyFunSuite {
     val phase1 = spark.table("recovery_phase1").count()
     assert(phase1 > 0)
 
+    // remove consumed files: only restored state can account for them now
+    unfeed(parts.take(2))
     feed(parts.drop(2))
     runOnce("recovery_phase2")
 
