@@ -45,7 +45,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stop BEFORE printing so no late executor/log line lands after the
+    // JSON — the result line should be the last thing on stdout, and it is
+    // also written to a file so consumers never have to fish it out of sbt
+    // log noise.
     spark.stop()
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
+    println(line)
+    Console.out.flush()
   }
 }

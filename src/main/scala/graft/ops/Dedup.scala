@@ -57,10 +57,6 @@ object Dedup extends QueryModule {
   private[graft] def shingleArr(text: Column): Column =
     graft.functions.TextFunctions.word_shingles(text, 3)
 
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingleArr(col("text"))).as("shingle"))
-
   /** Shared oracle CTE: distinct 3-gram shingles per doc in DuckDB —
     * empty tokens dropped first, mirroring WordShingles' filter exactly
     * (string_split keeps empties on doubled/trailing spaces).
@@ -72,30 +68,56 @@ object Dedup extends QueryModule {
       |  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
       |        FROM documents))""".stripMargin
 
-  /** d03: exact n-gram Jaccard near-dup pairs via inverted-index self-join
-    * (shuffle on shingle, never a crossJoin). At 100 TB add a
-    * document-frequency cap on shingles before the join (drop shingles
-    * appearing in >k docs — they only ever connect boilerplate) to bound
-    * the per-key fanout; AQE's skew handling covers the rest.
+  /** Document-frequency cap on shingles: a shingle appearing in more than
+    * `DfCap` documents is boilerplate — it only ever connects documents
+    * that share a template, and it fans out df² candidate pairs through
+    * the self-join. Dropping those keys up front bounds the per-key join
+    * fanout at DfCap² regardless of corpus skew (the 100 TB guard; AQE's
+    * skew split covers the sub-cap residue). 100 is far above this
+    * testdata's max df (25 at sf0.1), so the declared query's results are
+    * unchanged and the DuckDB oracle needs no cap mirror; the capped-path
+    * behavior itself is unit-tested with an injected boilerplate shingle
+    * (OpsSpec).
     */
-  private def d03(s: SparkSession, dir: String): DataFrame = {
+  private[graft] val DfCap = 100L
+
+  /** Candidate pairs with common-shingle counts for an arbitrary
+    * documents-shaped frame — the d03 core, factored out so tests can
+    * drive it with synthetic corpora and custom caps.
+    */
+  private[graft] def jaccardCandidates(docs: DataFrame, dfCap: Long): DataFrame = {
     // join on the 64-bit shingle hash, not the string: smaller shuffle +
     // faster key compare; collision probability is ~1e-9 at this scale.
-    // persist: the inverted index is scanned by both self-join sides —
-    // without it the shingling pipeline runs twice.
-    val sh = shingles(s, dir)
+    // persist: the inverted index is scanned by the df cap and both
+    // self-join sides — without it the shingling pipeline runs thrice.
+    val sh = docs
+      .select(col("doc_id"), explode(shingleArr(col("text"))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shkey"))
       .persist()
+    // the cap: keep only sub-boilerplate shingle keys. One extra hash agg
+    // on data already shuffling on shkey; the semi-join is co-partitioned.
+    val rare = sh.groupBy(col("shkey"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("shkey"))
+    val capped = sh.join(rare, Seq("shkey"), "left_semi")
+    capped.as("a").join(capped.as("b"),
+        col("a.shkey") === col("b.shkey") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** d03: exact n-gram Jaccard near-dup pairs via inverted-index self-join
+    * (shuffle on shingle, never a crossJoin), with a document-frequency
+    * cap bounding boilerplate fanout (see [[jaccardCandidates]]).
+    */
+  private def d03(s: SparkSession, dir: String): DataFrame = {
     // per-doc set size is just the shingle-array length: a row-level
     // projection broadcast to the pair stream — not a groupBy over the
     // exploded index plus two shuffle joins
     val sizes = Tables.documents(s, dir)
       .select(col("doc_id"), size(shingleArr(col("text"))).cast("long").as("n"))
-    val common = sh.as("a").join(sh.as("b"),
-        col("a.shkey") === col("b.shkey") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .agg(count(lit(1)).as("c"))
-    common
+    jaccardCandidates(Tables.documents(s, dir), DfCap)
       .join(broadcast(sizes.select(col("doc_id"), col("n").as("na"))), col("ida") === col("doc_id")).drop("doc_id")
       .join(broadcast(sizes.select(col("doc_id"), col("n").as("nb"))), col("idb") === col("doc_id")).drop("doc_id")
       .select(col("ida"), col("idb"), (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
@@ -169,8 +191,14 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** Oracle = exact brute-force pairs at the same threshold (LSH recall is
-    * 1.0 on this corpus; the unit test asserts that stays true).
+  /** Oracle = exact brute-force pairs at the same threshold. CAVEAT: this
+    * encodes the DATA-DEPENDENT fact that 32x4 MinHash-LSH recall is
+    * exactly 1.0 on this corpus (its near-dup gap is wide). On a corpus
+    * with borderline pairs, a hash mismatch here means "expected LSH
+    * approximation", not "bug" — check OpsSpec's recall test first: if it
+    * reports recall < 1.0 with the pair sims near the 0.5 threshold, the
+    * algorithm is healthy and this oracle's equality assumption is what
+    * broke (downgrade it to containment, don't chase a phantom bug).
     */
   private val d04Sql = d03Sql
 

@@ -64,7 +64,7 @@ object Multimodal extends QueryModule {
   /** Frame-sampled output: doc_id, frame count, sampled count, first-frame
     * digest.
     */
-  case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long, first_frame_md5: String)
+  case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long, first_chars_md5: String)
 
   private val FrameBytes = 16
   private val SampleEvery = 4
@@ -82,10 +82,12 @@ object Multimodal extends QueryModule {
       it.map { r =>
         val frames = r.payload.grouped(FrameBytes).toArray
         val sampled = frames.indices.collect { case i if i % SampleEvery == 0 => frames(i) }
-        // first-frame digest over the first FrameBytes CODEPOINTS of the
-        // decoded payload (not raw bytes): DuckDB's substring counts
+        // the digest column is over the first FrameBytes CODEPOINTS of the
+        // decoded payload, NOT frames(0): DuckDB's substring counts
         // characters, and byte-slicing would silently diverge from the
-        // oracle on any non-ASCII document
+        // oracle on any non-ASCII document. The column is therefore named
+        // first_chars_md5 (not first_frame_md5) — it is a content
+        // fingerprint of the payload head, not the digest of a frame
         val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
         val cps = text.codePoints().limit(FrameBytes).toArray
         val firstFrame = new String(cps, 0, cps.length)
@@ -101,7 +103,7 @@ object Multimodal extends QueryModule {
     s"""SELECT doc_id,
        |  CAST(ceil(strlen(text) / $FrameBytes.0) AS BIGINT) AS n_frames,
        |  CAST(ceil(ceil(strlen(text) / $FrameBytes.0) / $SampleEvery.0) AS BIGINT) AS n_sampled,
-       |  md5(substring(text, 1, $FrameBytes)) AS first_frame_md5
+       |  md5(substring(text, 1, $FrameBytes)) AS first_chars_md5
        |FROM documents""".stripMargin
 
   override def defs: Seq[QueryDef] = Seq(

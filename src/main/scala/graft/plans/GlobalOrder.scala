@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global-order operators.
+  *
+  * Spark's `Window.orderBy` with no `partitionBy` moves EVERY row through
+  * one task (WindowExec warns about exactly this) — correct at test scale,
+  * a single-machine bottleneck at 100 TB. The reference has the same
+  * problem in miniature: its global sort is a single-threaded merge on the
+  * master (`/root/reference/src/mapreduce.go:291-329`).
+  *
+  * The scalable plan is the classic two-pass one (what RDD.zipWithIndex
+  * does internally): range-partition by the sort key so partitions hold
+  * contiguous key ranges, compute a per-partition `row_number` (parallel,
+  * partitioned WindowExec), and add each partition's start offset. The
+  * offsets come from a per-partition count — P rows of metadata collected
+  * to the driver, the same sample-sized driver traffic RangePartitioner
+  * itself incurs — never row data.
+  */
+object GlobalOrder {
+
+  private val Pid = "__graft_pid"
+
+  /** df + a global 1-based `rnCol` in `order` without any single-partition
+    * exchange or window. Also returns the total row count (free — it is
+    * the sum of the partition counts).
+    *
+    * The input is range-partitioned then persisted so the count job and
+    * the main job see the identical partitioning; range bounds are
+    * deterministic for a deterministic input anyway (fixed sampling seed),
+    * so a cache eviction cannot change the result.
+    */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[Column], rnCol: String): (DataFrame, Long) = {
+    val ranged = df.repartitionByRange(order: _*)
+      .withColumn(Pid, spark_partition_id())
+      .persist()
+    val counts = ranged.groupBy(col(Pid)).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val offsets: Map[Int, Long] =
+      counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val w = Window.partitionBy(col(Pid)).orderBy(order: _*)
+    val out = ranged
+      .withColumn(rnCol,
+        row_number().over(w).cast("long") +
+          coalesce(element_at(typedLit(offsets), col(Pid)), lit(0L)))
+      .drop(Pid)
+    (out, total)
+  }
+
+  /** ntile(k) over a global order, built from the global row number with
+    * SQL-standard tile sizing: the first `n % k` tiles get `ceil(n/k)`
+    * rows, the rest `floor(n/k)` — identical to `ntile(k) OVER (ORDER BY
+    * ...)` but with no single-partition WindowExec in the plan.
+    */
+  def withGlobalNtile(df: DataFrame, order: Seq[Column], k: Int, tileCol: String): DataFrame = {
+    val rn = "__graft_rn"
+    val (numbered, n) = withGlobalRowNumber(df, order, rn)
+    val base = n / k
+    val rem  = n % k
+    val cut  = rem * (base + 1) // rows in the (larger) first `rem` tiles
+    // integer `div` (not `/`): double division truncates wrong near exact
+    // multiples once counts get large. base == 0 (n < k) keeps every row
+    // in the first branch, so the otherwise-branch's divisor is padded to
+    // 1 purely to keep the (never-evaluated) expression well-formed.
+    val safeBase = math.max(base, 1L)
+    numbered
+      .withColumn(tileCol,
+        when(col(rn) <= cut, expr(s"($rn - 1) div ${base + 1} + 1"))
+          .otherwise(expr(s"$rem + ($rn - 1 - $cut) div $safeBase + 1")))
+      .drop(rn)
+  }
+}

@@ -122,18 +122,28 @@ object EventsQueries extends QueryModule {
       |FROM events""".stripMargin
 
   /** e05: interval self-join — per event, how many other events the same
-    * user produced within ±5 minutes. The time-range predicate makes this
-    * a genuine interval join; pre-bucketing by user keeps it a hash join
-    * on user_id with a range filter, the scalable shape when one key side
-    * is selective.
+    * user produced within ±5 minutes. Joining on user_id alone is
+    * per-user quadratic (a power user with k lifetime events fans out k²
+    * pairs before the time filter); instead both sides bucket time into
+    * window-sized cells and join on (user_id, bucket), the probe side
+    * exploded to its bucket ± 1. |tb - ta| <= win implies the bucket
+    * distance is <= 1, so every qualifying pair meets in exactly one
+    * (probe-bucket, build-bucket) cell — no dedup needed — and fanout is
+    * bounded by local 5-minute density, not user lifetime.
     */
+  private[graft] def intervalJoinCandidates(e: DataFrame, winUs: Long): DataFrame = {
+    val a = e.select(col("user_id"), col("event_id").as("eid"), col("ts_us").as("ta"),
+        // integer div: ts_us is nonnegative epoch micros, so div == floor
+        explode(array(Seq(-1L, 0L, 1L).map(d => expr(s"ts_us div $winUs") + d): _*)).as("bkt"))
+    val b = e.select(col("user_id"), col("event_id").as("oid"), col("ts_us").as("tb"),
+      expr(s"ts_us div $winUs").as("bkt"))
+    a.join(b, Seq("user_id", "bkt"), "inner")
+  }
+
   private def e05(s: SparkSession, dir: String): DataFrame = {
     val winUs = 5L * 60 * 1000 * 1000
     val e = events(s, dir).select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
-    val a = e.select(col("user_id"), col("event_id").as("eid"), col("ts_us").as("ta"))
-    val b = e.select(col("user_id"), col("event_id").as("oid"), col("ts_us").as("tb"))
-    a.join(b,
-        Seq("user_id"), "inner")
+    intervalJoinCandidates(e, winUs)
       .filter(col("eid") =!= col("oid") &&
         col("tb") >= col("ta") - winUs && col("tb") <= col("ta") + winUs)
       .groupBy(col("user_id"), col("eid"))

@@ -3,7 +3,6 @@ package graft.queries
 import graft.core.Num
 import graft.core.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -178,13 +177,19 @@ object Relational2 extends QueryModule {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
 
-  /** ntile quartiles over exact per-customer spend (deterministic order). */
+  /** ntile quartiles over exact per-customer spend (deterministic order).
+    * A bare `ntile(4).over(Window.orderBy(...))` funnels every row through
+    * one task (the WindowExec warning); this is the two-pass
+    * range-partitioned plan instead — identical result, no
+    * single-partition exchange (see [[graft.plans.GlobalOrder]]).
+    */
   private def q20(s: SparkSession, dir: String): DataFrame = {
     val spend = orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(Num.dsum(col("o_totalprice")).as("spend"))
-    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-    spend.select(col("o_custkey"), col("spend"), ntile(4).over(w).cast("long").as("quartile"))
+    graft.plans.GlobalOrder
+      .withGlobalNtile(spend, Seq(col("spend").desc, col("o_custkey")), 4, "quartile")
+      .select(col("o_custkey"), col("spend"), col("quartile").cast("long").as("quartile"))
   }
 
   private val q20Sql =

@@ -1,14 +1,23 @@
 package graft
 
+import org.scalatest.BeforeAndAfterEach
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Behavior tests for the LLM-pipeline extension ops at sf0.001/sf0.01.
   * (Value-level correctness vs DuckDB is the driver's gate; these assert
   * the algorithmic properties the oracle can't express.)
   */
-class OpsSpec extends AnyFunSuite {
+class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.01"
+
+  // d03/d04/s05 persist() intermediates; Verify/Bench clear after every
+  // query but the suites share one session — drop caches per test so
+  // repeated invocations (this suite + plan/smoke tests) don't accumulate
+  override def afterEach(): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    super.afterEach()
+  }
 
   test("minhash-LSH (d04) recovers exactly the exact-jaccard pair set (d03) — recall 1.0") {
     for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
@@ -44,6 +53,74 @@ class OpsSpec extends AnyFunSuite {
     val rescored = approxAll.filter { case (k, _) => exact.contains(k) }
     assert(rescored.nonEmpty)
     rescored.foreach { case (k, sim) => assert(sim === exact(k)) }
+  }
+
+  test("d03 df cap drops boilerplate shingles before the pair join (bounded fanout)") {
+    import spark.implicits._
+    // 300 docs sharing one boilerplate 3-gram + unique tails: uncapped,
+    // that single shingle fans out C(300,2) = 44850 candidate pairs; the
+    // cap removes the key before the self-join so zero pairs remain
+    val docs = (0 until 300)
+      .map(i => (i.toLong, s"shared boiler plate unique$i tail$i"))
+      .toDF("doc_id", "text")
+    // each doc's shingles: "shared boiler plate", "boiler plate uniqueI",
+    // "plate uniqueI tailI" — only the first is cross-document
+    val uncapped = graft.ops.Dedup.jaccardCandidates(docs, Long.MaxValue)
+      .agg(org.apache.spark.sql.functions.sum("c")).collect()(0).getLong(0)
+    assert(uncapped === 44850L, s"expected full boilerplate fanout, got $uncapped")
+    val capped = graft.ops.Dedup.jaccardCandidates(docs, 10L).count()
+    assert(capped === 0L, "df cap must remove the boilerplate key before the join")
+    // and at the declared cap (100) the real corpus is untouched: max df
+    // at sf0.01 is 7, so d03's oracle-checked result is cap-invariant
+    val a = graft.ops.Dedup.jaccardCandidates(
+      graft.core.Tables.documents(spark, dir), graft.ops.Dedup.DfCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = graft.ops.Dedup.jaccardCandidates(
+      graft.core.Tables.documents(spark, dir), Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
+  test("e05 bucketed interval join: fanout bounded by local density, not user lifetime") {
+    import spark.implicits._
+    val winUs = 5L * 60 * 1000 * 1000
+    // one power user, 50k events, one event per minute: a join on user_id
+    // alone would form 2.5e9 pre-filter pairs; the (user, bucket) join
+    // forms at most 3 * bucket-occupancy per event (~15 here)
+    val n = 50000
+    val e = (0 until n).map(i => (1L, i.toLong, i.toLong * 60L * 1000 * 1000))
+      .toDF("user_id", "event_id", "ts_us")
+    val cand = graft.queries.EventsQueries.intervalJoinCandidates(e, winUs)
+    // PRE-filter join output — the actual fanout hazard. 5 events per
+    // 5-min bucket, probe side exploded x3: <= 15 bucket-mates per event
+    val candCount = cand.count()
+    assert(candCount <= n.toLong * 3 * 6, s"candidate fanout $candCount not density-bounded")
+    // correctness on the skewed input: each interior event has exactly 10
+    // neighbors within +/-5 minutes (5 before, 5 after)
+    import org.apache.spark.sql.functions.col
+    val counts = cand
+      .filter(col("eid") =!= col("oid") &&
+        col("tb") >= col("ta") - winUs && col("tb") <= col("ta") + winUs)
+      .groupBy("eid").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(25000L) === 10L)
+    assert(counts(0L) === 5L)
+    assert(counts((n - 1).toLong) === 5L)
+  }
+
+  test("q20 two-pass ntile matches the single-window ntile exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q20_ntile")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val spend = graft.core.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(graft.core.Num.dsum(col("o_totalprice")).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+    val want = spend
+      .select(col("o_custkey"), col("spend"), ntile(4).over(w).cast("long").as("quartile"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === want)
   }
 
   test("exact dedup (d01) keeps every distinct document once") {

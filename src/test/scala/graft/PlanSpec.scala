@@ -59,6 +59,20 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
   }
 
+  test("q20: two-pass ntile has no single-partition exchange or global window") {
+    val p = plan("q20_ntile")
+    assert(!p.contains("SinglePartition"),
+      "global ntile must not funnel rows through one partition")
+    // the surviving window is per-range-partition (partitionBy the pid)
+    assert(p.contains("Window"))
+  }
+
+  test("e05: interval join is an equi-join on (user_id, bucket), not user_id alone") {
+    val p = plan("e05_interval_join")
+    assert(p.contains("bkt"), "join keys must include the time bucket")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("s01: knn scoring runs through the native codegen dot product") {
     val p = plan("s01_cosine_knn")
     assert(p.contains("dotproduct") || p.contains("DotProduct"))

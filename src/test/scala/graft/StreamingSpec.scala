@@ -50,8 +50,12 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = batch.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // still-open iff the state's timeout timestamp (end + gap + 1, see
+      // EventStream) has not been STRICTLY exceeded by the final watermark
+      // — Spark fires event-time timeouts only on watermark > timestamp,
+      // so the boundary case (== wmMs) is still open and must be excluded
       .filterNot(t => lastPerUser.contains((t._1, t._2)) &&
-        t._5 / 1000 + 30 * 60 * 1000 + 1 > wmMs)
+        t._5 / 1000 + 30 * 60 * 1000 + 1 >= wmMs)
       .toSet
     assert(want.nonEmpty)
     assert(got === want)
