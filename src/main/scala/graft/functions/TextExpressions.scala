@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -19,6 +18,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * MinHash signature as 128 `array_min(transform(...))` columns was ~50M
   * interpreted lambda evals at sf0.1. Each expression here is one tight
   * JVM loop per row.
+  *
+  * All three generate code (no CodegenFallback): a CodegenFallback leaf
+  * forces the ENTIRE enclosing stage out of whole-stage codegen, so every
+  * other expression in the d03/d04/t07 projections paid interpreter
+  * overhead too. The generated code is a single static call into the same
+  * loop `nullSafeEval` uses (the standard pattern for expressions whose
+  * kernel doesn't benefit from inlining — what matters is not breaking
+  * the stage around them).
   */
 
 /** Distinct word n-gram shingles of a text column (single-space
@@ -26,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `filter(split(text, " "), length(_) > 0)` + windowed concat).
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback with Serializable {
+    extends UnaryExpression with Serializable {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -37,9 +44,20 @@ case class WordShingles(child: Expression, n: Int)
       TypeCheckResult.TypeCheckFailure(s"word_shingles size must be >= 1, got $n")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString
-      .split(' ').iterator.filter(_.nonEmpty).toArray
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** The kernel; called from both interpreted eval and generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val words = input.toString.split(' ').iterator.filter(_.nonEmpty).toArray
     val out = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i + n <= words.length) {
@@ -55,9 +73,6 @@ case class WordShingles(child: Expression, n: Int)
     while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(arr)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** Full MinHash signature in one pass: for permutation i,
@@ -67,11 +82,12 @@ case class WordShingles(child: Expression, n: Int)
   * exact under ANSI mode.
   */
 case class MinHashSignature(child: Expression, as: IndexedSeq[Long], bs: IndexedSeq[Long])
-    extends UnaryExpression with CodegenFallback with Serializable {
+    extends UnaryExpression with Serializable {
   // IndexedSeq (not Array): case-class equality must be structural so two
   // identical minhash_sig calls are semanticEquals for Catalyst CSE
 
-  private val Mask31 = 0x7fffffffL
+  @transient private lazy val asArr: Array[Long] = as.toArray
+  @transient private lazy val bsArr: Array[Long] = bs.toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -80,8 +96,26 @@ case class MinHashSignature(child: Expression, as: IndexedSeq[Long], bs: Indexed
     case t => TypeCheckResult.TypeCheckFailure(s"minhash_signature expects array<long>, got $t")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], asArr, bsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the parameter arrays ride along as reference objects — constants in
+    // the generated class, not re-allocated per row
+    val aRef = ctx.addReferenceObj("minhashAs", asArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashBs", bsArr, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSignature.compute($c, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  private val Mask31 = 0x7fffffffL
+
+  /** The kernel; called from both interpreted eval and generated code. */
+  def compute(hs: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
     val m = hs.numElements()
     val sig = Array.fill(as.length)(Long.MaxValue)
     var j = 0
@@ -97,9 +131,6 @@ case class MinHashSignature(child: Expression, as: IndexedSeq[Long], bs: Indexed
     }
     new GenericArrayData(sig)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 /** Polynomial rolling hash over a string's Unicode codepoints:
@@ -108,10 +139,7 @@ case class MinHashSignature(child: Expression, as: IndexedSeq[Long], bs: Indexed
   * mirrored in DuckDB via list_reduce over ord(codepoint).
   */
 case class RollingHash(child: Expression)
-    extends UnaryExpression with CodegenFallback with Serializable {
-
-  private val M = 1000000007L
-  private val B = 31L
+    extends UnaryExpression with Serializable {
 
   override def dataType: DataType = LongType
 
@@ -119,15 +147,27 @@ case class RollingHash(child: Expression)
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"rolling_hash expects string, got ${child.dataType}")
 
-  override def nullSafeEval(input: Any): Any = {
-    val it = input.asInstanceOf[UTF8String].toString.codePoints().iterator()
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  private val M = 1000000007L
+  private val B = 31L
+
+  /** The kernel; called from both interpreted eval and generated code. */
+  def compute(input: UTF8String): Long = {
+    val it = input.toString.codePoints().iterator()
     var h = 0L
     while (it.hasNext) h = (h * B + it.next()) % M
     h
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 object TextFunctions {

@@ -204,29 +204,47 @@ object Dedup extends QueryModule {
 
   // ---- d05: SimHash ---------------------------------------------------
 
-  /** d05: 64-bit SimHash fingerprint + banded blocking on 16-bit chunks +
-    * hamming<=3 verification via bit_count(xor). No SQL oracle (the
-    * fingerprint depends on xxhash64, which DuckDB lacks) — driver records
-    * the rows-only check; determinism is unit-tested instead.
+  private val SimBits  = 60 // md5-derived hash width (15 hex chars < 2^63)
+  private val SimBands = 4  // 4 x 15-bit bands: hamming<=3 => >=1 band equal
+
+  /** d05: 60-bit SimHash fingerprint + banded blocking on 15-bit chunks +
+    * hamming<=3 verification via bit_count(xor).
+    *
+    * The per-shingle hash is the top 60 bits of md5 (15 hex chars parsed
+    * as an integer) rather than xxhash64 — identical bit quality, and
+    * DuckDB can compute the same value, so the driver's gate gets a REAL
+    * oracle (round 1 had to record no_oracle here). The banded blocking
+    * is exact, not approximate: 3 differing bits cannot touch all 4
+    * bands (pigeonhole), so the blocked pair set provably equals the
+    * brute-force hamming<=3 pair set and the oracle can use the simple
+    * all-pairs form.
     */
-  private def d05(s: SparkSession, dir: String): DataFrame = {
-    // explode shingle hashes to rows and compute the 64 per-bit votes as
-    // one codegen'd hash aggregate (64 sum(CASE) columns) — the unrolled
+  /** (doc_id, simhash) fingerprints — exposed so the structural test can
+    * brute-force-verify the banded blocking below is lossless.
+    */
+  private[graft] def simhashFingerprints(docs: DataFrame): DataFrame = {
+    // explode shingle hashes to rows and compute the 60 per-bit votes as
+    // one codegen'd hash aggregate (60 sum(CASE) columns) — the unrolled
     // per-row aggregate-lambda form ran interpreted and 10x slower.
-    val hashed = Tables.documents(s, dir)
+    val hashed = docs
       .select(col("doc_id"), explode(shingleArr(col("text"))).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
     val votes = hashed.groupBy(col("doc_id")).agg(
       sum(when(col("h").bitwiseAND(lit(1L << 0)) =!= 0L, 1L).otherwise(-1L)).as("v0"),
-      (1 until 64).map(k =>
+      (1 until SimBits).map(k =>
         sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0L, 1L).otherwise(-1L)).as(s"v$k")): _*)
     // bit k of the fingerprint = sign of vote k
-    val fp = (0 until 64).map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
-    val withFp = votes.select(col("doc_id"), fp.as("simhash"))
-    // block on 4 x 16-bit bands: hamming<=3 implies >=1 identical band
+    val fp = (0 until SimBits).map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  private def d05(s: SparkSession, dir: String): DataFrame = {
+    val withFp = simhashFingerprints(Tables.documents(s, dir))
+    val bandBits = SimBits / SimBands
     val banded = withFp.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+      posexplode(array((0 until SimBands).map(b =>
+        shiftrightunsigned(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))): _*))
         .as(Seq("band", "chunk")))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
@@ -239,11 +257,33 @@ object Dedup extends QueryModule {
       .dropDuplicates("ida", "idb")
   }
 
+  /** Oracle: same fingerprints (md5-hex parsed arithmetically), brute
+    * force pair scan — equal to the blocked plan by the pigeonhole
+    * argument above, so this equality is structural, not data-dependent.
+    */
+  private val d05Sql =
+    s"""WITH $shingleCte,
+       |h AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(list_transform(range(1, 16), i -> substr(md5(shingle), i, 1)),
+       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+       |  FROM sh),
+       |bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, $SimBits)) AS b)
+       |  GROUP BY 1, 2),
+       |fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       |       FROM bits GROUP BY 1)
+       |SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
     QueryDef("d02_dedup_normalized", d02, Some(d02Sql)),
     QueryDef("d03_ngram_jaccard", d03, Some(d03Sql)),
     QueryDef("d04_minhash_lsh", d04, Some(d04Sql)),
-    QueryDef("d05_simhash", d05, None),
+    QueryDef("d05_simhash", d05, Some(d05Sql)),
   )
 }

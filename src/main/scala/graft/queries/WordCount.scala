@@ -55,10 +55,12 @@ object WordCount extends QueryModule {
   /** The reference's own benchmark workload (TestBasic shape:
     * `test_test.go:14-34` — 100k unique integer lines, nMap=50), run
     * through the generic contract including the global sort. Input is
-    * generated (the reference generates its own too), so there is no
-    * table oracle — the driver records rows>0 and the Bench JSON tracks
-    * its throughput every round. The full line-by-line oracle check lives
-    * in ReferenceParitySpec.
+    * generated (the reference generates its own too), but it is pure
+    * `range(100000)` so DuckDB can regenerate it — every key is unique,
+    * making the expected output simply each integer with count 1 (the
+    * reference's own self-computed-oracle trick, `test_test.go:81-119`).
+    * The line-by-line SORTED-file check additionally lives in
+    * ReferenceParitySpec (the driver compare is multiset, order-blind).
     */
   private def wc03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -71,9 +73,13 @@ object WordCount extends QueryModule {
       .orderBy(col("word"))
   }
 
+  private val wc03Sql =
+    """SELECT CAST(r AS VARCHAR) AS word, '1' AS cnt_str
+      |FROM range(0, 100000) t(r)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("wc01_wordcount", wc01, Some(wc01Sql)),
     QueryDef("wc02_mapreduce_contract", wc02, Some(wc02Sql)),
-    QueryDef("wc03_parity_100k", wc03, None),
+    QueryDef("wc03_parity_100k", wc03, Some(wc03Sql)),
   )
 }

@@ -34,6 +34,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.forall(v => v >= 0 && v <= 0x7fffffffL))
   }
 
+  test("text expressions generate code (no CodegenFallback stage break)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import graft.functions._
+    val ws  = WordShingles(org.apache.spark.sql.catalyst.expressions.Literal("a b c"), 3)
+    val mh  = MinHashSignature(org.apache.spark.sql.catalyst.expressions.Literal(null), IndexedSeq(1L), IndexedSeq(0L))
+    val rh  = RollingHash(org.apache.spark.sql.catalyst.expressions.Literal("x"))
+    for (e <- Seq(ws, mh, rh))
+      assert(!e.isInstanceOf[CodegenFallback], s"$e must not be CodegenFallback")
+    // and the projections that use them stay inside whole-stage codegen:
+    // the d03 shingle projection compiles to a WholeStageCodegen subtree
+    // containing the expression (a fallback expression would have forced
+    // the surrounding Project out)
+    import org.apache.spark.sql.functions._
+    val df = spark.range(100).select(
+      TextFunctions.word_shingles(concat_ws(" ", lit("a"), col("id"), lit("b"), lit("c")), 3).as("sh"),
+      TextFunctions.rolling_hash(col("id").cast("string")).as("rh"))
+    // "*(n)" is the WholeStageCodegen marker in the plan string; a
+    // fallback expression would leave a bare (unstarred) Project
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    // codegen'd results match interpreted eval (the same kernel)
+    val rows = df.collect()
+    assert(rows.length === 100)
+    val h0 = rows.map(_.getLong(1))
+    val expected = (0 until 100).map { i =>
+      i.toString.codePoints().toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    }
+    assert(h0.toSeq === expected)
+  }
+
   test("runAggregated: typed Aggregator plans partial+final aggregation and sums correctly") {
     import spark.implicits._
     val sumAgg = new Aggregator[String, Long, Long] {

@@ -30,15 +30,69 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
-  test("simhash (d05) pairs are a subset of exact near-dup pairs and deterministic") {
-    val exact = SparkEntry.queries("d03_ngram_jaccard")(spark, dir)
-      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("simhash (d05): guaranteed properties — determinism, hamming bound, lossless blocking") {
+    // (subset-of-jaccard is a data-quality expectation, not an algorithmic
+    // guarantee — near-identical bit fingerprints do not imply high
+    // Jaccard in general, so that is deliberately NOT asserted here)
     def run() = SparkEntry.queries("d05_simhash")(spark, dir)
-      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val first = run()
     assert(first.nonEmpty)
-    assert(first.subsetOf(exact))
-    assert(run() === first)
+    assert(run() === first, "fingerprints and blocking must be deterministic")
+    assert(first.forall(_._3 <= 3), "every emitted pair respects the hamming bound")
+    assert(first.forall(t => t._1 < t._2), "canonical pair order ida < idb")
+    // pigeonhole losslessness: the banded blocking finds EXACTLY the
+    // brute-force hamming<=3 pairs over the same fingerprints
+    import org.apache.spark.sql.functions._
+    val fp = graft.ops.Dedup.simhashFingerprints(graft.core.Tables.documents(spark, dir))
+    val brute = fp.as("a").crossJoin(fp.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(first === brute)
+  }
+
+  test("s05 bucketed near-dup recovers exactly the exact pair set (s02) — recall 1.0") {
+    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val exact = SparkEntry.queries("s02_cosine_neardup")(spark, sf)
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = SparkEntry.queries("s05_bucketed_neardup")(spark, sf)
+        .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(exact.nonEmpty, sf)
+      assert(lsh === exact, sf)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("s05 wide-gap profile: planted near-dups found with far fewer candidates than brute force") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // real near-dup regime: threshold 0.9, wide gap to random background.
+    // 200 seeded random vectors + 50 perturbed copies (cosine ~0.98)
+    val rnd = new scala.util.Random(42)
+    def randVec() = Array.fill(64)(rnd.nextGaussian())
+    val bases = (0 until 200).map(i => (i.toLong, randVec()))
+    val dups = bases.take(50).map { case (i, v) =>
+      (1000L + i, v.map(x => x + 0.1 * rnd.nextGaussian()))
+    }
+    val df = (bases ++ dups).toDF("vec_id", "v0")
+      .select(col("vec_id"), expr("transform(v0, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
+    val n = 250L
+    // 16 planes/table x 24 tables: 65536 buckets >> n, so random pairs
+    // almost never collide while ~0.98-cosine pairs collide early
+    val pairs = graft.ops.Similarity.bucketedNearDup(spark, df, 16, 24, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 50).map(i => (i.toLong, 1000L + i)).toSet
+    assert(planted.subsetOf(pairs), s"missed ${(planted -- pairs).size} planted near-dups")
+    // candidate volume: bounded well below the n^2/2 brute-force pairs
+    val banded = graft.ops.Similarity.signBuckets(df,
+      graft.ops.Similarity.planesDf(spark, 24, 16))
+    val candCount = graft.ops.Similarity.bucketCandidates(banded).count()
+    assert(candCount < n * (n - 1) / 2 / 5,
+      s"candidates $candCount not clearly below brute-force ${n * (n - 1) / 2}")
   }
 
   test("ANN-LSH (s03) neighbors carry the same sim values as brute force (s01)") {
