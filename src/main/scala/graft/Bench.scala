@@ -27,7 +27,17 @@ object Bench {
     }
     var spark = newSession()
 
-    spark.range(1000000).selectExpr("sum(id)").collect() // warmup JIT/codegen
+    // Warmup covering the representative codegen/JIT paths, so the first
+    // measured query doesn't absorb one-time compilation cost. Profiling
+    // (tools/Q01Prof) showed q01 at 3.9 s on first execution vs ~1.1 s
+    // steady-state purely from first-use decimal-HashAggregate + parquet
+    // reader JIT — the round-1 "q01 outlier" was warmup, not plan cost.
+    spark.range(1000000).selectExpr("sum(id)").collect() // long agg
+    spark.range(1000000)
+      .selectExpr("cast(id % 100 as string) k", "cast(id as decimal(18,2)) d")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("d"))
+      .collect() // decimal hash agg (the q01-family path)
+    spark.read.parquet(s"$sfDir/region.parquet").count() // parquet reader init
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (spark.sparkContext.isStopped) spark = newSession()
