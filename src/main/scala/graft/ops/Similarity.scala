@@ -270,6 +270,85 @@ object Similarity extends QueryModule {
   private def s05(s: SparkSession, dir: String): DataFrame =
     bucketedNearDup(s, vecs(s, dir), NearDupPlanes, NearDupTables, NearDupThreshold)
 
+  // ---- s06: IVF-flat ANN ---------------------------------------------
+
+  private val IvfCells  = 16
+  private val IvfProbes = 4
+
+  /** s06: IVF-flat ANN — the inverted-file counterpart to s03's LSH (the
+    * two standard ANN scale paths). Coarse centroids here are a
+    * deterministic md5-ordered sample of the corpus itself (so DuckDB
+    * can rebuild them bit-for-bit; a production system would swap in
+    * k-means-trained centroids — everything downstream is unchanged).
+    * Every vector is assigned to its nearest centroid's cell; a query
+    * probes its `IvfProbes` nearest cells and scores only vectors in
+    * them; exact re-score, top-5.
+    *
+    * 100 TB shape: the centroid table is broadcast (K rows) so
+    * assignment is a map-side projection — no shuffle; the probe join
+    * shuffles on the cell id with fanout bounded by cell occupancy
+    * (n/K), and nprobe/K tunes the recall/cost point.
+    */
+  private def s06(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir).persist()
+    val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(IvfCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val sims = base.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val ranked = sims.withColumn("crn", row_number().over(wAssign))
+    val assign = ranked.filter(col("crn") === 1).select(col("vec_id"), col("cid").as("cell"))
+    val probes = ranked.filter(col("crn") <= IvfProbes)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    // each nid lives in exactly one cell and a query probes distinct
+    // cells, so every (qid, nid) candidate appears at most once — no
+    // dedup shuffle needed (unlike multi-table LSH)
+    val cand = probes.join(assign.select(col("vec_id").as("nid"), col("cell")), "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    cand
+      .join(base.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb")), "nid")
+      .select(col("qid"), col("nid"), (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
+  /** Oracle: full DuckDB mirror of the IVF pipeline (centroid sample,
+    * assignment argmax with the same tiebreak, probe list, in-cell
+    * scoring, top-5) — cross-checks every stage.
+    */
+  private val s06Sql =
+    s"""WITH $oracleVecs,
+       |c AS (
+       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfCells),
+       |sims AS (
+       |  SELECT n.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS csim
+       |  FROM n CROSS JOIN c),
+       |rk AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+       |  FROM sims),
+       |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE crn = 1),
+       |probes AS (SELECT vec_id AS qid, cid AS cell FROM rk WHERE crn <= $IvfProbes),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN assign a USING (cell)
+       |  WHERE p.qid <> a.vec_id),
+       |sc AS (
+       |  SELECT c.qid, c.nid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
+       |  FROM cand c JOIN n x ON c.qid = x.vec_id JOIN n y ON c.nid = y.vec_id)
+       |SELECT qid, nid, sim, rn FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rn
+       |  FROM sc)
+       |WHERE rn <= 5""".stripMargin
+
   /** s04: per-label centroid components — embedding analytics (cluster
     * means, per-class prototypes). Emitted as exact decimal sums + counts
     * per (label, position); the mean is the consumer's one division
@@ -305,5 +384,6 @@ object Similarity extends QueryModule {
     QueryDef("s03_ann_lsh", s03, Some(s03Sql)),
     QueryDef("s04_label_centroid", s04, Some(s04Sql)),
     QueryDef("s05_bucketed_neardup", s05, Some(s02Sql)),
+    QueryDef("s06_ann_ivf", s06, Some(s06Sql)),
   )
 }

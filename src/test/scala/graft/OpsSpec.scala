@@ -177,6 +177,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(got === want)
   }
 
+  test("IVF ANN (s06): re-scored sims bit-match brute force; recall reported") {
+    val exact = SparkEntry.queries("s01_cosine_knn")(spark, dir)
+      .select("qid", "nid", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ivf = SparkEntry.queries("s06_ann_ivf")(spark, dir)
+      .select("qid", "nid", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    // candidates are a subset of all pairs; every re-scored sim must be
+    // bit-identical to the exact path (same fold, same vectors)
+    val overlap = ivf.filter { case (k, _) => exact.contains(k) }
+    assert(overlap.nonEmpty)
+    overlap.foreach { case (k, sim) => assert(sim === exact(k)) }
+    val recall = overlap.size.toDouble / exact.size
+    info(f"s06 IVF recall@5 vs brute force (nprobe=4/16): $recall%.3f")
+    assert(recall > 0.3, "IVF with 4/16 probes should recover a meaningful neighbor fraction")
+  }
+
   test("exact dedup (d01) keeps every distinct document once") {
     val df = SparkEntry.queries("d01_dedup_exact")(spark, dir)
     val total = df.count()
