@@ -170,9 +170,73 @@ object RollingHash {
   }
 }
 
+/** 60-bit SimHash over an array of shingles in one pass: per shingle the
+  * hash is the first 15 hex chars of md5 (= first 8 bytes big-endian
+  * >>> 4, exactly what DuckDB's hex-fold oracle computes), each of the 60
+  * bits votes +1/-1, fingerprint bit k = sign of vote k. Replaces an
+  * explode + 60-column vote aggregate (a full shuffle) with a row-local
+  * loop — the fingerprint step of d05 becomes scan-speed.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash60 expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash60.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash60.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash60 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The kernel; called from both interpreted eval and generated code. */
+  def compute(shingles: ArrayData): Long = {
+    val md = digest.get()
+    val n = shingles.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(shingles.getUTF8String(i).getBytes)
+      // first 15 hex chars == first 8 bytes as unsigned big-endian >>> 4
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = h >>> 4
+      var k = 0
+      while (k < 60) {
+        if (((h >> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 60) { if (votes(k) > 0) fp |= (1L << k); k += 1 }
+    fp
+  }
+}
+
 object TextFunctions {
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
+  def simhash60(c: Column): Column =
+    ColumnBridge.column(SimHash60(ColumnBridge.expression(c)))
 
   def word_shingles(c: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))

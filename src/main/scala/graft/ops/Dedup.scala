@@ -221,23 +221,20 @@ object Dedup extends QueryModule {
     */
   /** (doc_id, simhash) fingerprints — exposed so the structural test can
     * brute-force-verify the banded blocking below is lossless.
+    *
+    * One row-local pass via the native SimHash60 expression: no explode,
+    * no vote shuffle — the fingerprint is a scan-speed projection. (The
+    * first cut exploded shingles into a 60-column sum(CASE) aggregate;
+    * correct, but it pushed ~250k rows at sf0.1 through a shuffle that a
+    * per-row loop replaces outright.) Docs with no shingles are dropped
+    * up front — they have no fingerprint in the oracle either, and an
+    * all-zero fingerprint would otherwise bucket every such doc together.
     */
-  private[graft] def simhashFingerprints(docs: DataFrame): DataFrame = {
-    // explode shingle hashes to rows and compute the 60 per-bit votes as
-    // one codegen'd hash aggregate (60 sum(CASE) columns) — the unrolled
-    // per-row aggregate-lambda form ran interpreted and 10x slower.
-    val hashed = docs
-      .select(col("doc_id"), explode(shingleArr(col("text"))).as("shingle"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
-    val votes = hashed.groupBy(col("doc_id")).agg(
-      sum(when(col("h").bitwiseAND(lit(1L << 0)) =!= 0L, 1L).otherwise(-1L)).as("v0"),
-      (1 until SimBits).map(k =>
-        sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0L, 1L).otherwise(-1L)).as(s"v$k")): _*)
-    // bit k of the fingerprint = sign of vote k
-    val fp = (0 until SimBits).map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L))).reduce(_ + _)
-    votes.select(col("doc_id"), fp.as("simhash"))
-  }
+  private[graft] def simhashFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), shingleArr(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), graft.functions.TextFunctions.simhash60(col("sh")).as("simhash"))
 
   private def d05(s: SparkSession, dir: String): DataFrame = {
     val withFp = simhashFingerprints(Tables.documents(s, dir))

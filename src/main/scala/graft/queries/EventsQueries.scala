@@ -61,6 +61,32 @@ object EventsQueries extends QueryModule {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Sliding 1-hour window, 30-minute slide — every event lands in
+    * exactly two windows. Spark aligns sliding windows to the epoch, so
+    * the window starts are the 30-minute grid points (k-d)*30min for
+    * d in {0,1}, which is how the oracle regenerates them. Streaming twin:
+    * [[graft.streaming.EventStream.slidingAgg]].
+    */
+  private def e06(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Num.dsum(col("value")).as("sum_value"))
+      .select(
+        unix_micros(col("w.start")).as("bucket_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  private val e06Sql =
+    """SELECT CAST((k - d) * 1800000000 AS BIGINT) AS bucket_us, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT epoch_us(ts) // 1800000000 AS k, event_type, value FROM events)
+      |CROSS JOIN (SELECT unnest([0, 1]) AS d)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Sessionization: a >30-minute gap starts a new session. Classic
     * lag + running-sum-of-boundaries pattern; at 100 TB this is one
     * shuffle on user_id and the window work is per-partition sequential.
@@ -161,6 +187,7 @@ object EventsQueries extends QueryModule {
     QueryDef("e01_json_extract", e01, Some(e01Sql)),
     QueryDef("e02_tumbling_window", e02, Some(e02Sql)),
     QueryDef("e03_sessionize", e03, Some(e03Sql)),
+    QueryDef("e06_sliding_window", e06, Some(e06Sql)),
     QueryDef("e04_asof_last_signup", e04, Some(e04Sql)),
     QueryDef("e05_interval_join", e05, Some(e05Sql)),
   )

@@ -62,6 +62,31 @@ object EventStream {
         unix_micros(col("w.start")).as("bucket_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1-hour/30-minute window aggregation — streaming twin of
+    * e06_sliding_window. Same watermark semantics as [[tumblingAgg]];
+    * each event contributes to two overlapping windows.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.core.Num.dsum(col("value")).as("sum_value"))
+      .select(
+        unix_micros(col("w.start")).as("bucket_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Exactly-once ingestion dedup: duplicate event_ids (e.g. a replayed
+    * source file) are dropped, with state evicted by the watermark so an
+    * unbounded stream doesn't accumulate every id forever — the streaming
+    * counterpart of d01's batch dedup.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----------------
 
   /** ts is carried (unused by the lambda) because the watermark tag lives

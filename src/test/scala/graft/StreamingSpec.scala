@@ -27,6 +27,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming sliding window converges to the batch gold result (e06)") {
+    val stream = EventStream.slidingAgg(EventStream.readEvents(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("sliding_out")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("sliding_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = SparkEntry.queries("e06_sliding_window")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("streaming ingestion dedup drops replayed duplicates (exactly-once by event_id)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // a replayed source: the same events file delivered twice
+    val tmp = Files.createTempDirectory("graft_dup_stream")
+    val src = Files.list(Paths.get(dir)).filter(_.getFileName.toString.startsWith("events"))
+      .findFirst().get()
+    Files.copy(src, tmp.resolve("events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(src, tmp.resolve("events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val raw = graft.core.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
+        .parquet(tmp.toString))
+    val q = EventStream.dedupedEvents(raw)
+      .select("event_id").writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val gotIds = spark.table("dedup_out").collect().map(_.getLong(0))
+    val distinctSrc = graft.core.Tables.events(spark, dir).select("event_id")
+      .distinct().count()
+    assert(gotIds.length.toLong === distinctSrc, "each replayed event_id must emit exactly once")
+    assert(gotIds.toSet.size === gotIds.length)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) emits exactly the closed sessions") {
     val stream = EventStream.sessionize(spark, EventStream.readEvents(spark, dir))
     val q = stream.writeStream
