@@ -125,11 +125,49 @@ object Relational3 extends QueryModule {
         approx_count_distinct(col("l_suppkey")).as("approx_supps"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
 
+  /** q26: EXACT percentiles (nearest-rank p25/p50/p75) at scale — the
+    * exact counterpart to q25's sketches, built on the same two-pass
+    * range-partitioned global order as q20 (plans/GlobalOrder): no
+    * single-partition sort, no percentile() aggregate materializing the
+    * whole column on one node. The selected rank rows are emitted as-is
+    * (raw column values, no arithmetic), so the oracle compare is exact.
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = lineitem(s, dir)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val (numbered, n) = graft.plans.GlobalOrder.withGlobalRowNumber(
+      base, Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), "rn")
+    // nearest-rank (ceil(p*n)) in overflow-safe integer arithmetic
+    val targets = Seq(
+      ("p25", (n + 3) / 4),
+      ("p50", (n + 1) / 2),
+      ("p75", (3 * n + 3) / 4)).toDF("pct", "target_rn")
+    numbered.join(broadcast(targets), col("rn") === col("target_rn"))
+      .select(col("pct"), col("rn"), col("l_extendedprice").as("val"),
+        col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q26Sql =
+    """WITH o AS (
+      |  SELECT l_extendedprice, l_orderkey, l_linenumber,
+      |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |SELECT 'p25' AS pct, CAST(rn AS BIGINT) AS rn, l_extendedprice AS val, l_orderkey, l_linenumber
+      |FROM o WHERE rn = (SELECT (count(*) + 3) // 4 FROM lineitem)
+      |UNION ALL
+      |SELECT 'p50', CAST(rn AS BIGINT), l_extendedprice, l_orderkey, l_linenumber
+      |FROM o WHERE rn = (SELECT (count(*) + 1) // 2 FROM lineitem)
+      |UNION ALL
+      |SELECT 'p75', CAST(rn AS BIGINT), l_extendedprice, l_orderkey, l_linenumber
+      |FROM o WHERE rn = (SELECT (3 * count(*) + 3) // 4 FROM lineitem)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q21_band_join", q21, Some(q21Sql)),
     QueryDef("q22_math_funcs", q22, Some(q22Sql)),
     QueryDef("q23_pivot", q23, Some(q23Sql)),
     QueryDef("q24_scalar_subquery", q24, Some(q24Sql)),
     QueryDef("q25_approx_sketches", q25, None),
+    QueryDef("q26_exact_percentiles", q26, Some(q26Sql)),
   )
 }

@@ -67,6 +67,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"))
   }
 
+  test("q26: exact percentiles have no single-partition exchange (two-pass rank)") {
+    val p = plan("q26_exact_percentiles")
+    assert(!p.contains("SinglePartition"),
+      "exact percentile must not sort the column on one partition")
+  }
+
   test("e05: interval join is an equi-join on (user_id, bucket), not user_id alone") {
     val p = plan("e05_interval_join")
     assert(p.contains("bkt"), "join keys must include the time bucket")
