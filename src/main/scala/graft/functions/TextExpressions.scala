@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -231,9 +232,58 @@ object SimHash60 {
   }
 }
 
+/** Generator (UDTF role): all ordered pairs (a < b) of a long-array
+  * column — one output row per pair. Used by the d03 inverted index:
+  * after `collect_list(doc_id) group by shingle` (df-capped, so the
+  * array is bounded), each posting list expands to its candidate pairs
+  * in a single pass — replacing a second shuffle-heavy self-join of the
+  * exploded index. Generators run under GenerateExec (not inside an
+  * expression tree), so CodegenFallback here does not break the
+  * surrounding whole-stage codegen the way a scalar fallback would.
+  */
+case class SortedIdPairs(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback with Serializable {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("ida", LongType, nullable = false),
+    StructField("idb", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sorted_id_pairs expects array<long>, got $t")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null || arr.numElements() < 2) Iterator.empty
+    else {
+      val ids = arr.toLongArray().clone()
+      java.util.Arrays.sort(ids)
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        def hasNext: Boolean = i < ids.length - 1
+        def next(): InternalRow = {
+          val r = InternalRow(ids(i), ids(j))
+          j += 1
+          if (j >= ids.length) { i += 1; j = i + 1 }
+          r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
+  def sorted_id_pairs(c: Column): Column =
+    ColumnBridge.column(SortedIdPairs(ColumnBridge.expression(c)))
 
   def simhash60(c: Column): Column =
     ColumnBridge.column(SimHash60(ColumnBridge.expression(c)))

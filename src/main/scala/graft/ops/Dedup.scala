@@ -84,26 +84,27 @@ object Dedup extends QueryModule {
   /** Candidate pairs with common-shingle counts for an arbitrary
     * documents-shaped frame — the d03 core, factored out so tests can
     * drive it with synthetic corpora and custom caps.
+    *
+    * Plan shape: ONE shuffle builds the posting list per shingle key
+    * (`collect_list` — bounded memory because the df cap filters the
+    * list size), the native SortedIdPairs generator expands each list to
+    * its candidate pairs in-place, and the pair aggregation is the only
+    * other shuffle. The first cut persisted the exploded index and
+    * self-joined it (three shuffles + a semi-join for the cap); the
+    * posting-list form halves the shuffled volume and makes the cap a
+    * plain filter.
     */
   private[graft] def jaccardCandidates(docs: DataFrame, dfCap: Long): DataFrame = {
-    // join on the 64-bit shingle hash, not the string: smaller shuffle +
-    // faster key compare; collision probability is ~1e-9 at this scale.
-    // persist: the inverted index is scanned by the df cap and both
-    // self-join sides — without it the shingling pipeline runs thrice.
+    // aggregate on the 64-bit shingle hash, not the string: smaller
+    // shuffle + faster key compare; collision probability ~1e-9 here.
     val sh = docs
       .select(col("doc_id"), explode(shingleArr(col("text"))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shkey"))
-      .persist()
-    // the cap: keep only sub-boilerplate shingle keys. One extra hash agg
-    // on data already shuffling on shkey; the semi-join is co-partitioned.
-    val rare = sh.groupBy(col("shkey"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-      .select(col("shkey"))
-    val capped = sh.join(rare, Seq("shkey"), "left_semi")
-    capped.as("a").join(capped.as("b"),
-        col("a.shkey") === col("b.shkey") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+    sh.groupBy(col("shkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= dfCap)
+      .select(graft.functions.TextFunctions.sorted_id_pairs(col("ids")).as(Seq("ida", "idb")))
+      .groupBy(col("ida"), col("idb"))
       .agg(count(lit(1)).as("c"))
   }
 
