@@ -162,6 +162,45 @@ object Relational3 extends QueryModule {
       |SELECT 'p75', CAST(rn AS BIGINT), l_extendedprice, l_orderkey, l_linenumber
       |FROM o WHERE rn = (SELECT (3 * count(*) + 3) // 4 FROM lineitem)""".stripMargin
 
+  /** q27: array & map scalar functions — the §2.5 scalar-function family
+    * round 1 left implicit (string q15, date q16, math q22, JSON e01).
+    * All codegen'd built-ins over the token array of each document; the
+    * map lookup is mirrored in DuckDB as vs[list_position(ks, k)] since
+    * its map type extracts differently.
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        slice(col("toks"), 1, 3).as("first3"),
+        // sorted-distinct: array_distinct alone keeps first-occurrence
+        // order, which DuckDB's list_distinct does not guarantee —
+        // sorting makes the contract engine-independent
+        sort_array(array_distinct(slice(col("toks"), 1, 8))).as("first8_distinct"),
+        sort_array(slice(col("toks"), 1, 5)).as("first5_sorted"),
+        array_contains(col("toks"), "the").as("has_the"),
+        array_position(col("toks"), "the").cast("long").as("the_pos"),
+        // literal map lookup (duplicate-key-safe; map_from_arrays over
+        // data tokens would throw under ANSI on a repeated token)
+        element_at(
+          map(lit("the"), lit(1L), lit("a"), lit(2L), lit("of"), lit(3L)),
+          element_at(col("toks"), 1)).as("map_hit"))
+  }
+
+  private val q27Sql =
+    """SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_toks,
+      |  toks[1:3] AS first3,
+      |  list_sort(list_distinct(toks[1:8])) AS first8_distinct,
+      |  list_sort(toks[1:5]) AS first5_sorted,
+      |  list_contains(toks, 'the') AS has_the,
+      |  CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS the_pos,
+      |  CASE toks[1] WHEN 'the' THEN CAST(1 AS BIGINT) WHEN 'a' THEN 2 WHEN 'of' THEN 3 END AS map_hit
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q21_band_join", q21, Some(q21Sql)),
     QueryDef("q22_math_funcs", q22, Some(q22Sql)),
@@ -169,5 +208,6 @@ object Relational3 extends QueryModule {
     QueryDef("q24_scalar_subquery", q24, Some(q24Sql)),
     QueryDef("q25_approx_sketches", q25, None),
     QueryDef("q26_exact_percentiles", q26, Some(q26Sql)),
+    QueryDef("q27_array_map_funcs", q27, Some(q27Sql)),
   )
 }

@@ -87,6 +87,24 @@ object EventStream {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval self-join — the streaming twin of e05: each
+    * event pairs with the same user's other events within ±5 minutes.
+    * Both sides carry watermarks and the join condition bounds event
+    * time, so Spark can evict join state once the watermark passes an
+    * event's ±5-minute reach — bounded state on an unbounded stream (an
+    * unbounded-time stream-stream join would hoard every row forever).
+    */
+  def intervalJoin(events: DataFrame): DataFrame = {
+    val a = events.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("eid"), col("ts").as("ta"))
+    val b = events.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("user_b"), col("event_id").as("oid"), col("ts").as("tb"))
+    a.join(b, expr(
+      """user_id = user_b AND eid != oid AND
+        |tb BETWEEN ta - INTERVAL 5 MINUTES AND ta + INTERVAL 5 MINUTES""".stripMargin))
+      .select(col("user_id"), col("eid"), col("oid"))
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----------------
 
   /** ts is carried (unused by the lambda) because the watermark tag lives

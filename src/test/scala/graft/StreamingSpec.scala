@@ -76,6 +76,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotIds.toSet.size === gotIds.length)
   }
 
+  test("stream-stream interval self-join matches the batch interval join (e05 pairs)") {
+    val stream = EventStream.intervalJoin(EventStream.readEvents(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("interval_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("interval_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch twin: the same pair set, via the bucketed batch plan
+    val winUs = 5L * 60 * 1000 * 1000
+    val e = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val want = graft.queries.EventsQueries.intervalJoinCandidates(e, winUs)
+      .filter(col("eid") =!= col("oid") &&
+        col("tb") >= col("ta") - winUs && col("tb") <= col("ta") + winUs)
+      .select("user_id", "eid", "oid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) emits exactly the closed sessions") {
     val stream = EventStream.sessionize(spark, EventStream.readEvents(spark, dir))
     val q = stream.writeStream
