@@ -94,11 +94,22 @@ object Dedup extends QueryModule {
     * posting-list form halves the shuffled volume and makes the cap a
     * plain filter.
     */
-  private[graft] def jaccardCandidates(docs: DataFrame, dfCap: Long): DataFrame = {
+  /** (doc_id, shingle-array) projection — computed once and persisted:
+    * d03 needs it for both the inverted index (exploded) and the per-doc
+    * set sizes; without the cache the shingling kernel runs twice over
+    * the corpus.
+    */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleArr(col("text")).as("sh")).persist()
+
+  private[graft] def jaccardCandidates(docs: DataFrame, dfCap: Long): DataFrame =
+    jaccardCandidatesFromShingled(shingled(docs), dfCap)
+
+  private def jaccardCandidatesFromShingled(shdocs: DataFrame, dfCap: Long): DataFrame = {
     // aggregate on the 64-bit shingle hash, not the string: smaller
     // shuffle + faster key compare; collision probability ~1e-9 here.
-    val sh = docs
-      .select(col("doc_id"), explode(shingleArr(col("text"))).as("shingle"))
+    val sh = shdocs
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("shkey"))
     sh.groupBy(col("shkey"))
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -110,15 +121,15 @@ object Dedup extends QueryModule {
 
   /** d03: exact n-gram Jaccard near-dup pairs via inverted-index self-join
     * (shuffle on shingle, never a crossJoin), with a document-frequency
-    * cap bounding boilerplate fanout (see [[jaccardCandidates]]).
+    * cap bounding boilerplate fanout (see [[jaccardCandidatesFromShingled]]).
     */
   private def d03(s: SparkSession, dir: String): DataFrame = {
+    val shdocs = shingled(Tables.documents(s, dir))
     // per-doc set size is just the shingle-array length: a row-level
     // projection broadcast to the pair stream — not a groupBy over the
     // exploded index plus two shuffle joins
-    val sizes = Tables.documents(s, dir)
-      .select(col("doc_id"), size(shingleArr(col("text"))).cast("long").as("n"))
-    jaccardCandidates(Tables.documents(s, dir), DfCap)
+    val sizes = shdocs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    jaccardCandidatesFromShingled(shdocs, DfCap)
       .join(broadcast(sizes.select(col("doc_id"), col("n").as("na"))), col("ida") === col("doc_id")).drop("doc_id")
       .join(broadcast(sizes.select(col("doc_id"), col("n").as("nb"))), col("idb") === col("doc_id")).drop("doc_id")
       .select(col("ida"), col("idb"), (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))

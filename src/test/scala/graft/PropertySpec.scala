@@ -48,6 +48,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GlobalOrder ntile equals single-window ntile on random sizes/k/partitioning (8 seeded cases)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (seed <- 31 to 38) {
+      val rng = new Random(seed)
+      val n = rng.nextInt(2000) + 1           // includes n < k edge cases
+      val k = rng.nextInt(9) + 2
+      val nPart = rng.nextInt(6) + 1
+      // duplicate measure values force the tiebreak key to do real work
+      val df = (0 until n).map(i => (i.toLong, (rng.nextInt(50)).toDouble))
+        .toDF("id", "m").repartition(nPart)
+      val got = graft.plans.GlobalOrder
+        .withGlobalNtile(df, Seq(col("m").desc, col("id")), k, "t")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val want = df.select(col("id"),
+          ntile(k).over(Window.orderBy(col("m").desc, col("id"))).cast("long").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"seed=$seed n=$n k=$k parts=$nPart")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("non-commutative-safe: reduce sees every value of its key exactly once (5 seeded cases)") {
     import spark.implicits._
     for (seed <- 21 to 25) {
