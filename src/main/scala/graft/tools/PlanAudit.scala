@@ -1,0 +1,26 @@
+package graft.tools
+
+/** Dumps executed-plan red-flag summaries for the round-2 queries —
+  * the ".explain and iterate" discipline, kept runnable.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = graft.core.Sessions.local("8")
+    val names = Seq("q20_ntile", "q26_exact_percentiles", "q27_array_map_funcs",
+      "s03_ann_lsh", "s05_bucketed_neardup", "s06_ann_ivf",
+      "d03_ngram_jaccard", "d05_simhash", "e05_interval_join", "e06_sliding_window")
+    for (n <- names) {
+      val p = graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
+      val flags = Seq(
+        "CartesianProduct" -> p.contains("CartesianProduct"),
+        "SinglePartition"  -> p.contains("SinglePartition"),
+        "SortMergeJoin"    -> p.contains("SortMergeJoin"),
+        "BroadcastNLJ"     -> p.contains("BroadcastNestedLoopJoin"))
+        .collect { case (k, true) => k }
+      println(s"[audit] $n: ${if (flags.isEmpty) "clean" else flags.mkString(", ")}")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}
