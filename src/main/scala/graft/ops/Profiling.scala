@@ -44,7 +44,126 @@ object Profiling extends QueryModule {
        |FROM lineitem""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** p02: the composed training-data pipeline — the end-to-end use case
+    * every individual op exists for, as ONE declarative plan:
+    *
+    *   quality score (t02 formula) + language ID (t03 formula)
+    *   → keep quality >= 0.45 and identified language
+    *   → exact dedup (survivor = min doc_id per content hash)
+    *   → near-dup removal (drop the larger id of every 3-gram-Jaccard
+    *     >= 0.5 pair among survivors — the simple deterministic rule;
+    *     a union-find keep-one-per-cluster is the production variant)
+    *   → per-language corpus stats.
+    *
+    * Every stage reuses the exact per-op formulas, so the DuckDB oracle
+    * is their composition; at 100 TB the plan is three shuffles (content
+    * hash, shingle key, final group-by) plus the broadcast joins.
+    */
+  private def p02(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = filter(split(col("text"), " "), x => length(x) > 0)
+    val nTok = size(w).cast("long")
+    val stopHits = size(filter(w, t => t.isInCollection(TextAnalysis.stopwordList))).cast("long")
+    val sumLen = aggregate(transform(w, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+    val nDistinct = size(array_distinct(w)).cast("long")
+    def ratio(num: Column) = when(nTok > 0, num / nTok)
+    val quality = ratio(stopHits) * 0.25 + ratio(nDistinct) * 0.5 + ratio(sumLen) * 0.05
+    val markerCols = TextAnalysis.markerList.map { case (l, ms) =>
+      size(filter(w, t => t.isInCollection(ms))).cast("long").as(s"c_$l")
+    }
+    val scored = docs.select(
+      (Seq(col("doc_id"), col("text"), nTok.as("n_tokens"), quality.as("quality")) ++ markerCols): _*)
+    val Seq(de, en, es, fr) = TextAnalysis.markerList.map(m => col(s"c_${m._1}"))
+    val withLang = scored.withColumn("pred_lang",
+      when(de + en + es + fr === 0, lit("und"))
+        .when(de >= en && de >= es && de >= fr, lit("de"))
+        .when(en >= es && en >= fr, lit("en"))
+        .when(es >= fr, lit("es"))
+        .otherwise(lit("fr")))
+    val kept = withLang
+      .filter(col("quality") >= 0.45 && col("pred_lang") =!= "und")
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("pred_lang"))
+    // exact dedup: survivor = min doc_id per content hash
+    val survivors = kept
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("rk") === 1).drop("rk")
+      .persist()
+    // near-dup pairs among survivors (d03 machinery); drop every larger id
+    val sizes = survivors.select(col("doc_id"), size(Dedup.shingleArr(col("text"))).cast("long").as("n"))
+    val dropIds = Dedup.jaccardCandidates(survivors.select(col("doc_id"), col("text")), Dedup.DfCap)
+      .join(broadcast(sizes.select(col("doc_id"), col("n").as("na"))), col("ida") === col("doc_id")).drop("doc_id")
+      .join(broadcast(sizes.select(col("doc_id"), col("n").as("nb"))), col("idb") === col("doc_id")).drop("doc_id")
+      .filter(col("c") / (col("na") + col("nb") - col("c")) >= 0.5)
+      .select(col("idb").as("doc_id")).distinct()
+    val finalDocs = survivors.join(dropIds, Seq("doc_id"), "left_anti")
+    // the funnel: document & token counts after every stage — the
+    // numbers a data-pipeline operator actually monitors, and a much
+    // deeper oracle than the final group alone (any upstream divergence
+    // moves some stage's row)
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .select(lit(name).as("stage"), col("n_docs"), col("sum_tokens"))
+    stage("1_raw", withLang.select(col("doc_id"), col("n_tokens")))
+      .unionAll(stage("2_quality_lang", kept))
+      .unionAll(stage("3_exact_dedup", survivors))
+      .unionAll(stage("4_neardup_removed", finalDocs))
+  }
+
+  private val p02Sql = {
+    val stop = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
+    val counts = TextAnalysis.markerList.map { case (l, ms) =>
+      s"CAST(len(list_filter(w, t -> t IN (${ms.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS c_$l"
+    }.mkString(",\n    ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, w,
+       |    CAST(len(w) AS BIGINT) AS n_tokens,
+       |    CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, t -> t IN ($stop))) AS BIGINT) / CAST(len(w) AS BIGINT) END * 0.25
+       |      + CASE WHEN len(w) > 0 THEN CAST(len(list_distinct(w)) AS BIGINT) / CAST(len(w) AS BIGINT) END * 0.5
+       |      + CASE WHEN len(w) > 0 THEN CAST(list_sum(list_transform(w, t -> CAST(length(t) AS BIGINT))) AS BIGINT) / CAST(len(w) AS BIGINT) END * 0.05 AS quality,
+       |    $counts
+       |  FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+       |        FROM documents)),
+       |langed AS (
+       |  SELECT *, CASE WHEN c_de + c_en + c_es + c_fr = 0 THEN 'und'
+       |                 WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+       |                 WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+       |                 WHEN c_es >= c_fr THEN 'es'
+       |                 ELSE 'fr' END AS pred_lang
+       |  FROM base),
+       |kept AS (
+       |  SELECT doc_id, text, n_tokens, pred_lang FROM langed
+       |  WHERE quality >= 0.45 AND pred_lang <> 'und'),
+       |survivors AS (
+       |  SELECT doc_id, text, n_tokens, pred_lang FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rk FROM kept)
+       |  WHERE rk = 1),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(sw)-1),
+       |    i -> sw[i] || ' ' || sw[i+1] || ' ' || sw[i+2]))) AS shingle
+       |  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS sw
+       |        FROM survivors)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT a.doc_id ida, b.doc_id idb, count(*) c
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |dropids AS (
+       |  SELECT DISTINCT idb AS doc_id FROM cm
+       |  JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+       |  WHERE c / (sa.n + sb.n - c) >= 0.5)
+       |SELECT '1_raw' AS stage, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM langed
+       |UNION ALL
+       |SELECT '2_quality_lang', count(*), CAST(sum(n_tokens) AS BIGINT) FROM kept
+       |UNION ALL
+       |SELECT '3_exact_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM survivors
+       |UNION ALL
+       |SELECT '4_neardup_removed', count(*), CAST(sum(n_tokens) AS BIGINT)
+       |FROM survivors WHERE doc_id NOT IN (SELECT doc_id FROM dropids)""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p01_profile", p01, Some(p01Sql)),
+    QueryDef("p02_clean_corpus_pipeline", p02, Some(p02Sql)),
   )
 }

@@ -36,6 +36,11 @@ object TextAnalysis extends QueryModule {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
+  /** Shared with the composed pipeline (p02), which reuses the exact
+    * t02/t03 formulas so its oracle is their composition.
+    */
+  private[ops] def stopwordList: Seq[String] = stopwords
+
   /** t02: quality scoring — length, stopword ratio, mean token length,
     * distinct-token ratio. Formula mirrored exactly in the oracle.
     */
@@ -82,6 +87,8 @@ object TextAnalysis extends QueryModule {
     "es" -> Seq("el", "la", "los", "que", "es", "y"),
     "fr" -> Seq("le", "les", "des", "et", "est", "une"),
   )
+
+  private[ops] def markerList: Seq[(String, Seq[String])] = markers
 
   /** t03: language ID by marker-word voting, deterministic argmax (ties
     * break toward the alphabetically-first language — the CASE chain
