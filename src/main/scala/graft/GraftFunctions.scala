@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSignature, WordShingles}
+import graft.functions.{DotProduct, MinHashSignature, RollingHash, SimHash60, SortedIdPairs, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -11,6 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   vec_dot(a, b)                  — codegen'd array<double> dot product
   *   word_shingles(text, n)         — distinct word n-gram shingles
   *   minhash_sig(hashes, k)         — k-permutation MinHash signature
+  *   rolling_hash(text)             — polynomial codepoint fingerprint
+  *   simhash60(shingles)            — 60-bit md5-vote SimHash fingerprint
+  *   sorted_id_pairs(ids)           — generator: all a<b pairs of an id array
   *
   * Two paths:
   *   - [[GraftFunctions.register]] on an existing session;
@@ -45,6 +48,15 @@ object GraftFunctions {
       require(k >= 1, s"signature size must be >= 1, got $k")
       val (as, bs) = Dedup31.params(k)
       MinHashSignature(exprs(0), as, bs)
+    },
+    "rolling_hash" -> { exprs =>
+      arity("rolling_hash", exprs, 1); RollingHash(exprs(0))
+    },
+    "simhash60" -> { exprs =>
+      arity("simhash60", exprs, 1); SimHash60(exprs(0))
+    },
+    "sorted_id_pairs" -> { exprs =>
+      arity("sorted_id_pairs", exprs, 1); SortedIdPairs(exprs(0))
     },
   )
 

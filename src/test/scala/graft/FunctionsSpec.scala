@@ -34,6 +34,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.forall(v => v >= 0 && v <= 0x7fffffffL))
   }
 
+  test("round-2 expressions callable from SQL: rolling_hash, simhash60, sorted_id_pairs") {
+    GraftFunctions.register(spark)
+    val rh = spark.sql("SELECT rolling_hash('ab') AS h").collect()(0).getLong(0)
+    assert(rh === (('a'.toLong * 31 + 'b') % 1000000007L))
+    val sh = spark.sql("SELECT simhash60(word_shingles('a b c d', 3)) AS f").collect()(0).getLong(0)
+    assert(sh >= 0L && sh < (1L << 60))
+    val pairs = spark.sql("SELECT sorted_id_pairs(array(3L, 1L, 2L)) AS (ida, idb)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("text expressions generate code (no CodegenFallback stage break)") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     import graft.functions._
