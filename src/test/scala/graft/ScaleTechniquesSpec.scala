@@ -45,6 +45,35 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(read.count() === expected)
   }
 
+  test("AQE skew-join splits the hot partition at runtime (thresholds scaled to test data)") {
+    import spark.implicits._
+    // an isolated session (same context) so the lowered skew thresholds
+    // don't leak into other suites
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    import s2.implicits._
+    // left side: 200k rows, 95% on one key -> one hot shuffle partition
+    val left = s2.range(200000)
+      .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 1000).as("k"),
+        col("id").as("v"))
+    val right = s2.range(1000).select(col("id").as("k"), (col("id") * 10).as("w"))
+    val joined = left.join(right, "k")
+    // collect() executes THIS queryExecution (count() would build a new
+    // one and the adaptive plan inspected below would still be the
+    // un-executed isFinalPlan=false skeleton)
+    assert(joined.collect().length === 200000)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AdaptiveSparkPlan"))
+    assert(finalPlan.contains("skew=true") || finalPlan.contains("isSkew=true"),
+      s"AQE must mark the skewed join handled:\n${finalPlan.take(4000)}")
+  }
+
   test("salted two-stage aggregation equals direct aggregation under key skew") {
     import spark.implicits._
     // heavily skewed: 90% of rows share one key
