@@ -150,6 +150,37 @@ object Similarity extends QueryModule {
       .groupBy(col("vec_id"), col("tbl"))
       .agg(sum(col("bit")).as("bucket"))
 
+  /** Multi-probe expansion: per (vector, table), in addition to the home
+    * bucket, probe the bucket reached by flipping the LEAST-CONFIDENT
+    * sign bit (the plane with the smallest |projection| — the bit most
+    * likely to differ for a true neighbor straddling that hyperplane).
+    * Classic multi-probe LSH: extra recall at the cost of `probes`×
+    * candidate volume, WITHOUT adding tables (each extra table costs a
+    * full signature pass over the corpus; a probe only re-addresses the
+    * query side). Probe rows join against home buckets only, so each
+    * pair is found via (probe, home) or (home, home) membership.
+    */
+  private[graft] def withFlipProbe(base: DataFrame, planes: DataFrame): (DataFrame, DataFrame) = {
+    val proj = base
+      .crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("tbl"), col("plane"),
+        dot(col("v"), col("pvec")).as("d"))
+    val home = proj
+      .groupBy(col("vec_id"), col("tbl"))
+      .agg(sum(when(col("d") > 0, expr("shiftleft(cast(1 as bigint), plane)"))
+        .otherwise(lit(0L))).as("bucket"))
+    val wConf = Window.partitionBy(col("vec_id"), col("tbl"))
+      .orderBy(abs(col("d")), col("plane"))
+    val flipped = proj
+      .withColumn("cr", row_number().over(wConf))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("tbl"), col("plane"))
+      .join(home, Seq("vec_id", "tbl"))
+      .select(col("vec_id"), col("tbl"),
+        col("bucket").bitwiseXOR(expr("shiftleft(cast(1 as bigint), plane)")).as("bucket"))
+    (home, home.select(col("vec_id"), col("tbl"), col("bucket")).unionAll(flipped))
+  }
+
   /** Raw (pre-dedup) bucket-collision pairs, ida < idb — the candidate
     * stream whose volume is the thing LSH bounds. Exposed for the
     * fanout assertions in SimilaritySpec/OpsSpec.

@@ -177,6 +177,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(got === want)
   }
 
+  test("multi-probe LSH: flipping the least-confident bit buys recall without more tables") {
+    import org.apache.spark.sql.functions._
+    // deliberately few tables (8) so single-probe recall is visibly < 1
+    val emb = graft.core.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
+    val planes = graft.ops.Similarity.planesDf(spark, 8, 6)
+    val (home, probes) = graft.ops.Similarity.withFlipProbe(emb, planes)
+    home.persist(); probes.persist()
+    def pairSet(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      a.as("a").join(b.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(least(col("a.vec_id"), col("b.vec_id")).as("x"),
+          greatest(col("a.vec_id"), col("b.vec_id")).as("y"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val homePairs  = pairSet(home, home)
+    val probePairs = pairSet(probes, home)
+    val qual = SparkEntry.queries("s02_cosine_neardup")(spark, dir)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(homePairs.subsetOf(probePairs), "probing can only add candidates")
+    val rHome  = (qual intersect homePairs).size.toDouble / qual.size
+    val rProbe = (qual intersect probePairs).size.toDouble / qual.size
+    info(f"recall@8tables: single-probe $rHome%.3f -> multi-probe $rProbe%.3f " +
+      f"(candidates ${homePairs.size} -> ${probePairs.size})")
+    assert(rProbe > rHome, "the flip probe must recover additional qualifying pairs here")
+    // cost bound: one extra probe row per (vec, table) at most doubles candidates... loosely
+    assert(probePairs.size <= homePairs.size * 4)
+  }
+
   test("IVF ANN (s06): re-scored sims bit-match brute force; recall reported") {
     val exact = SparkEntry.queries("s01_cosine_knn")(spark, dir)
       .select("qid", "nid", "sim").collect()
