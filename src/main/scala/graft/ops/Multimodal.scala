@@ -106,8 +106,50 @@ object Multimodal extends QueryModule {
        |  md5(substring(text, 1, $FrameBytes)) AS first_chars_md5
        |FROM documents""".stripMargin
 
+  /** Resized output: token counts before/after + digest of the resized
+    * payload.
+    */
+  case class Resized(doc_id: Long, n_tok_in: Long, n_tok_out: Long, resized_md5: String)
+
+  /** m03: "resize" — downsample the payload to half resolution. A real
+    * pipeline would bilinear-resample pixels; the clearly-marked stand-in
+    * decimates the decoded token stream (keep every 2nd token), which
+    * preserves the real contract: binary in, smaller binary out, updated
+    * metadata, deterministic content digest, same mapPartitions batch
+    * shape as m01/m02.
+    */
+  private def m03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    media(s, dir).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+        // -1 keeps trailing empty tokens — DuckDB's string_split does too,
+        // and the index parity below must act on the identical token list
+        val toks = text.split(" ", -1)
+        val kept = toks.indices.collect { case i if i % 2 == 0 => toks(i) }
+        val resized = kept.mkString(" ")
+        md.reset()
+        val hex = md.digest(resized.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        Resized(r.doc_id, toks.length.toLong, kept.length.toLong, hex)
+      }
+    }.toDF()
+  }
+
+  /** DuckDB's list lambdas expose a 1-based index, so "even 0-based" =
+    * "odd 1-based".
+    */
+  private val m03Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok_in,
+      |  CAST(len(list_filter(string_split(text, ' '), (x, i) -> i % 2 = 1)) AS BIGINT) AS n_tok_out,
+      |  md5(array_to_string(list_filter(string_split(text, ' '), (x, i) -> i % 2 = 1), ' ')) AS resized_md5
+      |FROM documents""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_features", m01, Some(m01Sql)),
     QueryDef("m02_frame_sample", m02, Some(m02Sql)),
+    QueryDef("m03_resize", m03, Some(m03Sql)),
   )
 }
