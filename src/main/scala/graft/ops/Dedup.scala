@@ -214,6 +214,33 @@ object Dedup extends QueryModule {
     */
   private val d04Sql = d03Sql
 
+  /** d06: containment near-dup pairs — one-sided Jaccard,
+    * c / min(|A|, |B|) >= 0.8. Catches the quote/extension case symmetric
+    * Jaccard misses: a short document wholly contained in a long one has
+    * low Jaccard (the union is large) but containment ~1. Same df-capped
+    * posting-list candidates as d03; only the verification formula
+    * differs.
+    */
+  private def d06(s: SparkSession, dir: String): DataFrame = {
+    val shdocs = shingled(Tables.documents(s, dir))
+    val sizes = shdocs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    jaccardCandidatesFromShingled(shdocs, DfCap)
+      .join(broadcast(sizes.select(col("doc_id"), col("n").as("na"))), col("ida") === col("doc_id")).drop("doc_id")
+      .join(broadcast(sizes.select(col("doc_id"), col("n").as("nb"))), col("idb") === col("doc_id")).drop("doc_id")
+      .select(col("ida"), col("idb"), (col("c") / least(col("na"), col("nb"))).as("containment"))
+      .filter(col("containment") >= 0.8)
+  }
+
+  private val d06Sql =
+    s"""WITH $shingleCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT a.doc_id ida, b.doc_id idb, count(*) c
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT ida, idb, c / least(sa.n, sb.n) AS containment
+       |FROM cm JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+       |WHERE c / least(sa.n, sb.n) >= 0.8""".stripMargin
+
   // ---- d05: SimHash ---------------------------------------------------
 
   private val SimBits  = 60 // md5-derived hash width (15 hex chars < 2^63)
@@ -294,5 +321,6 @@ object Dedup extends QueryModule {
     QueryDef("d03_ngram_jaccard", d03, Some(d03Sql)),
     QueryDef("d04_minhash_lsh", d04, Some(d04Sql)),
     QueryDef("d05_simhash", d05, Some(d05Sql)),
+    QueryDef("d06_containment", d06, Some(d06Sql)),
   )
 }

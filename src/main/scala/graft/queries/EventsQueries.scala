@@ -183,11 +183,38 @@ object EventsQueries extends QueryModule {
       | AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 300000000 AND epoch_us(a.ts) + 300000000
       |GROUP BY a.user_id, a.event_id""".stripMargin
 
+  /** e07: retention cohorts — users grouped by first-seen date, distinct
+    * active users per (cohort, day offset). The classic product-analytics
+    * rollup: one shuffle for the per-user minimum, a join back on
+    * user_id (broadcastable when the user dimension is small relative to
+    * events, shuffle otherwise — planner's call), one final aggregation.
+    * Dates are emitted as epoch-day ints (DETERMINISM.md rule 6).
+    */
+  private def e07(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = e.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    e.join(first, "user_id")
+      .groupBy(
+        datediff(col("cohort"), lit("1970-01-01").cast("date")).cast("long").as("cohort_day"),
+        datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val e07Sql =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1)
+      |SELECT CAST(f.cohort - DATE '1970-01-01' AS BIGINT) AS cohort_day,
+      |  CAST(e.d - f.cohort AS BIGINT) AS day_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_json_extract", e01, Some(e01Sql)),
     QueryDef("e02_tumbling_window", e02, Some(e02Sql)),
     QueryDef("e03_sessionize", e03, Some(e03Sql)),
     QueryDef("e06_sliding_window", e06, Some(e06Sql)),
+    QueryDef("e07_retention_cohorts", e07, Some(e07Sql)),
     QueryDef("e04_asof_last_signup", e04, Some(e04Sql)),
     QueryDef("e05_interval_join", e05, Some(e05Sql)),
   )
