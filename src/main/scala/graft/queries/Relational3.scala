@@ -201,6 +201,59 @@ object Relational3 extends QueryModule {
       |  CASE toks[1] WHEN 'the' THEN CAST(1 AS BIGINT) WHEN 'a' THEN 2 WHEN 'of' THEN 3 END AS map_hit
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)""".stripMargin
 
+  /** q28: the full analytic window family over per-nation customer
+    * balances — dense_rank, percent_rank, cume_dist, lead with default,
+    * nth_value. percent_rank/cume_dist are exact small-integer divisions
+    * (identical doubles both engines); the (acctbal, custkey) tiebreak
+    * totalizes the order.
+    */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer(s, dir).select(
+      col("c_nationkey"), col("c_custkey"),
+      dense_rank().over(w).cast("long").as("drank"),
+      percent_rank().over(w).as("prank"),
+      cume_dist().over(w).as("cdist"),
+      lead(col("c_custkey"), 1, -1L).over(w).as("next_cust"),
+      nth_value(col("c_custkey"), 3).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("third_cust"))
+  }
+
+  private val q28Sql =
+    """SELECT c_nationkey, c_custkey,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      |  percent_rank() OVER w AS prank,
+      |  cume_dist() OVER w AS cdist,
+      |  lead(c_custkey, 1, -1) OVER w AS next_cust,
+      |  nth_value(c_custkey, 3) OVER (PARTITION BY c_nationkey
+      |    ORDER BY c_acctbal DESC, c_custkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_cust
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
+
+  /** q29: multiset set operations (INTERSECT ALL / EXCEPT ALL) over
+    * per-order line counts — duplicates preserved, complementing q14's
+    * distinct-set variants.
+    */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val a = lineitem(s, dir).filter(col("l_linenumber") <= 2).select(col("l_orderkey"))
+    val b = lineitem(s, dir).filter(col("l_linenumber") >= 2).select(col("l_orderkey"))
+    a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
+  }
+
+  private val q29Sql =
+    """SELECT l_orderkey, 'intersect_all' AS op FROM
+      |  ((SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2)
+      |   INTERSECT ALL
+      |   (SELECT l_orderkey FROM lineitem WHERE l_linenumber >= 2))
+      |UNION ALL
+      |SELECT l_orderkey, 'except_all' AS op FROM
+      |  ((SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2)
+      |   EXCEPT ALL
+      |   (SELECT l_orderkey FROM lineitem WHERE l_linenumber >= 2))""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q21_band_join", q21, Some(q21Sql)),
     QueryDef("q22_math_funcs", q22, Some(q22Sql)),
@@ -209,5 +262,7 @@ object Relational3 extends QueryModule {
     QueryDef("q25_approx_sketches", q25, None),
     QueryDef("q26_exact_percentiles", q26, Some(q26Sql)),
     QueryDef("q27_array_map_funcs", q27, Some(q27Sql)),
+    QueryDef("q28_window_suite", q28, Some(q28Sql)),
+    QueryDef("q29_multiset_ops", q29, Some(q29Sql)),
   )
 }
