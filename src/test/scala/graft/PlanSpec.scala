@@ -79,6 +79,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s05/s06: bucketed similarity paths contain no cartesian product") {
+    for (q <- Seq("s05_bucketed_neardup", "s06_ann_ivf", "s03_ann_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must generate candidates via bucket equi-joins, not all-pairs")
+    }
+  }
+
   test("s01: knn scoring runs through the native codegen dot product") {
     val p = plan("s01_cosine_knn")
     assert(p.contains("dotproduct") || p.contains("DotProduct"))
