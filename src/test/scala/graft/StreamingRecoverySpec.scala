@@ -67,4 +67,50 @@ class StreamingRecoverySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got === want, "post-restart complete output must equal the full batch gold")
   }
+
+  test("ingestion dedup restarted from checkpoint: a replayed file emits nothing new") {
+    val streamDir = Files.createTempDirectory("graft-dupstream").toString
+    val checkpoint = Files.createTempDirectory("graft-dupckpt").toString
+    // memory sink cannot recover an append query from a checkpoint — a
+    // real (file) sink is the honest restart shape anyway
+    val outDir = Files.createTempDirectory("graft-dupout").toString + "/dedup"
+    val src = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("events")).head.toPath
+
+    def runOnce(): Long = {
+      val raw = graft.core.Tables.normalizeEventTs(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
+          .parquet(streamDir))
+      val q = EventStream.dedupedEvents(raw)
+        .select("event_id").writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      spark.read.parquet(outDir).count()
+    }
+
+    Files.copy(src, Paths.get(streamDir, "events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val phase1 = runOnce()
+    val distinctIds = graft.core.Tables.events(spark, dir).select("event_id").distinct().count()
+    assert(phase1 === distinctIds)
+
+    // the attack: the SAME data arrives again as a brand-new file after a
+    // restart — only the restored checkpoint (dedup state + watermark)
+    // can know these ids were already emitted
+    Files.copy(src, Paths.get(streamDir, "events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val total = runOnce()
+    assert(total === phase1, "replayed ids after restart must not re-emit")
+    // and the sink holds each id exactly once
+    assert(spark.read.parquet(outDir).distinct().count() === distinctIds)
+  }
 }
