@@ -254,6 +254,29 @@ object Relational3 extends QueryModule {
       |   EXCEPT ALL
       |   (SELECT l_orderkey FROM lineitem WHERE l_linenumber >= 2))""".stripMargin
 
+  /** q30: outer joins — TPC-H Q13 flavor. Left outer customer⋈orders
+    * (customers with no orders survive with count 0 via the null-group
+    * count), then the distribution of customers per order count. The
+    * one join family (outer) the inner/semi/anti/cross coverage lacked;
+    * count(o_orderkey) vs count(*) exercises null-skipping aggregation
+    * semantics identically in both engines.
+    */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .join(orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  private val q30Sql =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q21_band_join", q21, Some(q21Sql)),
     QueryDef("q22_math_funcs", q22, Some(q22Sql)),
@@ -264,5 +287,6 @@ object Relational3 extends QueryModule {
     QueryDef("q27_array_map_funcs", q27, Some(q27Sql)),
     QueryDef("q28_window_suite", q28, Some(q28Sql)),
     QueryDef("q29_multiset_ops", q29, Some(q29Sql)),
+    QueryDef("q30_outer_join", q30, Some(q30Sql)),
   )
 }
