@@ -85,13 +85,17 @@ private[graft] object Dedup31 {
     (0 until k).map(i => splitmix64(2L * i + 2) & Mask31))
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: native SQL functions + the
+  * advisory scale-lint optimizer rule.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.ScaleLint)
+  }
 }

@@ -87,6 +87,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("scale-lint rule flags global windows and cartesian joins, passes clean plans") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import graft.plans.ScaleLint
+    spark.experimental.extraOptimizations = Seq(ScaleLint)
+    try {
+      ScaleLint.findings.clear()
+      val df = spark.range(100).toDF("id")
+      df.select(col("id"), row_number().over(W.orderBy(col("id"))).as("rn"))
+        .queryExecution.optimizedPlan // triggers the optimizer
+      assert(ScaleLint.findings.toArray.exists(_.toString.contains("no PARTITION BY")))
+
+      ScaleLint.findings.clear()
+      df.as("a").crossJoin(df.as("b")).queryExecution.optimizedPlan
+      assert(ScaleLint.findings.toArray.exists(_.toString.contains("cartesian")))
+
+      // a scale-safe plan triggers nothing
+      ScaleLint.findings.clear()
+      SparkEntry.queries("q20_ntile")(spark, dir).queryExecution.optimizedPlan
+      assert(ScaleLint.findings.isEmpty,
+        s"two-pass ntile must be lint-clean, got: ${ScaleLint.findings}")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("s01: knn scoring runs through the native codegen dot product") {
     val p = plan("s01_cosine_knn")
     assert(p.contains("dotproduct") || p.contains("DotProduct"))
