@@ -277,6 +277,28 @@ object Relational3 extends QueryModule {
       |  GROUP BY c_custkey)
       |GROUP BY c_count""".stripMargin
 
+  /** q31: regex scalar functions — extract/match/replace/count with
+    * deliberately conservative patterns (digit/word classes and anchors
+    * mean the same thing to Java's regex and DuckDB's RE2; fancier
+    * syntax — lookbehind, \\s, possessives — diverges and is avoided,
+    * see DETERMINISM.md on Java-vs-RE2).
+    */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir).select(
+      col("o_orderkey"),
+      regexp_extract(col("o_orderpriority"), "^([0-9]+)", 1).as("prio_num"),
+      col("o_orderstatus").rlike("^[FO]$").as("status_final_or_open"),
+      regexp_replace(col("o_orderpriority"), "[0-9]+", "#").as("prio_masked"),
+      size(split(col("o_orderpriority"), "[0-9]+")).cast("long").minus(1).as("n_number_runs"))
+
+  private val q31Sql =
+    """SELECT o_orderkey,
+      |  regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS prio_num,
+      |  regexp_matches(o_orderstatus, '^[FO]$') AS status_final_or_open,
+      |  regexp_replace(o_orderpriority, '[0-9]+', '#', 'g') AS prio_masked,
+      |  CAST(len(string_split_regex(o_orderpriority, '[0-9]+')) - 1 AS BIGINT) AS n_number_runs
+      |FROM orders""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q21_band_join", q21, Some(q21Sql)),
     QueryDef("q22_math_funcs", q22, Some(q22Sql)),
@@ -288,5 +310,6 @@ object Relational3 extends QueryModule {
     QueryDef("q28_window_suite", q28, Some(q28Sql)),
     QueryDef("q29_multiset_ops", q29, Some(q29Sql)),
     QueryDef("q30_outer_join", q30, Some(q30Sql)),
+    QueryDef("q31_regex_funcs", q31, Some(q31Sql)),
   )
 }

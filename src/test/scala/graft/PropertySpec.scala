@@ -71,6 +71,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SortedIdPairs emits exactly the C(n,2) ordered pairs (8 seeded cases)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (seed <- 41 to 48) {
+      val rng = new Random(seed)
+      val n = rng.nextInt(40) // includes 0 and 1 (no pairs)
+      val ids = Seq.fill(n)(rng.nextLong().abs).distinct
+      val df = Seq(Tuple1(ids)).toDF("ids")
+      val got = df.select(
+          graft.functions.TextFunctions.sorted_id_pairs(col("ids")).as(Seq("ida", "idb")))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = ids.sorted.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+      assert(got.sorted === want.sorted, s"seed=$seed n=${ids.size}")
+      assert(got.forall(p => p._1 < p._2), s"seed=$seed order")
+    }
+  }
+
   test("non-commutative-safe: reduce sees every value of its key exactly once (5 seeded cases)") {
     import spark.implicits._
     for (seed <- 21 to 25) {
