@@ -59,4 +59,14 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** XML (built into Spark 4's sql core): the semi-structured feed format
+    * legacy ingest pipelines still emit. rowTag names the repeated record
+    * element.
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("rowTag", rowTag).format("xml").save(path)
+
+  def readXml(spark: SparkSession, path: String, ddl: String, rowTag: String = "row"): DataFrame =
+    spark.read.option("rowTag", rowTag).schema(StructType.fromDDL(ddl)).format("xml").load(path)
 }

@@ -45,6 +45,18 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.count() === docs.count())
   }
 
+  test("xml round-trips values (Spark 4 built-in xml source)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("lang")) // flat columns; xml has no binary
+    val path = tmp("xml")
+    Formats.writeXml(docs, path)
+    val back = Formats.readXml(spark, path, "doc_id BIGINT, lang STRING")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back === want)
+  }
+
   test("text lines read one element per line (reference input format)") {
     import spark.implicits._
     val path = tmp("text")
