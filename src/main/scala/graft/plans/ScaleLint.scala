@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -13,12 +13,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - a window function with NO partition spec — every row flows
   *     through one task (the q20 hazard; use plans/GlobalOrder);
   *   - a join with no condition — an all-pairs cartesian/cross product
-  *     (the s02 hazard; use bucketed candidates, s05/s06).
+  *     (the s02 hazard; use bucketed candidates, s05/s06) — UNLESS one
+  *     side is broadcast-hinted or below the auto-broadcast threshold,
+  *     in which case the product is a deliberate small-side broadcast
+  *     (s01's plane tables, s06's centroids) and not a hazard.
   *
   * Findings are logged and recorded in [[ScaleLint.findings]] so tests
-  * (and interactive users) can inspect them. Injected by
-  * [[graft.GraftExtensions]]; or add to an existing session via
-  * `spark.experimental.extraOptimizations`.
+  * (and interactive users) can inspect them; each (plan, message) pair is
+  * recorded once per session even though the optimizer re-runs the rule
+  * every fixed-point iteration. Injected by [[graft.GraftExtensions]]; or
+  * add to an existing session via `spark.experimental.extraOptimizations`.
   */
 object ScaleLint extends Rule[LogicalPlan] with Logging {
 
@@ -28,20 +32,46 @@ object ScaleLint extends Rule[LogicalPlan] with Logging {
   val findings = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val MaxFindings = 256
 
-  private def record(msg: String): Unit = {
-    logWarning(s"[graft-scale-lint] $msg")
-    findings.add(msg)
-    while (findings.size() > MaxFindings) findings.poll()
+  // one record per (node semanticHash, finding kind): the optimizer runs
+  // rules to a fixed point, so the same node revisits this rule several
+  // times per query — without the key set every iteration would re-log.
+  private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Int)]()
+  private val MaxSeen = 8192
+
+  /** Clear findings AND the per-node dedup memory (tests). */
+  def reset(): Unit = { findings.clear(); seen.clear() }
+
+  private def record(node: LogicalPlan, kind: Int, msg: String): Unit = {
+    if (seen.size() > MaxSeen) seen.clear()
+    if (seen.add((node.semanticHash(), kind))) {
+      logWarning(s"[graft-scale-lint] $msg")
+      findings.add(msg)
+      while (findings.size() > MaxFindings) findings.poll()
+    }
   }
+
+  /** A condition-less join side that will be broadcast is fine: the pairs
+    * are generated streaming against an in-memory small table, never
+    * materialized as a shuffle.
+    */
+  private def broadcastable(side: LogicalPlan, hint: Option[HintInfo]): Boolean =
+    hint.exists(_.strategy.contains(BROADCAST)) || {
+      val threshold = conf.autoBroadcastJoinThreshold
+      threshold > 0 && side.stats.sizeInBytes <= threshold
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.foreach {
       case w: Window if w.partitionSpec.isEmpty =>
-        record("window with no PARTITION BY: all rows flow through one task at scale " +
+        record(w, 1,
+          "window with no PARTITION BY: all rows flow through one task at scale " +
           "- consider the two-pass global-order plan (graft.plans.GlobalOrder)")
       case j: Join if j.condition.isEmpty &&
-          (j.joinType == Cross || j.joinType == Inner) =>
-        record("join with no condition (cartesian product): O(n^2) pairs at scale " +
+          (j.joinType == Cross || j.joinType == Inner) &&
+          !broadcastable(j.left, j.hint.leftHint) &&
+          !broadcastable(j.right, j.hint.rightHint) =>
+        record(j, 2,
+          "join with no condition (cartesian product): O(n^2) pairs at scale " +
           "- consider bucketed candidate generation (LSH/IVF ops) or a broadcast-size side")
       case _ => ()
     }

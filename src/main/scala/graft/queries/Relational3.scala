@@ -175,12 +175,15 @@ object Relational3 extends QueryModule {
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"),
-        slice(col("toks"), 1, 3).as("first3"),
+        // array outputs are serialized to strings: the external gate's row
+        // canonicalization (pandas sort_values) cannot hash list cells
+        array_join(slice(col("toks"), 1, 3), ",").as("first3"),
         // sorted-distinct: array_distinct alone keeps first-occurrence
         // order, which DuckDB's list_distinct does not guarantee —
         // sorting makes the contract engine-independent
-        sort_array(array_distinct(slice(col("toks"), 1, 8))).as("first8_distinct"),
-        sort_array(slice(col("toks"), 1, 5)).as("first5_sorted"),
+        array_join(sort_array(array_distinct(slice(col("toks"), 1, 8))), ",")
+          .as("first8_distinct"),
+        array_join(sort_array(slice(col("toks"), 1, 5)), ",").as("first5_sorted"),
         array_contains(col("toks"), "the").as("has_the"),
         array_position(col("toks"), "the").cast("long").as("the_pos"),
         // literal map lookup (duplicate-key-safe; map_from_arrays over
@@ -193,9 +196,9 @@ object Relational3 extends QueryModule {
   private val q27Sql =
     """SELECT doc_id,
       |  CAST(len(toks) AS BIGINT) AS n_toks,
-      |  toks[1:3] AS first3,
-      |  list_sort(list_distinct(toks[1:8])) AS first8_distinct,
-      |  list_sort(toks[1:5]) AS first5_sorted,
+      |  array_to_string(toks[1:3], ',') AS first3,
+      |  array_to_string(list_sort(list_distinct(toks[1:8])), ',') AS first8_distinct,
+      |  array_to_string(list_sort(toks[1:5]), ',') AS first5_sorted,
       |  list_contains(toks, 'the') AS has_the,
       |  CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS the_pos,
       |  CASE toks[1] WHEN 'the' THEN CAST(1 AS BIGINT) WHEN 'a' THEN 2 WHEN 'of' THEN 3 END AS map_hit

@@ -93,18 +93,33 @@ class PlanSpec extends AnyFunSuite {
     import graft.plans.ScaleLint
     spark.experimental.extraOptimizations = Seq(ScaleLint)
     try {
-      ScaleLint.findings.clear()
+      ScaleLint.reset()
       val df = spark.range(100).toDF("id")
       df.select(col("id"), row_number().over(W.orderBy(col("id"))).as("rn"))
         .queryExecution.optimizedPlan // triggers the optimizer
       assert(ScaleLint.findings.toArray.exists(_.toString.contains("no PARTITION BY")))
 
-      ScaleLint.findings.clear()
-      df.as("a").crossJoin(df.as("b")).queryExecution.optimizedPlan
+      // big × big cartesian: flagged
+      ScaleLint.reset()
+      val big = spark.range(100000000L).toDF("id") // stats ≫ broadcast threshold
+      big.as("a").crossJoin(big.as("b")).queryExecution.optimizedPlan
       assert(ScaleLint.findings.toArray.exists(_.toString.contains("cartesian")))
 
+      // broadcast-size side: a legitimate streamed product, NOT flagged
+      ScaleLint.reset()
+      big.as("a").crossJoin(broadcast(df.as("b"))).queryExecution.optimizedPlan
+      assert(ScaleLint.findings.isEmpty,
+        s"broadcast cross join must be lint-clean, got: ${ScaleLint.findings}")
+
+      // fixed-point iterations / repeated optimization dedupe to one finding
+      ScaleLint.reset()
+      big.as("a").crossJoin(big.as("b")).queryExecution.optimizedPlan
+      big.as("a").crossJoin(big.as("b")).queryExecution.optimizedPlan
+      assert(ScaleLint.findings.size() == 1,
+        s"identical plan must record once, got ${ScaleLint.findings.size()}")
+
       // a scale-safe plan triggers nothing
-      ScaleLint.findings.clear()
+      ScaleLint.reset()
       SparkEntry.queries("q20_ntile")(spark, dir).queryExecution.optimizedPlan
       assert(ScaleLint.findings.isEmpty,
         s"two-pass ntile must be lint-clean, got: ${ScaleLint.findings}")
