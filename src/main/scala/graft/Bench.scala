@@ -38,6 +38,25 @@ object Bench {
       .groupBy("k").agg(org.apache.spark.sql.functions.sum("d"))
       .collect() // decimal hash agg (the q01-family path)
     spark.read.parquet(s"$sfDir/region.parquet").count() // parquet reader init
+    // The remaining first-use paths each cost 1-5 s of classload/JIT on
+    // whichever query hits them first (measured via tools/ProfQuery:
+    // q07 5.97 s first run vs 0.57 s steady) — warm them all:
+    locally {
+      import org.apache.spark.sql.functions._
+      val kv = spark.range(100000).selectExpr("id % 100 AS k", "id AS v")
+      kv.selectExpr("k", "row_number() OVER (PARTITION BY k ORDER BY v) AS rn")
+        .agg(max("rn")).collect() // WindowExec
+      kv.join(broadcast(spark.range(100).toDF("k")), "k").count() // BroadcastHashJoin
+      kv.as("a").join(kv.as("b").hint("merge"), "k", "left_anti").count() // SMJ + anti
+      kv.selectExpr(
+        "aggregate(transform(filter(split(repeat('a b ', 20), ' '), x -> length(x) > 0), " +
+          "x -> cast(length(x) AS bigint)), 0L, (a, x) -> a + x) AS s")
+        .agg(sum("s")).collect() // higher-order-function interpreter
+      kv.selectExpr("explode(split(repeat('a b ', 5), ' ')) AS t")
+        .groupBy("t").count().collect() // Generate (explode)
+      val c = kv.persist(); c.count(); c.unpersist(true) // InMemoryRelation
+      ()
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (spark.sparkContext.isStopped) spark = newSession()

@@ -74,12 +74,20 @@ object Profiling extends QueryModule {
     val scored = docs.select(
       (Seq(col("doc_id"), col("text"), nTok.as("n_tokens"), quality.as("quality")) ++ markerCols): _*)
     val Seq(de, en, es, fr) = TextAnalysis.markerList.map(m => col(s"c_${m._1}"))
+    // persist the scored frame: the funnel's four stage branches and the
+    // dedup subtree would otherwise each recompute the HOF-heavy
+    // quality/language scoring (higher-order array functions don't
+    // participate in whole-stage codegen, so re-evaluation is the single
+    // most expensive thing in this plan). MEMORY_AND_DISK spills rather
+    // than recomputes at scale.
     val withLang = scored.withColumn("pred_lang",
       when(de + en + es + fr === 0, lit("und"))
         .when(de >= en && de >= es && de >= fr, lit("de"))
         .when(en >= es && en >= fr, lit("en"))
         .when(es >= fr, lit("es"))
         .otherwise(lit("fr")))
+      .select(col("doc_id"), col("text"), col("n_tokens"), col("quality"), col("pred_lang"))
+      .persist()
     val kept = withLang
       .filter(col("quality") >= 0.45 && col("pred_lang") =!= "und")
       .select(col("doc_id"), col("text"), col("n_tokens"), col("pred_lang"))
