@@ -241,6 +241,42 @@ object Dedup extends QueryModule {
        |FROM cm JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
        |WHERE c / least(sa.n, sb.n) >= 0.8""".stripMargin
 
+  /** d07: dedup CLUSTERS — the step after pair detection that an actual
+    * pipeline needs: connected components over the d03 near-dup pair
+    * graph, labeling every document with the min doc_id of its duplicate
+    * cluster (documents in no pair are their own singleton cluster).
+    * Downstream "keep one per cluster" is then `filter(doc_id ===
+    * cluster_id)`. Components via [[Graph.connectedComponents]] — see its
+    * scale notes (hash-partitioned label propagation, O(diameter) rounds).
+    */
+  private def d07(s: SparkSession, dir: String): DataFrame =
+    Graph.connectedComponents(
+      Tables.documents(s, dir).select(col("doc_id")),
+      d03(s, dir).select(col("ida"), col("idb")))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+
+  /** Oracle: the same pair set (d03's CTEs), then transitive min-label
+    * closure as a recursive CTE — `walk` carries every (node, candidate
+    * label) pair reachable along symmetrized edges; min per node is the
+    * component representative.
+    */
+  private val d07Sql =
+    s"""WITH RECURSIVE $shingleCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT a.doc_id ida, b.doc_id idb, count(*) c
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |pr AS (SELECT ida, idb
+       |       FROM cm JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+       |       WHERE c / (sa.n + sb.n - c) >= 0.5),
+       |e AS (SELECT ida AS src, idb AS dst FROM pr
+       |      UNION ALL SELECT idb, ida FROM pr),
+       |walk(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN e ON w.id = e.src)
+       |SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id""".stripMargin
+
   // ---- d05: SimHash ---------------------------------------------------
 
   private val SimBits  = 60 // md5-derived hash width (15 hex chars < 2^63)
@@ -322,5 +358,6 @@ object Dedup extends QueryModule {
     QueryDef("d04_minhash_lsh", d04, Some(d04Sql)),
     QueryDef("d05_simhash", d05, Some(d05Sql)),
     QueryDef("d06_containment", d06, Some(d06Sql)),
+    QueryDef("d07_dedup_clusters", d07, Some(d07Sql)),
   )
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for dedup clustering.
+  *
+  * Near-dup detection (d03/d04/s05) emits PAIRS; an actual pipeline must
+  * turn pairs into CLUSTERS and pick one survivor per cluster — that is a
+  * connected-components computation over the pair graph.
+  */
+object Graph {
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * Each node starts labeled with its own id; every round, each node
+    * takes the min of its own label and its neighbors' labels. At
+    * fixpoint every node carries the min node id of its component.
+    *
+    * Scale shape (per round): one shuffle join (labels onto edge
+    * sources), one shuffle aggregation (min label per destination), one
+    * broadcast-or-shuffle join back onto labels — all hash-partitioned
+    * on node id; no per-node driver state, and the only driver action is
+    * the convergence count. `localCheckpoint` after every round truncates
+    * the lineage so plan size stays O(1) in the round count (on a real
+    * cluster with an HDFS checkpoint dir, `checkpoint` is the durable
+    * variant).
+    *
+    * Rounds needed = max over components of (eccentricity of the min-id
+    * node), i.e. bounded by graph diameter. Dedup cluster graphs are
+    * dense and shallow (near-clique clusters of duplicates), so this
+    * converges in 2-3 rounds regardless of corpus size; for adversarially
+    * long path graphs the O(log n) alternating star algorithms (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    * swap in behind the same contract.
+    *
+    * @param nodes single-column frame of node ids (any orderable type)
+    * @param edges two-column frame of undirected edges (need not be
+    *              symmetrized; self-loops and duplicates are harmless)
+    * @return frame (id, comp): comp = min node id in id's component
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val e0 = edges.toDF("src", "dst")
+    val sym = e0
+      .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = nodes.toDF("id")
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // min incoming neighbor label per node, joined back onto the labels;
+      // nodes with no edges keep their own label via the left join
+      val nbrMin = sym
+        .join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst"))
+        .agg(min(col("comp")).as("nmin"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("dst"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") =!= col("prev")).count()
+      labels = next.select(col("id"), col("comp"))
+      round += 1
+    }
+    sym.unpersist()
+    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
+    labels
+  }
+}
