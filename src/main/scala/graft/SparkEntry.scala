@@ -21,6 +21,7 @@ object SparkEntry {
     graft.ops.Similarity,
     graft.ops.Multimodal,
     graft.ops.Profiling,
+    graft.ops.Sampling,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
