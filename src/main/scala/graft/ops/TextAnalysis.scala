@@ -204,6 +204,73 @@ object TextAnalysis extends QueryModule {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS roll_hash
       |FROM documents""".stripMargin
 
+  /** t08: denylist scrubbing — the PII-redaction shape (regexp_replace a
+    * pattern alternation with a placeholder + count the hits per doc).
+    * Production swaps the denylist alternation for email/phone/ssn
+    * patterns (unit-tested on injected rows in TextSpec — this corpus's
+    * synthetic vocab contains no digits, so those patterns would match
+    * nothing here); the pattern below uses only constructs Java regex and
+    * RE2 agree on (`\b` is the ASCII word boundary in both). Row-local
+    * projection: scan-speed, no shuffle.
+    */
+  private val ScrubPat = "\\b(slow|big)\\b"
+
+  /** Production PII patterns for [[scrub]] (Java-regex/RE2-common). */
+  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhonePat = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** The scrub kernel: replace every match of `pat` in `textCol` with
+    * `token` and count the hits — one row-local projection.
+    */
+  private[graft] def scrub(df: DataFrame, textCol: String, pat: String, token: String): DataFrame =
+    df
+      .withColumn("scrubbed", regexp_replace(col(textCol), pat, token))
+      .withColumn("n_hits",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast("long"))
+
+  private def t08(s: SparkSession, dir: String): DataFrame =
+    scrub(Tables.documents(s, dir), "text", ScrubPat, "<unk>")
+      .select(col("doc_id"), col("scrubbed"), col("n_hits"))
+
+  private val t08Sql =
+    """SELECT doc_id,
+      |  regexp_replace(text, '\b(slow|big)\b', '<unk>', 'g') AS scrubbed,
+      |  CAST(len(regexp_extract_all(text, '\b(slow|big)\b')) AS BIGINT) AS n_hits
+      |FROM documents""".stripMargin
+
+  /** t09: vocabulary coverage / OOV rate — fraction of a document's
+    * tokens outside the corpus top-K vocabulary (tokenizer-coverage
+    * analysis). The vocab is an aggregate-then-limit (tiny after the
+    * groupBy, deterministic count-desc/word tiebreak) broadcast to a
+    * map-side membership probe; the only per-row shuffle is the doc_id
+    * aggregation.
+    */
+  private val VocabK = 10
+
+  private def t09(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(VocabK)
+      .select(col("word"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
+  private val t09Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |vc AS (SELECT word FROM (SELECT word, count(*) AS c FROM w GROUP BY 1)
+       |       ORDER BY c DESC, word LIMIT $VocabK)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN vc.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |FROM w LEFT JOIN vc ON w.word = vc.word
+       |GROUP BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_quality_score", t02, Some(t02Sql)),
@@ -212,5 +279,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("t05_tf_df", t05, Some(t05Sql)),
     QueryDef("t06_bpe_tokens", t06, Some(t06Sql)),
     QueryDef("t07_rolling_hash", t07, Some(t07Sql)),
+    QueryDef("t08_scrub", t08, Some(t08Sql)),
+    QueryDef("t09_vocab_coverage", t09, Some(t09Sql)),
   )
 }
