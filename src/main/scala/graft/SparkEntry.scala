@@ -22,6 +22,7 @@ object SparkEntry {
     graft.ops.Multimodal,
     graft.ops.Profiling,
     graft.ops.Sampling,
+    graft.ops.SemDedup,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)

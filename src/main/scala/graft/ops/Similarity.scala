@@ -30,14 +30,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity extends QueryModule {
 
-  private val Dim = 64
+  private[ops] val Dim = 64
 
   /** embeddings with double-cast vector and precomputed L2 norm.
     * vec_dot is the native codegen expression (graft.functions.DotProduct)
     * — same sequential fold, bit-identical to the composed form, ~100x
     * less per-row overhead.
     */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private[ops] def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
@@ -45,7 +45,7 @@ object Similarity extends QueryModule {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vec_dot(a, b)
 
-  private val oracleVecs =
+  private[ops] val oracleVecs =
     """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)""".stripMargin
 
