@@ -293,13 +293,46 @@ object Similarity extends QueryModule {
   private val NearDupThreshold = 0.4
 
   /** s05: s02's exact near-dup semantics through the bucketed path.
-    * Oracle = the exact brute-force pair set (s02's SQL): like d04, this
-    * encodes measured recall 1.0 of the tuned profile on this corpus
-    * (unit-tested at sf0.01 and sf0.1 in SimilaritySpec); on a mismatch,
-    * check the recall test before suspecting the machinery.
+    * Oracle = a full DuckDB mirror of the SAME pipeline (planes, sign
+    * buckets, bucket-collision candidates, threshold verify), so the
+    * gate checks the machinery structurally on ANY corpus; that the
+    * result also equals s02's exact brute-force set (recall 1.0 of this
+    * tuned profile here) is asserted separately in SimilaritySpec at
+    * sf0.01 and sf0.1.
     */
   private def s05(s: SparkSession, dir: String): DataFrame =
     bucketedNearDup(s, vecs(s, dir), NearDupPlanes, NearDupTables, NearDupThreshold)
+
+  /** Structural mirror of [[bucketedNearDup]] at the s05 profile —
+    * s03Sql's plane/bucket/candidate CTEs with a threshold filter in
+    * place of the per-query top-k.
+    */
+  private val s05Sql =
+    s"""WITH $oracleVecs,
+       |pl AS (
+       |  SELECT t AS tbl, p AS plane, list_transform(range(0, $Dim), j ->
+       |    CAST(list_reduce(list_transform(list_transform(range(1, 16),
+       |        i -> substr(md5(t || '_' || p || '_' || j), i, 1)),
+       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS DOUBLE)
+       |      / 576460752303423488.0 - 1) AS pvec
+       |  FROM (SELECT unnest(range(0, $NearDupTables)) AS t)
+       |  CROSS JOIN (SELECT unnest(range(0, $NearDupPlanes)) AS p)),
+       |proj AS (
+       |  SELECT n.vec_id, pl.tbl, pl.plane,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * pl.pvec[i])) AS dot
+       |  FROM n CROSS JOIN pl),
+       |bk AS (
+       |  SELECT vec_id, tbl,
+       |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(plane AS INT)) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT ida, idb, sim FROM (
+       |  SELECT c.ida, c.idb,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
+       |  FROM cand c JOIN n x ON c.ida = x.vec_id JOIN n y ON c.idb = y.vec_id)
+       |WHERE sim >= $NearDupThreshold""".stripMargin
 
   // ---- s06: IVF-flat ANN ---------------------------------------------
 
@@ -414,7 +447,7 @@ object Similarity extends QueryModule {
     QueryDef("s02_cosine_neardup", s02, Some(s02Sql)),
     QueryDef("s03_ann_lsh", s03, Some(s03Sql)),
     QueryDef("s04_label_centroid", s04, Some(s04Sql)),
-    QueryDef("s05_bucketed_neardup", s05, Some(s02Sql)),
+    QueryDef("s05_bucketed_neardup", s05, Some(s05Sql)),
     QueryDef("s06_ann_ivf", s06, Some(s06Sql)),
   )
 }
