@@ -14,6 +14,7 @@ object SparkEntry {
     Relational,
     Relational2,
     Relational3,
+    Relational4,
     EventsQueries,
     WordCount,
     graft.ops.TextAnalysis,

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fourth wave of relational surface: lateral/generator output with
+  * ordinality, ordered string aggregation, and null-semantics scalars.
+  */
+object Relational4 extends QueryModule {
+
+  /** q32: lateral positional explode — each document's first 5 tokens
+    * WITH their ordinal (generator + ordinality, the LATERAL UNNEST
+    * surface; wc01's explode is the position-less special case).
+    * Generate runs inside whole-stage codegen; no shuffle at all.
+    */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      posexplode(slice(filter(split(col("text"), " "), w => length(w) > 0), 1, 5))
+        .as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+
+  private val q32Sql =
+    """SELECT doc_id, CAST(x.i AS BIGINT) AS pos, d.w[x.i] AS tok
+      |FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+      |      FROM documents) d,
+      |  LATERAL (SELECT unnest(range(1, least(len(d.w), 5) + 1)) AS i) x""".stripMargin
+
+  /** q33: ordered string aggregation (LISTAGG / string_agg) — top-bal
+    * customer names per nation, comma-joined in deterministic name
+    * order. Spark's collect_list is order-nondeterministic across
+    * retries/partitions, so the canonical scalable form is
+    * array_join(array_sort(collect_list(...))) — sort on the FINISHED
+    * per-group array, not the input — mirrored by DuckDB's
+    * string_agg(... ORDER BY ...).
+    */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+    cust.join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_rich"),
+        array_join(array_sort(collect_list(col("c_name"))), ",").as("names"))
+  }
+
+  private val q33Sql =
+    """SELECT n_name, count(*) AS n_rich,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS names
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > 9000
+      |GROUP BY n_name""".stripMargin
+
+  /** q34: null-semantics scalars — NULLIF carving nulls out of a dense
+    * column, COALESCE restoring them, and the COUNT(*) / COUNT(col) /
+    * COUNT(DISTINCT col) distinctions over the result. The whole query
+    * is one partial+final hash aggregate.
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val rf = nullif(col("l_returnflag"), lit("N"))
+    Tables.lineitem(s, dir)
+      .select(col("l_linestatus"), rf.as("rf"), col("l_quantity"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("rf")).as("n_flagged"),
+        count_distinct(col("rf")).as("n_flags"),
+        count_distinct(coalesce(col("rf"), lit("N"))).as("n_flags_all"),
+        sum(when(col("rf").isNull, col("l_quantity"))).cast("long").as("qty_unflagged"))
+  }
+
+  private val q34Sql =
+    """SELECT l_linestatus,
+      |  count(*) AS n_rows,
+      |  count(nullif(l_returnflag, 'N')) AS n_flagged,
+      |  count(DISTINCT nullif(l_returnflag, 'N')) AS n_flags,
+      |  count(DISTINCT coalesce(nullif(l_returnflag, 'N'), 'N')) AS n_flags_all,
+      |  CAST(sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN l_quantity END) AS BIGINT) AS qty_unflagged
+      |FROM lineitem
+      |GROUP BY l_linestatus""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("q32_lateral_explode", q32, Some(q32Sql)),
+    QueryDef("q33_string_agg", q33, Some(q33Sql)),
+    QueryDef("q34_null_handling", q34, Some(q34Sql)),
+  )
+}
