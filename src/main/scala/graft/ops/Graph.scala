@@ -44,7 +44,14 @@ object Graph {
     val sym = e0
       .unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = nodes.toDF("id")
+    // Only edge ENDPOINTS can ever change label — iterate over that
+    // subgraph alone. At 100 TB the paired subgraph is orders of
+    // magnitude smaller than the corpus (most documents are in no
+    // near-dup pair), so the rounds shuffle |endpoints|-sized label
+    // tables, not |corpus|-sized ones; singletons join the result once
+    // at the end with their own id as label.
+    val endpoints = sym.select(col("src").as("id")).distinct().persist()
+    var labels = endpoints
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
     var changed = 1L
@@ -65,8 +72,13 @@ object Graph {
       labels = next.select(col("id"), col("comp"))
       round += 1
     }
-    sym.unpersist()
     require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
-    labels
+    val singletons = nodes.toDF("id")
+      .join(endpoints, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    val out = labels.unionAll(singletons).localCheckpoint()
+    sym.unpersist()
+    endpoints.unpersist()
+    out
   }
 }
