@@ -29,12 +29,12 @@ object SparkEntry {
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The composed clean-corpus pipeline: it exercises text analysis,
-    * filtering, both dedup families and aggregation in one plan, and its
-    * 4-row funnel is non-empty on any corpus.
+    * The production prep pipeline: text analysis, filtering, exact +
+    * cluster (connected-components) dedup, and deterministic split
+    * assignment in one plan; its stage funnel is non-empty on any corpus.
     */
   def entry(spark: SparkSession): DataFrame =
-    queries("p02_clean_corpus_pipeline")(spark, "/root/testdata/sf0.001")
+    queries("p06_prod_prep_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -44,22 +44,26 @@ object Profiling extends QueryModule {
        |FROM lineitem""".stripMargin
   }.mkString("\nUNION ALL\n")
 
-  /** p02: the composed training-data pipeline — the end-to-end use case
-    * every individual op exists for, as ONE declarative plan:
+  /** The composed training-data pipeline (p02/p06) — the end-to-end use
+    * case every individual op exists for, as ONE declarative plan:
     *
     *   quality score (t02 formula) + language ID (t03 formula)
     *   → keep quality >= 0.45 and identified language
     *   → exact dedup (survivor = min doc_id per content hash)
-    *   → near-dup removal (drop the larger id of every 3-gram-Jaccard
-    *     >= 0.5 pair among survivors — the simple deterministic rule;
-    *     a union-find keep-one-per-cluster is the production variant)
-    *   → per-language corpus stats.
+    *   → near-dup removal: p02 drops the larger id of every
+    *     3-gram-Jaccard >= 0.5 pair (the simple deterministic rule);
+    *     p06 keeps one representative per connected CLUSTER of pairs
+    *     (the production variant) and then assigns train/val/test.
     *
     * Every stage reuses the exact per-op formulas, so the DuckDB oracle
     * is their composition; at 100 TB the plan is three shuffles (content
-    * hash, shingle key, final group-by) plus the broadcast joins.
+    * hash, shingle key, final group-by) plus the broadcast joins and,
+    * for p06, the endpoint-only CC rounds.
+    *
+    * This method is the shared funnel front half: (withLang, kept,
+    * survivors) stage frames.
     */
-  private def p02(s: SparkSession, dir: String): DataFrame = {
+  private def funnelFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
     val w = filter(split(col("text"), " "), x => length(x) > 0)
     val nTok = size(w).cast("long")
@@ -98,33 +102,49 @@ object Profiling extends QueryModule {
           .partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
       .filter(col("rk") === 1).drop("rk")
       .persist()
-    // near-dup pairs among survivors (d03 machinery); drop every larger id
+    (withLang, kept, survivors)
+  }
+
+  /** 3-gram-Jaccard >= 0.5 near-dup pairs among survivors (d03 machinery). */
+  private def nearDupPairs(survivors: DataFrame): DataFrame = {
     val sizes = survivors.select(col("doc_id"), size(Dedup.shingleArr(col("text"))).cast("long").as("n"))
-    val dropIds = Dedup.jaccardCandidates(survivors.select(col("doc_id"), col("text")), Dedup.DfCap)
+    Dedup.jaccardCandidates(survivors.select(col("doc_id"), col("text")), Dedup.DfCap)
       .join(broadcast(sizes.select(col("doc_id"), col("n").as("na"))), col("ida") === col("doc_id")).drop("doc_id")
       .join(broadcast(sizes.select(col("doc_id"), col("n").as("nb"))), col("idb") === col("doc_id")).drop("doc_id")
       .filter(col("c") / (col("na") + col("nb") - col("c")) >= 0.5)
-      .select(col("idb").as("doc_id")).distinct()
+      .select(col("ida"), col("idb"))
+  }
+
+  /** Stage row: document & token counts — the numbers a data-pipeline
+    * operator actually monitors, and a much deeper oracle than the final
+    * group alone (any upstream divergence moves some stage's row).
+    */
+  private def stage(name: String, df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .select(lit(name).as("stage"), col("n_docs"), col("sum_tokens"))
+
+  private def p02(s: SparkSession, dir: String): DataFrame = {
+    val (withLang, kept, survivors) = funnelFrames(s, dir)
+    // drop every larger id of every near-dup pair — the simple
+    // deterministic rule; p06 is the cluster-representative variant
+    val dropIds = nearDupPairs(survivors).select(col("idb").as("doc_id")).distinct()
     val finalDocs = survivors.join(dropIds, Seq("doc_id"), "left_anti")
-    // the funnel: document & token counts after every stage — the
-    // numbers a data-pipeline operator actually monitors, and a much
-    // deeper oracle than the final group alone (any upstream divergence
-    // moves some stage's row)
-    def stage(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-        .select(lit(name).as("stage"), col("n_docs"), col("sum_tokens"))
     stage("1_raw", withLang.select(col("doc_id"), col("n_tokens")))
       .unionAll(stage("2_quality_lang", kept))
       .unionAll(stage("3_exact_dedup", survivors))
       .unionAll(stage("4_neardup_removed", finalDocs))
   }
 
-  private val p02Sql = {
+  /** Shared oracle CTE chain (base → langed → kept → survivors →
+    * shingle posting lists → pair counts), composed from the exact t02/
+    * t03/d01/d03 formulas; p02Sql and p06Sql append their back halves.
+    */
+  private val funnelCtes = {
     val stop = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
     val counts = TextAnalysis.markerList.map { case (l, ms) =>
       s"CAST(len(list_filter(w, t -> t IN (${ms.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS c_$l"
     }.mkString(",\n    ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, text, w,
        |    CAST(len(w) AS BIGINT) AS n_tokens,
        |    CASE WHEN len(w) > 0 THEN CAST(len(list_filter(w, t -> t IN ($stop))) AS BIGINT) / CAST(len(w) AS BIGINT) END * 0.25
@@ -155,23 +175,82 @@ object Profiling extends QueryModule {
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |cm AS (SELECT a.doc_id ida, b.doc_id idb, count(*) c
        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |       GROUP BY 1, 2),
+       |       GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val stagesSql =
+    """SELECT '1_raw' AS stage, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM langed
+      |UNION ALL
+      |SELECT '2_quality_lang', count(*), CAST(sum(n_tokens) AS BIGINT) FROM kept
+      |UNION ALL
+      |SELECT '3_exact_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM survivors""".stripMargin
+
+  private val p02Sql =
+    s"""WITH $funnelCtes,
        |dropids AS (
        |  SELECT DISTINCT idb AS doc_id FROM cm
        |  JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
        |  WHERE c / (sa.n + sb.n - c) >= 0.5)
-       |SELECT '1_raw' AS stage, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM langed
-       |UNION ALL
-       |SELECT '2_quality_lang', count(*), CAST(sum(n_tokens) AS BIGINT) FROM kept
-       |UNION ALL
-       |SELECT '3_exact_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM survivors
+       |$stagesSql
        |UNION ALL
        |SELECT '4_neardup_removed', count(*), CAST(sum(n_tokens) AS BIGINT)
        |FROM survivors WHERE doc_id NOT IN (SELECT doc_id FROM dropids)""".stripMargin
+
+  /** p06: the production pipeline — p02's funnel with the two steps a
+    * real 100 TB prep job adds: near-dup CLUSTER dedup (connected
+    * components over the pair graph, keep the min-id representative —
+    * the rule p02's pairwise drop approximates) and deterministic
+    * train/val/test assignment (p03's hash) with per-split counts.
+    */
+  private def p06(s: SparkSession, dir: String): DataFrame = {
+    val (withLang, kept, survivors) = funnelFrames(s, dir)
+    val labels = graft.ops.Graph.connectedComponents(
+      survivors.select(col("doc_id")), nearDupPairs(survivors))
+    val reps = survivors.join(
+      labels.filter(col("id") === col("comp")).select(col("id").as("doc_id")), "doc_id")
+    val u = Sampling.uhash("split_", col("doc_id"))
+    val withSplit = reps.withColumn("split",
+      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+    val splitStages = withSplit
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .select(concat(lit("5_split_"), col("split")).as("stage"), col("n_docs"), col("sum_tokens"))
+    stage("1_raw", withLang.select(col("doc_id"), col("n_tokens")))
+      .unionAll(stage("2_quality_lang", kept))
+      .unionAll(stage("3_exact_dedup", survivors))
+      .unionAll(stage("4_cluster_dedup", reps))
+      .unionAll(splitStages)
   }
+
+  private val p06Sql =
+    s"""WITH RECURSIVE $funnelCtes,
+       |pr AS (
+       |  SELECT ida, idb FROM cm
+       |  JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+       |  WHERE c / (sa.n + sb.n - c) >= 0.5),
+       |e AS (SELECT ida AS src, idb AS dst FROM pr
+       |      UNION ALL SELECT idb, ida FROM pr),
+       |walk(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM survivors
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN e ON w.id = e.src),
+       |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+       |reps AS (
+       |  SELECT s.doc_id, s.n_tokens FROM survivors s
+       |  JOIN cc ON s.doc_id = cc.id AND cc.comp = s.doc_id),
+       |spl AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, n_tokens, ${Sampling.uhashSql("split_", "doc_id")} AS u FROM reps))
+       |$stagesSql
+       |UNION ALL
+       |SELECT '4_cluster_dedup', count(*), CAST(sum(n_tokens) AS BIGINT) FROM reps
+       |UNION ALL
+       |SELECT '5_split_' || split, count(*), CAST(sum(n_tokens) AS BIGINT) FROM spl GROUP BY split""".stripMargin
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p01_profile", p01, Some(p01Sql)),
     QueryDef("p02_clean_corpus_pipeline", p02, Some(p02Sql)),
+    QueryDef("p06_prod_prep_pipeline", p06, Some(p06Sql)),
   )
 }

@@ -29,12 +29,12 @@ object Sampling extends QueryModule {
   /** Uniform-[0,1) hash of `key`, salted so independent decisions
     * (split vs sample) use independent bits.
     */
-  private def uhash(salt: String, key: Column): Column =
+  private[ops] def uhash(salt: String, key: Column): Column =
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
       .cast("long") / lit(Pow60)
 
   /** The DuckDB mirror of [[uhash]] (hex-digit fold of the md5 prefix). */
-  private def uhashSql(salt: String, key: String): String =
+  private[ops] def uhashSql(salt: String, key: String): String =
     s"""CAST(list_reduce(list_transform(list_transform(range(1, 16),
        |    i -> substr(md5('$salt' || $key), i, 1)),
        |  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS DOUBLE)
