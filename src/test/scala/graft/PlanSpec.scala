@@ -134,4 +134,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dotproduct") || p.contains("DotProduct"))
     assert(!p.contains("aggregate(zip_with"), "no interpreted HOF fold in the hot path")
   }
+
+  test("q32: lateral positional explode is a codegen Generate with no shuffle") {
+    val p = plan("q32_lateral_explode")
+    assert(p.contains("Generate"))
+    assert(!p.contains("Exchange"), "row-local generator must not shuffle")
+  }
+
+  test("q33/t09: tiny aggregate sides broadcast, never sort-merge") {
+    for (q <- Seq("q33_string_agg", "t09_vocab_coverage")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), q)
+      assert(!p.contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("p03/p05/t08: row-local prep ops read only the columns they emit") {
+    // split assignment and scrubbing are projections: one scan, no join
+    for (q <- Seq("p03_split_assign", "t08_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must be scan-speed (no shuffle)")
+      assert(!p.contains("Join"), q)
+    }
+    val f = formatted("p03_split_assign")
+    assert(!f.contains("text"), "p03 scan must prune the fat text column")
+  }
+
+  test("d08/p06: cluster-dedup pipelines contain no cartesian product") {
+    for (q <- Seq("d08_semantic_dedup", "p06_prod_prep_pipeline")) {
+      // executedPlan forces the CC loop to run; optimized logical plan of
+      // the first round's frames suffices for the shape check, so build
+      // the full query plan lazily via explain on the final frame
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
