@@ -209,8 +209,50 @@ object EventsQueries extends QueryModule {
       |FROM e JOIN f USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  /** e08: ordered-sequence funnel — per user, the first view, the first
+    * click AT OR AFTER that view, and the first purchase at or after that
+    * click (behavioral funnel analysis). Three sequential conditional
+    * mins over the SAME user partition: one shuffle, three WindowExec
+    * nodes, and the final per-user aggregate reuses the partitioning —
+    * never a self-join per stage.
+    */
+  private def e08(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("fv", min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("fc", min(when(col("event_type") === "click" && col("ts_us") >= col("fv"),
+        col("ts_us"))).over(w))
+      .withColumn("fp", min(when(col("event_type") === "purchase" && col("ts_us") >= col("fc"),
+        col("ts_us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("fv")).as("first_view_us"),
+        min(col("fc")).as("first_click_us"),
+        min(col("fp")).as("first_purchase_us"))
+  }
+
+  private val e08Sql =
+    """SELECT user_id, min(fv) AS first_view_us, min(fc) AS first_click_us,
+      |  min(fp) AS first_purchase_us
+      |FROM (
+      |  SELECT user_id, fv, fc,
+      |    min(CASE WHEN event_type = 'purchase' AND ts_us >= fc THEN ts_us END)
+      |      OVER (PARTITION BY user_id) AS fp
+      |  FROM (
+      |    SELECT user_id, event_type, ts_us, fv,
+      |      min(CASE WHEN event_type = 'click' AND ts_us >= fv THEN ts_us END)
+      |        OVER (PARTITION BY user_id) AS fc
+      |    FROM (
+      |      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+      |        min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+      |          OVER (PARTITION BY user_id) AS fv
+      |      FROM events)))
+      |GROUP BY user_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_json_extract", e01, Some(e01Sql)),
+    QueryDef("e08_funnel", e08, Some(e08Sql)),
     QueryDef("e02_tumbling_window", e02, Some(e02Sql)),
     QueryDef("e03_sessionize", e03, Some(e03Sql)),
     QueryDef("e06_sliding_window", e06, Some(e06Sql)),

@@ -79,8 +79,42 @@ object Relational4 extends QueryModule {
       |FROM lineitem
       |GROUP BY l_linestatus""".stripMargin
 
+  /** q35: RANGE-interval window frame — per-customer trailing-30-day
+    * spend at each order. The frame is defined on VALUES of the sort key
+    * (epoch days), not row counts: same-day peer orders are always all
+    * in-frame, so the result is order-insensitive within ties
+    * (deterministic without a full tiebreak chain). Money through the
+    * decimal path (DETERMINISM.md rule 1); partitioned window — no
+    * global sort.
+    */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        // o_orderdate is TIMESTAMP_NTZ: go through DATE (timezone-free)
+        expr("datediff(cast(o_orderdate as date), date'1970-01-01')").cast("long").as("day"),
+        col("o_totalprice"))
+      .withColumn("spend_30d",
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast("double"))
+      .drop("o_totalprice")
+  }
+
+  private val q35Sql =
+    """SELECT o_orderkey, o_custkey, day,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY day
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+      |FROM (SELECT o_orderkey, o_custkey,
+      |        datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+      |        o_totalprice
+      |      FROM orders)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q32_lateral_explode", q32, Some(q32Sql)),
+    QueryDef("q35_range_frame", q35, Some(q35Sql)),
     QueryDef("q33_string_agg", q33, Some(q33Sql)),
     QueryDef("q34_null_handling", q34, Some(q34Sql)),
   )
