@@ -57,6 +57,28 @@ class FormatsSpec extends AnyFunSuite {
     assert(back === want)
   }
 
+  test("malformed JSON rows are captured, not silently dropped (PERMISSIVE + corrupt column)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_badjson")
+    val f = tmp.resolve("in.jsonl")
+    java.nio.file.Files.write(f,
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": "also ok"}
+        |{"id": 3, "v": BROKEN
+        |not json at all
+        |{"id": 4, "v": "fine"}""".stripMargin.getBytes("UTF-8"))
+    val df = spark.read
+      .schema("id LONG, v STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(f.toString)
+      .cache() // corrupt-record column requires materialization before filtering
+    assert(df.count() === 5, "every input line accounted for")
+    assert(df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull).count() === 2)
+    assert(df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull).count() === 3)
+    df.unpersist()
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("text lines read one element per line (reference input format)") {
     import spark.implicits._
     val path = tmp("text")

@@ -74,6 +74,40 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"AQE must mark the skewed join handled:\n${finalPlan.take(4000)}")
   }
 
+  test("shard writer: per-split dirs, range-sharded files, in-file order") {
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("conv(substring(md5(concat('split_', cast(doc_id as string))), 1, 15), 16, 10)")
+          .cast("long").as("h"))
+      .select(col("doc_id"),
+        when(col("h") / 1152921504606846976.0 < 0.8, "train")
+          .when(col("h") / 1152921504606846976.0 < 0.9, "val")
+          .otherwise("test").as("split"),
+        md5(col("doc_id").cast("string")).as("pos"))
+    val n = docs.count()
+    graft.sources.ShardWriter.writeSharded(docs, out, "split", Seq(col("pos")), shards = 4)
+
+    val splitDirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(splitDirs.toSeq === Seq("split=test", "split=train", "split=val"))
+    // range sharding: at most `shards` data files per split dir
+    for (d <- splitDirs) {
+      val files = new java.io.File(s"$out/$d").listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files <= 4, s"$d has $files files")
+    }
+    val back = spark.read.parquet(out)
+    assert(back.count() === n)
+    // rows inside each physical file are ordered by pos (the shard
+    // contract a sequential training reader relies on)
+    for (d <- splitDirs;
+         f <- new java.io.File(s"$out/$d").listFiles().filter(_.getName.endsWith(".parquet"))) {
+      val vals = spark.read.parquet(f.getAbsolutePath).select("pos")
+        .collect().map(_.getString(0)).toSeq
+      assert(vals === vals.sorted, s"file ${f.getName} not ordered")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("salted two-stage aggregation equals direct aggregation under key skew") {
     import spark.implicits._
     // heavily skewed: 90% of rows share one key
