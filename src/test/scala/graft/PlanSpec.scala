@@ -160,6 +160,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!f.contains("text"), "p03 scan must prune the fat text column")
   }
 
+  test("lint sweep: every declared query optimizes ScaleLint-clean at test scale") {
+    // At this SF every condition-less join in the library has a
+    // broadcast-size side (s01/s02's corpus sides included), so the
+    // advisory rule should stay silent across the WHOLE registry — any
+    // new query that sneaks in an unpartitioned window or a big-big
+    // cartesian fails here by name.
+    import graft.plans.ScaleLint
+    spark.experimental.extraOptimizations = Seq(ScaleLint)
+    try {
+      val flagged = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+        ScaleLint.reset()
+        SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+        val fs = ScaleLint.findings.toArray.toSeq
+        spark.sharedState.cacheManager.clearCache()
+        if (fs.nonEmpty) Some(name -> fs) else None
+      }
+      assert(flagged.isEmpty, s"lint findings: $flagged")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("d08/p06: cluster-dedup pipelines contain no cartesian product") {
     for (q <- Seq("d08_semantic_dedup", "p06_prod_prep_pipeline")) {
       // executedPlan forces the CC loop to run; optimized logical plan of
