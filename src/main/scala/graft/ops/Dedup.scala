@@ -159,10 +159,16 @@ object Dedup extends QueryModule {
   private val (hashA, hashB) = graft.Dedup31.params(NumHashes)
 
   /** d04: MinHash signature → banded LSH bucketing → bucket join →
-    * exact-Jaccard verification. The oracle is the brute-force pair set at
-    * the same threshold: on this corpus the near-dup gap is wide, so
-    * 32x4 LSH has recall 1.0 and the verified candidate set equals the
-    * exact answer (checked by the driver's hash gate; also unit-tested).
+    * exact-Jaccard verification.
+    *
+    * Round 3: the per-shingle base hash is the lower 31 bits of the
+    * shared md5-derived 60-bit hash (not xxhash64, which DuckDB lacks)
+    * and band buckets are the signature slices themselves (joined as
+    * strings), so the ORACLE is a full DuckDB mirror of the pipeline —
+    * signatures, bands, candidates, verification — structural on any
+    * corpus, replacing the former exact-pair-set oracle that encoded
+    * this corpus's measured recall 1.0 (that property stays unit-tested
+    * in OpsSpec).
     *
     * This is the 100 TB dedup path: cost is O(docs x 128 hashes) +
     * a shuffle on (band, bucket) + exact verification only within buckets.
@@ -177,7 +183,8 @@ object Dedup extends QueryModule {
       // (and divide by zero in the jaccard) — drop them up front
       .filter(size(col("sh")) > 0)
       // one 31-bit base hash per shingle; each permutation is (a*h+b)&mask
-      .withColumn("hs", transform(col("sh"), sh => xxhash64(sh).bitwiseAND(lit(Mask31))))
+      .withColumn("hs", transform(col("sh"), sh =>
+        conv(substring(md5(sh), 1, 15), 16, 10).cast("long").bitwiseAND(lit(Mask31))))
       .persist()
     val sig = graft.functions.TextFunctions.minhash_signature(
       col("hs"), hashA, hashB)
@@ -187,7 +194,8 @@ object Dedup extends QueryModule {
       .withColumn("sig", sig)
       .select(col("doc_id"),
         posexplode(array((0 until Bands).map(b =>
-          xxhash64(slice(col("sig"), b * Rows + 1, Rows))): _*)).as(Seq("band", "bucket")))
+          concat_ws("_", slice(col("sig"), b * Rows + 1, Rows).cast("array<string>"))): _*))
+          .as(Seq("band", "bucket")))
       .persist()
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -203,16 +211,43 @@ object Dedup extends QueryModule {
       .filter(col("jaccard") >= 0.5)
   }
 
-  /** Oracle = exact brute-force pairs at the same threshold. CAVEAT: this
-    * encodes the DATA-DEPENDENT fact that 32x4 MinHash-LSH recall is
-    * exactly 1.0 on this corpus (its near-dup gap is wide). On a corpus
-    * with borderline pairs, a hash mismatch here means "expected LSH
-    * approximation", not "bug" — check OpsSpec's recall test first: if it
-    * reports recall < 1.0 with the pair sims near the 0.5 threshold, the
-    * algorithm is healthy and this oracle's equality assumption is what
-    * broke (downgrade it to containment, don't chase a phantom bug).
+  /** Full structural mirror of the d04 pipeline: md5-31-bit base hashes,
+    * the same (a*h+b)&mask permutation minima (parameters interpolated
+    * from [[graft.Dedup31]]), band slices as '_'-joined strings, bucket-
+    * collision candidates, exact-Jaccard verification of candidates only.
     */
-  private val d04Sql = d03Sql
+  private val d04Sql = {
+    val prm = (0 until NumHashes)
+      .map(i => s"(${i}, ${hashA(i)}, ${hashB(i)})").mkString(", ")
+    s"""WITH $shingleCte,
+       |h AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(list_transform(range(1, 16),
+       |        i -> substr(md5(shingle), i, 1)),
+       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)
+       |      & 2147483647 AS h31
+       |  FROM sh),
+       |prm(i, a, b) AS (VALUES $prm),
+       |ps AS (
+       |  SELECT doc_id, prm.i, min((prm.a * h.h31 + prm.b) & 2147483647) AS s
+       |  FROM h CROSS JOIN prm GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM ps GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, bd, array_to_string(list_slice(sig, bd * $Rows + 1, bd * $Rows + $Rows), '_') AS bucket
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS bd)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM banded a JOIN banded b
+       |    ON a.bd = b.bd AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cm AS (
+       |  SELECT c.ida, c.idb, count(*) AS c
+       |  FROM cand c JOIN sh x ON x.doc_id = c.ida JOIN sh y ON y.doc_id = c.idb AND x.shingle = y.shingle
+       |  GROUP BY 1, 2)
+       |SELECT ida, idb, c / (sa.n + sb.n - c) AS jaccard
+       |FROM cm JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+       |WHERE c / (sa.n + sb.n - c) >= 0.5""".stripMargin
+  }
 
   /** d06: containment near-dup pairs — one-sided Jaccard,
     * c / min(|A|, |B|) >= 0.8. Catches the quote/extension case symmetric
