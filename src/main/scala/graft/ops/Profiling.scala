@@ -248,9 +248,36 @@ object Profiling extends QueryModule {
        |UNION ALL
        |SELECT '5_split_' || split, count(*), CAST(sum(n_tokens) AS BIGINT) FROM spl GROUP BY split""".stripMargin
 
+  /** p07: equi-width histogram — the two-pass distributed shape: pass 1
+    * aggregates global min/max (one tiny row, broadcast), pass 2 bins
+    * every value with pure row-local arithmetic and hash-aggregates the
+    * counts. The bin expression is mirrored operation-for-operation in
+    * the oracle so IEEE double rounding is identical.
+    */
+  private val HistBins = 20
+
+  private def p07(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+    val mm = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    li.crossJoin(broadcast(mm))
+      .select(least(
+        floor((col("x") - col("lo")) * HistBins / (col("hi") - col("lo"))),
+        lit(HistBins - 1)).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val p07Sql =
+    s"""WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
+       |SELECT CAST(least(floor((l_extendedprice - lo) * $HistBins / (hi - lo)), ${HistBins - 1}) AS BIGINT) AS bin,
+       |  count(*) AS n
+       |FROM lineitem CROSS JOIN mm
+       |GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p01_profile", p01, Some(p01Sql)),
     QueryDef("p02_clean_corpus_pipeline", p02, Some(p02Sql)),
     QueryDef("p06_prod_prep_pipeline", p06, Some(p06Sql)),
+    QueryDef("p07_histogram", p07, Some(p07Sql)),
   )
 }
