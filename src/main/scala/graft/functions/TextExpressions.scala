@@ -278,7 +278,64 @@ case class SortedIdPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-element 31-bit md5-derived base hashes of a string array: for
+  * each element, the lower 31 bits of the shared cross-engine 60-bit
+  * md5 prefix (DETERMINISM.md rules 8-10 — DuckDB rebuilds the same
+  * value by folding 15 hex chars). One native call per ROW (the whole
+  * array in a tight loop) instead of a `transform` lambda evaluating
+  * md5/substring/conv expressions per ELEMENT — the d04 signature
+  * input, where the per-element expression overhead dominated.
+  */
+case class Md5Hash31(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"md5_hash31 expects array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Hash31.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Hash31.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Hash31 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The kernel; called from both interpreted eval and generated code. */
+  def compute(strs: ArrayData): ArrayData = {
+    val md = digest.get()
+    val n = strs.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(strs.getUTF8String(i).getBytes)
+      // first 15 hex chars == first 8 bytes as unsigned big-endian >>> 4
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      out(i) = (h >>> 4) & 0x7fffffffL
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
+  def md5_hash31(c: Column): Column =
+    ColumnBridge.column(Md5Hash31(ColumnBridge.expression(c)))
+
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
 

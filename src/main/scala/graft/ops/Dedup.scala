@@ -182,9 +182,9 @@ object Dedup extends QueryModule {
       // and an all-MaxValue signature would bucket every such doc together
       // (and divide by zero in the jaccard) — drop them up front
       .filter(size(col("sh")) > 0)
-      // one 31-bit base hash per shingle; each permutation is (a*h+b)&mask
-      .withColumn("hs", transform(col("sh"), sh =>
-        conv(substring(md5(sh), 1, 15), 16, 10).cast("long").bitwiseAND(lit(Mask31))))
+      // one 31-bit md5-derived base hash per shingle (native, one call
+      // per row); each permutation is (a*h+b)&mask
+      .withColumn("hs", graft.functions.TextFunctions.md5_hash31(col("sh")))
       .persist()
     val sig = graft.functions.TextFunctions.minhash_signature(
       col("hs"), hashA, hashB)

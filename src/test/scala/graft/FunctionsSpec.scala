@@ -34,6 +34,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.forall(v => v >= 0 && v <= 0x7fffffffL))
   }
 
+  test("md5_hash31 equals the composed conv(substring(md5)) & mask form") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(50).select(
+      graft.functions.TextFunctions.md5_hash31(
+        array(col("id").cast("string"), concat(lit("x"), col("id")))).as("native"),
+      expr("transform(array(cast(id as string), concat('x', id))," +
+        " s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) & 2147483647)").as("composed"))
+    assert(df.filter(col("native") =!= col("composed")).count() === 0)
+  }
+
   test("round-2 expressions callable from SQL: rolling_hash, simhash60, sorted_id_pairs") {
     GraftFunctions.register(spark)
     val rh = spark.sql("SELECT rolling_hash('ab') AS h").collect()(0).getLong(0)
@@ -51,7 +61,8 @@ class FunctionsSpec extends AnyFunSuite {
     val ws  = WordShingles(org.apache.spark.sql.catalyst.expressions.Literal("a b c"), 3)
     val mh  = MinHashSignature(org.apache.spark.sql.catalyst.expressions.Literal(null), IndexedSeq(1L), IndexedSeq(0L))
     val rh  = RollingHash(org.apache.spark.sql.catalyst.expressions.Literal("x"))
-    for (e <- Seq(ws, mh, rh))
+    val m31 = Md5Hash31(org.apache.spark.sql.catalyst.expressions.Literal(null))
+    for (e <- Seq(ws, mh, rh, m31))
       assert(!e.isInstanceOf[CodegenFallback], s"$e must not be CodegenFallback")
     // and the projections that use them stay inside whole-stage codegen:
     // the d03 shingle projection compiles to a WholeStageCodegen subtree
