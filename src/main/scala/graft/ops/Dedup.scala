@@ -386,6 +386,48 @@ object Dedup extends QueryModule {
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** d09: duplicated-span coverage — for every document, what fraction
+    * of its (distinct) 5-gram spans also appear in at least one other
+    * document. The cheap scalable proxy for exact-substring dedup
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — the suffix-array analysis): a doc with high
+    * coverage is mostly boilerplate/copies even if no single pair
+    * crosses a near-dup threshold. Two shuffles: span df, then the
+    * per-doc count; the span semi-join carries ids only.
+    */
+  private val SpanN = 5
+
+  private def d09(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.word_shingles(col("text"), SpanN).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_spans"),
+        explode(col("gs")).as("g"))
+    val dup = spans.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("g"))
+    spans
+      .join(dup, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"), col("n_spans"))
+      .agg(count(lit(1)).as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        (col("n_dup") / col("n_spans")).as("coverage"))
+  }
+
+  private val d09Sql =
+    s"""WITH sp AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - ${SpanN - 2}),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS g
+       |  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+       |        FROM documents)),
+       |sz AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
+       |dup AS (SELECT g FROM sp GROUP BY g HAVING count(*) >= 2)
+       |SELECT sp.doc_id, sz.n_spans, count(*) AS n_dup,
+       |  count(*) / sz.n_spans AS coverage
+       |FROM sp JOIN dup ON sp.g = dup.g JOIN sz ON sp.doc_id = sz.doc_id
+       |GROUP BY sp.doc_id, sz.n_spans""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
     QueryDef("d02_dedup_normalized", d02, Some(d02Sql)),
@@ -394,5 +436,6 @@ object Dedup extends QueryModule {
     QueryDef("d05_simhash", d05, Some(d05Sql)),
     QueryDef("d06_containment", d06, Some(d06Sql)),
     QueryDef("d07_dedup_clusters", d07, Some(d07Sql)),
+    QueryDef("d09_dup_coverage", d09, Some(d09Sql)),
   )
 }

@@ -250,9 +250,34 @@ object EventsQueries extends QueryModule {
       |      FROM events)))
       |GROUP BY user_id""".stripMargin
 
+  /** e09: event transition matrix — per-user next-event bigram counts
+    * (the Markov-chain view of behavior). One partitioned window (full
+    * deterministic tiebreak on (ts, event_id)) + one hash aggregate.
+    */
+  private def e09(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("nxt").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private val e09Sql =
+    """SELECT event_type AS src_type, nxt AS dst_type, count(*) AS n
+      |FROM (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+      |  FROM events)
+      |WHERE nxt IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_json_extract", e01, Some(e01Sql)),
     QueryDef("e08_funnel", e08, Some(e08Sql)),
+    QueryDef("e09_transitions", e09, Some(e09Sql)),
     QueryDef("e02_tumbling_window", e02, Some(e02Sql)),
     QueryDef("e03_sessionize", e03, Some(e03Sql)),
     QueryDef("e06_sliding_window", e06, Some(e06Sql)),
