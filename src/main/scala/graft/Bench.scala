@@ -55,6 +55,10 @@ object Bench {
       kv.selectExpr("explode(split(repeat('a b ', 5), ' ')) AS t")
         .groupBy("t").count().collect() // Generate (explode)
       val c = kv.persist(); c.count(); c.unpersist(true) // InMemoryRelation
+      // localCheckpoint + the label-propagation join/agg loop (d07/d08/p06)
+      graft.ops.Graph.connectedComponents(
+        spark.range(4).toDF("id"),
+        spark.range(3).selectExpr("id AS a", "id + 1 AS b")).collect()
       ()
     }
 

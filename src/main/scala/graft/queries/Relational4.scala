@@ -112,9 +112,38 @@ object Relational4 extends QueryModule {
       |        o_totalprice
       |      FROM orders)""".stripMargin
 
+  /** q36: explicit NULL ordering — the classic cross-engine trap: Spark's
+    * default is NULLS FIRST for ASC / NULLS LAST for DESC, DuckDB's is
+    * the opposite, so every oracle-checked ORDER BY over nullable keys
+    * must pin placement explicitly. This query pins DESC NULLS FIRST on
+    * a NULLIF-carved column and takes the per-group head, putting the
+    * null rows in the OUTPUT where silent divergence would flip the hash.
+    */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_linestatus"))
+      .orderBy(col("rf").desc_nulls_first, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .select(col("l_linestatus"), col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_returnflag"), lit("N")).as("rf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+  }
+
+  private val q36Sql =
+    """SELECT l_linestatus, l_orderkey, l_linenumber, rf, rk FROM (
+      |  SELECT l_linestatus, l_orderkey, l_linenumber,
+      |    nullif(l_returnflag, 'N') AS rf,
+      |    CAST(row_number() OVER (PARTITION BY l_linestatus
+      |      ORDER BY nullif(l_returnflag, 'N') DESC NULLS FIRST,
+      |        l_orderkey, l_linenumber) AS BIGINT) AS rk
+      |  FROM lineitem)
+      |WHERE rk <= 5""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q32_lateral_explode", q32, Some(q32Sql)),
     QueryDef("q35_range_frame", q35, Some(q35Sql)),
+    QueryDef("q36_null_ordering", q36, Some(q36Sql)),
     QueryDef("q33_string_agg", q33, Some(q33Sql)),
     QueryDef("q34_null_handling", q34, Some(q34Sql)),
   )
