@@ -183,6 +183,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("e08: three sequential funnel windows share ONE user-partition exchange") {
+    val p = plan("e08_funnel")
+    assert("Window ".r.findAllIn(p).size >= 3, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"funnel must shuffle once on user_id, not per stage:\n$p")
+  }
+
   test("d08/p06: cluster-dedup pipelines contain no cartesian product") {
     for (q <- Seq("d08_semantic_dedup", "p06_prod_prep_pipeline")) {
       // executedPlan forces the CC loop to run; optimized logical plan of
