@@ -36,7 +36,10 @@ object Graph {
     *
     * @param nodes single-column frame of node ids (any orderable type)
     * @param edges two-column frame of undirected edges (need not be
-    *              symmetrized; self-loops and duplicates are harmless)
+    *              symmetrized; self-loops and duplicates are harmless;
+    *              an empty edge set yields all-singleton labels).
+    *              Endpoints must be drawn from `nodes` — an edge id
+    *              outside `nodes` would add that id to the output
     * @return frame (id, comp): comp = min node id in id's component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {

@@ -22,6 +22,11 @@ class GraphSpec extends AnyFunSuite {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 7L))
   }
 
+  test("empty edge set: every node is its own singleton component") {
+    val labels = cc(Seq(5L, 9L, 2L), Seq.empty)
+    assert(labels === Map(5L -> 5L, 9L -> 9L, 2L -> 2L))
+  }
+
   test("long path converges to the min endpoint (diameter-round propagation)") {
     val n = 12L
     val labels = cc((1L to n), (1L until n).map(i => (i + 1, i)))
