@@ -292,8 +292,13 @@ case class Md5Hash31(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"md5_hash31 expects array<string>, got $t")
+    // containsNull must be false: the kernel hashes every element and the
+    // declared output promises non-null; a null element would NPE inside
+    // codegen. Callers with nullable elements (e.g. a raw split()) filter
+    // first — a clear analysis error beats a runtime NPE.
+    case ArrayType(StringType, false) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"md5_hash31 expects array<string> with non-null elements, got $t")
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -221,11 +221,7 @@ object Dedup extends QueryModule {
       .map(i => s"(${i}, ${hashA(i)}, ${hashB(i)})").mkString(", ")
     s"""WITH $shingleCte,
        |h AS (
-       |  SELECT doc_id,
-       |    list_reduce(list_transform(list_transform(range(1, 16),
-       |        i -> substr(md5(shingle), i, 1)),
-       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)
-       |      & 2147483647 AS h31
+       |  SELECT doc_id, ${OracleSql.hex60("shingle")} & 2147483647 AS h31
        |  FROM sh),
        |prm(i, a, b) AS (VALUES $prm),
        |ps AS (
@@ -304,12 +300,7 @@ object Dedup extends QueryModule {
        |pr AS (SELECT ida, idb
        |       FROM cm JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
        |       WHERE c / (sa.n + sb.n - c) >= 0.5),
-       |e AS (SELECT ida AS src, idb AS dst FROM pr
-       |      UNION ALL SELECT idb, ida FROM pr),
-       |walk(id, comp) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT e.dst, w.comp FROM walk w JOIN e ON w.id = e.src)
+       |${Graph.ccSqlCtes("pr", "SELECT doc_id, doc_id FROM documents")}
        |SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id""".stripMargin
 
   // ---- d05: SimHash ---------------------------------------------------
@@ -398,12 +389,15 @@ object Dedup extends QueryModule {
   private val SpanN = 5
 
   private def d09(s: SparkSession, dir: String): DataFrame = {
+    // persisted: feeds both the span-df aggregation and the semi-join
+    // probe side — uncached, the scan + shingling kernel would run twice
     val spans = Tables.documents(s, dir)
       .select(col("doc_id"),
         graft.functions.TextFunctions.word_shingles(col("text"), SpanN).as("gs"))
       .filter(size(col("gs")) > 0)
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_spans"),
         explode(col("gs")).as("g"))
+      .persist()
     val dup = spans.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .select(col("g"))

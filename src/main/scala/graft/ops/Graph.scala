@@ -11,6 +11,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Oracle-side mirror of [[connectedComponents]]: the symmetrize +
+    * transitive-min-closure CTEs over a pairs CTE named `pairsCte`
+    * (columns ida, idb), seeding every node from `nodesSql` (a SELECT
+    * yielding two copies of the id column). Shared by the d07/d08/p06
+    * oracles so the closure formula lives in one string; callers append
+    * `SELECT id, min(comp) ... FROM walk GROUP BY id` shaped to their
+    * output, under a WITH RECURSIVE header.
+    */
+  def ccSqlCtes(pairsCte: String, nodesSql: String): String =
+    s"""e AS (SELECT ida AS src, idb AS dst FROM $pairsCte
+       |      UNION ALL SELECT idb, ida FROM $pairsCte),
+       |walk(id, comp) AS (
+       |  ($nodesSql)
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN e ON w.id = e.src)""".stripMargin
+
   /** Connected components by iterative min-label propagation.
     *
     * Each node starts labeled with its own id; every round, each node
@@ -54,34 +70,45 @@ object Graph {
     // tables, not |corpus|-sized ones; singletons join the result once
     // at the end with their own id as label.
     val endpoints = sym.select(col("src").as("id")).distinct().persist()
-    var labels = endpoints
+    // ckpt tracks the round's materialized checkpoint so the PREVIOUS
+    // round's cached RDD is released as soon as the new one exists —
+    // otherwise a high-diameter graph holds every round's label snapshot
+    // in memory until GC
+    var ckpt = endpoints
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
+    var labels = ckpt
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < maxRounds) {
-      // min incoming neighbor label per node, joined back onto the labels;
-      // nodes with no edges keep their own label via the left join
-      val nbrMin = sym
-        .join(labels, sym("src") === labels("id"))
-        .groupBy(col("dst"))
-        .agg(min(col("comp")).as("nmin"))
-      val next = labels
-        .join(nbrMin, labels("id") === nbrMin("dst"), "left")
-        .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint()
-      changed = next.filter(col("comp") =!= col("prev")).count()
-      labels = next.select(col("id"), col("comp"))
-      round += 1
+    try {
+      while (changed > 0 && round < maxRounds) {
+        // min incoming neighbor label per node, joined back onto the
+        // labels; a node whose neighbors all carry larger labels keeps
+        // its own via the least/coalesce
+        val nbrMin = sym
+          .join(labels, sym("src") === labels("id"))
+          .groupBy(col("dst"))
+          .agg(min(col("comp")).as("nmin"))
+        val next = labels
+          .join(nbrMin, labels("id") === nbrMin("dst"), "left")
+          .select(col("id"), col("comp").as("prev"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+          .localCheckpoint()
+        changed = next.filter(col("comp") =!= col("prev")).count()
+        ckpt.unpersist()
+        ckpt = next
+        labels = next.select(col("id"), col("comp"))
+        round += 1
+      }
+      require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
+      val singletons = nodes.toDF("id")
+        .join(endpoints, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("comp"))
+      labels.unionAll(singletons).localCheckpoint()
+    } finally {
+      sym.unpersist()
+      endpoints.unpersist()
+      ckpt.unpersist()
     }
-    require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
-    val singletons = nodes.toDF("id")
-      .join(endpoints, Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("comp"))
-    val out = labels.unionAll(singletons).localCheckpoint()
-    sym.unpersist()
-    endpoints.unpersist()
-    out
   }
 }

@@ -228,12 +228,7 @@ object Profiling extends QueryModule {
        |  SELECT ida, idb FROM cm
        |  JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
        |  WHERE c / (sa.n + sb.n - c) >= 0.5),
-       |e AS (SELECT ida AS src, idb AS dst FROM pr
-       |      UNION ALL SELECT idb, ida FROM pr),
-       |walk(id, comp) AS (
-       |  SELECT doc_id, doc_id FROM survivors
-       |  UNION
-       |  SELECT e.dst, w.comp FROM walk w JOIN e ON w.id = e.src),
+       |${Graph.ccSqlCtes("pr", "SELECT doc_id, doc_id FROM survivors")},
        |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
        |reps AS (
        |  SELECT s.doc_id, s.n_tokens FROM survivors s

@@ -35,9 +35,7 @@ object Sampling extends QueryModule {
 
   /** The DuckDB mirror of [[uhash]] (hex-digit fold of the md5 prefix). */
   private[ops] def uhashSql(salt: String, key: String): String =
-    s"""CAST(list_reduce(list_transform(list_transform(range(1, 16),
-       |    i -> substr(md5('$salt' || $key), i, 1)),
-       |  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS DOUBLE)
+    s"""CAST(${OracleSql.hex60(s"'$salt' || $key")} AS DOUBLE)
        |  / 1152921504606846976.0""".stripMargin
 
   /** p03: deterministic 80/10/10 train/val/test split assignment. */

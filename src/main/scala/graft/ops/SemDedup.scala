@@ -43,6 +43,10 @@ object SemDedup extends QueryModule {
       .withColumn("crn", row_number().over(wAssign))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
+      // persisted: the in-cell self-join instantiates this subtree for
+      // BOTH sides — uncached, the centroid crossJoin + argmax window
+      // would run twice
+      .persist()
     // narrow in-cell candidate pairs (ids only), vectors joined back once
     val cand = assign.as("a").join(assign.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -85,12 +89,7 @@ object SemDedup extends QueryModule {
        |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |    JOIN n x ON a.vec_id = x.vec_id JOIN n y ON b.vec_id = y.vec_id)
        |  WHERE sim >= $Threshold),
-       |e AS (SELECT ida AS src, idb AS dst FROM pr
-       |      UNION ALL SELECT idb, ida FROM pr),
-       |walk(id, comp) AS (
-       |  SELECT vec_id, vec_id FROM embeddings
-       |  UNION
-       |  SELECT e.dst, w.comp FROM walk w JOIN e ON w.id = e.src)
+       |${Graph.ccSqlCtes("pr", "SELECT vec_id, vec_id FROM embeddings")}
        |SELECT id AS vec_id, min(comp) AS cluster_id,
        |  CAST(id = min(comp) AS BIGINT) AS kept
        |FROM walk GROUP BY id""".stripMargin

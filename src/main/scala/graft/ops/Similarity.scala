@@ -311,9 +311,7 @@ object Similarity extends QueryModule {
     s"""WITH $oracleVecs,
        |pl AS (
        |  SELECT t AS tbl, p AS plane, list_transform(range(0, $Dim), j ->
-       |    CAST(list_reduce(list_transform(list_transform(range(1, 16),
-       |        i -> substr(md5(t || '_' || p || '_' || j), i, 1)),
-       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS DOUBLE)
+       |    CAST(${OracleSql.hex60("t || '_' || p || '_' || j")} AS DOUBLE)
        |      / 576460752303423488.0 - 1) AS pvec
        |  FROM (SELECT unnest(range(0, $NearDupTables)) AS t)
        |  CROSS JOIN (SELECT unnest(range(0, $NearDupPlanes)) AS p)),

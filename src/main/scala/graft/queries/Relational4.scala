@@ -25,7 +25,10 @@ object Relational4 extends QueryModule {
     """SELECT doc_id, CAST(x.i AS BIGINT) AS pos, d.w[x.i] AS tok
       |FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
       |      FROM documents) d,
-      |  LATERAL (SELECT unnest(range(1, least(len(d.w), 5) + 1)) AS i) x""".stripMargin
+      |  LATERAL (SELECT unnest(range(1, least(coalesce(len(d.w), 0), 5) + 1)) AS i) x""".stripMargin
+  // coalesce: DuckDB's least() IGNORES a NULL argument (returns 5 for
+  // NULL text) while Spark's generator emits nothing — without the guard
+  // a NULL text row would diverge
 
   /** q33: ordered string aggregation (LISTAGG / string_agg) — top-bal
     * customer names per nation, comma-joined in deterministic name
