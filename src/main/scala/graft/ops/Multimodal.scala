@@ -147,9 +147,42 @@ object Multimodal extends QueryModule {
       |  md5(array_to_string(list_filter(string_split(text, ' '), (x, i) -> i % 2 = 1), ' ')) AS resized_md5
       |FROM documents""".stripMargin
 
+  /** m04: training-record assembly — the join that ends every multimodal
+    * prep pipeline: text metadata ⋈ embedding ⋈ binary payload into one
+    * record per example. Two equi-joins on the id (co-partitioned after
+    * the first shuffle; at warehouse scale both inputs would be bucketed
+    * on the id and neither would shuffle); the embedding is reduced to
+    * its exact dot-product norm so the record stays narrow and the value
+    * is oracle-hashable.
+    */
+  private def m04(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        graft.functions.VectorFunctions.vec_dot(
+          transform(col("embedding"), x => x.cast("double")),
+          transform(col("embedding"), x => x.cast("double"))).as("emb_sq_norm"))
+    val payload = media(s, dir).toDF()
+      .select(col("doc_id"), md5(col("payload")).as("payload_md5"), col("n_bytes"))
+    docs
+      .join(emb, docs("doc_id") === emb("vec_id")).drop("vec_id")
+      .join(payload, Seq("doc_id"))
+  }
+
+  private val m04Sql =
+    """SELECT d.doc_id, d.lang, d.n_chars,
+      |  CAST(e.label AS BIGINT) AS label,
+      |  list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS emb_sq_norm,
+      |  md5(d.text) AS payload_md5,
+      |  CAST(strlen(d.text) AS BIGINT) AS n_bytes
+      |FROM documents d
+      |JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_features", m01, Some(m01Sql)),
     QueryDef("m02_frame_sample", m02, Some(m02Sql)),
     QueryDef("m03_resize", m03, Some(m03Sql)),
+    QueryDef("m04_record_assembly", m04, Some(m04Sql)),
   )
 }

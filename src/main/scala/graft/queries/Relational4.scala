@@ -143,10 +143,41 @@ object Relational4 extends QueryModule {
       |  FROM lineitem)
       |WHERE rk <= 5""".stripMargin
 
+  /** q37: FULL OUTER join — the outer-join variant q30 (left) doesn't
+    * cover, with both sides deliberately filtered to create unmatched
+    * rows in BOTH directions and null-flag columns putting the outer
+    * semantics in the hashed output.
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ords = Tables.orders(s, dir).filter(col("o_custkey") % 3 =!= 1)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment").as("segment"),
+        coalesce(col("cnt"), lit(0L)).as("n_orders"),
+        col("c_custkey").isNull.cast("long").as("cust_missing"),
+        col("o_custkey").isNull.cast("long").as("orders_missing"))
+  }
+
+  private val q37Sql =
+    """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+      |  c.c_mktsegment AS segment,
+      |  coalesce(o.cnt, 0) AS n_orders,
+      |  CAST(c.c_custkey IS NULL AS BIGINT) AS cust_missing,
+      |  CAST(o.o_custkey IS NULL AS BIGINT) AS orders_missing
+      |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0) c
+      |FULL OUTER JOIN (SELECT o_custkey, count(*) AS cnt FROM orders
+      |                 WHERE o_custkey % 3 <> 1 GROUP BY 1) o
+      |ON c.c_custkey = o.o_custkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q32_lateral_explode", q32, Some(q32Sql)),
     QueryDef("q35_range_frame", q35, Some(q35Sql)),
     QueryDef("q36_null_ordering", q36, Some(q36Sql)),
+    QueryDef("q37_full_outer_join", q37, Some(q37Sql)),
     QueryDef("q33_string_agg", q33, Some(q33Sql)),
     QueryDef("q34_null_handling", q34, Some(q34Sql)),
   )
