@@ -274,5 +274,51 @@ object Profiling extends QueryModule {
     QueryDef("p02_clean_corpus_pipeline", p02, Some(p02Sql)),
     QueryDef("p06_prod_prep_pipeline", p06, Some(p06Sql)),
     QueryDef("p07_histogram", p07, Some(p07Sql)),
+    QueryDef("p08_constraint_check", p08, Some(p08Sql)),
   )
+
+  /** p08: declarative ingest-validation — every constraint evaluated in
+    * ONE scan (a conditional sum per rule inside a single aggregate, the
+    * p01 shape), then unpivoted to a row per rule. The violating-row
+    * count is what a pipeline gates on before a 100 TB run; the
+    * `_tight` rule is deliberately stricter than the data so non-zero
+    * counting is exercised.
+    */
+  private val constraintRules: Seq[(String, Column)] = Seq(
+    ("quantity_in_1_50", col("l_quantity").between(1, 50)),
+    ("quantity_le_45_tight", col("l_quantity") <= 45),
+    ("discount_in_0_0p1", col("l_discount").between(0.0, 0.1)),
+    ("tax_nonnegative", col("l_tax") >= 0.0),
+    ("returnflag_in_domain", col("l_returnflag").isin("A", "N", "R")),
+    ("linestatus_in_domain", col("l_linestatus").isin("O", "F")),
+    ("price_positive", col("l_extendedprice") > 0.0),
+    ("keys_nonnull", col("l_orderkey").isNotNull && col("l_linenumber").isNotNull))
+
+  private def p08(s: SparkSession, dir: String): DataFrame = {
+    val aggs = constraintRules.map { case (n, c) =>
+      sum(when(c, 0L).otherwise(1L)).as(n)
+    }
+    val one = Tables.lineitem(s, dir).agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows: Seq[Column] = constraintRules.map { case (n, _) =>
+      struct(lit(n).as("rule"), col("n_rows"), col(n).as("n_violations"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  private val p08Sql = {
+    val sqlCond = Map(
+      "quantity_in_1_50"     -> "l_quantity BETWEEN 1 AND 50",
+      "quantity_le_45_tight" -> "l_quantity <= 45",
+      "discount_in_0_0p1"    -> "l_discount BETWEEN 0.0 AND 0.1",
+      "tax_nonnegative"      -> "l_tax >= 0.0",
+      "returnflag_in_domain" -> "l_returnflag IN ('A', 'N', 'R')",
+      "linestatus_in_domain" -> "l_linestatus IN ('O', 'F')",
+      "price_positive"       -> "l_extendedprice > 0.0",
+      "keys_nonnull"         -> "l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL")
+    constraintRules.map { case (n, _) =>
+      s"""SELECT '$n' AS rule, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN ${sqlCond(n)} THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
 }
