@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSignature, RollingHash, SimHash60, SortedIdPairs, WordShingles}
+import graft.functions.{DotProduct, Md5Hash31, MinHashSignature, RollingHash, SimHash60, SortedIdPairs, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   minhash_sig(hashes, k)         — k-permutation MinHash signature
   *   rolling_hash(text)             — polynomial codepoint fingerprint
   *   simhash60(shingles)            — 60-bit md5-vote SimHash fingerprint
+  *   md5_hash31(strings)            — per-element 31-bit md5-derived base hashes
   *   sorted_id_pairs(ids)           — generator: all a<b pairs of an id array
   *
   * Two paths:
@@ -57,6 +58,9 @@ object GraftFunctions {
     },
     "sorted_id_pairs" -> { exprs =>
       arity("sorted_id_pairs", exprs, 1); SortedIdPairs(exprs(0))
+    },
+    "md5_hash31" -> { exprs =>
+      arity("md5_hash31", exprs, 1); Md5Hash31(exprs(0))
     },
   )
 

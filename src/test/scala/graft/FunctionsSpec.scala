@@ -53,6 +53,9 @@ class FunctionsSpec extends AnyFunSuite {
     val pairs = spark.sql("SELECT sorted_id_pairs(array(3L, 1L, 2L)) AS (ida, idb)")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val m31 = spark.sql("SELECT md5_hash31(word_shingles('a b c d', 3)) AS hs")
+      .collect()(0).getSeq[Long](0)
+    assert(m31.length === 2 && m31.forall(h => h >= 0L && h <= 0x7fffffffL))
   }
 
   test("text expressions generate code (no CodegenFallback stage break)") {
