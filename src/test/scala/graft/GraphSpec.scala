@@ -33,6 +33,25 @@ class GraphSpec extends AnyFunSuite {
     assert(labels === (1L to n).map(_ -> 1L).toMap)
   }
 
+  test("2k-node random graph matches an in-memory union-find exactly") {
+    val rnd = new scala.util.Random(42)
+    val n = 2000
+    // ~1500 random edges → a mix of singletons, pairs, chains and blobs
+    val edges = Seq.fill(1500)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+
+    // reference: classic union-find with path compression
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+
+    val got = cc((0L until n.toLong), edges)
+    assert(got === expected)
+  }
+
   test("d07 labels are consistent with the d03 pair graph at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val pairs = SparkEntry.queries("d03_ngram_jaccard")(spark, dir)
