@@ -166,6 +166,40 @@ object EventStream {
       }
   }
 
+  case class EvT(user_id: Long, event_id: Long, event_type: String,
+                 ts_us: Long, ts: java.sql.Timestamp)
+  case class TransOut(src_type: String, dst_type: String)
+
+  /** Streaming twin of e09: per-user adjacent-event bigrams, one output
+    * row per transition (the spec/consumer aggregates counts). State is
+    * just the user's LAST event, carried across batches so the boundary
+    * transition between two batches is emitted exactly once; in-batch
+    * disorder is handled by sorting on (ts, event_id). Cross-BATCH
+    * disorder is assumed away (file replay delivers time-ordered
+    * batches); a production source with late arrivals would buffer by
+    * watermark before emitting, exactly as [[sessionize]] does.
+    */
+  def transitions(spark: SparkSession, events: DataFrame): Dataset[TransOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, String), TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[EvT], state: GroupState[(Long, Long, String)]) =>
+          val evs = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+            .map(e => (e.ts_us, e.event_id, e.event_type))
+          val seq = state.getOption.map(Vector(_)).getOrElse(Vector.empty) ++ evs
+          if (seq.nonEmpty) state.update(seq.last)
+          seq.sliding(2).collect {
+            case Vector(a, b) => TransOut(a._3, b._3)
+          }.toVector.iterator
+      }
+  }
+
   /** Flush helper for tests/finite streams: emit still-open sessions from
     * the final state by running the same gap rule over a batch view.
     * (On an unbounded stream these would emit via timeout instead.)

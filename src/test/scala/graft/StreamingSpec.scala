@@ -27,6 +27,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming transitions converge to the batch transition matrix (e09)") {
+    val stream = EventStream.transitions(spark, EventStream.readEvents(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("trans_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("trans_out")
+      .groupBy(col("src_type"), col("dst_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("e09_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
   test("streaming sliding window converges to the batch gold result (e06)") {
     val stream = EventStream.slidingAgg(EventStream.readEvents(spark, dir))
     val q = stream.writeStream
