@@ -9,7 +9,10 @@ object PlanAudit {
     val spark = graft.core.Sessions.local("8")
     val names = Seq("q20_ntile", "q26_exact_percentiles", "q27_array_map_funcs",
       "s03_ann_lsh", "s05_bucketed_neardup", "s06_ann_ivf",
-      "d03_ngram_jaccard", "d05_simhash", "e05_interval_join", "e06_sliding_window")
+      "d03_ngram_jaccard", "d05_simhash", "e05_interval_join", "e06_sliding_window",
+      // round 3
+      "d07_dedup_clusters", "d08_semantic_dedup", "d09_dup_coverage",
+      "p06_prod_prep_pipeline", "q35_range_frame", "e08_funnel", "m04_record_assembly")
     for (n <- names) {
       val p = graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val flags = Seq(
