@@ -159,10 +159,12 @@ object Multimodal extends QueryModule {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val emb = Tables.embeddings(s, dir)
+      // cast once in a sub-projection: HOF expressions are not reliably
+      // deduplicated by subexpression elimination
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        graft.functions.VectorFunctions.vec_dot(
-          transform(col("embedding"), x => x.cast("double")),
-          transform(col("embedding"), x => x.cast("double"))).as("emb_sq_norm"))
+        graft.functions.VectorFunctions.vec_dot(col("v"), col("v")).as("emb_sq_norm"))
     val payload = media(s, dir).toDF()
       .select(col("doc_id"), md5(col("payload")).as("payload_md5"), col("n_bytes"))
     docs

@@ -284,41 +284,42 @@ object Profiling extends QueryModule {
     * `_tight` rule is deliberately stricter than the data so non-zero
     * counting is exercised.
     */
-  private val constraintRules: Seq[(String, Column)] = Seq(
-    ("quantity_in_1_50", col("l_quantity").between(1, 50)),
-    ("quantity_le_45_tight", col("l_quantity") <= 45),
-    ("discount_in_0_0p1", col("l_discount").between(0.0, 0.1)),
-    ("tax_nonnegative", col("l_tax") >= 0.0),
-    ("returnflag_in_domain", col("l_returnflag").isin("A", "N", "R")),
-    ("linestatus_in_domain", col("l_linestatus").isin("O", "F")),
-    ("price_positive", col("l_extendedprice") > 0.0),
-    ("keys_nonnull", col("l_orderkey").isNotNull && col("l_linenumber").isNotNull))
+  /** (rule name, Spark predicate, DuckDB predicate) — one row per rule
+    * so the two engine-side conditions cannot drift out of sync with the
+    * name list.
+    */
+  private val constraintRules: Seq[(String, Column, String)] = Seq(
+    ("quantity_in_1_50", col("l_quantity").between(1, 50),
+      "l_quantity BETWEEN 1 AND 50"),
+    ("quantity_le_45_tight", col("l_quantity") <= 45,
+      "l_quantity <= 45"),
+    ("discount_in_0_0p1", col("l_discount").between(0.0, 0.1),
+      "l_discount BETWEEN 0.0 AND 0.1"),
+    ("tax_nonnegative", col("l_tax") >= 0.0,
+      "l_tax >= 0.0"),
+    ("returnflag_in_domain", col("l_returnflag").isin("A", "N", "R"),
+      "l_returnflag IN ('A', 'N', 'R')"),
+    ("linestatus_in_domain", col("l_linestatus").isin("O", "F"),
+      "l_linestatus IN ('O', 'F')"),
+    ("price_positive", col("l_extendedprice") > 0.0,
+      "l_extendedprice > 0.0"),
+    ("keys_nonnull", col("l_orderkey").isNotNull && col("l_linenumber").isNotNull,
+      "l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL"))
 
   private def p08(s: SparkSession, dir: String): DataFrame = {
-    val aggs = constraintRules.map { case (n, c) =>
+    val aggs = constraintRules.map { case (n, c, _) =>
       sum(when(c, 0L).otherwise(1L)).as(n)
     }
     val one = Tables.lineitem(s, dir).agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val rows: Seq[Column] = constraintRules.map { case (n, _) =>
+    val rows: Seq[Column] = constraintRules.map { case (n, _, _) =>
       struct(lit(n).as("rule"), col("n_rows"), col(n).as("n_violations"))
     }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
-  private val p08Sql = {
-    val sqlCond = Map(
-      "quantity_in_1_50"     -> "l_quantity BETWEEN 1 AND 50",
-      "quantity_le_45_tight" -> "l_quantity <= 45",
-      "discount_in_0_0p1"    -> "l_discount BETWEEN 0.0 AND 0.1",
-      "tax_nonnegative"      -> "l_tax >= 0.0",
-      "returnflag_in_domain" -> "l_returnflag IN ('A', 'N', 'R')",
-      "linestatus_in_domain" -> "l_linestatus IN ('O', 'F')",
-      "price_positive"       -> "l_extendedprice > 0.0",
-      "keys_nonnull"         -> "l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL")
-    constraintRules.map { case (n, _) =>
-      s"""SELECT '$n' AS rule, count(*) AS n_rows,
-         |  CAST(sum(CASE WHEN ${sqlCond(n)} THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
-         |FROM lineitem""".stripMargin
-    }.mkString("\nUNION ALL\n")
-  }
+  private val p08Sql = constraintRules.map { case (n, _, cond) =>
+    s"""SELECT '$n' AS rule, count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN $cond THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+       |FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
 }

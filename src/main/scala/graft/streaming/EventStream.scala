@@ -173,16 +173,20 @@ object EventStream {
   /** Streaming twin of e09: per-user adjacent-event bigrams, one output
     * row per transition (the spec/consumer aggregates counts). State is
     * just the user's LAST event, carried across batches so the boundary
-    * transition between two batches is emitted exactly once; in-batch
-    * disorder is handled by sorting on (ts, event_id). Cross-BATCH
-    * disorder is assumed away (file replay delivers time-ordered
-    * batches); a production source with late arrivals would buffer by
-    * watermark before emitting, exactly as [[sessionize]] does.
+    * transition between two batches is emitted exactly once. The carried
+    * event is SORT-MERGED with the batch (not prepended), so a
+    * same-timestamp tie straddling the batch boundary still emits in
+    * batch e09's (ts, event_id) order. No watermark: NoTimeout state
+    * needs none, and a watermark here would silently drop any event
+    * below the running max instead of processing it. Deeper cross-batch
+    * disorder (an event sorting before the PENULTIMATE already-emitted
+    * event) is assumed away for file replay; a production source with
+    * late arrivals would buffer by watermark before emitting, exactly
+    * as [[sessionize]] does.
     */
   def transitions(spark: SparkSession, events: DataFrame): Dataset[TransOut] = {
     import spark.implicits._
     events
-      .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), col("ts"))
       .as[EvT]
@@ -190,9 +194,8 @@ object EventStream {
       .flatMapGroupsWithState[(Long, Long, String), TransOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, it: Iterator[EvT], state: GroupState[(Long, Long, String)]) =>
-          val evs = it.toVector.sortBy(e => (e.ts_us, e.event_id))
-            .map(e => (e.ts_us, e.event_id, e.event_type))
-          val seq = state.getOption.map(Vector(_)).getOrElse(Vector.empty) ++ evs
+          val evs = it.map(e => (e.ts_us, e.event_id, e.event_type)).toVector
+          val seq = (state.getOption.toVector ++ evs).sortBy(e => (e._1, e._2))
           if (seq.nonEmpty) state.update(seq.last)
           seq.sliding(2).collect {
             case Vector(a, b) => TransOut(a._3, b._3)

@@ -1,7 +1,7 @@
 package graft.tools
 
-/** Dumps executed-plan red-flag summaries for the round-2 queries —
-  * the ".explain and iterate" discipline, kept runnable.
+/** Dumps executed-plan red-flag summaries for the round-2 and round-3
+  * queries — the ".explain and iterate" discipline, kept runnable.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {

@@ -27,8 +27,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
-  test("streaming transitions converge to the batch transition matrix (e09)") {
-    val stream = EventStream.transitions(spark, EventStream.readEvents(spark, dir))
+  test("streaming transitions converge to the batch transition matrix (e09) across TWO batches") {
+    // Split the raw events file into two time-ordered halves so the
+    // file source delivers two micro-batches — the cross-batch state
+    // carry-over (boundary bigram emitted exactly once) is the thing
+    // under test and a single batch would never exercise it.
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val rawSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet").cache()
+    val cut = raw.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m")
+      .collect()(0).getDouble(0).toLong
+    val tmp = java.nio.file.Files.createTempDirectory("graft_trans").toFile
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(tmp, s"events_$name.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeHalf(raw.filter(col("ts") <= cut), "a", t0)
+    writeHalf(raw.filter(col("ts") > cut), "b", t0 + 30000)
+    raw.unpersist()
+
+    val stream = EventStream.transitions(spark, EventStream.readEvents(spark, tmp.getAbsolutePath))
     val q = stream.writeStream
       .format("memory").queryName("trans_out")
       .outputMode("append")
@@ -42,6 +67,7 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(want.nonEmpty)
     assert(got === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
   test("streaming sliding window converges to the batch gold result (e06)") {
