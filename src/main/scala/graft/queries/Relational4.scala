@@ -173,11 +173,42 @@ object Relational4 extends QueryModule {
       |                 WHERE o_custkey % 3 <> 1 GROUP BY 1) o
       |ON c.c_custkey = o.o_custkey""".stripMargin
 
+  /** q38: schema-evolution union — two sources with overlapping but
+    * different column sets merged BY NAME with null fill
+    * (`unionByName(allowMissingColumns)`, the ingest shape when a feed
+    * adds or drops columns mid-stream), null-count audit per column in
+    * the output. DuckDB mirrors with UNION ALL BY NAME.
+    */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val oldFeed = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val newFeed = o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
+    oldFeed.unionByName(newFeed, allowMissingColumns = true)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").isNull.cast("long")).as("n_null_price"),
+        sum(col("o_orderpriority").isNull.cast("long")).as("n_null_priority"))
+  }
+
+  private val q38Sql =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_price,
+      |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_priority
+      |FROM (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL BY NAME
+      |  SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders WHERE o_orderkey % 2 <> 0)
+      |GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q32_lateral_explode", q32, Some(q32Sql)),
     QueryDef("q35_range_frame", q35, Some(q35Sql)),
     QueryDef("q36_null_ordering", q36, Some(q36Sql)),
     QueryDef("q37_full_outer_join", q37, Some(q37Sql)),
+    QueryDef("q38_union_by_name", q38, Some(q38Sql)),
     QueryDef("q33_string_agg", q33, Some(q33Sql)),
     QueryDef("q34_null_handling", q34, Some(q34Sql)),
   )
