@@ -75,10 +75,15 @@ object Bench {
         spark.sharedState.cacheManager.clearCache() // ops persist() caches
       name -> (if (ok) elapsed else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal times: ms resolution is below run-to-run noise, and the
+    // shorter line matters — the driver captures a bounded tail of stdout,
+    // and full-precision doubles pushed the 86-query line past it (r03
+    // "parsed": null came from the line being truncated mid-JSON).
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stop BEFORE printing so no late executor/log line lands after the
     // JSON — the result line should be the last thing on stdout, and it is
     // also written to a file so consumers never have to fish it out of sbt

@@ -73,7 +73,10 @@ object Graph {
     // ckpt tracks the round's materialized checkpoint so the PREVIOUS
     // round's cached RDD is released as soon as the new one exists —
     // otherwise a high-diameter graph holds every round's label snapshot
-    // in memory until GC
+    // in memory until the ContextCleaner GCs it. Dataset.unpersist is a
+    // no-op here (the CacheManager does not track localCheckpoint
+    // storage), so release goes through the checkpoint RDD itself
+    // ([[releaseCheckpoint]]).
     var ckpt = endpoints
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
@@ -95,7 +98,7 @@ object Graph {
             least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
           .localCheckpoint()
         changed = next.filter(col("comp") =!= col("prev")).count()
-        ckpt.unpersist()
+        releaseCheckpoint(ckpt)
         ckpt = next
         labels = next.select(col("id"), col("comp"))
         round += 1
@@ -108,7 +111,20 @@ object Graph {
     } finally {
       sym.unpersist()
       endpoints.unpersist()
-      ckpt.unpersist()
+      releaseCheckpoint(ckpt)
     }
   }
+
+  /** Release the storage behind a `localCheckpoint()`ed frame NOW rather
+    * than when the ContextCleaner gets to it. `Dataset.unpersist` routes
+    * through the CacheManager, which does not track checkpoint RDD
+    * storage — the actual persisted RDD sits inside the plan's
+    * [[org.apache.spark.sql.execution.LogicalRDD]], so unpersist at the
+    * RDD level. Falls back to Dataset.unpersist for non-checkpoint frames.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
 }

@@ -69,7 +69,12 @@ object Relational4 extends QueryModule {
         count(col("rf")).as("n_flagged"),
         count_distinct(col("rf")).as("n_flags"),
         count_distinct(coalesce(col("rf"), lit("N"))).as("n_flags_all"),
-        sum(when(col("rf").isNull, col("l_quantity"))).cast("long").as("qty_unflagged"))
+        // exact decimal sum + floor so the double→integer rounding rule is
+        // pinned on both engines (Spark casts double→long by truncation,
+        // DuckDB by round-to-nearest — DETERMINISM.md rule 1)
+        floor(sum(when(col("rf").isNull,
+          col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))))
+          .cast("long").as("qty_unflagged"))
   }
 
   private val q34Sql =
@@ -78,7 +83,7 @@ object Relational4 extends QueryModule {
       |  count(nullif(l_returnflag, 'N')) AS n_flagged,
       |  count(DISTINCT nullif(l_returnflag, 'N')) AS n_flags,
       |  count(DISTINCT coalesce(nullif(l_returnflag, 'N'), 'N')) AS n_flags_all,
-      |  CAST(sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN l_quantity END) AS BIGINT) AS qty_unflagged
+      |  CAST(floor(sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN CAST(l_quantity AS DECIMAL(18,2)) END)) AS BIGINT) AS qty_unflagged
       |FROM lineitem
       |GROUP BY l_linestatus""".stripMargin
 

@@ -182,9 +182,14 @@ object EventStream {
     * disorder (an event sorting before the PENULTIMATE already-emitted
     * event) is assumed away for file replay; a production source with
     * late arrivals would buffer by watermark before emitting, exactly
-    * as [[sessionize]] does.
+    * as [[sessionize]] does. That assumption is not silent: any event
+    * sorting before the carried (ts_us, event_id) state — i.e. one whose
+    * boundary bigram was already emitted against a later event — is
+    * counted into `outOfOrder`, so divergence from batch e09 on a real
+    * source is observable as a non-zero metric instead of a wrong matrix.
     */
-  def transitions(spark: SparkSession, events: DataFrame): Dataset[TransOut] = {
+  def transitions(spark: SparkSession, events: DataFrame,
+                  outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[TransOut] = {
     import spark.implicits._
     events
       .select(col("user_id"), col("event_id"), col("event_type"),
@@ -195,6 +200,10 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, it: Iterator[EvT], state: GroupState[(Long, Long, String)]) =>
           val evs = it.map(e => (e.ts_us, e.event_id, e.event_type)).toVector
+          for ((sts, sid, _) <- state.getOption; acc <- outOfOrder) {
+            val late = evs.count(e => e._1 < sts || (e._1 == sts && e._2 < sid))
+            if (late > 0) acc.add(late.toLong)
+          }
           val seq = (state.getOption.toVector ++ evs).sortBy(e => (e._1, e._2))
           if (seq.nonEmpty) state.update(seq.last)
           seq.sliding(2).collect {

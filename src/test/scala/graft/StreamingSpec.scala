@@ -70,6 +70,39 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("transitions out-of-order accumulator flags cross-batch disorder") {
+    // Batch A carries (ts=3s) as state; batch B delivers ts=2s — an event
+    // sorting BEFORE the already-emitted boundary. The matrix silently
+    // diverges from batch e09 in that case; the accumulator must say so.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ooo").toFile
+    def writeOne(rows: Seq[(Long, Long, Long, String, Double, String)], name: String, mtime: Long): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(tmp, s"events_$name.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val S = 1000000000L // 1 s in ns (raw file ts unit)
+    val t0 = System.currentTimeMillis() - 60000
+    writeOne(Seq((1L, 1 * S, 7L, "view", 0.0, "{}"), (3L, 3 * S, 7L, "purchase", 0.0, "{}")), "a", t0)
+    writeOne(Seq((2L, 2 * S, 7L, "click", 0.0, "{}")), "b", t0 + 30000)
+
+    val acc = spark.sparkContext.longAccumulator("graft.transitions.outOfOrder")
+    val stream = EventStream.transitions(
+      spark, EventStream.readEvents(spark, tmp.getAbsolutePath), Some(acc))
+    val q = stream.writeStream
+      .format("memory").queryName("trans_ooo")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(acc.value === 1L)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("streaming sliding window converges to the batch gold result (e06)") {
     val stream = EventStream.slidingAgg(EventStream.readEvents(spark, dir))
     val q = stream.writeStream
