@@ -15,6 +15,7 @@ object SparkEntry {
     Relational2,
     Relational3,
     Relational4,
+    Relational5,
     EventsQueries,
     WordCount,
     graft.ops.TextAnalysis,

@@ -291,8 +291,11 @@ object Dedup extends QueryModule {
     * label) pair reachable along symmetrized edges; min per node is the
     * component representative.
     */
-  private val d07Sql =
-    s"""WITH RECURSIVE $shingleCte,
+  /** The d07 pipeline as a CTE prefix (pairs + CC closure + per-doc
+    * labels) so composed rollups (d10) reuse the identical closure.
+    */
+  private val d07Ctes =
+    s"""$shingleCte,
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |cm AS (SELECT a.doc_id ida, b.doc_id idb, count(*) c
        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -300,8 +303,32 @@ object Dedup extends QueryModule {
        |pr AS (SELECT ida, idb
        |       FROM cm JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
        |       WHERE c / (sa.n + sb.n - c) >= 0.5),
-       |${Graph.ccSqlCtes("pr", "SELECT doc_id, doc_id FROM documents")}
-       |SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id""".stripMargin
+       |${Graph.ccSqlCtes("pr", "SELECT doc_id, doc_id FROM documents")},
+       |labels AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)""".stripMargin
+
+  private val d07Sql =
+    s"""WITH RECURSIVE $d07Ctes
+       |SELECT doc_id, cluster_id FROM labels""".stripMargin
+
+  /** d10: duplication profile — the cluster-SIZE histogram over d07's
+    * clusters (how much of the corpus sits in 2-dup, 3-dup, … groups;
+    * the number a dedup run reports before deleting anything). Two tiny
+    * aggregations after the CC labels; the singleton count doubles as a
+    * "corpus mostly unique" sanity signal.
+    */
+  private def d10(s: SparkSession, dir: String): DataFrame =
+    d07(s, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
+  private val d10Sql =
+    s"""WITH RECURSIVE $d07Ctes,
+       |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |       FROM labels GROUP BY 1)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM cs GROUP BY 1""".stripMargin
 
   // ---- d05: SimHash ---------------------------------------------------
 
@@ -431,5 +458,6 @@ object Dedup extends QueryModule {
     QueryDef("d06_containment", d06, Some(d06Sql)),
     QueryDef("d07_dedup_clusters", d07, Some(d07Sql)),
     QueryDef("d09_dup_coverage", d09, Some(d09Sql)),
+    QueryDef("d10_cluster_sizes", d10, Some(d10Sql)),
   )
 }

@@ -94,9 +94,94 @@ object Sampling extends QueryModule {
        |  FROM documents)
        |WHERE rk <= $PerLang""".stripMargin
 
+  /** p09: split drift report — does the train/test split preserve the
+    * language mix? Per-language counts and proportions in each split plus
+    * the absolute proportion gap (the total-variation contribution). The
+    * check a pipeline runs after p03 before trusting eval numbers.
+    *
+    * Determinism: counts are ints and each proportion is ONE IEEE
+    * division (int/int), the drift ONE subtraction — bit-identical across
+    * engines with no rounding (DETERMINISM.md), which is why the metric
+    * is TV-style |Δp| and not a PSI/KL log-ratio (libm log is not pinned
+    * across engines). Scale shape: scan + one tiny hash aggregate; the
+    * totals join is a broadcast of a 1-row frame.
+    */
+  private def p09(s: SparkSession, dir: String): DataFrame = {
+    val u = uhash("split_", col("doc_id"))
+    val byLang = Tables.documents(s, dir)
+      .select(col("lang"), when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+      .filter(col("split") =!= "val")
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val totals = byLang.groupBy()
+      .agg(sum(col("n_train")).as("tot_train"), sum(col("n_test")).as("tot_test"))
+    val pTrain = col("n_train").cast("double") / col("tot_train").cast("double")
+    val pTest = col("n_test").cast("double") / col("tot_test").cast("double")
+    byLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_train"), col("n_test"),
+        pTrain.as("p_train"), pTest.as("p_test"),
+        abs(pTrain - pTest).as("drift"))
+  }
+
+  private val p09Sql =
+    s"""WITH s AS (
+       |  SELECT lang,
+       |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT lang, doc_id, ${uhashSql("split_", "doc_id")} AS u FROM documents)),
+       |b AS (
+       |  SELECT lang,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       |  FROM s WHERE split <> 'val' GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_train) AS BIGINT) AS tot_train,
+       |             CAST(sum(n_test) AS BIGINT) AS tot_test FROM b)
+       |SELECT lang, n_train, n_test,
+       |  CAST(n_train AS DOUBLE) / CAST(tot_train AS DOUBLE) AS p_train,
+       |  CAST(n_test AS DOUBLE) / CAST(tot_test AS DOUBLE) AS p_test,
+       |  abs(CAST(n_train AS DOUBLE) / CAST(tot_train AS DOUBLE)
+       |    - CAST(n_test AS DOUBLE) / CAST(tot_test AS DOUBLE)) AS drift
+       |FROM b CROSS JOIN t""".stripMargin
+
+  /** p10: training-batch packing — the deterministic global shuffle
+    * order (p04's two-pass GlobalOrder plan: no single-partition sort)
+    * chopped into fixed-size batches, with the per-batch composition
+    * stats (docs, distinct langs, char volume) a data-loader audits for
+    * balance before training. Batch membership is a pure function of the
+    * md5 order, so re-runs pack identical batches — the reproducibility
+    * requirement for resumable training.
+    */
+  private val BatchSize = 64
+
+  private def p10(s: SparkSession, dir: String): DataFrame =
+    GlobalOrder.withGlobalRowNumber(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+      "pos")._1
+      .select(expr(s"(pos - 1) DIV $BatchSize").as("batch_id"),
+        col("lang"), col("n_chars"))
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"))
+
+  private val p10Sql =
+    s"""SELECT (pos - 1) // $BatchSize AS batch_id,
+       |  count(*) AS n_docs,
+       |  count(DISTINCT lang) AS n_langs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM (SELECT doc_id, lang, n_chars,
+       |        CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+       |      FROM documents)
+       |GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p03_split_assign", p03, Some(p03Sql)),
     QueryDef("p04_shuffle_order", p04, Some(p04Sql)),
     QueryDef("p05_balanced_sample", p05, Some(p05Sql)),
+    QueryDef("p09_split_drift", p09, Some(p09Sql)),
+    QueryDef("p10_batch_pack", p10, Some(p10Sql)),
   )
 }

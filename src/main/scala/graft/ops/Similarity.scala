@@ -440,6 +440,95 @@ object Similarity extends QueryModule {
       |      FROM embeddings)
       |GROUP BY label, i""".stripMargin
 
+  // ---- s07: int8 scalar quantization + quantized search ---------------
+
+  private val QuantMod = 250 // query subset: vec_id % QuantMod == 0
+  private val QuantK   = 5
+
+  /** s07: int8 scalar quantization of the embedding corpus (per-dimension
+    * min/max affine codes 0..255 — the memory-4x compression step before
+    * an ANN index) plus a quantized top-k search for a query batch.
+    *
+    * Determinism: codes come from `floor(affine + 0.5)` — floor is exact
+    * on both engines (no round()-tie hazard, DETERMINISM.md) — and the
+    * quantized dot product is pure INTEGER arithmetic, so scores are
+    * exact whatever the summation order. That is the practical draw of
+    * quantized scoring at 100 TB: bit-reproducible rankings across
+    * engines, retries, and partitionings, which float dots cannot give.
+    *
+    * Scale shape: the stats pass is one 64-row aggregate; quantization is
+    * a map-side projection under a broadcast 1-row stats frame (no
+    * shuffle); the query batch (n/QuantMod rows) broadcasts onto the
+    * corpus so scoring is embarrassingly parallel; only the final
+    * per-query top-k ranks — swap row_number for the TopKNeighbors
+    * Aggregator if the batch is huge.
+    */
+  private def s07(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val stats = base
+      .select(posexplode(col("v")).as(Seq("d0", "x")))
+      .groupBy(col("d0"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("d0"), col("mn"), col("mx")))).as("st"))
+      .select(transform(col("st"), x => x.getField("mn")).as("mns"),
+        transform(col("st"), x => x.getField("mx")).as("mxs"))
+      // 1-row frame consumed by BOTH the corpus and the query-batch
+      // quantization branches; without persist each branch re-runs the
+      // full stats scan+aggregate (no exchange reuse across the two
+      // broadcasts — measured 4 parquet scans, 3 with persist)
+      .persist()
+    val quant = base.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        transform(col("v"), (x, i) => {
+          val mn = element_at(col("mns"), i + lit(1))
+          val mx = element_at(col("mxs"), i + lit(1))
+          when(mx > mn,
+            least(greatest(floor((x - mn) / (mx - mn) * 255 + 0.5), lit(0.0)), lit(255.0)))
+            .otherwise(lit(0.0)).cast("long")
+        }).as("q"))
+    val queries = quant.filter(col("vec_id") % QuantMod === 0)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("vec_id"))
+    quant.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("qa"), col("q"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+          .as("qdot"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= QuantK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("qdot"))
+  }
+
+  /** Oracle: element-level mirror — same min/max stats, same
+    * floor(affine + 0.5) codes, integer dot via a dim join (order-free
+    * because integer addition is exact), same rank tiebreak.
+    */
+  private val s07Sql =
+    s"""WITH elems AS (
+       |  SELECT e.vec_id, x.i AS dim, CAST(e.embedding[x.i] AS DOUBLE) AS x
+       |  FROM embeddings e, LATERAL (SELECT unnest(range(1, ${Dim + 1})) AS i) x),
+       |stats AS (
+       |  SELECT dim, min(x) AS mn, max(x) AS mx FROM elems GROUP BY 1),
+       |q AS (
+       |  SELECT vec_id, dim,
+       |    CASE WHEN mx > mn
+       |      THEN CAST(least(greatest(floor((x - mn) / (mx - mn) * 255 + 0.5), 0), 255) AS BIGINT)
+       |      ELSE 0 END AS qi
+       |  FROM elems JOIN stats USING (dim)),
+       |qs AS (SELECT * FROM q WHERE vec_id % $QuantMod = 0),
+       |dots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, CAST(sum(a.qi * b.qi) AS BIGINT) AS qdot
+       |  FROM qs a JOIN q b USING (dim)
+       |  WHERE a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, vec_id, qdot,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS BIGINT) AS rk
+       |  FROM dots)
+       |SELECT query_id, rk, vec_id, qdot FROM ranked WHERE rk <= $QuantK""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_knn", s01, Some(s01Sql)),
     QueryDef("s02_cosine_neardup", s02, Some(s02Sql)),
@@ -447,5 +536,6 @@ object Similarity extends QueryModule {
     QueryDef("s04_label_centroid", s04, Some(s04Sql)),
     QueryDef("s05_bucketed_neardup", s05, Some(s05Sql)),
     QueryDef("s06_ann_ivf", s06, Some(s06Sql)),
+    QueryDef("s07_quantized_knn", s07, Some(s07Sql)),
   )
 }

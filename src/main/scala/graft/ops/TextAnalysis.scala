@@ -271,6 +271,45 @@ object TextAnalysis extends QueryModule {
        |FROM w LEFT JOIN vc ON w.word = vc.word
        |GROUP BY doc_id""".stripMargin
 
+  /** t10: adjacent token-pair (bigram) counts — the pair-frequency step
+    * a BPE/WordPiece trainer runs each merge iteration (t06 counts the
+    * resulting tokens; this is the statistic that CHOOSES the next
+    * merge). Positions come from the generator (posexplode), pairing is
+    * one partitioned window lead per document, then a partial+final hash
+    * aggregate and a global top-30 (TakeOrderedAndProject, never a full
+    * sort). 100 TB shape: shuffle keys are (doc_id) then (pair) — both
+    * high-cardinality and unskewed after lowercasing.
+    */
+  private val TopPairs = 30
+
+  private def t10(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(filter(split(lower(col("text")), " "), t => length(t) > 0))
+          .as(Seq("i", "tok")))
+      .withColumn("pair", concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w)))
+      .filter(col("pair").isNotNull)
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(TopPairs)
+  }
+
+  private val t10Sql =
+    s"""WITH toks AS (
+       |  SELECT d.doc_id, d.w[x.i] AS tok, x.i
+       |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+       |        FROM documents) d,
+       |    LATERAL (SELECT unnest(range(1, coalesce(len(d.w), 0) + 1)) AS i) x),
+       |pairs AS (
+       |  SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS pair
+       |  FROM toks)
+       |SELECT pair, CAST(count(*) AS BIGINT) AS n
+       |FROM pairs WHERE pair IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, pair LIMIT $TopPairs""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_quality_score", t02, Some(t02Sql)),
@@ -281,5 +320,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("t07_rolling_hash", t07, Some(t07Sql)),
     QueryDef("t08_scrub", t08, Some(t08Sql)),
     QueryDef("t09_vocab_coverage", t09, Some(t09Sql)),
+    QueryDef("t10_bigram_pairs", t10, Some(t10Sql)),
   )
 }

@@ -274,6 +274,49 @@ object EventsQueries extends QueryModule {
       |WHERE nxt IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
 
+  /** e10: top user-journey paths — per (user, day), the first 5 event
+    * types in time order joined into a path string, then the corpus-wide
+    * path frequency top-25 (the "what do sessions look like" rollup).
+    * Ordering inside a group rides on the row_number computed in the
+    * (user_id, day)-partitioned window; the path string is assembled by
+    * sorting the collected (rn, type) structs — deterministic under
+    * partition order and retries, unlike a bare collect_list. One
+    * shuffle on (user_id, day), one on path, then TakeOrderedAndProject.
+    */
+  private val PathLen = 5
+  private val TopPaths = 25
+
+  private def e10(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long")
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), day.as("day"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PathLen)
+      .groupBy(col("user_id"), col("day"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type").as("et")))),
+          x => x.getField("et")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_user_days"))
+      .orderBy(col("n_user_days").desc, col("path"))
+      .limit(TopPaths)
+  }
+
+  private val e10Sql =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, event_type,
+       |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+       |                       ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |paths AS (
+       |  SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM ev WHERE rn <= $PathLen GROUP BY 1, 2)
+       |SELECT path, CAST(count(*) AS BIGINT) AS n_user_days
+       |FROM paths GROUP BY 1 ORDER BY n_user_days DESC, path LIMIT $TopPaths""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("e01_json_extract", e01, Some(e01Sql)),
     QueryDef("e08_funnel", e08, Some(e08Sql)),
@@ -284,5 +327,6 @@ object EventsQueries extends QueryModule {
     QueryDef("e07_retention_cohorts", e07, Some(e07Sql)),
     QueryDef("e04_asof_last_signup", e04, Some(e04Sql)),
     QueryDef("e05_interval_join", e05, Some(e05Sql)),
+    QueryDef("e10_top_paths", e10, Some(e10Sql)),
   )
 }

@@ -1,7 +1,7 @@
 package graft.tools
 
-/** Dumps executed-plan red-flag summaries for the round-2 and round-3
-  * queries — the ".explain and iterate" discipline, kept runnable.
+/** Dumps executed-plan red-flag summaries for the round-2+ queries —
+  * the ".explain and iterate" discipline, kept runnable.
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -12,7 +12,10 @@ object PlanAudit {
       "d03_ngram_jaccard", "d05_simhash", "e05_interval_join", "e06_sliding_window",
       // round 3
       "d07_dedup_clusters", "d08_semantic_dedup", "d09_dup_coverage",
-      "p06_prod_prep_pipeline", "q35_range_frame", "e08_funnel", "m04_record_assembly")
+      "p06_prod_prep_pipeline", "q35_range_frame", "e08_funnel", "m04_record_assembly",
+      // round 4
+      "q39_stats_agg", "q40_recursive_cte", "q41_nested_struct",
+      "t10_bigram_pairs", "e10_top_paths", "p09_split_drift", "s07_quantized_knn")
     for (n <- names) {
       val p = graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val flags = Seq(
