@@ -64,6 +64,11 @@ object Graph {
     *              an empty edge set yields all-singleton labels).
     *              Endpoints must be drawn from `nodes` — an edge id
     *              outside `nodes` would add that id to the output
+    * @param maxRounds bound on total label-propagation HOPS (a batch
+    *                  executes min(hops, remaining) of them, so the
+    *                  budget is never overshot); convergence is only
+    *                  checked at batch boundaries
+    * @param hops propagation steps per checkpoint/convergence barrier
     * @return frame (id, comp): comp = min node id in id's component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50,
@@ -102,7 +107,8 @@ object Graph {
         // neighbors all carry larger labels keeps its own via the
         // least/coalesce.
         var cur = labels.select(col("id"), col("comp").as("prev"), col("comp"))
-        for (h <- 0 until hops) {
+        val batch = math.min(hops, maxRounds - round)
+        for (h <- 0 until batch) {
           // fresh column names per hop: sym appears in cur's lineage
           // after hop 0, so reusing sym("src")/sym("dst") directly would
           // be an ambiguous self-join reference
@@ -121,9 +127,9 @@ object Graph {
         releaseCheckpoint(ckpt)
         ckpt = next
         labels = next.select(col("id"), col("comp"))
-        round += hops
+        round += batch
       }
-      require(changed == 0, s"connectedComponents did not converge in $maxRounds rounds")
+      require(changed == 0, s"connectedComponents did not converge within $maxRounds hops")
       val singletons = nodes.toDF("id")
         .join(endpoints, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("comp"))

@@ -208,9 +208,8 @@ object Profiling extends QueryModule {
       survivors.select(col("doc_id")), nearDupPairs(survivors))
     val reps = survivors.join(
       labels.filter(col("id") === col("comp")).select(col("id").as("doc_id")), "doc_id")
-    val u = Sampling.uhash("split_", col("doc_id"))
     val withSplit = reps.withColumn("split",
-      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+      Sampling.splitOf(Sampling.uhash("split_", col("doc_id"))))
     val splitStages = withSplit
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
@@ -234,8 +233,7 @@ object Profiling extends QueryModule {
        |  SELECT s.doc_id, s.n_tokens FROM survivors s
        |  JOIN cc ON s.doc_id = cc.id AND cc.comp = s.doc_id),
        |spl AS (
-       |  SELECT doc_id, n_tokens,
-       |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+       |  SELECT doc_id, n_tokens, ${Sampling.splitCaseSql} AS split
        |  FROM (SELECT doc_id, n_tokens, ${Sampling.uhashSql("split_", "doc_id")} AS u FROM reps))
        |$stagesSql
        |UNION ALL

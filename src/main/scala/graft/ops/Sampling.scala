@@ -38,18 +38,29 @@ object Sampling extends QueryModule {
     s"""CAST(${OracleSql.hex60(s"'$salt' || $key")} AS DOUBLE)
        |  / 1152921504606846976.0""".stripMargin
 
+  /** THE train/val/test assignment rule, defined once: `u` must be
+    * `uhash("split_", key)` (Scala) / `uhashSql("split_", key)` aliased
+    * `u` (SQL). p03 emits it, p06 (Profiling) and p09 audit it — all
+    * three reference these definitions so a ratio retune cannot leave a
+    * stale copy behind.
+    */
+  private[graft] def splitOf(u: Column): Column =
+    when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test")
+
+  private[graft] val splitCaseSql =
+    "CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END"
+
   /** p03: deterministic 80/10/10 train/val/test split assignment. */
   private def p03(s: SparkSession, dir: String): DataFrame = {
     val u = uhash("split_", col("doc_id"))
     Tables.documents(s, dir).select(
       col("doc_id"),
       u.as("u"),
-      when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+      splitOf(u).as("split"))
   }
 
   private val p03Sql =
-    s"""SELECT doc_id, u,
-       |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+    s"""SELECT doc_id, u, $splitCaseSql AS split
        |FROM (SELECT doc_id, ${uhashSql("split_", "doc_id")} AS u FROM documents)""".stripMargin
 
   /** p04: deterministic global shuffle order — the "randomize example
@@ -109,7 +120,7 @@ object Sampling extends QueryModule {
   private def p09(s: SparkSession, dir: String): DataFrame = {
     val u = uhash("split_", col("doc_id"))
     val byLang = Tables.documents(s, dir)
-      .select(col("lang"), when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").as("split"))
+      .select(col("lang"), splitOf(u).as("split"))
       .filter(col("split") =!= "val")
       .groupBy(col("lang"))
       .agg(
@@ -126,15 +137,14 @@ object Sampling extends QueryModule {
   }
 
   private val p09Sql =
-    s"""WITH s AS (
-       |  SELECT lang,
-       |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+    s"""WITH spl AS (
+       |  SELECT lang, $splitCaseSql AS split
        |  FROM (SELECT lang, doc_id, ${uhashSql("split_", "doc_id")} AS u FROM documents)),
        |b AS (
        |  SELECT lang,
        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
-       |  FROM s WHERE split <> 'val' GROUP BY 1),
+       |  FROM spl WHERE split <> 'val' GROUP BY 1),
        |t AS (SELECT CAST(sum(n_train) AS BIGINT) AS tot_train,
        |             CAST(sum(n_test) AS BIGINT) AS tot_test FROM b)
        |SELECT lang, n_train, n_test,

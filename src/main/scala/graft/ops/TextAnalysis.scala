@@ -282,20 +282,26 @@ object TextAnalysis extends QueryModule {
     */
   private val TopPairs = 30
 
-  private def t10(s: SparkSession, dir: String): DataFrame = {
+  /** Full (pre-limit) bigram pair counts — exposed so Round4Spec can
+    * check the pairing identity Σn == Σ_docs max(tokens−1, 0) against
+    * t01's independent token counts (a dropped or doubled pair per doc
+    * would survive any ordering-only assertion on the top-k).
+    */
+  private[graft] def bigramPairs(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("i"))
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        posexplode(filter(split(lower(col("text")), " "), t => length(t) > 0))
-          .as(Seq("i", "tok")))
+      .select(col("doc_id"), posexplode(toks(lower(col("text")))).as(Seq("i", "tok")))
       .withColumn("pair", concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w)))
       .filter(col("pair").isNotNull)
       .groupBy(col("pair"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  private def t10(s: SparkSession, dir: String): DataFrame =
+    bigramPairs(s, dir)
       .orderBy(col("n").desc, col("pair"))
       .limit(TopPairs)
-  }
 
   private val t10Sql =
     s"""WITH toks AS (

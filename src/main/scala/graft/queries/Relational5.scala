@@ -12,16 +12,27 @@ object Relational5 extends QueryModule {
 
   private val D = DecimalType(18, 2)
 
-  /** q39: statistical aggregates per return flag.
+  /** q39: statistical aggregates per return flag — correlation, sample
+    * stddev, sample covariance, population variance, regression slope.
     *
-    * Determinism split (docs/DETERMINISM.md): `corr`/`stddev_samp` are
-    * irrational (sqrt) so a 6-dp round is tie-safe; the rational moments
-    * (covariance, variance, regression slope) are computed from EXACT
-    * decimal power sums cast to double — a fixed IEEE expression tree
-    * over identical inputs, bit-identical across engines with NO
-    * rounding. StatsAggSpec pins the built-in covar_samp/var_pop/
-    * regr_slope to these manual forms, so the built-ins are covered even
-    * though the oracle hashes the deterministic formulas.
+    * Every moment is computed from EXACT decimal power sums cast to
+    * double and combined in a fixed IEEE expression tree (sqrt is
+    * correctly rounded on both engines), so all five values are
+    * bit-identical across engines with NO rounding anywhere — the gate
+    * stays exact-by-construction (docs/DETERMINISM.md; a first cut used
+    * round(corr(...), 6), which reintroduces merge-order-dependent
+    * double aggregation and the round()-tie hazard). Round4Spec pins the
+    * built-in corr/stddev_samp/covar_samp/var_pop/regr_slope to these
+    * manual forms, so the built-in surface is covered even though the
+    * oracle hashes the deterministic formulas.
+    *
+    * Magnitude guard: a DECIMAL(38,s) → DOUBLE cast is only correctly
+    * rounded in DuckDB while the SCALED integer fits 2^53 (above that
+    * its double(int128)/double(10^s) double-rounds — measured at
+    * sf0.001), so the two sums whose scaled values can exceed it
+    * (Σ qty·price, Σ price²) go through floor() to DECIMAL(38,0) first:
+    * floor is tie-free and exact on both engines, and the value range
+    * then stays within 2^53 through sf1.
     *
     * Scale shape: one partial+final hash aggregate over lineitem — every
     * moment is algebraic (sum-shaped), so map-side combine applies.
@@ -34,38 +45,42 @@ object Relational5 extends QueryModule {
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
-        round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
-        sum(x * y).as("sxy"), sum(x * p).as("sxp"),
+        sum(x * y).as("sxy"), floor(sum(x * p)).as("sxp"),
         sum(x).as("sx"), sum(y).as("sy"), sum(p).as("sp"),
-        sum(x * x).as("sx2"))
+        sum(x * x).as("sx2"), sum(y * y).as("sy2"), floor(sum(p * p)).as("sp2"))
     val n = col("n").cast("double")
-    val (sxy, sxp, sx, sy, sp, sx2) =
+    val (sxy, sxp, sx, sy, sp, sx2, sy2, sp2) =
       (col("sxy").cast("double"), col("sxp").cast("double"), col("sx").cast("double"),
-        col("sy").cast("double"), col("sp").cast("double"), col("sx2").cast("double"))
+        col("sy").cast("double"), col("sp").cast("double"), col("sx2").cast("double"),
+        col("sy2").cast("double"), col("sp2").cast("double"))
     agg.select(
-      col("l_returnflag"), col("n"), col("corr_qp"), col("sd_disc"),
+      col("l_returnflag"), col("n"),
+      ((n * sxp - sx * sp) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sp2 - sp * sp)))
+        .as("corr_qp"),
+      sqrt((sy2 - sy * sy / n) / (n - lit(1.0))).as("sd_disc"),
       ((sxy - sx * sy / n) / (n - lit(1.0))).as("cov_qd"),
       ((sx2 - sx * sx / n) / n).as("var_qty"),
       ((n * sxp - sx * sp) / (n * sx2 - sx * sx)).as("slope_pq"))
   }
 
   private val q39Sql =
-    """SELECT l_returnflag, n, corr_qp, sd_disc,
+    """SELECT l_returnflag, n,
+      |  (n * sxp - sx * sp) / (sqrt(n * sx2 - sx * sx) * sqrt(n * sp2 - sp * sp)) AS corr_qp,
+      |  sqrt((sy2 - sy * sy / n) / (n - 1.0)) AS sd_disc,
       |  (sxy - sx * sy / n) / (n - 1.0) AS cov_qd,
       |  (sx2 - sx * sx / n) / n AS var_qty,
       |  (n * sxp - sx * sp) / (n * sx2 - sx * sx) AS slope_pq
       |FROM (
       |  SELECT l_returnflag,
       |    count(*) AS n,
-      |    round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
-      |    round(stddev_samp(l_discount), 6) AS sd_disc,
       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxp,
+      |    CAST(floor(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))) AS DOUBLE) AS sxp,
       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
       |    CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+      |    CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy2,
+      |    CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)))) AS DOUBLE) AS sp2
       |  FROM lineitem GROUP BY 1)""".stripMargin
   // n appears as DOUBLE in the outer arithmetic in both engines: Spark
   // casts explicitly; DuckDB promotes BIGINT n to double on first use
@@ -184,10 +199,42 @@ object Relational5 extends QueryModule {
       |  FROM orders)
       |WHERE rn = 1""".stripMargin
 
+  /** q43: ANSI error-handling surface — `try_divide`/`try_cast` turn
+    * ANSI runtime errors (divide-by-zero, bad casts) into NULLs, the
+    * ingest-robustness idiom under Spark 4's ANSI-on default. The
+    * DuckDB mirror encodes the SAME null semantics with guards
+    * (TRY_CAST exists there; try_divide does not), so the oracle pins
+    * exactly when each expression nulls. min() over the guarded ratio
+    * is an exact selection of single-IEEE-op values — deterministic
+    * without rounding. One partial+final hash aggregate.
+    */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(try_divide(col("l_extendedprice"), col("l_quantity") - lit(25.0)))
+          .as("n_div_ok"),
+        count(col("l_returnflag").try_cast("int")).as("n_flag_int"),
+        sum(col("l_linenumber").cast("string").try_cast("bigint")).as("sum_ln"),
+        min(try_divide(col("l_extendedprice"), col("l_quantity") - lit(25.0)))
+          .as("min_ratio"))
+
+  private val q43Sql =
+    """SELECT l_returnflag,
+      |  count(*) AS n,
+      |  count(CASE WHEN l_quantity <> 25 THEN 1 END) AS n_div_ok,
+      |  count(TRY_CAST(l_returnflag AS INTEGER)) AS n_flag_int,
+      |  CAST(sum(TRY_CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT)) AS BIGINT) AS sum_ln,
+      |  min(CASE WHEN l_quantity <> 25
+      |        THEN l_extendedprice / (l_quantity - 25.0) END) AS min_ratio
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q39_stats_agg", q39, Some(q39Sql)),
     QueryDef("q40_recursive_cte", q40, Some(q40Sql)),
     QueryDef("q41_nested_struct", q41, Some(q41Sql)),
     QueryDef("q42_changelog_compact", q42, Some(q42Sql)),
+    QueryDef("q43_try_funcs", q43, Some(q43Sql)),
   )
 }
