@@ -54,6 +54,10 @@ object Bench {
         .agg(sum("s")).collect() // higher-order-function interpreter
       kv.selectExpr("explode(split(repeat('a b ', 5), ' ')) AS t")
         .groupBy("t").count().collect() // Generate (explode)
+      kv.selectExpr(
+        "try_divide(cast(v AS double), cast(k AS double) - 1.0) AS d",
+        "try_cast(cast(v AS string) AS bigint) AS c")
+        .agg(count("d"), sum("c")).collect() // ANSI try_* eval paths (q43)
       val c = kv.persist(); c.count(); c.unpersist(true) // InMemoryRelation
       // localCheckpoint + the label-propagation join/agg loop (d07/d08/p06)
       graft.ops.Graph.connectedComponents(

@@ -207,18 +207,34 @@ object Relational5 extends QueryModule {
     * exactly when each expression nulls. min() over the guarded ratio
     * is an exact selection of single-IEEE-op values — deterministic
     * without rounding. One partial+final hash aggregate.
+    *
+    * Scale lesson (measured): try_*'s CATCH path materializes a Spark
+    * error per failing row — a naked try_divide with a 1.9% zero-divisor
+    * rate plus an always-failing try_cast ran ~5 s for 600k rows at
+    * sf0.1, ~15x the plan's real cost. So expected error classes are
+    * guarded to null BY CONSTRUCTION (nullif for the divisor, a regex
+    * gate for the cast) and try_* stays what it should be at 100 TB:
+    * the safety net for the unexpected residue, not a per-row control-
+    * flow mechanism.
     */
   private def q43(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
+      .select(
+        col("l_returnflag"),
+        try_divide(col("l_extendedprice"), nullif(col("l_quantity") - lit(25.0), lit(0.0)))
+          .as("ratio"),
+        // gate: only strings that LOOK integral reach the cast; the rest
+        // are null without exercising the error machinery per row
+        when(col("l_returnflag").rlike("^-?[0-9]+$"), col("l_returnflag"))
+          .try_cast("int").as("flag_int"),
+        col("l_linenumber").cast("string").try_cast("bigint").as("ln"))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        count(try_divide(col("l_extendedprice"), col("l_quantity") - lit(25.0)))
-          .as("n_div_ok"),
-        count(col("l_returnflag").try_cast("int")).as("n_flag_int"),
-        sum(col("l_linenumber").cast("string").try_cast("bigint")).as("sum_ln"),
-        min(try_divide(col("l_extendedprice"), col("l_quantity") - lit(25.0)))
-          .as("min_ratio"))
+        count(col("ratio")).as("n_div_ok"),
+        count(col("flag_int")).as("n_flag_int"),
+        sum(col("ln")).as("sum_ln"),
+        min(col("ratio")).as("min_ratio"))
 
   private val q43Sql =
     """SELECT l_returnflag,
