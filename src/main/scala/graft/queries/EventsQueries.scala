@@ -286,11 +286,15 @@ object EventsQueries extends QueryModule {
   private val PathLen = 5
   private val TopPaths = 25
 
-  private def e10(s: SparkSession, dir: String): DataFrame = {
+  /** The per-(user, day) path stage of e10 over an events frame —
+    * exposed so the streaming twin's spec can compare its watermark-
+    * finalized paths against this batch formula key by key.
+    */
+  private[graft] def userDayPaths(ev: DataFrame): DataFrame = {
     val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long")
     val w = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts_us"), col("event_id"))
-    events(s, dir)
+    ev
       .select(col("user_id"), day.as("day"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .withColumn("rn", row_number().over(w))
@@ -299,11 +303,14 @@ object EventsQueries extends QueryModule {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("rn"), col("event_type").as("et")))),
           x => x.getField("et")), ">").as("path"))
+  }
+
+  private def e10(s: SparkSession, dir: String): DataFrame =
+    userDayPaths(events(s, dir))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_user_days"))
       .orderBy(col("n_user_days").desc, col("path"))
       .limit(TopPaths)
-  }
 
   private val e10Sql =
     s"""WITH ev AS (

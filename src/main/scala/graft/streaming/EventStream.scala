@@ -212,6 +212,59 @@ object EventStream {
       }
   }
 
+  case class PathEv(user_id: Long, day: Long, event_id: Long,
+                    event_type: String, ts_us: Long, ts: java.sql.Timestamp)
+  case class PathOut(user_id: Long, day: Long, path: String)
+
+  /** Streaming twin of e10's per-(user, day) path stage: the first
+    * `pathLen` event types of each user-day, FINALIZED by the watermark.
+    *
+    * State per open (user, day) key is the bounded min-`pathLen` prefix
+    * under (ts, event_id) — merging each batch keeps only the smallest
+    * `pathLen` entries, so state is O(pathLen) per key no matter how many
+    * events the day has, and an out-of-order event that belongs in the
+    * prefix still displaces the right entry as long as it arrives before
+    * the day closes. The path is emitted exactly once, when the event-
+    * time timeout fires after the watermark passes the END of the day —
+    * the point where the prefix can no longer change (in-watermark data
+    * for that day is complete by definition); the state is then removed,
+    * so closed days hold zero state. The downstream top-k (e10's second
+    * stage) is a plain aggregation any sink-side batch query runs over
+    * the emitted paths.
+    */
+  def dailyPaths(spark: SparkSession, events: DataFrame, pathLen: Int = 5): Dataset[PathOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("day"),
+        col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PathEv]
+      .groupByKey(e => (e.user_id, e.day))
+      .flatMapGroupsWithState[Vector[(Long, Long, String)], PathOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, day), it: Iterator[PathEv], state: GroupState[Vector[(Long, Long, String)]]) =>
+          if (state.hasTimedOut) {
+            val prefix = state.get
+            state.remove()
+            Iterator.single(PathOut(user, day, prefix.map(_._3).mkString(">")))
+          } else {
+            val merged =
+              (state.getOption.getOrElse(Vector.empty) ++
+                it.map(e => (e.ts_us, e.event_id, e.event_type)))
+                .sortBy(t => (t._1, t._2))
+                .take(pathLen)
+            state.update(merged)
+            // fire when the watermark passes the day boundary; the max()
+            // guard keeps the timestamp legal if this batch's events are
+            // already behind the current watermark (cross-day replay)
+            state.setTimeoutTimestamp(
+              math.max((day + 1) * 86400000L, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Flush helper for tests/finite streams: emit still-open sessions from
     * the final state by running the same gap rule over a batch view.
     * (On an unbounded stream these would emit via timeout instead.)

@@ -208,4 +208,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
     assert(got === want)
   }
+
+  test("streaming daily paths (e10 twin) finalize exactly the watermark-closed days") {
+    val stream = EventStream.dailyPaths(spark, EventStream.readEvents(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("paths_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("paths_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    // gold: e10's batch per-(user, day) path stage, restricted to days the
+    // final watermark strictly passed (timeout fires on watermark > end of
+    // day; later days are legitimately still open at stream end)
+    val wmMs = graft.core.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000
+    val want = graft.queries.EventsQueries
+      .userDayPaths(graft.core.Tables.events(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .filter(t => (t._2 + 1) * 86400000L < wmMs)
+      .toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
 }
