@@ -283,15 +283,22 @@ object EventsQueries extends QueryModule {
     * partition order and retries, unlike a bare collect_list. One
     * shuffle on (user_id, day), one on path, then TakeOrderedAndProject.
     */
-  private val PathLen = 5
+  private[graft] val PathLen = 5
   private val TopPaths = 25
+
+  /** Session-timezone epoch-day of an event timestamp — THE day rule,
+    * shared by e10's batch stage and the streaming twin (EventStream
+    * .dailyPaths) so the two can never drift apart.
+    */
+  private[graft] def epochDay(ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    datediff(to_date(ts), lit("1970-01-01").cast("date")).cast("long")
 
   /** The per-(user, day) path stage of e10 over an events frame —
     * exposed so the streaming twin's spec can compare its watermark-
     * finalized paths against this batch formula key by key.
     */
   private[graft] def userDayPaths(ev: DataFrame): DataFrame = {
-    val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long")
+    val day = epochDay(col("ts"))
     val w = Window.partitionBy(col("user_id"), col("day"))
       .orderBy(col("ts_us"), col("event_id"))
     ev

@@ -224,7 +224,10 @@ object Relational5 extends QueryModule {
         try_divide(col("l_extendedprice"), nullif(col("l_quantity") - lit(25.0), lit(0.0)))
           .as("ratio"),
         // gate: only strings that LOOK integral reach the cast; the rest
-        // are null without exercising the error machinery per row
+        // are null without exercising the error machinery per row. The
+        // oracle mirrors the SAME regex gate (not a naked TRY_CAST) so
+        // the null rule stays pinned even for signed/padded/fractional
+        // strings the two engines' bare casts treat differently
         when(col("l_returnflag").rlike("^-?[0-9]+$"), col("l_returnflag"))
           .try_cast("int").as("flag_int"),
         col("l_linenumber").cast("string").try_cast("bigint").as("ln"))
@@ -240,7 +243,8 @@ object Relational5 extends QueryModule {
     """SELECT l_returnflag,
       |  count(*) AS n,
       |  count(CASE WHEN l_quantity <> 25 THEN 1 END) AS n_div_ok,
-      |  count(TRY_CAST(l_returnflag AS INTEGER)) AS n_flag_int,
+      |  count(TRY_CAST(CASE WHEN regexp_matches(l_returnflag, '^-?[0-9]+$')
+      |                      THEN l_returnflag END AS INTEGER)) AS n_flag_int,
       |  CAST(sum(TRY_CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT)) AS BIGINT) AS sum_ln,
       |  min(CASE WHEN l_quantity <> 25
       |        THEN l_extendedprice / (l_quantity - 25.0) END) AS min_ratio

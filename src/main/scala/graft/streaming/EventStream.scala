@@ -232,12 +232,19 @@ object EventStream {
     * stage) is a plain aggregation any sink-side batch query runs over
     * the emitted paths.
     */
-  def dailyPaths(spark: SparkSession, events: DataFrame, pathLen: Int = 5): Dataset[PathOut] = {
+  def dailyPaths(spark: SparkSession, events: DataFrame,
+                 pathLen: Int = graft.queries.EventsQueries.PathLen): Dataset[PathOut] = {
     import spark.implicits._
+    // day boundaries follow the SESSION timezone (same rule as the batch
+    // twin, EventsQueries.epochDay); capture the zone at plan time so the
+    // timeout below closes a day at ITS midnight, not UTC's — under a
+    // non-UTC session a UTC-fixed (day+1)*86400000 would fire hours early,
+    // truncating paths and double-emitting keys
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     events
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"),
-        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("day"),
+        graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
         col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"), col("ts"))
       .as[PathEv]
       .groupByKey(e => (e.user_id, e.day))
@@ -255,11 +262,13 @@ object EventStream {
                 .sortBy(t => (t._1, t._2))
                 .take(pathLen)
             state.update(merged)
-            // fire when the watermark passes the day boundary; the max()
-            // guard keeps the timestamp legal if this batch's events are
-            // already behind the current watermark (cross-day replay)
+            // fire when the watermark passes the day boundary (in the
+            // session zone); the max() guard keeps the timestamp legal if
+            // this batch's events are already behind the current watermark
+            val dayEndMs = java.time.LocalDate.ofEpochDay(day + 1)
+              .atStartOfDay(zone).toInstant.toEpochMilli
             state.setTimeoutTimestamp(
-              math.max((day + 1) * 86400000L, state.getCurrentWatermarkMs() + 1))
+              math.max(dayEndMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

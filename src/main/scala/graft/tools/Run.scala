@@ -27,10 +27,11 @@ object Run {
     })
     val spark = graft.core.Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
     spark.sparkContext.setLogLevel("WARN")
-    val df = fn(spark, dir)
+    val df = fn(spark, dir).persist() // show + count: one execution
     if (args.contains("--explain")) df.explain("formatted")
     df.show(50, truncate = false)
     println(s"[run] $name: ${df.count()} rows")
+    df.unpersist()
     spark.stop()
   }
 }
