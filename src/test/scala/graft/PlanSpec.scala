@@ -87,6 +87,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q40: recursion lowers to UnionLoop, the spine join broadcasts, one shuffle total") {
+    val p = plan("q40_recursive_cte")
+    assert(p.contains("UnionLoop"), "WITH RECURSIVE must plan as UnionLoop")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "the 84-row month spine must broadcast onto orders")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "only the final month aggregation may shuffle")
+  }
+
+  test("q42: both window functions ride ONE shuffle on the compaction key") {
+    val p = plan("q42_changelog_compact")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "row_number and the version count must share the o_custkey exchange")
+  }
+
+  test("t10/e10: per-doc pairing and path assembly reuse partitioning; top-k never global-sorts") {
+    for (q <- Seq("t10_bigram_pairs", "e10_top_paths")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q top-k must not global-sort")
+      assert(!p.contains("Exchange rangepartitioning"), s"$q must not range-shuffle")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+        s"$q: window exchange + final aggregation exchange only " +
+          "(the groupBy over the window's keys reuses its partitioning)")
+    }
+  }
+
   test("scale-lint rule flags global windows and cartesian joins, passes clean plans") {
     import org.apache.spark.sql.expressions.{Window => W}
     import org.apache.spark.sql.functions._
