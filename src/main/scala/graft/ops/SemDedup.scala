@@ -2,8 +2,7 @@ package graft.ops
 
 import graft.core.Tables
 import graft.queries.{QueryDef, QueryModule}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** d08: semantic (embedding-space) dedup, SemDeDup-style (Abbas et al.
@@ -19,34 +18,62 @@ import org.apache.spark.sql.functions._
   * the WHOLE pipeline structurally — cells, pairs, clusters — with no
   * data-dependent recall assumption.
   *
-  * 100 TB shape: assignment is a map-side broadcast argmax (no
-  * shuffle); the candidate join shuffles on the cell id with per-cell
-  * fanout (n/K)² where K scales with corpus size (SemDeDup uses
-  * K ~ n/10k); fat vectors never ride the candidate shuffle.
+  * 100 TB shape: the cell count K SCALES WITH THE CORPUS
+  * (max(MinCells, ceil(n / TargetCellRows)), from one cheap count) so
+  * per-cell candidate fanout stays ~TargetCellRows² however large the
+  * corpus grows — SemDeDup's K ~ n/10k at paper scale, n/64 here so the
+  * test corpora exercise multi-cell behavior. Assignment is a map-side
+  * argmax over a BROADCAST single-row centroid array — no window, no
+  * exchange (PlanSpec asserts the stage is shuffle-free); the candidate
+  * join shuffles on the cell id; fat vectors never ride the candidate
+  * shuffle.
   */
 object SemDedup extends QueryModule {
 
-  private val Cells     = 16
-  private val Threshold = 0.4
+  private val MinCells       = 16
+  private val TargetCellRows = 64
+  private val Threshold      = 0.4
 
-  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+  private def dot(a: Column, b: Column) =
     graft.functions.VectorFunctions.vec_dot(a, b)
+
+  /** Deterministic corpus-scaled cell count (mirrored in the oracle). */
+  private[graft] def cellCount(n: Long): Int =
+    math.max(MinCells.toLong, (n + TargetCellRows - 1) / TargetCellRows).toInt
+
+  /** Map-side cell assignment: centroids collapse to ONE row holding a
+    * cid-sorted array of (cid, cv, cnrm) structs, broadcast to every
+    * task; the per-row argmax is a fold over that array with the same
+    * (csim DESC, cid ASC) tiebreak as the oracle's window (strict `>`
+    * over the cid-ascending array keeps the smallest cid on ties). The
+    * stage's plan is scan → broadcast join → project: zero exchanges.
+    */
+  private[graft] def assignStage(base: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv"), col("cnrm")))).as("cells"))
+    base.crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        aggregate(col("cells"),
+          struct(lit(Double.NegativeInfinity).as("bs"), lit(Long.MaxValue).as("bc")),
+          (acc, c) => {
+            val sim = dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cnrm"))
+            when(sim > acc.getField("bs"),
+              struct(sim.as("bs"), c.getField("cid").as("bc"))).otherwise(acc)
+          },
+          acc => acc.getField("bc")).as("cell"))
+  }
 
   private def d08(s: SparkSession, dir: String): DataFrame = {
     val base = Similarity.vecs(s, dir).persist()
-    val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(Cells)
+    // one count() drives K — the only driver action; deterministic, so
+    // the oracle can rebuild the same K from its own count(*)
+    val cells = cellCount(base.count())
+    val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val assign = base.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        (dot(col("v"), col("cv")) / (col("nrm") * col("cnrm"))).as("csim"))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-      // persisted: the in-cell self-join instantiates this subtree for
-      // BOTH sides — uncached, the centroid crossJoin + argmax window
-      // would run twice
-      .persist()
+    // persisted: the in-cell self-join instantiates this subtree for
+    // BOTH sides — uncached, the scan + broadcast argmax would run twice
+    val assign = assignStage(base, cents).persist()
     // narrow in-cell candidate pairs (ids only), vectors joined back once
     val cand = assign.as("a").join(assign.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -64,14 +91,18 @@ object SemDedup extends QueryModule {
         (col("id") === col("comp")).cast("long").as("kept"))
   }
 
-  /** Full structural mirror: same centroids, same argmax tiebreak, same
-    * in-cell pairs, transitive closure via recursive CTE.
+  /** Full structural mirror: same corpus-scaled K, same centroids, same
+    * argmax tiebreak, same in-cell pairs, transitive closure via
+    * recursive CTE.
     */
   private val d08Sql =
     s"""WITH RECURSIVE ${Similarity.oracleVecs},
        |c AS (
-       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $Cells),
+       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM (
+       |    SELECT n.*, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS crk
+       |    FROM n)
+       |  WHERE crk <= greatest($MinCells,
+       |    ((SELECT count(*) FROM embeddings) + ${TargetCellRows - 1}) // $TargetCellRows)),
        |sims AS (
        |  SELECT n.vec_id, c.cid,
        |    list_sum(list_transform(range(1, ${Similarity.Dim + 1}), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS csim

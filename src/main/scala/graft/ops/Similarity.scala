@@ -442,8 +442,8 @@ object Similarity extends QueryModule {
 
   // ---- s07: int8 scalar quantization + quantized search ---------------
 
-  private val QuantMod = 250 // query subset: vec_id % QuantMod == 0
-  private val QuantK   = 5
+  private val QuantQueries = 24 // fixed-size query batch (md5-order sample)
+  private val QuantK       = 5
 
   /** s07: int8 scalar quantization of the embedding corpus (per-dimension
     * min/max affine codes 0..255 — the memory-4x compression step before
@@ -458,10 +458,14 @@ object Similarity extends QueryModule {
     *
     * Scale shape: the stats pass is one 64-row aggregate; quantization is
     * a map-side projection under a broadcast 1-row stats frame (no
-    * shuffle); the query batch (n/QuantMod rows) broadcasts onto the
-    * corpus so scoring is embarrassingly parallel; only the final
-    * per-query top-k ranks — swap row_number for the TopKNeighbors
-    * Aggregator if the batch is huge.
+    * shuffle); the query batch is a FIXED-SIZE deterministic md5-order
+    * sample (`QuantQueries` rows — the stand-in for the external query
+    * set a real deployment supplies), so the broadcast side is O(k)
+    * however large the corpus grows — a corpus-proportional batch here
+    * (e.g. `vec_id % m`) would broadcast a corpus-sized fraction at
+    * 100 TB. Scoring under the broadcast is embarrassingly parallel;
+    * only the final per-query top-k ranks — swap row_number for the
+    * TopKNeighbors Aggregator if the batch is huge.
     */
   private def s07(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir)
@@ -488,7 +492,11 @@ object Similarity extends QueryModule {
             least(greatest(floor((x - mn) / (mx - mn) * 255 + 0.5), lit(0.0)), lit(255.0)))
             .otherwise(lit(0.0)).cast("long")
         }).as("q"))
-    val queries = quant.filter(col("vec_id") % QuantMod === 0)
+    // O(k) query batch: GlobalLimit caps the broadcast side by
+    // construction (PlanSpec asserts the limit sits under the broadcast)
+    val qids = base.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string"))).limit(QuantQueries)
+    val queries = quant.join(broadcast(qids), "vec_id")
       .select(col("vec_id").as("query_id"), col("q").as("qa"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("vec_id"))
     quant.crossJoin(broadcast(queries))
@@ -517,7 +525,9 @@ object Similarity extends QueryModule {
        |      THEN CAST(least(greatest(floor((x - mn) / (mx - mn) * 255 + 0.5), 0), 255) AS BIGINT)
        |      ELSE 0 END AS qi
        |  FROM elems JOIN stats USING (dim)),
-       |qs AS (SELECT * FROM q WHERE vec_id % $QuantMod = 0),
+       |qs AS (SELECT * FROM q WHERE vec_id IN (
+       |  SELECT vec_id FROM embeddings
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $QuantQueries)),
        |dots AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, CAST(sum(a.qi * b.qi) AS BIGINT) AS qdot
        |  FROM qs a JOIN q b USING (dim)

@@ -113,17 +113,48 @@ object Relational3 extends QueryModule {
   /** q25: sketch aggregates — HyperLogLog++ distinct counts and an
     * approximate quantile, the 100 TB replacements for exact distinct /
     * exact percentile (docs/SCALE.md). Sketch internals differ across
-    * engines, so there is no DuckDB equality oracle — the driver records
-    * rows>0 and QuerySmokeSpec + OpsSpec bound the error vs the exact
-    * answers.
+    * engines, so the raw approx values cannot be equality-checked; what
+    * CAN be checked exactly is the sketch's error CONTRACT. The query
+    * therefore emits the exact answers plus `*_within_bound` booleans
+    * (|approx − exact| ≤ bound, computed inside Spark), and the DuckDB
+    * oracle emits the same exact answers with literal TRUE bounds — the
+    * hash gate then verifies both the exact sides and that every sketch
+    * honored its bound. Bounds: 15% relative for HLL (3× the default
+    * rsd=0.05) and the exact p45..p55 value band for the median sketch
+    * (accuracy=1000 guarantees 0.1% rank error, 50× tighter). The exact
+    * columns are gate instrumentation — at 100 TB the sketches are the
+    * answer and the exact sides drop away (exact percentile's scale path
+    * is q26's two-pass GlobalOrder, not the sort-based percentile()
+    * aggregate used here).
     */
   private def q25(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"))
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_suppkey")).as("asup"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+        expr("percentile(l_extendedprice, 0.45)").as("plo"),
+        expr("percentile(l_extendedprice, 0.55)").as("phi"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.15)
+          .as("parts_within_bound"),
+        (abs(col("asup") - col("exact_supps")) <= col("exact_supps") * 0.15)
+          .as("supps_within_bound"),
+        (col("am") >= col("plo") && col("am") <= col("phi"))
+          .as("median_within_bound"))
+
+  private val q25Sql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_suppkey) AS exact_supps,
+      |  TRUE AS parts_within_bound,
+      |  TRUE AS supps_within_bound,
+      |  TRUE AS median_within_bound
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
 
   /** q26: EXACT percentiles (nearest-rank p25/p50/p75) at scale — the
     * exact counterpart to q25's sketches, built on the same two-pass
@@ -307,7 +338,7 @@ object Relational3 extends QueryModule {
     QueryDef("q22_math_funcs", q22, Some(q22Sql)),
     QueryDef("q23_pivot", q23, Some(q23Sql)),
     QueryDef("q24_scalar_subquery", q24, Some(q24Sql)),
-    QueryDef("q25_approx_sketches", q25, None),
+    QueryDef("q25_approx_sketches", q25, Some(q25Sql)),
     QueryDef("q26_exact_percentiles", q26, Some(q26Sql)),
     QueryDef("q27_array_map_funcs", q27, Some(q27Sql)),
     QueryDef("q28_window_suite", q28, Some(q28Sql)),
