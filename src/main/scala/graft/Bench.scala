@@ -1,7 +1,11 @@
 package graft
 
-/** Per-round benchmark main: runs every declared query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+/** Per-round benchmark main: runs every declared query (twice — the
+  * second, steady-state time is the reported number) against
+  * SPARK_GRAFT_SF_DIR, writes the full per-query JSON record to
+  * bench_out.json, prints it, and prints a compact summary JSON line
+  * LAST (the driver captures a bounded stdout tail; the compact line is
+  * what survives truncation).
   *
   * Each query is executed through the `noop` sink so the full projection
   * is computed (a bare .count() lets Catalyst prune away most of the
@@ -66,37 +70,56 @@ object Bench {
       ()
     }
 
+    // Each query executes TWICE and the SECOND (steady-state) time is the
+    // reported number. The generic warmup above cannot cover every
+    // first-use JIT/classload path a query might hit first (round 4
+    // attributed ~20 s of one-time regex/UTF8String compilation to
+    // d02_dedup_normalized: 22.5 s cold vs <1 s steady — verified by a
+    // standalone re-run), and per-query steady-state is the only
+    // attribution that can't be corrupted by alphabetical ordering. The
+    // cold times are kept alongside in the output file, so the warm/cold
+    // delta stays observable per round instead of masquerading as a
+    // plan regression.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (spark.sparkContext.isStopped) spark = newSession()
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      val elapsed = (System.nanoTime() - t0) / 1e9 // before cache cleanup
-      if (!spark.sparkContext.isStopped)
-        spark.sharedState.cacheManager.clearCache() // ops persist() caches
-      name -> (if (ok) elapsed else -1.0)
+      def once(): Double = {
+        if (spark.sparkContext.isStopped) spark = newSession()
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9 // before cache cleanup
+        if (!spark.sparkContext.isStopped)
+          spark.sharedState.cacheManager.clearCache() // ops persist() caches
+        if (ok) elapsed else -1.0
+      }
+      val cold = once()
+      val warm = once()
+      name -> (warm, cold)
     }
     // 3-decimal times: ms resolution is below run-to-run noise, and the
-    // shorter line matters — the driver captures a bounded tail of stdout,
-    // and full-precision doubles pushed the 86-query line past it (r03
-    // "parsed": null came from the line being truncated mid-JSON).
+    // shorter line matters — the driver captures a bounded tail of stdout.
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    def map(sel: ((Double, Double)) => Double) = results
+      .map { case (k, v) => "\"" + k + "\":" + fmt(sel(v)) }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_._1)},"first_run":${map(_._2)},"sf":"$sfDir"}"""
+    // The per-query maps (~5 KB at 97 queries) overflow the bounded
+    // stdout tail the driver captures — all four rounds' BENCH files
+    // show "parsed": null from the line being truncated mid-JSON. So the
+    // full record goes to the output FILE (and to stdout first, for
+    // humans), and a short self-contained summary line prints LAST so
+    // the captured tail always ends in parseable JSON.
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
     // stop BEFORE printing so no late executor/log line lands after the
-    // JSON — the result line should be the last thing on stdout, and it is
-    // also written to a file so consumers never have to fish it out of sbt
-    // log noise.
+    // JSON lines.
     spark.stop()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
-    println(line)
+    println(full)
+    println(compact)
     Console.out.flush()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, Md5Hash31, MinHashSignature, RollingHash, SimHash60, SortedIdPairs, WordShingles}
+import graft.functions.{DotProduct, DotProductLong, Md5Hash31, MinHashSignature, RollingHash, SimHash60, SortedIdPairs, WordShingles}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * get them too:
   *
   *   vec_dot(a, b)                  — codegen'd array<double> dot product
+  *   vec_dot_long(a, b)             — codegen'd array<bigint> dot product
   *   word_shingles(text, n)         — distinct word n-gram shingles
   *   minhash_sig(hashes, k)         — k-permutation MinHash signature
   *   rolling_hash(text)             — polynomial codepoint fingerprint
@@ -36,6 +37,9 @@ object GraftFunctions {
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> { exprs =>
       arity("vec_dot", exprs, 2); DotProduct(exprs(0), exprs(1))
+    },
+    "vec_dot_long" -> { exprs =>
+      arity("vec_dot_long", exprs, 2); DotProductLong(exprs(0), exprs(1))
     },
     "word_shingles" -> { exprs =>
       arity("word_shingles", exprs, 2)

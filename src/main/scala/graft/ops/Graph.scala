@@ -42,13 +42,20 @@ object Graph {
     * cluster with an HDFS checkpoint dir, `checkpoint` is the durable
     * variant).
     *
-    * Rounds needed = max over components of (eccentricity of the min-id
-    * node), i.e. bounded by graph diameter. Dedup cluster graphs are
-    * dense and shallow (near-clique clusters of duplicates), so this
-    * converges in 2-3 rounds regardless of corpus size; for adversarially
-    * long path graphs the O(log n) alternating star algorithms (Kiveris
-    * et al., "Connected Components in MapReduce and Beyond", SoCC'14)
-    * swap in behind the same contract.
+    * Each hop is propagation PLUS a pointer-jump (`comp := min(comp,
+    * comp's own label)` — one extra equi-join on endpoint-sized label
+    * tables), so the distance a min label has traveled at least doubles
+    * per hop: convergence is O(log diameter) hops, not O(diameter) —
+    * the same asymptotics the alternating-star algorithms (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14) buy,
+    * with one join instead of a re-partitioned edge rewrite. A
+    * 10^6-diameter path converges in ~20 hops, inside the default
+    * budget. Dedup cluster graphs are dense and shallow (near-clique
+    * clusters of duplicates) and still converge in 2-3 hops; the jump
+    * is what makes adversarial long-path graphs safe. Labels are always
+    * ids of same-component nodes and decrease monotonically, so the
+    * jump never changes the fixpoint (property-tested against hop
+    * batching in Round4Spec and against a path graph in GraphSpec).
     *
     * Propagation runs `hops` label-exchange steps per materialization:
     * min-label propagation is monotone, so extra hops never change the
@@ -72,7 +79,17 @@ object Graph {
     * @return frame (id, comp): comp = min node id in id's component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50,
-                          hops: Int = 2): DataFrame = {
+                          hops: Int = 2): DataFrame =
+    connectedComponentsWithHops(nodes, edges, maxRounds, hops)._1
+
+  /** [[connectedComponents]] plus the number of propagation hops actually
+    * executed before the fixpoint was observed — the convergence-round
+    * instrument the scale tests assert on (hops grow with log(diameter),
+    * NOT with corpus size).
+    */
+  private[graft] def connectedComponentsWithHops(
+      nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50,
+      hops: Int = 2): (DataFrame, Int) = {
     require(hops >= 1, "hops must be >= 1")
     val e0 = edges.toDF("src", "dst")
     val sym = e0
@@ -117,10 +134,20 @@ object Graph {
             .join(cur, sh(s"_src$h") === cur("id"))
             .groupBy(col(s"_dst$h"))
             .agg(min(col("comp")).as("nmin"))
-          cur = cur
+          val stepped = cur
             .join(nbrMin, cur("id") === nbrMin(s"_dst$h"), "left")
             .select(cur("id"), cur("prev"),
               least(cur("comp"), coalesce(col("nmin"), cur("comp"))).as("comp"))
+          // pointer jump: follow comp to ITS label and take the min —
+          // comp always names a same-component node, so this is safe and
+          // doubles propagation distance (left join: a label may name a
+          // node whose row sits in the same frame, never absent — but
+          // the coalesce keeps the plan total if ids are weird)
+          val lk = stepped.select(col("id").as(s"_jid$h"), col("comp").as(s"_jcomp$h"))
+          cur = stepped
+            .join(lk, stepped("comp") === lk(s"_jid$h"), "left")
+            .select(stepped("id"), stepped("prev"),
+              least(stepped("comp"), coalesce(col(s"_jcomp$h"), stepped("comp"))).as("comp"))
         }
         val next = cur.localCheckpoint()
         changed = next.filter(col("comp") =!= col("prev")).count()
@@ -133,7 +160,7 @@ object Graph {
       val singletons = nodes.toDF("id")
         .join(endpoints, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("comp"))
-      labels.unionAll(singletons).localCheckpoint()
+      (labels.unionAll(singletons).localCheckpoint(), round)
     } finally {
       sym.unpersist()
       endpoints.unpersist()

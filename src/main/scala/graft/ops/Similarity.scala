@@ -502,8 +502,10 @@ object Similarity extends QueryModule {
     quant.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        aggregate(zip_with(col("qa"), col("q"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
-          .as("qdot"))
+        // native codegen integer dot (exact, order-free) — the composed
+        // aggregate(zip_with(...)) form is interpreted and breaks
+        // whole-stage codegen (PlanSpec asserts this stays native)
+        graft.functions.VectorFunctions.vec_dot_long(col("qa"), col("q")).as("qdot"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= QuantK)
       .select(col("query_id"), col("rk"), col("vec_id"), col("qdot"))

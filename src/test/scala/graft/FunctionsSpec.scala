@@ -17,6 +17,16 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got === (4.0 + 10.0 + 18.0))
   }
 
+  test("vec_dot_long matches the composed integer fold and nulls on length mismatch") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT vec_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect()(0).getLong(0)
+    assert(got === 32L)
+    val mism = spark.sql("SELECT vec_dot_long(array(1L), array(1L, 2L)) AS d").collect()(0)
+    assert(mism.isNullAt(0))
+  }
+
   test("word_shingles from SQL: distinct trigrams in order") {
     GraftFunctions.register(spark)
     val got = spark.sql("SELECT word_shingles('a b c d a b c d', 3) AS s")

@@ -33,6 +33,19 @@ class GraphSpec extends AnyFunSuite {
     assert(labels === (1L to n).map(_ -> 1L).toMap)
   }
 
+  test("adversarial diameter: a path FAR longer than the hop budget converges (pointer jump)") {
+    // 300-node path, diameter 299, hop budget 20: plain min-label
+    // propagation would need 299 hops; the per-hop pointer jump makes
+    // propagation distance double per hop, so ~9 hops suffice
+    val n = 300L
+    val labels = Graph.connectedComponents(
+      (1L to n).toDF("id"),
+      (1L until n).map(i => (i, i + 1)).toDF("a", "b"),
+      maxRounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === (1L to n).map(_ -> 1L).toMap)
+  }
+
   test("2k-node random graph matches an in-memory union-find exactly") {
     val rnd = new scala.util.Random(42)
     val n = 2000

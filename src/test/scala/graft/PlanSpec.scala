@@ -216,6 +216,31 @@ class PlanSpec extends AnyFunSuite {
       s"funnel must shuffle once on user_id, not per stage:\n$p")
   }
 
+  test("s07: query batch is limit-bounded under the broadcast; scoring is native integer dot") {
+    val p = plan("s07_quantized_knn")
+    // the ONLY corpus-derived frame that broadcasts must be capped by a
+    // limit (TakeOrderedAndProject = orderBy(md5)+limit) — a
+    // corpus-proportional broadcast side grows with the corpus at 100 TB
+    assert(p.contains("TakeOrderedAndProject"),
+      "query batch must come from a deterministic fixed-size limit")
+    // integer scoring stays on the codegen native expression, not the
+    // interpreted aggregate(zip_with(...)) lambda path
+    assert(p.contains("dotproductlong") || p.contains("DotProductLong"), p.take(500))
+    assert(!p.contains("aggregate(zip_with"), "no interpreted HOF fold in the hot path")
+  }
+
+  test("d08: cell assignment stage is map-side only (broadcast argmax, zero exchanges)") {
+    import org.apache.spark.sql.functions._
+    val base = graft.ops.Similarity.vecs(spark, dir)
+    val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val p = graft.ops.SemDedup.assignStage(base, cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"assignment must not shuffle the corpus:\n$p")
+    assert(!p.contains("Window"), "argmax must be the broadcast-array fold, not a window")
+  }
+
   test("d08/p06: cluster-dedup pipelines contain no cartesian product") {
     for (q <- Seq("d08_semantic_dedup", "p06_prod_prep_pipeline")) {
       // executedPlan forces the CC loop to run; optimized logical plan of
