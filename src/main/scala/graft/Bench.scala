@@ -90,8 +90,15 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9 // before cache cleanup
-        if (!spark.sparkContext.isStopped)
+        if (!spark.sparkContext.isStopped) {
           spark.sharedState.cacheManager.clearCache() // ops persist() caches
+          // localCheckpoint() blocks (the CC ops' returned label tables)
+          // are NOT tracked by the CacheManager — left alone they survive
+          // into the next measured run and crowd the BlockManager (the
+          // round-5 warm>cold inversion). Sweep them at the RDD level.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+        }
         if (ok) elapsed else -1.0
       }
       val cold = once()
@@ -104,18 +111,29 @@ object Bench {
     def map(sel: ((Double, Double)) => Double) = results
       .map { case (k, v) => "\"" + k + "\":" + fmt(sel(v)) }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_._1)},"first_run":${map(_._2)},"sf":"$sfDir"}"""
+    // Leak guard: steady-state slower than first run by >1.5x (and by
+    // more than noise) is the signature of state leaking across runs —
+    // exactly how the round-5 checkpoint leak showed up. Reported in the
+    // JSON so a regression is visible in the round artifact, and loudly
+    // on stderr.
+    val warmExceedsCold = results.collect {
+      case (name, (warm, cold)) if cold > 0 && warm > cold * 1.5 && warm - cold > 1.0 => name
+    }
+    if (warmExceedsCold.nonEmpty)
+      System.err.println(s"[bench] WARM>COLD LEAK SUSPECTS: ${warmExceedsCold.mkString(", ")}")
+    val guard = warmExceedsCold.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_._1)},"first_run":${map(_._2)},"warm_exceeds_cold":$guard,"sf":"$sfDir"}"""
     // The per-query maps (~5 KB at 97 queries) overflow the bounded
     // stdout tail the driver captures — all four rounds' BENCH files
     // show "parsed": null from the line being truncated mid-JSON. So the
     // full record goes to the output FILE (and to stdout first, for
     // humans), and a short self-contained summary line prints LAST so
     // the captured tail always ends in parseable JSON.
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"queries_file":"$out","sf":"$sfDir"}"""
     // stop BEFORE printing so no late executor/log line lands after the
     // JSON lines.
     spark.stop()
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $out: $e") }
     println(full)

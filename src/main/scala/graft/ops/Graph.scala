@@ -42,20 +42,26 @@ object Graph {
     * cluster with an HDFS checkpoint dir, `checkpoint` is the durable
     * variant).
     *
-    * Each hop is propagation PLUS a pointer-jump (`comp := min(comp,
-    * comp's own label)` — one extra equi-join on endpoint-sized label
-    * tables), so the distance a min label has traveled at least doubles
-    * per hop: convergence is O(log diameter) hops, not O(diameter) —
-    * the same asymptotics the alternating-star algorithms (Kiveris et
-    * al., "Connected Components in MapReduce and Beyond", SoCC'14) buy,
-    * with one join instead of a re-partitioned edge rewrite. A
-    * 10^6-diameter path converges in ~20 hops, inside the default
-    * budget. Dedup cluster graphs are dense and shallow (near-clique
-    * clusters of duplicates) and still converge in 2-3 hops; the jump
-    * is what makes adversarial long-path graphs safe. Labels are always
-    * ids of same-component nodes and decrease monotonically, so the
-    * jump never changes the fixpoint (property-tested against hop
-    * batching in Round4Spec and against a path graph in GraphSpec).
+    * Each BARRIER is `hops` propagation steps PLUS one pointer-jump
+    * (`comp := min(comp, comp's own label)` — one extra equi-join on
+    * endpoint-sized label tables), so the distance a min label has
+    * traveled at least doubles per barrier: convergence is
+    * O(log diameter) barriers, not O(diameter) — the same asymptotics
+    * the alternating-star algorithms (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) buy, with one join
+    * instead of a re-partitioned edge rewrite. A 10^6-diameter path
+    * converges in ~40 hops. Dedup cluster graphs are dense and shallow
+    * (near-clique clusters of duplicates) and still converge in one or
+    * two barriers; the jump is what makes adversarial long-path graphs
+    * safe. Labels are always ids of same-component nodes and decrease
+    * monotonically, so the jump never changes the fixpoint
+    * (property-tested against hop batching in Round4Spec and against a
+    * path graph in GraphSpec). Crucially the jump's self-join runs
+    * against the barrier's `localCheckpoint()`ed label table, so both
+    * join sides read materialized blocks — jumping per hop on the
+    * UNPERSISTED frame re-evaluated the whole hop subtree once per
+    * join side and compounded ~4x per hop (the round-5 d07/d10/p06
+    * 3x regression).
     *
     * Propagation runs `hops` label-exchange steps per materialization:
     * min-label propagation is monotone, so extra hops never change the
@@ -134,23 +140,29 @@ object Graph {
             .join(cur, sh(s"_src$h") === cur("id"))
             .groupBy(col(s"_dst$h"))
             .agg(min(col("comp")).as("nmin"))
-          val stepped = cur
+          cur = cur
             .join(nbrMin, cur("id") === nbrMin(s"_dst$h"), "left")
             .select(cur("id"), cur("prev"),
               least(cur("comp"), coalesce(col("nmin"), cur("comp"))).as("comp"))
-          // pointer jump: follow comp to ITS label and take the min —
-          // comp always names a same-component node, so this is safe and
-          // doubles propagation distance (left join: a label may name a
-          // node whose row sits in the same frame, never absent — but
-          // the coalesce keeps the plan total if ids are weird)
-          val lk = stepped.select(col("id").as(s"_jid$h"), col("comp").as(s"_jcomp$h"))
-          cur = stepped
-            .join(lk, stepped("comp") === lk(s"_jid$h"), "left")
-            .select(stepped("id"), stepped("prev"),
-              least(stepped("comp"), coalesce(col(s"_jcomp$h"), stepped("comp"))).as("comp"))
         }
-        val next = cur.localCheckpoint()
+        // materialize the batch, THEN pointer-jump once against the
+        // checkpointed frame: follow comp to ITS label and take the min
+        // — comp always names a same-component node, so this is safe and
+        // doubles propagation distance per barrier. Both sides of the
+        // self-join read the checkpoint's cached blocks, so the jump
+        // costs one endpoint-sized join, never a re-evaluation of the
+        // propagation subtree. (Left join: a label may name a node whose
+        // row sits in the same frame, never absent — but the coalesce
+        // keeps the plan total if ids are weird.)
+        val prop = cur.localCheckpoint()
+        val lk = prop.select(col("id").as("_jid"), col("comp").as("_jcomp"))
+        val next = prop
+          .join(lk, prop("comp") === lk("_jid"), "left")
+          .select(prop("id"), prop("prev"),
+            least(prop("comp"), coalesce(col("_jcomp"), prop("comp"))).as("comp"))
+          .localCheckpoint()
         changed = next.filter(col("comp") =!= col("prev")).count()
+        releaseCheckpoint(prop)
         releaseCheckpoint(ckpt)
         ckpt = next
         labels = next.select(col("id"), col("comp"))
@@ -167,6 +179,16 @@ object Graph {
       releaseCheckpoint(ckpt)
     }
   }
+
+  /** Release the storage behind the frame [[connectedComponents]]
+    * returned, once the caller is done with it. The result is a
+    * `localCheckpoint()`ed label table whose blocks the CacheManager
+    * does NOT track — `Dataset.unpersist`/`clearCache` cannot free them,
+    * so a caller that drops the frame without this call leaks the blocks
+    * until the ContextCleaner GCs the reference (the round-5 warm>cold
+    * bench signature). Idempotent; safe on any frame.
+    */
+  def release(df: DataFrame): Unit = releaseCheckpoint(df)
 
   /** Release the storage behind a `localCheckpoint()`ed frame NOW rather
     * than when the ContextCleaner gets to it. `Dataset.unpersist` routes

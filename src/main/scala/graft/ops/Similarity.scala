@@ -37,7 +37,7 @@ object Similarity extends QueryModule {
     * — same sequential fold, bit-identical to the composed form, ~100x
     * less per-row overhead.
     */
-  private[ops] def vecs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))

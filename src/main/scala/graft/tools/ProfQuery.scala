@@ -23,6 +23,8 @@ object ProfQuery {
         .write.format("noop").mode("overwrite").save()
       println(f"[prof] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.sharedState.cacheManager.clearCache()
+      // mirror Bench: localCheckpoint blocks aren't CacheManager-tracked
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }
