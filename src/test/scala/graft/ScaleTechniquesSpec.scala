@@ -123,4 +123,55 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(salted === direct)
   }
+
+  /** The CC regression tripwire round 5 shipped without: a deterministic
+    * path graph at two diameters, instrumented with task counts instead
+    * of wall time (task DAGs are deterministic; wall time is not). Red
+    * under either round-5 defect: the unpersisted pointer-jump self-join
+    * re-evaluated the hop subtree per join side (~3-4x the tasks per
+    * hop — blows the per-hop budget), and the unreleased result
+    * checkpoint left blocks behind (grows the persistent-RDD count).
+    */
+  test("cc stress: per-hop task work bounded, hops ~ log(diameter), checkpoint blocks released") {
+    val sc = spark.sparkContext
+
+    def run(n: Long): (Long, Int) = {
+      val nodes = spark.range(1, n + 1).toDF("id")
+      val edges = spark.range(1, n).selectExpr("id AS a", "id + 1 AS b")
+      val stats = new graft.tools.TaskStatsListener
+      sc.addSparkListener(stats)
+      try {
+        val (labels, hops) =
+          graft.ops.Graph.connectedComponentsWithHops(nodes, edges, maxRounds = 60)
+        assert(labels.filter(col("comp") =!= 1L).count() === 0L,
+          s"path($n) must collapse to component 1")
+        graft.ops.Graph.release(labels)
+        // listener delivery is async: wait for the count to go quiet
+        var prev = -1L
+        var cur = stats.perExecutor.values.sum
+        while (cur != prev) { Thread.sleep(250); prev = cur; cur = stats.perExecutor.values.sum }
+        (cur, hops)
+      } finally sc.removeSparkListener(stats)
+    }
+
+    val before = sc.getPersistentRDDs.size
+    val (tasks1, hops1) = run(200)
+    assert(sc.getPersistentRDDs.size === before,
+      "cc leaked persisted blocks: release() must free the result checkpoint")
+    val (tasks10, hops10) = run(2000)
+    assert(sc.getPersistentRDDs.size === before, "cc leaked persisted blocks at 10x")
+    // pointer-jump doubling: 10x the diameter costs ~log2(10) extra barriers
+    assert(hops1 <= 20, s"path(200) took $hops1 hops")
+    assert(hops10 <= hops1 + 10, s"hops must grow with log(diameter): $hops1 -> $hops10")
+    // work per hop is a fixed pipeline (prop join+agg, checkpoint, jump,
+    // count) — a recompute defect multiplies it
+    val (perHop1, perHop10) = (tasks1.toDouble / hops1, tasks10.toDouble / hops10)
+    info(s"path(200): $tasks1 tasks / $hops1 hops; path(2000): $tasks10 tasks / $hops10 hops")
+    assert(perHop1 <= PerHopTaskBudget, s"path(200): $tasks1 tasks / $hops1 hops = $perHop1")
+    assert(perHop10 <= PerHopTaskBudget, s"path(2000): $tasks10 tasks / $hops10 hops = $perHop10")
+  }
+
+  /** ~1.6x the per-hop task count the fixed plan measures (~22-23 at
+    * both diameters) — the round-5 recompute defect sat at ~3-4x. */
+  private val PerHopTaskBudget = 36.0
 }
