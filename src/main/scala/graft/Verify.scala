@@ -5,13 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [queryName...] — names (for fast local
+    // iteration on one query) are optional; the driver passes none.
+    val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     var spark = graft.core.Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
     // deterministic order; a query that kills the context (e.g. broadcast
     // OOM) must not zero every query after it — recreate the session.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1))
+      .foreach { case (name, fn) =>
       if (spark.sparkContext.isStopped)
         spark = graft.core.Sessions.local(cpus)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -19,8 +23,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      if (!spark.sparkContext.isStopped)
+      if (!spark.sparkContext.isStopped) {
         spark.sharedState.cacheManager.clearCache() // ops persist() caches
+        // CC results are localCheckpoint()ed — not CacheManager-tracked
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

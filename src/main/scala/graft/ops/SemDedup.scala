@@ -22,11 +22,18 @@ import org.apache.spark.sql.functions._
   * (max(MinCells, ceil(n / TargetCellRows)), from one cheap count) so
   * per-cell candidate fanout stays ~TargetCellRows² however large the
   * corpus grows — SemDeDup's K ~ n/10k at paper scale, n/64 here so the
-  * test corpora exercise multi-cell behavior. Assignment is a map-side
-  * argmax over a BROADCAST single-row centroid array — no window, no
-  * exchange (PlanSpec asserts the stage is shuffle-free); the candidate
-  * join shuffles on the cell id; fat vectors never ride the candidate
-  * shuffle.
+  * test corpora exercise multi-cell behavior. Because K grows with n,
+  * assignment is TWO-LEVEL (a coarse quantizer, the IVF-IMI/FAISS
+  * two-level shape): Kc = ceil(sqrt(K)) coarse centroids are the only
+  * broadcast state, every row and every fine centroid picks its coarse
+  * group map-side (zero exchanges, O(sqrt K) per-row work, PlanSpec
+  * asserts the stage is shuffle-free), then rows meet the ~sqrt(K) fine
+  * centroids of their group through a hash join ON THE GROUP ID plus a
+  * max_by argmax — both broadcast payload and per-row work are O(sqrt K)
+  * instead of the O(K) flat argmax that round 5 shipped (a single
+  * broadcast row growing linearly with the corpus, O(n²/64) total fold
+  * work). The candidate join still shuffles on the cell id and fat
+  * vectors never ride the candidate shuffle.
   */
 object SemDedup extends QueryModule {
 
@@ -41,27 +48,49 @@ object SemDedup extends QueryModule {
   private[graft] def cellCount(n: Long): Int =
     math.max(MinCells.toLong, (n + TargetCellRows - 1) / TargetCellRows).toInt
 
-  /** Map-side cell assignment: centroids collapse to ONE row holding a
-    * cid-sorted array of (cid, cv, cnrm) structs, broadcast to every
-    * task; the per-row argmax is a fold over that array with the same
-    * (csim DESC, cid ASC) tiebreak as the oracle's window (strict `>`
-    * over the cid-ascending array keeps the smallest cid on ties). The
-    * stage's plan is scan → broadcast join → project: zero exchanges.
+  /** Coarse-quantizer size: ceil(sqrt(K)). sqrt is correctly rounded
+    * IEEE in both engines, so the oracle's ceil(sqrt(...)) lands on the
+    * same integer.
+    */
+  private[graft] def coarseCount(k: Int): Int =
+    math.ceil(math.sqrt(k.toDouble)).toInt
+
+  /** Cosine similarity with the zero-norm guard: a degenerate vector
+    * (nrm = 0) must yield a sentinel BELOW every real similarity, never
+    * NaN — NaN would silently skip the strict-`>` argmax fold (leaving
+    * the Long.MaxValue seed) while DuckDB's DESC sort ranks it highest.
+    * -1e308 on both sides keeps even the all-degenerate corpus aligned
+    * (every candidate ties, both engines break toward the smallest id).
+    */
+  private def guardedSim(d: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, d / (na * nb)).otherwise(lit(-1e308))
+
+  /** Map-side nearest-centroid assignment: centroids collapse to ONE row
+    * holding a cid-sorted array of (cid, cv, cnrm) structs, broadcast to
+    * every task; the per-row argmax is a fold over that array with the
+    * same (csim DESC, cid ASC) tiebreak as the oracle's window (strict
+    * `>` over the cid-ascending array keeps the smallest cid on ties).
+    * The stage's plan is scan → broadcast join → project: zero
+    * exchanges. Output = every `base` column plus the winning `cell`.
+    * Used ONLY with the O(sqrt K) coarse centroid set — broadcasting a
+    * corpus-scaled K here is exactly the flat-argmax scale defect the
+    * two-level split removes.
     */
   private[graft] def assignStage(base: DataFrame, cents: DataFrame): DataFrame = {
     val centArr = cents
       .groupBy()
       .agg(array_sort(collect_list(struct(col("cid"), col("cv"), col("cnrm")))).as("cells"))
     base.crossJoin(broadcast(centArr))
-      .select(col("vec_id"),
+      .withColumn("cell",
         aggregate(col("cells"),
           struct(lit(Double.NegativeInfinity).as("bs"), lit(Long.MaxValue).as("bc")),
           (acc, c) => {
-            val sim = dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cnrm"))
+            val sim = guardedSim(dot(col("v"), c.getField("cv")), col("nrm"), c.getField("cnrm"))
             when(sim > acc.getField("bs"),
               struct(sim.as("bs"), c.getField("cid").as("bc"))).otherwise(acc)
           },
-          acc => acc.getField("bc")).as("cell"))
+          acc => acc.getField("bc")))
+      .drop("cells")
   }
 
   private def d08(s: SparkSession, dir: String): DataFrame = {
@@ -69,11 +98,27 @@ object SemDedup extends QueryModule {
     // one count() drives K — the only driver action; deterministic, so
     // the oracle can rebuild the same K from its own count(*)
     val cells = cellCount(base.count())
-    val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(cells)
+    val kc = coarseCount(cells)
+    def sample(k: Int) = base.orderBy(md5(col("vec_id").cast("string"))).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // persisted: the in-cell self-join instantiates this subtree for
-    // BOTH sides — uncached, the scan + broadcast argmax would run twice
-    val assign = assignStage(base, cents).persist()
+    val cents  = sample(cells).persist() // fine centroids (K rows)
+    val coarse = sample(kc)              // coarse prefix of the SAME md5 order
+    // level 1 (map-side, broadcast O(sqrt K)): rows and fine centroids
+    // each pick their coarse group
+    val rowAssign = assignStage(base, coarse).withColumnRenamed("cell", "gid")
+    val centAssign = assignStage(
+        cents.select(col("cid").as("vec_id"), col("cv").as("v"), col("cnrm").as("nrm")), coarse)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"),
+        col("cell").as("gid"))
+    // level 2 (one hash join on the coarse group id): each row scores
+    // only its group's ~sqrt(K) fine centroids; max_by's struct ordering
+    // is the same (csim DESC, cid ASC) tiebreak as the fold
+    val assign = rowAssign.join(centAssign, "gid")
+      .select(col("vec_id"), col("cid"),
+        guardedSim(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
+      .persist()
     // narrow in-cell candidate pairs (ids only), vectors joined back once
     val cand = assign.as("a").join(assign.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -91,28 +136,49 @@ object SemDedup extends QueryModule {
         (col("id") === col("comp")).cast("long").as("kept"))
   }
 
-  /** Full structural mirror: same corpus-scaled K, same centroids, same
-    * argmax tiebreak, same in-cell pairs, transitive closure via
-    * recursive CTE.
+  private val kExpr =
+    s"greatest($MinCells, ((SELECT count(*) FROM embeddings) + ${TargetCellRows - 1}) // $TargetCellRows)"
+  private val kcExpr = s"CAST(ceil(sqrt(CAST(($kExpr) AS DOUBLE))) AS BIGINT)"
+
+  private def sqlSim(av: String, bv: String, an: String, bn: String) =
+    s"""CASE WHEN $an * $bn > 0
+       |  THEN list_sum(list_transform(range(1, ${Similarity.Dim + 1}), i -> $av[i] * $bv[i])) / ($an * $bn)
+       |  ELSE -1e308 END""".stripMargin
+
+  /** Full structural mirror: same corpus-scaled K and ceil(sqrt(K))
+    * coarse size, same md5-prefix centroids, same zero-norm sentinel and
+    * (csim DESC, cid ASC) tiebreak at BOTH assignment levels, same
+    * in-cell pairs, transitive closure via recursive CTE.
     */
   private val d08Sql =
     s"""WITH RECURSIVE ${Similarity.oracleVecs},
-       |c AS (
-       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM (
-       |    SELECT n.*, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS crk
-       |    FROM n)
-       |  WHERE crk <= greatest($MinCells,
-       |    ((SELECT count(*) FROM embeddings) + ${TargetCellRows - 1}) // $TargetCellRows)),
-       |sims AS (
-       |  SELECT n.vec_id, c.cid,
-       |    list_sum(list_transform(range(1, ${Similarity.Dim + 1}), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS csim
-       |  FROM n CROSS JOIN c),
+       |ordc AS (
+       |  SELECT n.*, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS crk FROM n),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM ordc WHERE crk <= ($kExpr)),
+       |g AS (SELECT vec_id AS gid, v AS gv, nrm AS gnrm FROM ordc WHERE crk <= ($kcExpr)),
+       |ga AS (
+       |  SELECT vec_id, gid FROM (
+       |    SELECT n.vec_id, g.gid,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        ${sqlSim("n.v", "g.gv", "n.nrm", "g.gnrm")} DESC, g.gid) AS rn
+       |    FROM n CROSS JOIN g)
+       |  WHERE rn = 1),
+       |ca AS (
+       |  SELECT cid, gid FROM (
+       |    SELECT c.cid, g.gid,
+       |      row_number() OVER (PARTITION BY c.cid ORDER BY
+       |        ${sqlSim("c.cv", "g.gv", "c.cnrm", "g.gnrm")} DESC, g.gid) AS rn
+       |    FROM c CROSS JOIN g)
+       |  WHERE rn = 1),
        |assign AS (
        |  SELECT vec_id, cid AS cell FROM (
-       |    SELECT vec_id, cid,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
-       |    FROM sims)
-       |  WHERE crn = 1),
+       |    SELECT r.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY r.vec_id ORDER BY
+       |        ${sqlSim("x.v", "c.cv", "x.nrm", "c.cnrm")} DESC, c.cid) AS rn
+       |    FROM ga r JOIN n x ON r.vec_id = x.vec_id
+       |      JOIN ca ON ca.gid = r.gid
+       |      JOIN c ON c.cid = ca.cid)
+       |  WHERE rn = 1),
        |pr AS (
        |  SELECT ida, idb FROM (
        |    SELECT a.vec_id AS ida, b.vec_id AS idb,

@@ -268,4 +268,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
       .select("pred_lang").collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("de", "en", "es", "fr", "und")))
   }
+
+  test("d08 assignStage: a zero-norm vector still lands in a cell (NaN guard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sqrt}
+    // vec 1 is all-zero: unguarded cosine is 0/0 = NaN, which the strict
+    // `>` argmax would never select — leaving the Long.MaxValue seed —
+    // while DuckDB's DESC sort ranks NaN highest (divergent tiebreak)
+    def frame(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
+    val base = frame(Seq(
+      1L -> Seq(0.0, 0.0), 2L -> Seq(1.0, 0.0), 3L -> Seq(0.0, 1.0)))
+    val cents = frame(Seq(2L -> Seq(1.0, 0.0), 3L -> Seq(0.0, 1.0)))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cellOf = graft.ops.SemDedup.assignStage(base, cents)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // all sims tie at the sentinel for the degenerate vector → smallest cid
+    assert(cellOf(1L) === 2L, s"zero vector must take the smallest cid, got $cellOf")
+    assert(cellOf(2L) === 2L && cellOf(3L) === 3L)
+  }
 }
