@@ -119,25 +119,64 @@ object Relational3 extends QueryModule {
     * (|approx − exact| ≤ bound, computed inside Spark), and the DuckDB
     * oracle emits the same exact answers with literal TRUE bounds — the
     * hash gate then verifies both the exact sides and that every sketch
-    * honored its bound. Bounds: 15% relative for HLL (3× the default
-    * rsd=0.05) and the exact p45..p55 value band for the median sketch
-    * (accuracy=1000 guarantees 0.1% rank error, 50× tighter). The exact
-    * columns are gate instrumentation — at 100 TB the sketches are the
-    * answer and the exact sides drop away (exact percentile's scale path
-    * is q26's two-pass GlobalOrder, not the sort-based percentile()
-    * aggregate used here).
+    * honored its bound.
+    *
+    * Bounds: 15% relative for HLL, and the exact nearest-rank p45..p55
+    * VALUE band for the median sketch (accuracy=1000 guarantees 0.1%
+    * rank error, 50× tighter than the band). The HLL bound is ~3× the
+    * registered rsd=0.05 — a PROBABILISTIC bound on a deterministic-
+    * per-dataset estimator, so a future SF or data-generator change
+    * could legitimately push an estimate outside it with no code bug;
+    * if q25 alone starts failing the gate after a data refresh, triage
+    * as data-shift and re-widen, not as a regression.
+    *
+    * The band comes from the same two-pass range-partitioned global
+    * order q26 uses (per-group rank = global rank − the group's offset
+    * from a groups-sized count frame) — NOT the sort-based percentile()
+    * aggregate, which materializes every group's values in one
+    * aggregation buffer and cost 7× the query it was gating in round 5.
+    * The exact-distinct columns stay: they are the oracle-checked
+    * output; at 100 TB the sketches are the answer and the exact sides
+    * drop away.
     */
-  private def q25(s: SparkSession, dir: String): DataFrame =
-    lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    // one distinct column per aggregation: TWO distinct columns in one
+    // agg make Catalyst Expand every input row 3x through the sketch
+    // buffers; split, each plans as a plain two-phase agg (partial
+    // dedup map-side), and the 3-row results broadcast-join back up
+    val aggP = li.groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("ap"))
+    val aggS = li.groupBy(col("l_returnflag"))
+      .agg(
         countDistinct(col("l_suppkey")).as("exact_supps"),
-        approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_suppkey")).as("asup"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-        expr("percentile(l_extendedprice, 0.45)").as("plo"),
-        expr("percentile(l_extendedprice, 0.55)").as("phi"))
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
+    val agg = aggP.join(broadcast(aggS), "l_returnflag")
+    // exact p45/p55 nearest-rank values per group: global row number in
+    // (group, value) order, group offsets from a groups-cardinality
+    // count frame (the unpartitioned window is over #groups rows, never
+    // row data), band rows picked by one broadcast join
+    val ord = Seq(col("l_returnflag"), col("l_extendedprice"),
+      col("l_orderkey"), col("l_linenumber"))
+    val (numbered, _) = graft.plans.GlobalOrder.withGlobalRowNumber(
+      li.select(ord: _*), ord, "rn")
+    val wcum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_returnflag"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val targets = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
+      .select(col("l_returnflag").as("tflag"),
+        (col("off") + expr("(45 * cnt + 99) div 100")).as("lo_rn"),
+        (col("off") + expr("(55 * cnt + 99) div 100")).as("hi_rn"))
+    val band = numbered.join(broadcast(targets),
+        col("l_returnflag") === col("tflag") &&
+          (col("rn") === col("lo_rn") || col("rn") === col("hi_rn")))
+      .groupBy(col("tflag"))
+      .agg(min(col("l_extendedprice")).as("plo"), max(col("l_extendedprice")).as("phi"))
+    agg.join(broadcast(band), col("l_returnflag") === col("tflag"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
         (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.15)
           .as("parts_within_bound"),
@@ -145,6 +184,7 @@ object Relational3 extends QueryModule {
           .as("supps_within_bound"),
         (col("am") >= col("plo") && col("am") <= col("phi"))
           .as("median_within_bound"))
+  }
 
   private val q25Sql =
     """SELECT l_returnflag,
