@@ -212,6 +212,65 @@ object EventStream {
       }
   }
 
+  case class FunnelOut(user_id: Long, first_view_us: Option[Long],
+                       first_click_us: Option[Long], first_purchase_us: Option[Long])
+  /** fv/fc/fp are the three funnel min-timestamps; (lastTs, lastId) is the
+    * order marker the disorder metric compares against.
+    */
+  case class FunnelState(fv: Option[Long], fc: Option[Long], fp: Option[Long],
+                         lastTs: Long, lastId: Long)
+
+  /** Streaming twin of e08: the view → click → purchase funnel as THREE
+    * MIN-TIMESTAMPS of state per user (O(1), no event buffer): first
+    * view, first click at-or-after it, first purchase at-or-after that.
+    * Each batch is processed in (ts, event_id) order, so within a batch
+    * the stage thresholds are final before any dependent event is
+    * tested; all three mins are nonincreasing over time, so the row
+    * emitted whenever a user's batch arrives converges monotonically —
+    * the final (equivalently, per-column min) row per user IS the batch
+    * e08 row. Same in-order-arrival assumption as [[transitions]], and
+    * the same observability: an event sorting before the carried
+    * (ts, event_id) marker — one whose stage threshold may already have
+    * been fixed too high (e.g. a late early view that would have
+    * re-qualified a discarded click) — counts into `outOfOrder` instead
+    * of silently diverging; a production source would buffer by
+    * watermark first, as [[sessionize]] does.
+    */
+  def funnel(spark: SparkSession, events: DataFrame,
+             outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[FunnelOut] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[EvT], state: GroupState[FunnelState]) =>
+          val evs = it.map(e => (e.ts_us, e.event_id, e.event_type)).toVector
+            .sortBy(e => (e._1, e._2))
+          val st = state.getOption.getOrElse(
+            FunnelState(None, None, None, Long.MinValue, Long.MinValue))
+          for (acc <- outOfOrder) {
+            val late = evs.count(e =>
+              e._1 < st.lastTs || (e._1 == st.lastTs && e._2 < st.lastId))
+            if (late > 0) acc.add(late.toLong)
+          }
+          var (fv, fc, fp) = (st.fv, st.fc, st.fp)
+          for ((ts, _, tpe) <- evs) tpe match {
+            case "view"     => if (fv.forall(ts < _)) fv = Some(ts)
+            case "click"    => if (fv.exists(ts >= _) && fc.forall(ts < _)) fc = Some(ts)
+            case "purchase" => if (fc.exists(ts >= _) && fp.forall(ts < _)) fp = Some(ts)
+            case _          => ()
+          }
+          if (evs.isEmpty) Iterator.empty
+          else {
+            state.update(FunnelState(fv, fc, fp, evs.last._1, evs.last._2))
+            Iterator.single(FunnelOut(user, fv, fc, fp))
+          }
+      }
+  }
+
   case class PathEv(user_id: Long, day: Long, event_id: Long,
                     event_type: String, ts_us: Long, ts: java.sql.Timestamp)
   case class PathOut(user_id: Long, day: Long, path: String)

@@ -103,6 +103,53 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("streaming funnel converges to the batch funnel (e08) across TWO batches") {
+    // Same two-half replay as the e09 test: the carried three-min state
+    // (a view in batch A qualifying a click in batch B) is the thing
+    // under test. Halves split on ts, so arrival is in-order and the
+    // funnel must converge EXACTLY; the final value per user is the
+    // per-column min over the monotonically tightening emitted rows.
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val rawSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet").cache()
+    val cut = raw.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m")
+      .collect()(0).getDouble(0).toLong
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel").toFile
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(tmp, s"events_$name.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeHalf(raw.filter(col("ts") <= cut), "a", t0)
+    writeHalf(raw.filter(col("ts") > cut), "b", t0 + 30000)
+    raw.unpersist()
+
+    val stream = EventStream.funnel(spark, EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val q = stream.writeStream
+      .format("memory").queryName("funnel_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+    val got = spark.table("funnel_out")
+      .groupBy(col("user_id"))
+      .agg(min(col("first_view_us")), min(col("first_click_us")), min(col("first_purchase_us")))
+      .collect().map(key).toSet
+    val want = SparkEntry.queries("e08_funnel")(spark, dir)
+      .collect().map(key).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("streaming sliding window converges to the batch gold result (e06)") {
     val stream = EventStream.slidingAgg(EventStream.readEvents(spark, dir))
     val q = stream.writeStream
