@@ -229,6 +229,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), "no interpreted HOF fold in the hot path")
   }
 
+  test("q25: gate has no Expand and no sort-based percentile aggregate") {
+    // two distinct columns in one agg would Expand every row 3x through
+    // the sketch buffers; percentile() would materialize each group's
+    // values in one buffer — both round-5 gate costs stay out
+    val p = plan("q25_approx_sketches")
+    assert(!p.contains("Expand"), s"multi-distinct Expand is back:\n${p.take(800)}")
+    assert(!p.contains("percentile(l_extendedprice"),
+      "band must come from the two-pass global order, not percentile()")
+    spark.sharedState.cacheManager.clearCache() // GlobalOrder persists
+  }
+
   test("d08: cell assignment stage is map-side only (broadcast argmax, zero exchanges)") {
     import org.apache.spark.sql.functions._
     val base = graft.ops.Similarity.vecs(spark, dir)
