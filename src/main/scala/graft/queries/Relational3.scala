@@ -157,18 +157,20 @@ object Relational3 extends QueryModule {
     val agg = aggP.join(broadcast(aggS), "l_returnflag")
     // exact p45/p55 nearest-rank values per group: global row number in
     // (group, value) order, group offsets from a groups-cardinality
-    // count frame (the unpartitioned window is over #groups rows, never
-    // row data), band rows picked by one broadcast join
+    // count frame (offset = sum of earlier groups' counts via a theta
+    // self-join of the tiny frame — #groups² pairs of metadata, never
+    // row data, and no unpartitioned window), band rows picked by one
+    // broadcast join
     val ord = Seq(col("l_returnflag"), col("l_extendedprice"),
       col("l_orderkey"), col("l_linenumber"))
     val (numbered, _) = graft.plans.GlobalOrder.withGlobalRowNumber(
       li.select(ord: _*), ord, "rn")
-    val wcum = org.apache.spark.sql.expressions.Window
-      .orderBy(col("l_returnflag"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val targets = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
-      .select(col("l_returnflag").as("tflag"),
+    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+    val targets = counts.as("a")
+      .join(counts.as("b"), col("b.l_returnflag") < col("a.l_returnflag"), "left")
+      .groupBy(col("a.l_returnflag"), col("a.cnt"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+      .select(col("a.l_returnflag").as("tflag"),
         (col("off") + expr("(45 * cnt + 99) div 100")).as("lo_rn"),
         (col("off") + expr("(55 * cnt + 99) div 100")).as("hi_rn"))
     val band = numbered.join(broadcast(targets),
