@@ -153,19 +153,23 @@ object Relational3 extends QueryModule {
       .agg(
         countDistinct(col("l_suppkey")).as("exact_supps"),
         approx_count_distinct(col("l_suppkey")).as("asup"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
-    val agg = aggP.join(broadcast(aggS), "l_returnflag")
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
+        count(lit(1)).as("cnt")) // group sizes ride along for the band targets
+      .persist() // 3 rows; two consumers (result join + band targets)
+    val agg = aggP.join(broadcast(aggS.drop("cnt")), "l_returnflag")
     // exact p45/p55 nearest-rank values per group: global row number in
     // (group, value) order, group offsets from a groups-cardinality
     // count frame (offset = sum of earlier groups' counts via a theta
     // self-join of the tiny frame — #groups² pairs of metadata, never
     // row data, and no unpartitioned window), band rows picked by one
     // broadcast join
-    val ord = Seq(col("l_returnflag"), col("l_extendedprice"),
-      col("l_orderkey"), col("l_linenumber"))
+    // no per-row tiebreak columns: row_number among equal prices is
+    // arbitrary, but the VALUE at any rank is tie-order-invariant, and
+    // values are all the band emits — 2 shuffle columns instead of 4
+    val ord = Seq(col("l_returnflag"), col("l_extendedprice"))
     val (numbered, _) = graft.plans.GlobalOrder.withGlobalRowNumber(
       li.select(ord: _*), ord, "rn")
-    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+    val counts = aggS.select(col("l_returnflag"), col("cnt"))
     val targets = counts.as("a")
       .join(counts.as("b"), col("b.l_returnflag") < col("a.l_returnflag"), "left")
       .groupBy(col("a.l_returnflag"), col("a.cnt"))
