@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   * Composition of machinery this library already has: IVF cell
   * assignment (s06's broadcast-centroid argmax), in-cell threshold
   * verification (s05's narrow-candidates-then-join-vectors shape), and
-  * connected components (d07's Graph kernel). Centroids are the
-  * md5-ordered deterministic sample (s06), so the DuckDB oracle mirrors
-  * the WHOLE pipeline structurally — cells, pairs, clusters — with no
-  * data-dependent recall assumption.
+  * connected components (d07's Graph kernel). Centroids are the rows
+  * whose 60-bit md5 prefix falls under a deterministic count-derived
+  * threshold (a map-side filter — no top-K heaps, no K-row driver
+  * merge), so the DuckDB oracle mirrors the WHOLE pipeline
+  * structurally — cells, pairs, clusters — with no data-dependent
+  * recall assumption.
   *
   * 100 TB shape: the cell count K SCALES WITH THE CORPUS
   * (max(MinCells, ceil(n / TargetCellRows)), from one cheap count) so
@@ -93,23 +95,44 @@ object SemDedup extends QueryModule {
       .drop("cells")
   }
 
+  /** 60-bit md5 prefix of the vec_id — the shared cross-engine uniform
+    * hash (same fold as Sampling.uhash; DuckDB twin: OracleSql.hex60).
+    */
+  private def hex60(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Select-fraction threshold: rows with hex60 < floor(2^60 * k / n)
+    * form a deterministic ~k-row sample BOTH engines rebuild exactly —
+    * and, unlike orderBy(md5).limit(k), selection is a map-side filter:
+    * no per-partition top-k heaps and no k-row driver merge, which for
+    * corpus-scaled K = n/64 would itself grow linearly with the corpus.
+    */
+  private[graft] def hashThreshold(k: Int, n: Long): Long =
+    ((BigInt(k) << 60) / BigInt(n)).min(BigInt(1) << 60).toLong
+
   private def d08(s: SparkSession, dir: String): DataFrame = {
     val base = Similarity.vecs(s, dir).persist()
     // one count() drives K — the only driver action; deterministic, so
     // the oracle can rebuild the same K from its own count(*)
-    val cells = cellCount(base.count())
+    val n = base.count()
+    val cells = cellCount(n)
     val kc = coarseCount(cells)
-    def sample(k: Int) = base.orderBy(md5(col("vec_id").cast("string"))).limit(k)
+    def sample(k: Int) = base.filter(hex60(col("vec_id")) < hashThreshold(k, n))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val cents  = sample(cells).persist() // fine centroids (K rows)
-    val coarse = sample(kc)              // coarse prefix of the SAME md5 order
+    val cents  = sample(cells).persist() // fine centroids (~K rows)
+    val coarse = sample(kc)              // coarse subset of the SAME hash order
     // level 1 (map-side, broadcast O(sqrt K)): rows and fine centroids
-    // each pick their coarse group
+    // each pick their coarse group. The Long.MaxValue filter covers the
+    // empty-coarse-sample edge (the argmax seed survives an empty
+    // centroid array): unassignable rows drop out, exactly as the
+    // oracle's rn=1 window over an empty cross join yields no rows.
     val rowAssign = assignStage(base, coarse).withColumnRenamed("cell", "gid")
+      .filter(col("gid") =!= Long.MaxValue)
     val centAssign = assignStage(
         cents.select(col("cid").as("vec_id"), col("cv").as("v"), col("cnrm").as("nrm")), coarse)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"),
         col("cell").as("gid"))
+      .filter(col("gid") =!= Long.MaxValue)
     // level 2 (one hash join on the coarse group id): each row scores
     // only its group's ~sqrt(K) fine centroids; max_by's struct ordering
     // is the same (csim DESC, cid ASC) tiebreak as the fold
@@ -139,6 +162,12 @@ object SemDedup extends QueryModule {
   private val kExpr =
     s"greatest($MinCells, ((SELECT count(*) FROM embeddings) + ${TargetCellRows - 1}) // $TargetCellRows)"
   private val kcExpr = s"CAST(ceil(sqrt(CAST(($kExpr) AS DOUBLE))) AS BIGINT)"
+  // floor(2^60 * k / n) in 128-bit (HUGEINT): the BIGINT hex60 value
+  // compares against it with automatic promotion — same floor division
+  // and the same clamp-free semantics as the Scala BigInt twin
+  private def threshSql(kSql: String) =
+    s"""(CAST(($kSql) AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)
+       |  // CAST((SELECT count(*) FROM embeddings) AS HUGEINT))""".stripMargin
 
   private def sqlSim(av: String, bv: String, an: String, bn: String) =
     s"""CASE WHEN $an * $bn > 0
@@ -146,16 +175,17 @@ object SemDedup extends QueryModule {
        |  ELSE -1e308 END""".stripMargin
 
   /** Full structural mirror: same corpus-scaled K and ceil(sqrt(K))
-    * coarse size, same md5-prefix centroids, same zero-norm sentinel and
-    * (csim DESC, cid ASC) tiebreak at BOTH assignment levels, same
-    * in-cell pairs, transitive closure via recursive CTE.
+    * coarse size, same md5-threshold centroid membership, same
+    * zero-norm sentinel and (csim DESC, cid ASC) tiebreak at BOTH
+    * assignment levels, same in-cell pairs, transitive closure via
+    * recursive CTE.
     */
   private val d08Sql =
     s"""WITH RECURSIVE ${Similarity.oracleVecs},
-       |ordc AS (
-       |  SELECT n.*, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS crk FROM n),
-       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM ordc WHERE crk <= ($kExpr)),
-       |g AS (SELECT vec_id AS gid, v AS gv, nrm AS gnrm FROM ordc WHERE crk <= ($kcExpr)),
+       |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |      WHERE ${OracleSql.hex60("CAST(vec_id AS VARCHAR)")} < ${threshSql(kExpr)}),
+       |g AS (SELECT vec_id AS gid, v AS gv, nrm AS gnrm FROM n
+       |      WHERE ${OracleSql.hex60("CAST(vec_id AS VARCHAR)")} < ${threshSql(kcExpr)}),
        |ga AS (
        |  SELECT vec_id, gid FROM (
        |    SELECT n.vec_id, g.gid,
