@@ -102,7 +102,15 @@ object Bench {
         if (ok) elapsed else -1.0
       }
       val cold = once()
-      val warm = once()
+      var warm = once()
+      // one retry when the steady-state read looks inverted: on a short
+      // query a machine-load spike is indistinguishable from a leak in a
+      // single sample. A real leak (state surviving the inter-run sweep)
+      // reproduces on the retry and stays flagged; a spike does not.
+      if (cold > 0 && warm > cold * 1.5 && warm - cold > 1.0) {
+        val retry = once()
+        if (retry >= 0) warm = math.min(warm, retry)
+      }
       name -> (warm, cold)
     }
     // 3-decimal times: ms resolution is below run-to-run noise, and the
