@@ -80,6 +80,10 @@ object Bench {
     // cold times are kept alongside in the output file, so the warm/cold
     // delta stays observable per round instead of masquerading as a
     // plan regression.
+    // ONE definition of "inverted steady-state": the retry below and the
+    // warm_exceeds_cold report must agree on what looks like a leak
+    def inverted(warm: Double, cold: Double): Boolean =
+      cold > 0 && warm > cold * 1.5 && warm - cold > 1.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         if (spark.sparkContext.isStopped) spark = newSession()
@@ -107,7 +111,7 @@ object Bench {
       // query a machine-load spike is indistinguishable from a leak in a
       // single sample. A real leak (state surviving the inter-run sweep)
       // reproduces on the retry and stays flagged; a spike does not.
-      if (cold > 0 && warm > cold * 1.5 && warm - cold > 1.0) {
+      if (inverted(warm, cold)) {
         val retry = once()
         if (retry >= 0) warm = math.min(warm, retry)
       }
@@ -125,7 +129,7 @@ object Bench {
     // JSON so a regression is visible in the round artifact, and loudly
     // on stderr.
     val warmExceedsCold = results.collect {
-      case (name, (warm, cold)) if cold > 0 && warm > cold * 1.5 && warm - cold > 1.0 => name
+      case (name, (warm, cold)) if inverted(warm, cold) => name
     }
     if (warmExceedsCold.nonEmpty)
       System.err.println(s"[bench] WARM>COLD LEAK SUSPECTS: ${warmExceedsCold.mkString(", ")}")

@@ -26,12 +26,20 @@ object Sampling extends QueryModule {
     */
   private val Pow60 = 1152921504606846976.0
 
+  /** THE 60-bit md5 prefix fold, as a long in [0, 2^60) — every
+    * cross-engine uniform-hash decision (splits, samples, d08 centroid
+    * membership) derives from this one expression so the
+    * determinism-critical formula cannot drift between call sites.
+    * DuckDB twin: OracleSql.hex60.
+    */
+  private[ops] def hash60(key: Column): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+
   /** Uniform-[0,1) hash of `key`, salted so independent decisions
     * (split vs sample) use independent bits.
     */
   private[ops] def uhash(salt: String, key: Column): Column =
-    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
-      .cast("long") / lit(Pow60)
+    hash60(concat(lit(salt), key.cast("string"))) / lit(Pow60)
 
   /** The DuckDB mirror of [[uhash]] (hex-digit fold of the md5 prefix). */
   private[ops] def uhashSql(salt: String, key: String): String =

@@ -95,20 +95,18 @@ object SemDedup extends QueryModule {
       .drop("cells")
   }
 
-  /** 60-bit md5 prefix of the vec_id — the shared cross-engine uniform
-    * hash (same fold as Sampling.uhash; DuckDB twin: OracleSql.hex60).
-    */
-  private def hex60(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long")
-
-  /** Select-fraction threshold: rows with hex60 < floor(2^60 * k / n)
-    * form a deterministic ~k-row sample BOTH engines rebuild exactly —
-    * and, unlike orderBy(md5).limit(k), selection is a map-side filter:
-    * no per-partition top-k heaps and no k-row driver merge, which for
-    * corpus-scaled K = n/64 would itself grow linearly with the corpus.
+  /** Select-fraction threshold: rows whose 60-bit md5 prefix
+    * (Sampling.hash60, the shared cross-engine fold) falls under
+    * floor(2^60 * k / n) form a deterministic ~k-row sample BOTH
+    * engines rebuild exactly — and, unlike orderBy(md5).limit(k),
+    * selection is a map-side filter: no per-partition top-k heaps and
+    * no k-row driver merge, which for corpus-scaled K = n/64 would
+    * itself grow linearly with the corpus. n = 0 yields threshold 0
+    * (no rows → no centroids → empty result), never a 0-divisor.
     */
   private[graft] def hashThreshold(k: Int, n: Long): Long =
-    ((BigInt(k) << 60) / BigInt(n)).min(BigInt(1) << 60).toLong
+    if (n == 0) 0L
+    else ((BigInt(k) << 60) / BigInt(n)).min(BigInt(1) << 60).toLong
 
   private def d08(s: SparkSession, dir: String): DataFrame = {
     val base = Similarity.vecs(s, dir).persist()
@@ -117,10 +115,12 @@ object SemDedup extends QueryModule {
     val n = base.count()
     val cells = cellCount(n)
     val kc = coarseCount(cells)
-    def sample(k: Int) = base.filter(hex60(col("vec_id")) < hashThreshold(k, n))
+    def sample(k: Int) = base
+      .filter(Sampling.hash60(col("vec_id").cast("string")) < hashThreshold(k, n))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val cents  = sample(cells).persist() // fine centroids (~K rows)
-    val coarse = sample(kc)              // coarse subset of the SAME hash order
+    val coarse = sample(kc).persist()    // coarse subset of the SAME hash order;
+    // persisted: both assignStage calls collapse it into their broadcast array
     // level 1 (map-side, broadcast O(sqrt K)): rows and fine centroids
     // each pick their coarse group. The Long.MaxValue filter covers the
     // empty-coarse-sample edge (the argmax seed survives an empty

@@ -223,18 +223,23 @@ object EventStream {
   /** Streaming twin of e08: the view → click → purchase funnel as THREE
     * MIN-TIMESTAMPS of state per user (O(1), no event buffer): first
     * view, first click at-or-after it, first purchase at-or-after that.
-    * Each batch is processed in (ts, event_id) order, so within a batch
-    * the stage thresholds are final before any dependent event is
-    * tested; all three mins are nonincreasing over time, so the row
-    * emitted whenever a user's batch arrives converges monotonically —
-    * the final (equivalently, per-column min) row per user IS the batch
-    * e08 row. Same in-order-arrival assumption as [[transitions]], and
-    * the same observability: an event sorting before the carried
-    * (ts, event_id) marker — one whose stage threshold may already have
-    * been fixed too high (e.g. a late early view that would have
-    * re-qualified a discarded click) — counts into `outOfOrder` instead
-    * of silently diverging; a production source would buffer by
-    * watermark first, as [[sessionize]] does.
+    * Each batch runs three STAGE-ORDERED passes (all views, then all
+    * clicks, then all purchases), so every stage's threshold is
+    * batch-complete before any dependent event is tested — including
+    * the equal-timestamp case batch e08's value-based `ts >= fv`
+    * comparison admits (a click TIED with its qualifying view counts;
+    * a (ts, event_id)-ordered single pass would drop it when the click
+    * sorts first). All three mins are nonincreasing over time, so the
+    * row emitted whenever a user's batch arrives converges
+    * monotonically — the final (equivalently, per-column min) row per
+    * user IS the batch e08 row. Same in-order-arrival assumption as
+    * [[transitions]], and the same observability: an event at or
+    * before the carried max-(ts, event_id) marker — one whose stage
+    * threshold may already have been fixed too high in an earlier
+    * batch (`<=` because an equal-ts view can retro-qualify an
+    * already-discarded equal-ts click) — counts into `outOfOrder`
+    * instead of silently diverging; a production source would buffer
+    * by watermark first, as [[sessionize]] does.
     */
   def funnel(spark: SparkSession, events: DataFrame,
              outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[FunnelOut] = {
@@ -248,24 +253,26 @@ object EventStream {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[EvT], state: GroupState[FunnelState]) =>
           val evs = it.map(e => (e.ts_us, e.event_id, e.event_type)).toVector
-            .sortBy(e => (e._1, e._2))
           val st = state.getOption.getOrElse(
             FunnelState(None, None, None, Long.MinValue, Long.MinValue))
           for (acc <- outOfOrder) {
-            val late = evs.count(e =>
-              e._1 < st.lastTs || (e._1 == st.lastTs && e._2 < st.lastId))
+            val late = evs.count(_._1 <= st.lastTs)
             if (late > 0) acc.add(late.toLong)
           }
           var (fv, fc, fp) = (st.fv, st.fc, st.fp)
-          for ((ts, _, tpe) <- evs) tpe match {
-            case "view"     => if (fv.forall(ts < _)) fv = Some(ts)
-            case "click"    => if (fv.exists(ts >= _) && fc.forall(ts < _)) fc = Some(ts)
-            case "purchase" => if (fc.exists(ts >= _) && fp.forall(ts < _)) fp = Some(ts)
-            case _          => ()
-          }
+          for ((ts, _, t) <- evs if t == "view")
+            if (fv.forall(ts < _)) fv = Some(ts)
+          for ((ts, _, t) <- evs if t == "click")
+            if (fv.exists(ts >= _) && fc.forall(ts < _)) fc = Some(ts)
+          for ((ts, _, t) <- evs if t == "purchase")
+            if (fc.exists(ts >= _) && fp.forall(ts < _)) fp = Some(ts)
           if (evs.isEmpty) Iterator.empty
           else {
-            state.update(FunnelState(fv, fc, fp, evs.last._1, evs.last._2))
+            val (mts, mid, _) = evs.maxBy(e => (e._1, e._2))
+            val keep = mts < st.lastTs || (mts == st.lastTs && mid < st.lastId)
+            state.update(
+              if (keep) FunnelState(fv, fc, fp, st.lastTs, st.lastId)
+              else FunnelState(fv, fc, fp, mts, mid))
             Iterator.single(FunnelOut(user, fv, fc, fp))
           }
       }

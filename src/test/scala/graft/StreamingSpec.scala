@@ -150,6 +150,38 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("funnel counts a click/purchase TIED with its qualifying stage (value-based >=)") {
+    // batch e08's `ts >= fv` admits equal timestamps regardless of
+    // event_id order; the stage-ordered passes must too. The click here
+    // has a SMALLER event_id than the view at the same ts — a
+    // (ts, event_id)-ordered single pass would drop it.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ftie").toFile
+    val S = 1000000000L // 1 s in ns (raw file ts unit)
+    val stage = new java.io.File(tmp, "stage")
+    Seq((1L, 100 * S, 7L, "click", 0.0, "{}"),
+        (2L, 100 * S, 7L, "view", 0.0, "{}"),
+        (3L, 100 * S, 7L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(stage.getAbsolutePath)
+    val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, new java.io.File(tmp, "events_a.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+
+    val stream = EventStream.funnel(spark, EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val q = stream.writeStream
+      .format("memory").queryName("funnel_tie")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("funnel_tie").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert((r.getLong(0), r.get(1), r.get(2), r.get(3)) ===
+      ((7L, 100000000L, 100000000L, 100000000L))) // all three stages at ts_us = 100s
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("streaming sliding window converges to the batch gold result (e06)") {
     val stream = EventStream.slidingAgg(EventStream.readEvents(spark, dir))
     val q = stream.writeStream
