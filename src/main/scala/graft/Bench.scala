@@ -84,6 +84,14 @@ object Bench {
     // warm_exceeds_cold report must agree on what looks like a leak
     def inverted(warm: Double, cold: Double): Boolean =
       cold > 0 && warm > cold * 1.5 && warm - cold > 1.0
+    // A warm run should never beat-or-match cold by LESS than the warmup
+    // it skips: warm meaningfully above cold — even below the leak
+    // threshold — is a noise sample (GC pause, JIT deopt; round 6 caught
+    // d04 at 6.4 s warm vs a 1.5 s isolated steady state). Worth one
+    // re-measure; the leak FLAG stays on the strict definition above,
+    // so a real leak still reproduces and stays flagged.
+    def noisy(warm: Double, cold: Double): Boolean =
+      cold > 0 && warm > cold * 1.05 && warm - cold > 0.2
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         if (spark.sparkContext.isStopped) spark = newSession()
@@ -111,7 +119,7 @@ object Bench {
       // query a machine-load spike is indistinguishable from a leak in a
       // single sample. A real leak (state surviving the inter-run sweep)
       // reproduces on the retry and stays flagged; a spike does not.
-      if (inverted(warm, cold)) {
+      if (noisy(warm, cold)) {
         val retry = once()
         if (retry >= 0) warm = math.min(warm, retry)
       }

@@ -145,27 +145,39 @@ object Graph {
             .select(cur("id"), cur("prev"),
               least(cur("comp"), coalesce(col("nmin"), cur("comp"))).as("comp"))
         }
-        // materialize the batch, THEN pointer-jump once against the
-        // checkpointed frame: follow comp to ITS label and take the min
-        // — comp always names a same-component node, so this is safe and
-        // doubles propagation distance per barrier. Both sides of the
-        // self-join read the checkpoint's cached blocks, so the jump
-        // costs one endpoint-sized join, never a re-evaluation of the
-        // propagation subtree. (Left join: a label may name a node whose
-        // row sits in the same frame, never absent — but the coalesce
-        // keeps the plan total if ids are weird.)
+        // materialize the batch, then check convergence BEFORE jumping:
+        // if a full batch of propagation changed nothing, every node's
+        // label already ≤ all its neighbors' — the global fixpoint —
+        // and the jump is the identity (comp's own label IS comp at
+        // fixpoint), so the converged barrier skips the jump join and
+        // its second checkpoint outright.
         val prop = cur.localCheckpoint()
-        val lk = prop.select(col("id").as("_jid"), col("comp").as("_jcomp"))
-        val next = prop
-          .join(lk, prop("comp") === lk("_jid"), "left")
-          .select(prop("id"), prop("prev"),
-            least(prop("comp"), coalesce(col("_jcomp"), prop("comp"))).as("comp"))
-          .localCheckpoint()
-        changed = next.filter(col("comp") =!= col("prev")).count()
-        releaseCheckpoint(prop)
-        releaseCheckpoint(ckpt)
-        ckpt = next
-        labels = next.select(col("id"), col("comp"))
+        changed = prop.filter(col("comp") =!= col("prev")).count()
+        if (changed > 0) {
+          // pointer-jump once against the checkpointed frame: follow
+          // comp to ITS label and take the min — comp always names a
+          // same-component node, so this is safe and doubles propagation
+          // distance per barrier. Both sides of the self-join read the
+          // checkpoint's cached blocks, so the jump costs one
+          // endpoint-sized join, never a re-evaluation of the
+          // propagation subtree. (Left join: a label may name a node
+          // whose row sits in the same frame, never absent — but the
+          // coalesce keeps the plan total if ids are weird.)
+          val lk = prop.select(col("id").as("_jid"), col("comp").as("_jcomp"))
+          val next = prop
+            .join(lk, prop("comp") === lk("_jid"), "left")
+            .select(prop("id"), prop("prev"),
+              least(prop("comp"), coalesce(col("_jcomp"), prop("comp"))).as("comp"))
+            .localCheckpoint()
+          releaseCheckpoint(prop)
+          releaseCheckpoint(ckpt)
+          ckpt = next
+          labels = next.select(col("id"), col("comp"))
+        } else {
+          releaseCheckpoint(ckpt)
+          ckpt = prop
+          labels = prop.select(col("id"), col("comp"))
+        }
         round += batch
       }
       require(changed == 0, s"connectedComponents did not converge within $maxRounds hops")

@@ -32,7 +32,7 @@ object Sampling extends QueryModule {
     * determinism-critical formula cannot drift between call sites.
     * DuckDB twin: OracleSql.hex60.
     */
-  private[ops] def hash60(key: Column): Column =
+  private[graft] def hash60(key: Column): Column =
     conv(substring(md5(key), 1, 15), 16, 10).cast("long")
 
   /** Uniform-[0,1) hash of `key`, salted so independent decisions

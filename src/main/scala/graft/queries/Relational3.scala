@@ -121,24 +121,43 @@ object Relational3 extends QueryModule {
     * hash gate then verifies both the exact sides and that every sketch
     * honored its bound.
     *
-    * Bounds: 15% relative for HLL, and the exact nearest-rank p45..p55
-    * VALUE band for the median sketch (accuracy=1000 guarantees 0.1%
-    * rank error, 50× tighter than the band). The HLL bound is ~3× the
-    * registered rsd=0.05 — a PROBABILISTIC bound on a deterministic-
-    * per-dataset estimator, so a future SF or data-generator change
-    * could legitimately push an estimate outside it with no code bug;
-    * if q25 alone starts failing the gate after a data refresh, triage
-    * as data-shift and re-widen, not as a regression.
+    * Bounds: 15% relative for HLL, and a sampled p40..p60 VALUE band
+    * for the median sketch (accuracy=1000 guarantees 0.1% rank error;
+    * the band's own rank uncertainty is ~0.8%/1σ, so the sketch median
+    * sits inside it with >10σ margin). BOTH bounds are PROBABILISTIC
+    * over the data — deterministic for a fixed dataset, but a future SF
+    * or data-generator change could legitimately push an estimate
+    * outside with no code bug; if q25 alone starts failing the gate
+    * after a data refresh, triage as data-shift and re-widen, not as a
+    * regression.
     *
-    * The band comes from the same two-pass range-partitioned global
-    * order q26 uses (per-group rank = global rank − the group's offset
-    * from a groups-sized count frame) — NOT the sort-based percentile()
-    * aggregate, which materializes every group's values in one
-    * aggregation buffer and cost 7× the query it was gating in round 5.
-    * The exact-distinct columns stay: they are the oracle-checked
-    * output; at 100 TB the sketches are the answer and the exact sides
-    * drop away.
+    * The band comes from a deterministic md5-threshold sample (the
+    * SemDedup centroid-selection machinery): ~[[BandSampleK]] rows per
+    * group pass a map-side `hash60(pk) < 2^60·K/cnt` filter — the
+    * per-group thresholds ride a broadcast join off the group counts —
+    * and an exact percentile over THE SAMPLE yields the p40/p60 values.
+    * Unlike round 5's exact percentile() (every group's values in one
+    * agg buffer — 7× the query it gated) or round 6-interim's two-pass
+    * global order (a full-table range shuffle for two values per
+    * group), the sample band scans once map-side and sorts ≤K rows per
+    * group however large the corpus — gate instrumentation that stays
+    * O(groups·K) at 100 TB. It needs no DuckDB mirror: the oracle emits
+    * literal TRUE, so the band only has to be deterministic and
+    * actually contain the sketch median. The exact-distinct columns
+    * stay: they are the oracle-checked output; at 100 TB the sketches
+    * are the answer and the exact sides drop away.
+    *
+    * Job overlap: the band and aggS subtrees are both broadcast sides
+    * of the final join, so their exchange futures materialize
+    * concurrently; aggP (the probe) is persisted and pre-computed by
+    * the band's threshold branch, leaving the main job a cache read.
     */
+  private val BandSampleK = 4096
+  // 2^60 * BandSampleK as an exact decimal literal: the per-group
+  // threshold 2^60*K/cnt overflows a long for small cnt, so the
+  // division runs in decimal(38) and floors via the long cast
+  private val BandThreshNum = (BigInt(BandSampleK) << 60).toString
+
   private def q25(s: SparkSession, dir: String): DataFrame = {
     val li = lineitem(s, dir)
     // one distinct column per aggregation: TWO distinct columns in one
@@ -148,41 +167,34 @@ object Relational3 extends QueryModule {
     val aggP = li.groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey")).as("ap"))
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        count(lit(1)).as("cnt")) // group sizes drive the band thresholds
+      .persist() // 3 rows; two consumers (result probe + band thresholds)
     val aggS = li.groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_suppkey")).as("exact_supps"),
         approx_count_distinct(col("l_suppkey")).as("asup"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"),
-        count(lit(1)).as("cnt")) // group sizes ride along for the band targets
-      .persist() // 3 rows; two consumers (result join + band targets)
-    val agg = aggP.join(broadcast(aggS.drop("cnt")), "l_returnflag")
-    // exact p45/p55 nearest-rank values per group: global row number in
-    // (group, value) order, group offsets from a groups-cardinality
-    // count frame (offset = sum of earlier groups' counts via a theta
-    // self-join of the tiny frame — #groups² pairs of metadata, never
-    // row data, and no unpartitioned window), band rows picked by one
-    // broadcast join
-    // no per-row tiebreak columns: row_number among equal prices is
-    // arbitrary, but the VALUE at any rank is tie-order-invariant, and
-    // values are all the band emits — 2 shuffle columns instead of 4
-    val ord = Seq(col("l_returnflag"), col("l_extendedprice"))
-    val (numbered, _) = graft.plans.GlobalOrder.withGlobalRowNumber(
-      li.select(ord: _*), ord, "rn")
-    val counts = aggS.select(col("l_returnflag"), col("cnt"))
-    val targets = counts.as("a")
-      .join(counts.as("b"), col("b.l_returnflag") < col("a.l_returnflag"), "left")
-      .groupBy(col("a.l_returnflag"), col("a.cnt"))
-      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
-      .select(col("a.l_returnflag").as("tflag"),
-        (col("off") + expr("(45 * cnt + 99) div 100")).as("lo_rn"),
-        (col("off") + expr("(55 * cnt + 99) div 100")).as("hi_rn"))
-    val band = numbered.join(broadcast(targets),
-        col("l_returnflag") === col("tflag") &&
-          (col("rn") === col("lo_rn") || col("rn") === col("hi_rn")))
-      .groupBy(col("tflag"))
-      .agg(min(col("l_extendedprice")).as("plo"), max(col("l_extendedprice")).as("phi"))
-    agg.join(broadcast(band), col("l_returnflag") === col("tflag"))
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
+    // per-group sample threshold: floor(2^60 * K / cnt); cnt <= K gives
+    // a value past every 60-bit hash, i.e. the whole group samples
+    val thresholds = aggP.select(col("l_returnflag").as("tflag"),
+      (lit(new java.math.BigDecimal(BandThreshNum)) / col("cnt")).cast("long").as("thr"))
+    // deterministic ~K-row per-group sample: map-side filter on the
+    // shared 60-bit md5 fold of the lineitem PK, thresholds broadcast
+    val sample = li
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        graft.ops.Sampling.hash60(
+          concat_ws("_", col("l_orderkey"), col("l_linenumber"))).as("h"))
+      .join(broadcast(thresholds), col("l_returnflag") === col("tflag"))
+      .filter(col("h") < col("thr"))
+    // exact percentile over the BOUNDED sample: <= K values per agg
+    // buffer at any corpus size (the full-table version of this
+    // aggregate is exactly what q25 exists to replace)
+    val band = sample.groupBy(col("tflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.40)).as("plo"),
+        percentile(col("l_extendedprice"), lit(0.60)).as("phi"))
+    aggP.drop("cnt").join(broadcast(aggS), "l_returnflag")
+      .join(broadcast(band), col("l_returnflag") === col("tflag"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
         (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.15)
           .as("parts_within_bound"),

@@ -229,15 +229,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), "no interpreted HOF fold in the hot path")
   }
 
-  test("q25: gate has no Expand and no sort-based percentile aggregate") {
+  test("q25: gate has no Expand, no range shuffle, and only a sampled percentile") {
     // two distinct columns in one agg would Expand every row 3x through
-    // the sketch buffers; percentile() would materialize each group's
-    // values in one buffer — both round-5 gate costs stay out
+    // the sketch buffers (round 5's gate cost); a band from the two-pass
+    // global order would range-shuffle the whole table for two values
+    // per group (round 6-interim's). The sampled band keeps both out:
+    // percentile() is allowed ONLY over the md5-threshold sample, whose
+    // agg buffer is bounded at BandSampleK rows per group.
     val p = plan("q25_approx_sketches")
     assert(!p.contains("Expand"), s"multi-distinct Expand is back:\n${p.take(800)}")
-    assert(!p.contains("percentile(l_extendedprice"),
-      "band must come from the two-pass global order, not percentile()")
-    spark.sharedState.cacheManager.clearCache() // GlobalOrder persists
+    assert(!p.contains("Exchange rangepartitioning"),
+      "band must come from the sampled percentile, not a full-table global order")
+    // the sample filter sits under the percentile agg: the shared
+    // md5-fold hash compared against the broadcast per-group threshold
+    assert(p.contains("conv(substring(md5"), "md5-threshold sample filter missing")
+    assert(p.contains("percentile("), "sampled exact percentile band missing")
+    spark.sharedState.cacheManager.clearCache() // aggP persists
   }
 
   test("d08: cell assignment stage is map-side only (broadcast argmax, zero exchanges)") {
