@@ -278,6 +278,129 @@ object EventStream {
       }
   }
 
+  /** Streaming twin of e01: the JSON-prop extraction is stateless (the
+    * same projection the batch query runs), and the per-event-type
+    * rollup is a plain streaming aggregation — state is ONE row per
+    * event type (no watermark needed; the key domain, not time, bounds
+    * it). Complete/update sinks read the converged snapshot.
+    */
+  def jsonAgg(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+
+  case class AsofOut(event_id: Long, user_id: Long, last_signup_id: Option[Long])
+
+  /** Streaming twin of e04: the as-of lookup (most recent signup
+    * at-or-before each event, per user) carried as O(1) state — just the
+    * latest signup event id plus the (ts, event_id) order marker. Each
+    * batch sort-merges in (ts_us, event_id) order and emits one row per
+    * event, updating the carried signup BEFORE emitting (the batch
+    * window's frame includes the current row, so a signup is its own
+    * as-of match). Same in-order-arrival assumption and disorder
+    * accumulator as [[transitions]]: an event sorting before the carried
+    * marker may have been emitted against a too-new signup upstream —
+    * counted, never silent; a production source buffers by watermark
+    * first, as [[sessionize]] does.
+    */
+  def asofSignup(spark: SparkSession, events: DataFrame,
+                 outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[AsofOut] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Option[Long], Long, Long), AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[EvT], state: GroupState[(Option[Long], Long, Long)]) =>
+          val evs = it.map(e => (e.ts_us, e.event_id, e.event_type)).toVector
+            .sortBy(e => (e._1, e._2))
+          val st = state.getOption.getOrElse((Option.empty[Long], Long.MinValue, Long.MinValue))
+          for (acc <- outOfOrder) {
+            val late = evs.count(e => e._1 < st._2 || (e._1 == st._2 && e._2 < st._3))
+            if (late > 0) acc.add(late.toLong)
+          }
+          var sig = st._1
+          val out = evs.map { case (_, id, t) =>
+            if (t == "signup") sig = Some(id)
+            AsofOut(id, user, sig)
+          }
+          val (mts, mid) = evs.lastOption
+            .collect { case (ts, id, _) if ts > st._2 || (ts == st._2 && id > st._3) => (ts, id) }
+            .getOrElse((st._2, st._3))
+          state.update((sig, mts, mid))
+          out.iterator
+      }
+  }
+
+  case class RetOut(user_id: Long, cohort_day: Long, day_offset: Long)
+
+  /** Streaming twin of e07's per-user stage: each user's cohort is the
+    * epoch day of their FIRST event, and every newly active (cohort,
+    * day-offset) pair emits exactly once — the downstream
+    * (cohort_day, day_offset) user count (e07's final aggregate) is then
+    * a plain count over the emitted rows, one per (user, offset).
+    *
+    * State per user: the cohort day plus the set of offsets already
+    * emitted — O(distinct active days since signup), the retention
+    * horizon, NOT the event count; a production deployment bounds it
+    * hard by evicting users idle past the horizon with an event-time
+    * timeout, exactly as [[dailyPaths]] closes days. In-order arrival
+    * fixes the cohort at the first-seen event (within a batch the
+    * sort-merge makes that the true minimum); an event from BEFORE the
+    * carried marker — which could in principle carry an earlier cohort
+    * the batch query would have used — is counted into `outOfOrder` and
+    * its (negative-offset) pair skipped, never silently emitted.
+    */
+  def retention(spark: SparkSession, events: DataFrame,
+                outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[RetOut] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+        col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PathEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Seq[Long], Long, Long), RetOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[PathEv], state: GroupState[(Long, Seq[Long], Long, Long)]) =>
+          val evs = it.map(e => (e.ts_us, e.event_id, e.day)).toVector
+            .sortBy(e => (e._1, e._2))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val st = state.getOption
+            for (acc <- outOfOrder; (_, _, lts, lid) <- st) {
+              val late = evs.count(e => e._1 < lts || (e._1 == lts && e._2 < lid))
+              if (late > 0) acc.add(late.toLong)
+            }
+            val cohort = st.map(_._1).getOrElse(evs.head._3)
+            var seen = st.map(_._2.toSet).getOrElse(Set.empty[Long])
+            val out = Vector.newBuilder[RetOut]
+            for ((_, _, d) <- evs) {
+              val off = d - cohort
+              if (off >= 0 && !seen(off)) {
+                seen += off
+                out += RetOut(user, cohort, off)
+              }
+            }
+            val (mts, mid) = {
+              val m = evs.last
+              st.collect { case (_, _, lts, lid) if lts > m._1 || (lts == m._1 && lid > m._2) =>
+                (lts, lid) }.getOrElse((m._1, m._2))
+            }
+            state.update((cohort, seen.toSeq.sorted, mts, mid))
+            out.result().iterator
+          }
+      }
+  }
+
   case class PathEv(user_id: Long, day: Long, event_id: Long,
                     event_type: String, ts_us: Long, ts: java.sql.Timestamp)
   case class PathOut(user_id: Long, day: Long, path: String)

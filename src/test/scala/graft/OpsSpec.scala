@@ -287,4 +287,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(cellOf(1L) === 2L, s"zero vector must take the smallest cid, got $cellOf")
     assert(cellOf(2L) === 2L && cellOf(3L) === 3L)
   }
+
+  test("d08 two-level assignment: broadcast side and per-row work are O(sqrt K), not O(K)") {
+    import graft.ops.{Sampling, SemDedup}
+    import org.apache.spark.sql.functions.{col, md5}
+    // the formulas: K scales with the corpus, the coarse quantizer with
+    // sqrt(K) — per-row argmax work is Kc at level 1 and ~K/Kc (its
+    // group's fine centroids) at level 2, both O(sqrt K)
+    for (n <- Seq(1024L, 64000L, 4000000L)) {
+      val k = SemDedup.cellCount(n)
+      val kc = SemDedup.coarseCount(k)
+      assert(k >= 16 && k >= n / 64, s"n=$n k=$k")
+      assert(kc.toLong * kc >= k && (kc - 1L) * (kc - 1L) < k, s"k=$k kc=$kc")
+    }
+    // the md5-threshold selector actually draws ~k of n rows (binomial,
+    // wide tolerance) — the level-1 broadcast is this coarse sample, so
+    // its row count is what bounds broadcast bytes AND per-row fold work
+    val ids = spark.range(10000).select(md5(col("id").cast("string")).as("key"))
+    val hit = ids.filter(
+      Sampling.hash60(col("key")) < SemDedup.hashThreshold(100, 10000L)).count()
+    assert(hit > 50 && hit < 170, s"~100 of 10000 expected, got $hit")
+    // and the d08 constants put the broadcast side at sqrt scale for a
+    // corpus where flat assignment would already be pathological:
+    // n=4M -> K=62500 fine centroids but only Kc=250 broadcast rows
+    assert(SemDedup.coarseCount(SemDedup.cellCount(4000000L)) === 250)
+  }
 }

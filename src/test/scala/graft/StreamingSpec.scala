@@ -11,6 +11,35 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** Split the raw events file into two time-ordered halves under a temp
+    * dir so the file source delivers two micro-batches — cross-batch
+    * state carry-over is the thing the two-batch tests exercise, and a
+    * single batch would never hit it. Caller deletes the returned dir.
+    */
+  private def twoHalfReplay(prefix: String): java.io.File = {
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val rawSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet").cache()
+    val cut = raw.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m")
+      .collect()(0).getDouble(0).toLong
+    val tmp = java.nio.file.Files.createTempDirectory(prefix).toFile
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      df.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(tmp, s"events_$name.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    writeHalf(raw.filter(col("ts") <= cut), "a", t0)
+    writeHalf(raw.filter(col("ts") > cut), "b", t0 + 30000)
+    raw.unpersist()
+    tmp
+  }
+
   test("streaming tumbling window converges to the batch gold result (e02)") {
     val stream = EventStream.tumblingAgg(EventStream.readEvents(spark, dir))
     val q = stream.writeStream
@@ -28,31 +57,9 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming transitions converge to the batch transition matrix (e09) across TWO batches") {
-    // Split the raw events file into two time-ordered halves so the
-    // file source delivers two micro-batches — the cross-batch state
-    // carry-over (boundary bigram emitted exactly once) is the thing
-    // under test and a single batch would never exercise it.
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    val rawSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet").cache()
-    val cut = raw.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m")
-      .collect()(0).getDouble(0).toLong
-    val tmp = java.nio.file.Files.createTempDirectory("graft_trans").toFile
-    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-      val stage = new java.io.File(tmp, s"stage_$name")
-      df.coalesce(1).write.parquet(stage.getAbsolutePath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val target = new java.io.File(tmp, s"events_$name.parquet")
-      java.nio.file.Files.move(part.toPath, target.toPath)
-      target.setLastModified(mtime)
-      org.apache.commons.io.FileUtils.deleteDirectory(stage)
-    }
-    val t0 = System.currentTimeMillis() - 60000
-    writeHalf(raw.filter(col("ts") <= cut), "a", t0)
-    writeHalf(raw.filter(col("ts") > cut), "b", t0 + 30000)
-    raw.unpersist()
-
+    // cross-batch state carry-over (boundary bigram emitted exactly
+    // once) is the thing under test — hence the two-half replay
+    val tmp = twoHalfReplay("graft_trans")
     val stream = EventStream.transitions(spark, EventStream.readEvents(spark, tmp.getAbsolutePath))
     val q = stream.writeStream
       .format("memory").queryName("trans_out")
@@ -104,32 +111,12 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming funnel converges to the batch funnel (e08) across TWO batches") {
-    // Same two-half replay as the e09 test: the carried three-min state
-    // (a view in batch A qualifying a click in batch B) is the thing
-    // under test. Halves split on ts, so arrival is in-order and the
-    // funnel must converge EXACTLY; the final value per user is the
-    // per-column min over the monotonically tightening emitted rows.
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    val rawSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet").cache()
-    val cut = raw.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m")
-      .collect()(0).getDouble(0).toLong
-    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel").toFile
-    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
-      val stage = new java.io.File(tmp, s"stage_$name")
-      df.coalesce(1).write.parquet(stage.getAbsolutePath)
-      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val target = new java.io.File(tmp, s"events_$name.parquet")
-      java.nio.file.Files.move(part.toPath, target.toPath)
-      target.setLastModified(mtime)
-      org.apache.commons.io.FileUtils.deleteDirectory(stage)
-    }
-    val t0 = System.currentTimeMillis() - 60000
-    writeHalf(raw.filter(col("ts") <= cut), "a", t0)
-    writeHalf(raw.filter(col("ts") > cut), "b", t0 + 30000)
-    raw.unpersist()
-
+    // the carried three-min state (a view in batch A qualifying a click
+    // in batch B) is the thing under test. Halves split on ts, so
+    // arrival is in-order and the funnel must converge EXACTLY; the
+    // final value per user is the per-column min over the monotonically
+    // tightening emitted rows.
+    val tmp = twoHalfReplay("graft_funnel")
     val stream = EventStream.funnel(spark, EventStream.readEvents(spark, tmp.getAbsolutePath))
     val q = stream.writeStream
       .format("memory").queryName("funnel_out")
@@ -309,6 +296,62 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       .filter(t => (t._2 + 1) * 86400000L < wmMs)
       .toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("streaming json-prop aggregate converges to the batch rollup (e01)") {
+    val stream = EventStream.jsonAgg(EventStream.readEvents(spark, dir))
+    val q = stream.writeStream
+      .format("memory").queryName("json_out")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = spark.table("json_out").collect().map(key).toSet
+    val want = SparkEntry.queries("e01_json_extract")(spark, dir).collect().map(key).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("streaming as-of signup lookup converges to the batch as-of join (e04) across TWO batches") {
+    // the carried latest-signup state (a signup in batch A answering an
+    // event in batch B) is the thing under test
+    val tmp = twoHalfReplay("graft_asof")
+    val stream = EventStream.asofSignup(spark, EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val q = stream.writeStream
+      .format("memory").queryName("asof_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), Option(r.get(2)))
+    val got = spark.table("asof_out").collect().map(key).toSet
+    val want = SparkEntry.queries("e04_asof_last_signup")(spark, dir).collect().map(key).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+  }
+
+  test("streaming retention pairs converge to the batch cohort counts (e07) across TWO batches") {
+    // the carried cohort + emitted-offset set (a user signing up in
+    // batch A and returning in batch B) is the thing under test; each
+    // (user, offset) pair emits exactly once, so the downstream count
+    // over emitted rows IS e07's countDistinct(user_id)
+    val tmp = twoHalfReplay("graft_ret")
+    val stream = EventStream.retention(spark, EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val q = stream.writeStream
+      .format("memory").queryName("ret_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ret_out")
+      .groupBy(col("cohort_day"), col("day_offset")).agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("e07_retention_cohorts")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(want.nonEmpty)
     assert(got === want)
   }
