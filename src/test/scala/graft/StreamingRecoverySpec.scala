@@ -113,4 +113,54 @@ class StreamingRecoverySpec extends AnyFunSuite {
     // and the sink holds each id exactly once
     assert(spark.read.parquet(outDir).distinct().count() === distinctIds)
   }
+
+  test("as-of twin restarted from checkpoint carries per-user flatMapGroupsWithState state") {
+    // the third recovery class: CUSTOM (flatMapGroupsWithState) state.
+    // Phase 1 feeds the first half by event time; its file is then
+    // DELETED, so a user whose last signup sits in phase 1 can only get
+    // the right last_signup_id for phase-2 events from the RESTORED
+    // per-user state — reprocessing cannot save a silently ignored
+    // checkpoint, and fresh state would emit a wrong (too-old) signup,
+    // failing the set compare against the batch as-of join.
+    val rawSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet").cache()
+    val cut = raw.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m")
+      .collect()(0).getDouble(0).toLong
+    val streamDir = Files.createTempDirectory("graft-asofstream").toString
+    val checkpoint = Files.createTempDirectory("graft-asofckpt").toString
+    val outDir = Files.createTempDirectory("graft-asofout").toString + "/asof"
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = Files.createTempDirectory(s"graft-asofstage_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(streamDir, s"events_$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def runOnce(): Unit = {
+      val q = EventStream.asofSignup(spark, EventStream.readEvents(spark, streamDir))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    writeHalf(raw.filter(org.apache.spark.sql.functions.col("ts") <= cut), "a")
+    runOnce()
+    Files.deleteIfExists(Paths.get(streamDir, "events_a.parquet"))
+    writeHalf(raw.filter(org.apache.spark.sql.functions.col("ts") > cut), "b")
+    raw.unpersist()
+    runOnce()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), Option(r.get(2)))
+    val got = spark.read.parquet(outDir).collect().map(key).toSet
+    val want = SparkEntry.queries("e04_asof_last_signup")(spark, dir).collect().map(key).toSet
+    assert(want.nonEmpty)
+    assert(got === want,
+      "post-restart emitted rows must equal the batch as-of join over ALL input")
+  }
 }
