@@ -102,15 +102,10 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9 // before cache cleanup
-        if (!spark.sparkContext.isStopped) {
-          spark.sharedState.cacheManager.clearCache() // ops persist() caches
-          // localCheckpoint() blocks (the CC ops' returned label tables)
-          // are NOT tracked by the CacheManager — left alone they survive
-          // into the next measured run and crowd the BlockManager (the
-          // round-5 warm>cold inversion). Sweep them at the RDD level.
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-        }
+        // caches AND localCheckpoint blocks (the round-5 warm>cold
+        // inversion) must not survive into the next measured run
+        if (!spark.sparkContext.isStopped)
+          graft.core.Sessions.sweepPersistedState(spark)
         if (ok) elapsed else -1.0
       }
       val cold = once()

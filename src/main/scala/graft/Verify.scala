@@ -23,12 +23,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      if (!spark.sparkContext.isStopped) {
-        spark.sharedState.cacheManager.clearCache() // ops persist() caches
-        // CC results are localCheckpoint()ed — not CacheManager-tracked
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-      }
+      if (!spark.sparkContext.isStopped)
+        graft.core.Sessions.sweepPersistedState(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -24,4 +24,16 @@ object Sessions {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Release ALL cross-run execution state: CacheManager entries AND
+    * leftover persisted RDDs — which include `localCheckpoint()` blocks
+    * the CacheManager does not track (the round-5 warm>cold leak; see
+    * Graph.release for the per-frame variant). One definition, shared
+    * by Bench/Verify/profiling mains between measured runs, so the
+    * sweep semantics cannot drift across call sites.
+    */
+  def sweepPersistedState(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
 }

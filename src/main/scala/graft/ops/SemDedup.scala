@@ -118,8 +118,8 @@ object SemDedup extends QueryModule {
     def sample(k: Int) = base
       .filter(Sampling.hash60(col("vec_id").cast("string")) < hashThreshold(k, n))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val cents  = sample(cells).persist() // fine centroids (~K rows)
-    val coarse = sample(kc).persist()    // coarse subset of the SAME hash order;
+    val cents  = sample(cells)        // fine centroids (~K rows, one consumer)
+    val coarse = sample(kc).persist() // coarse subset of the SAME hash order;
     // persisted: both assignStage calls collapse it into their broadcast array
     // level 1 (map-side, broadcast O(sqrt K)): rows and fine centroids
     // each pick their coarse group. The Long.MaxValue filter covers the
@@ -146,11 +146,15 @@ object SemDedup extends QueryModule {
     val cand = assign.as("a").join(assign.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+    // guardedSim here too: a zero-norm vector IS assigned to a real cell
+    // (the guard's smallest-cid tiebreak), so it reaches this stage —
+    // an unguarded 0/0 would throw DIVIDE_BY_ZERO under ANSI, and the
+    // sentinel (< Threshold) drops the degenerate pair on both engines
     val pairs = cand
       .join(base.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na")), "ida")
       .join(base.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb")), "idb")
       .select(col("ida"), col("idb"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+        guardedSim(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
       .filter(col("sim") >= Threshold)
     Graph.connectedComponents(
         Tables.embeddings(s, dir).select(col("vec_id")),
@@ -177,8 +181,10 @@ object SemDedup extends QueryModule {
   /** Full structural mirror: same corpus-scaled K and ceil(sqrt(K))
     * coarse size, same md5-threshold centroid membership, same
     * zero-norm sentinel and (csim DESC, cid ASC) tiebreak at BOTH
-    * assignment levels, same in-cell pairs, transitive closure via
-    * recursive CTE.
+    * assignment levels AND the in-cell pair stage (an unguarded DuckDB
+    * 0/0 is NaN, which >= threshold admits — divergent from the ANSI
+    * Spark side, which would throw), transitive closure via recursive
+    * CTE.
     */
   private val d08Sql =
     s"""WITH RECURSIVE ${Similarity.oracleVecs},
@@ -212,7 +218,7 @@ object SemDedup extends QueryModule {
        |pr AS (
        |  SELECT ida, idb FROM (
        |    SELECT a.vec_id AS ida, b.vec_id AS idb,
-       |      list_sum(list_transform(range(1, ${Similarity.Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
+       |      ${sqlSim("x.v", "y.v", "x.nrm", "y.nrm")} AS sim
        |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |    JOIN n x ON a.vec_id = x.vec_id JOIN n y ON b.vec_id = y.vec_id)
        |  WHERE sim >= $Threshold),

@@ -175,10 +175,15 @@ object Relational3 extends QueryModule {
         countDistinct(col("l_suppkey")).as("exact_supps"),
         approx_count_distinct(col("l_suppkey")).as("asup"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("am"))
-    // per-group sample threshold: floor(2^60 * K / cnt); cnt <= K gives
-    // a value past every 60-bit hash, i.e. the whole group samples
+    // per-group sample threshold: floor(2^60 * K / cnt), with cnt <= K
+    // routed to the past-every-hash constant 2^60 OUTSIDE the division —
+    // the quotient itself is >= 2^63 once cnt <= K/8 (e.g. a tiny or
+    // filtered group), and the decimal -> long cast of that would throw
+    // CAST_OVERFLOW under ANSI rather than clamp
     val thresholds = aggP.select(col("l_returnflag").as("tflag"),
-      (lit(new java.math.BigDecimal(BandThreshNum)) / col("cnt")).cast("long").as("thr"))
+      when(col("cnt") <= BandSampleK, lit(1L << 60))
+        .otherwise((lit(new java.math.BigDecimal(BandThreshNum)) / col("cnt")).cast("long"))
+        .as("thr"))
     // deterministic ~K-row per-group sample: map-side filter on the
     // shared 60-bit md5 fold of the lineitem PK, thresholds broadcast
     val sample = li

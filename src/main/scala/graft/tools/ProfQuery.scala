@@ -26,9 +26,7 @@ object ProfQuery {
       graft.SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       println(f"[prof] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      spark.sharedState.cacheManager.clearCache()
-      // mirror Bench: localCheckpoint blocks aren't CacheManager-tracked
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      graft.core.Sessions.sweepPersistedState(spark)
     }
     spark.stop()
   }

@@ -23,8 +23,7 @@ object Q25Prof {
       val t0 = System.nanoTime()
       f
       println(f"[q25prof] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      graft.core.Sessions.sweepPersistedState(spark)
     }
     for (_ <- 1 to n) {
       time("aggP (countDistinct+approx partkey)") {

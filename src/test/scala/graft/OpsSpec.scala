@@ -312,4 +312,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     // n=4M -> K=62500 fine centroids but only Kc=250 broadcast rows
     assert(SemDedup.coarseCount(SemDedup.cellCount(4000000L)) === 250)
   }
+
+  test("d08 end-to-end: a zero-norm vector in a shared cell neither throws nor joins a cluster") {
+    // Under ANSI an unguarded 0/0 in the PAIR stage throws
+    // DIVIDE_BY_ZERO — the zero vector must reach that stage as a
+    // cellmate of real vectors to regression-test the guard. ids 1-16
+    // hash below the 16/17 centroid threshold (all become fine
+    // centroids; 6 is the single coarse one) while id 44 hashes at
+    // 0.965 of the hash space — deterministically NOT a centroid — so
+    // with identical unit vectors everywhere the argmax folds put ALL
+    // 17 rows (tie -> smallest cid) into cell 1: the zero row pairs
+    // with 16 real rows, its pairs must drop at the sentinel, and the
+    // real rows must still form one cluster.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d08zero").toString
+    val rows = (1L to 16L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0)) :+
+      ((44L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("d08_semantic_dedup")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size === 17)
+    for (i <- 1L to 16L)
+      assert(out(i)._1 === 1L, s"real vector $i must cluster to 1, got ${out(i)}")
+    assert(out(44L) === ((44L, 1L)), "zero vector must stay a kept singleton")
+    assert(out.values.count(_._2 === 1L) === 2) // survivors: 1 and 44
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("q25: a group far below the sample target neither overflows nor fails its bounds") {
+    // floor(2^72 / cnt) exceeds Long.MaxValue once cnt <= 512; the
+    // threshold expression must route small groups to the 2^60
+    // everything-passes constant OUTSIDE the division or ANSI throws
+    // CAST_OVERFLOW. 30 rows in two groups exercises exactly that path,
+    // and with the whole group sampled the band is the exact p40/p60 —
+    // the sketch median must sit inside it.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q25small").toString
+    val rows = (1 to 30).map { i =>
+      val flag = if (i <= 20) "A" else "B"
+      (flag, i.toLong % 7, i.toLong % 5, 100.0 + i, i.toLong, i)
+    }
+    rows.toDF("l_returnflag", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = SparkEntry.queries("q25_approx_sketches")(spark, tmp).collect()
+    assert(out.length === 2)
+    for (r <- out; c <- Seq("parts_within_bound", "supps_within_bound", "median_within_bound"))
+      assert(r.getAs[Boolean](c), s"${r.getString(0)} $c")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }
