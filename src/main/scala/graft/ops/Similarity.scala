@@ -36,18 +36,31 @@ object Similarity extends QueryModule {
     * vec_dot is the native codegen expression (graft.functions.DotProduct)
     * — same sequential fold, bit-identical to the composed form, ~100x
     * less per-row overhead.
+    *
+    * Zero-norm (direction-less) vectors are EXCLUDED at this source:
+    * cosine similarity is undefined for them, and the unguarded
+    * `dot/(na*nb)` every consumer computes would throw DIVIDE_BY_ZERO
+    * under ANSI on Spark while DuckDB's 0/0 = NaN silently passes a
+    * `>= threshold` — the same divergence class the d08 pair stage
+    * guarded explicitly. The oracle CTE applies the identical filter.
+    * Dedup semantics are unaffected: d08 seeds clusters from the full
+    * embeddings id set, so an excluded vector surfaces as its own kept
+    * singleton rather than being dropped from the corpus.
     */
   private[graft] def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
 
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vec_dot(a, b)
 
   private[ops] val oracleVecs =
     """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)""".stripMargin
+      |n AS (SELECT * FROM (
+      |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
+      |  WHERE nrm > 0)""".stripMargin
 
   /** s01: exact cosine top-5 neighbors for every vector. The per-query
     * top-k runs through the bounded-memory TopKNeighbors Aggregator

@@ -340,6 +340,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("cosine ops exclude a zero-norm vector at the source (s01 neither throws nor ranks it)") {
+    // the d08 pair-stage guard generalizes: every s-query divides by
+    // nrm products, so a direction-less vector must never reach them —
+    // Similarity.vecs (and its oracle CTE) filter nrm > 0 at the source
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s01zero").toString
+    val rows = (1L to 5L).map(i => (i, Seq(1.0f, i.toFloat / 10, 0.0f, 0.0f), 0)) :+
+      ((9L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("s01_cosine_knn")(spark, tmp)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    assert(!out.exists(p => p._1 === 9L || p._2 === 9L),
+      "the zero-norm vector must appear on neither side of any ranked pair")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("q25: a group far below the sample target neither overflows nor fails its bounds") {
     // floor(2^72 / cnt) exceeds Long.MaxValue once cnt <= 512; the
     // threshold expression must route small groups to the 2^60
