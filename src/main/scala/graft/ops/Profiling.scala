@@ -252,9 +252,14 @@ object Profiling extends QueryModule {
   private def p07(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
     val mm = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    // hi > lo guard: a CONSTANT column has zero width — every value
+    // belongs in bin 0, and the unguarded division would throw
+    // DIVIDE_BY_ZERO under ANSI (DuckDB's 0/0 = NaN would diverge)
     li.crossJoin(broadcast(mm))
       .select(least(
-        floor((col("x") - col("lo")) * HistBins / (col("hi") - col("lo"))),
+        when(col("hi") > col("lo"),
+          floor((col("x") - col("lo")) * HistBins / (col("hi") - col("lo"))))
+          .otherwise(lit(0.0)),
         lit(HistBins - 1)).cast("long").as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"))
@@ -262,7 +267,9 @@ object Profiling extends QueryModule {
 
   private val p07Sql =
     s"""WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem)
-       |SELECT CAST(least(floor((l_extendedprice - lo) * $HistBins / (hi - lo)), ${HistBins - 1}) AS BIGINT) AS bin,
+       |SELECT CAST(least(
+       |    CASE WHEN hi > lo THEN floor((l_extendedprice - lo) * $HistBins / (hi - lo)) ELSE 0 END,
+       |    ${HistBins - 1}) AS BIGINT) AS bin,
        |  count(*) AS n
        |FROM lineitem CROSS JOIN mm
        |GROUP BY 1""".stripMargin

@@ -136,8 +136,13 @@ object Sampling extends QueryModule {
         sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
     val totals = byLang.groupBy()
       .agg(sum(col("n_train")).as("tot_train"), sum(col("n_test")).as("tot_test"))
-    val pTrain = col("n_train").cast("double") / col("tot_train").cast("double")
-    val pTest = col("n_test").cast("double") / col("tot_test").cast("double")
+    // a degenerate corpus can land every doc in one split (tot = 0 on
+    // the other): the share is then undefined — null, not an ANSI
+    // DIVIDE_BY_ZERO throw; drift goes null with it on both engines
+    val pTrain = when(col("tot_train") > 0,
+      col("n_train").cast("double") / col("tot_train").cast("double"))
+    val pTest = when(col("tot_test") > 0,
+      col("n_test").cast("double") / col("tot_test").cast("double"))
     byLang.crossJoin(broadcast(totals))
       .select(col("lang"), col("n_train"), col("n_test"),
         pTrain.as("p_train"), pTest.as("p_test"),
@@ -156,10 +161,10 @@ object Sampling extends QueryModule {
        |t AS (SELECT CAST(sum(n_train) AS BIGINT) AS tot_train,
        |             CAST(sum(n_test) AS BIGINT) AS tot_test FROM b)
        |SELECT lang, n_train, n_test,
-       |  CAST(n_train AS DOUBLE) / CAST(tot_train AS DOUBLE) AS p_train,
-       |  CAST(n_test AS DOUBLE) / CAST(tot_test AS DOUBLE) AS p_test,
-       |  abs(CAST(n_train AS DOUBLE) / CAST(tot_train AS DOUBLE)
-       |    - CAST(n_test AS DOUBLE) / CAST(tot_test AS DOUBLE)) AS drift
+       |  CASE WHEN tot_train > 0 THEN CAST(n_train AS DOUBLE) / CAST(tot_train AS DOUBLE) END AS p_train,
+       |  CASE WHEN tot_test > 0 THEN CAST(n_test AS DOUBLE) / CAST(tot_test AS DOUBLE) END AS p_test,
+       |  abs(CASE WHEN tot_train > 0 THEN CAST(n_train AS DOUBLE) / CAST(tot_train AS DOUBLE) END
+       |    - CASE WHEN tot_test > 0 THEN CAST(n_test AS DOUBLE) / CAST(tot_test AS DOUBLE) END) AS drift
        |FROM b CROSS JOIN t""".stripMargin
 
   /** p10: training-batch packing — the deterministic global shuffle

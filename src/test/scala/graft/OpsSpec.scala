@@ -358,6 +358,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("p07: a constant column yields one zero-width bin instead of throwing") {
+    // hi == lo makes the bin divisor zero: ANSI throws where DuckDB's
+    // 0/0 = NaN silently diverges — the guard routes everything to bin 0
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p07const").toString
+    (1 to 10).map(_ => 42.0).toDF("l_extendedprice")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = SparkEntry.queries("p07_histogram")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq === Seq(0L -> 10L))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("p09: a corpus whose docs all hash to one split reports null shares, not a throw") {
+    // doc_ids 1,2,3 all land in the train bucket (uhash < 0.8), so
+    // tot_test = 0 — the test-share divisor; the guard nulls the share
+    // and the drift instead of an ANSI DIVIDE_BY_ZERO
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p09one").toString
+    Seq((1L, "en"), (2L, "en"), (3L, "de"))
+      .toDF("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("p09_split_drift")(spark, tmp).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      assert(r.getAs[Long]("n_test") === 0L)
+      assert(r.isNullAt(r.fieldIndex("p_test")), "undefined share must be null")
+      assert(r.isNullAt(r.fieldIndex("drift")), "drift inherits the null")
+      assert(!r.isNullAt(r.fieldIndex("p_train")))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("q25: a group far below the sample target neither overflows nor fails its bounds") {
     // floor(2^72 / cnt) exceeds Long.MaxValue once cnt <= 512; the
     // threshold expression must route small groups to the 2^60
