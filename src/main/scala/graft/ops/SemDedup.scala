@@ -146,10 +146,11 @@ object SemDedup extends QueryModule {
     val cand = assign.as("a").join(assign.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
-    // guardedSim here too: a zero-norm vector IS assigned to a real cell
-    // (the guard's smallest-cid tiebreak), so it reaches this stage —
-    // an unguarded 0/0 would throw DIVIDE_BY_ZERO under ANSI, and the
-    // sentinel (< Threshold) drops the degenerate pair on both engines
+    // guardedSim here is defense in depth: Similarity.vecs excludes
+    // zero-norm vectors at the source, so na*nb > 0 for every pair this
+    // stage can currently see — but the guard keeps the stage safe (and
+    // oracle-aligned: DuckDB's 0/0 = NaN passes >= Threshold) if that
+    // source contract ever loosens
     val pairs = cand
       .join(base.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na")), "ida")
       .join(base.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb")), "idb")
@@ -163,15 +164,20 @@ object SemDedup extends QueryModule {
         (col("id") === col("comp")).cast("long").as("kept"))
   }
 
+  // K and the membership thresholds count FROM n — the zero-norm-
+  // FILTERED population, the same frame the Spark side counts via
+  // base.count() — not FROM embeddings: with >= 1 degenerate vector the
+  // two counts differ, the floor(2^60*k/n) cuts land on different hash
+  // fractions, and the engines pick different centroid sets
   private val kExpr =
-    s"greatest($MinCells, ((SELECT count(*) FROM embeddings) + ${TargetCellRows - 1}) // $TargetCellRows)"
+    s"greatest($MinCells, ((SELECT count(*) FROM n) + ${TargetCellRows - 1}) // $TargetCellRows)"
   private val kcExpr = s"CAST(ceil(sqrt(CAST(($kExpr) AS DOUBLE))) AS BIGINT)"
   // floor(2^60 * k / n) in 128-bit (HUGEINT): the BIGINT hex60 value
   // compares against it with automatic promotion — same floor division
   // and the same clamp-free semantics as the Scala BigInt twin
   private def threshSql(kSql: String) =
     s"""(CAST(($kSql) AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)
-       |  // CAST((SELECT count(*) FROM embeddings) AS HUGEINT))""".stripMargin
+       |  // CAST((SELECT count(*) FROM n) AS HUGEINT))""".stripMargin
 
   private def sqlSim(av: String, bv: String, an: String, bn: String) =
     s"""CASE WHEN $an * $bn > 0

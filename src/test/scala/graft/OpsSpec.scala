@@ -313,17 +313,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(SemDedup.coarseCount(SemDedup.cellCount(4000000L)) === 250)
   }
 
-  test("d08 end-to-end: a zero-norm vector in a shared cell neither throws nor joins a cluster") {
-    // Under ANSI an unguarded 0/0 in the PAIR stage throws
-    // DIVIDE_BY_ZERO — the zero vector must reach that stage as a
-    // cellmate of real vectors to regression-test the guard. ids 1-16
-    // hash below the 16/17 centroid threshold (all become fine
-    // centroids; 6 is the single coarse one) while id 44 hashes at
-    // 0.965 of the hash space — deterministically NOT a centroid — so
-    // with identical unit vectors everywhere the argmax folds put ALL
-    // 17 rows (tie -> smallest cid) into cell 1: the zero row pairs
-    // with 16 real rows, its pairs must drop at the sentinel, and the
-    // real rows must still form one cluster.
+  test("d08 end-to-end: a zero-norm vector neither throws nor joins a cluster") {
+    // The user-visible contract for a degenerate embedding: d08 must
+    // not crash (an unguarded 0/0 in the pair stage throws
+    // DIVIDE_BY_ZERO under ANSI — it did, before Similarity.vecs
+    // excluded zero-norm vectors at the source) and must keep the
+    // vector as its own kept singleton via the nodes seed, never
+    // cluster it or drop it from the output. The 16 real vectors are
+    // identical, so every argmax ties to the smallest cid and they
+    // form one cluster; id 44 (hash 0.965 of the space, outside every
+    // centroid cut) is the zero vector.
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_d08zero").toString
     val rows = (1L to 16L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0)) :+
