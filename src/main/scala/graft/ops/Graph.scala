@@ -124,11 +124,21 @@ object Graph {
     try {
       while (changed > 0 && round < maxRounds) {
         // `hops` propagation steps, then ONE checkpoint + convergence
-        // check for the batch; `prev` carries the pre-batch label so the
-        // fixpoint test spans all hops. Per hop: min incoming neighbor
-        // label per node, joined back onto the labels; a node whose
-        // neighbors all carry larger labels keeps its own via the
-        // least/coalesce.
+        // check for the batch; `prev` carries the label BEFORE THE
+        // BATCH'S LAST HOP — not the pre-batch label. One hop changing
+        // nothing already implies the global fixpoint (hop-stable means
+        // every node's label ≤ all its neighbors'; over the symmetrized
+        // edges adjacent labels are then mutually ≤, i.e. constant per
+        // component, and monotone min-propagation pins that constant to
+        // the component min), so testing the last hop alone detects
+        // convergence DURING the batch that reaches it — a dense near-
+        // clique graph (the dedup shape: fixpoint at hop 1 of 2) exits
+        // one full barrier (2 hops + jump join + 2 checkpoints + count)
+        // earlier than the pre-batch test, which had to run a whole
+        // confirmation batch to observe "nothing changed". Per hop: min
+        // incoming neighbor label per node, joined back onto the labels;
+        // a node whose neighbors all carry larger labels keeps its own
+        // via the least/coalesce.
         var cur = labels.select(col("id"), col("comp").as("prev"), col("comp"))
         val batch = math.min(hops, maxRounds - round)
         for (h <- 0 until batch) {
@@ -142,15 +152,14 @@ object Graph {
             .agg(min(col("comp")).as("nmin"))
           cur = cur
             .join(nbrMin, cur("id") === nbrMin(s"_dst$h"), "left")
-            .select(cur("id"), cur("prev"),
+            .select(cur("id"), cur("comp").as("prev"),
               least(cur("comp"), coalesce(col("nmin"), cur("comp"))).as("comp"))
         }
         // materialize the batch, then check convergence BEFORE jumping:
-        // if a full batch of propagation changed nothing, every node's
-        // label already ≤ all its neighbors' — the global fixpoint —
-        // and the jump is the identity (comp's own label IS comp at
-        // fixpoint), so the converged barrier skips the jump join and
-        // its second checkpoint outright.
+        // if the last hop changed nothing the batch is at the global
+        // fixpoint, and the jump is the identity (comp's own label IS
+        // comp at fixpoint), so the converged barrier skips the jump
+        // join and its second checkpoint outright.
         val prop = cur.localCheckpoint()
         changed = prop.filter(col("comp") =!= col("prev")).count()
         if (changed > 0) {

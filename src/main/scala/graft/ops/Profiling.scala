@@ -17,25 +17,24 @@ object Profiling extends QueryModule {
 
   private def p01(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"${c}_nonnull"),
-        countDistinct(col(c)).as(s"${c}_distinct"),
-        min(col(c)).as(s"${c}_min"),
-        max(col(c)).as(s"${c}_max"))
-    }
-    val total = count(lit(1)).as("n_rows")
-    val one = li.agg(total, aggs: _*)
-    val rows: Seq[Column] = cols.map { c =>
-      struct(
-        lit(c).as("col_name"),
-        col("n_rows"),
-        col(s"${c}_nonnull").as("n_nonnull"),
-        col(s"${c}_distinct").as("n_distinct"),
-        col(s"${c}_min").as("min_v"),
-        col(s"${c}_max").as("max_v"))
-    }
-    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+    // unpivot first, ONE distinct agg after: four countDistinct columns
+    // in a single agg make Catalyst Expand every input row 5x through
+    // every aggregate buffer (round 6's 1.78s -> 5.75s regression).
+    // Exploding to (col_name, value) rows and grouping by col_name
+    // leaves exactly one distinct aggregate, which plans as the plain
+    // two-phase distinct (map-side dedup on (col_name, value), partial
+    // min/max/count riding along) — one scan, no Expand, and the
+    // shuffle carries ~distinct-values-per-column tuples, not rows
+    val pairs = cols.map(c => struct(lit(c).as("col_name"), col(c).as("v")))
+    li.select(explode(array(pairs: _*)).as("r"))
+      .select(col("r.col_name").as("col_name"), col("r.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_nonnull"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
   }
 
   private val p01Sql = cols.map { c =>

@@ -42,6 +42,21 @@ object SemDedup extends QueryModule {
   private val MinCells       = 16
   private val TargetCellRows = 64
   private val Threshold      = 0.4
+  /** Per-cell participation cap for the quadratic pair stage. Expected
+    * cell size is ~TargetCellRows, but md5-threshold centroid sampling
+    * only bounds the EXPECTATION — an adversarial corpus (one boilerplate
+    * cluster holding 10% of a web crawl) can put nearly everything in one
+    * cell, and C(n,2) on that cell is the job-killer. Rows ranked past
+    * the cap (deterministic per-cell order: the shared 60-bit md5 fold,
+    * vec_id tiebreak — both engines rebuild it exactly) sit out the pair
+    * stage and stay singletons, so the stage's work is ≤ C(cap,2) pairs
+    * per cell at ANY cell size. 8× the target size: far above every
+    * honest cell (the cap never binds on balanced data — testdata
+    * results are byte-identical), small enough that a degenerate cell
+    * costs ~130k pairs, not 10^12. The oracle applies the same ranked
+    * cap, so a bound cell diverges nowhere.
+    */
+  private[graft] val CellCap = 8 * TargetCellRows
 
   private def dot(a: Column, b: Column) =
     graft.functions.VectorFunctions.vec_dot(a, b)
@@ -108,6 +123,28 @@ object SemDedup extends QueryModule {
     if (n == 0) 0L
     else ((BigInt(k) << 60) / BigInt(n)).min(BigInt(1) << 60).toLong
 
+  /** The in-cell candidate pair stage with the [[CellCap]] skew guard:
+    * rank each cell's members by the deterministic (hash60(vec_id),
+    * vec_id) order, let only the first `cap` participate, self-join on
+    * the cell id with ida < idb. Work is bounded by C(cap,2) pairs per
+    * cell however hot the cell — the window's hash partitioning on
+    * `cell` is the same distribution the self-join needs, so the rank
+    * adds no extra exchange. Factored out (with the cap injectable) so
+    * the skew stress test can drive it against a planted hot cell.
+    */
+  private[graft] def inCellPairs(assign: DataFrame, cap: Int = CellCap): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(Sampling.hash60(col("vec_id").cast("string")), col("vec_id"))
+    val capped = assign
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col("vec_id"), col("cell"))
+    capped.as("a").join(capped.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+  }
+
   private def d08(s: SparkSession, dir: String): DataFrame = {
     val base = Similarity.vecs(s, dir).persist()
     // one count() drives K — the only driver action; deterministic, so
@@ -142,10 +179,9 @@ object SemDedup extends QueryModule {
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
       .persist()
-    // narrow in-cell candidate pairs (ids only), vectors joined back once
-    val cand = assign.as("a").join(assign.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+    // narrow in-cell candidate pairs (ids only, skew-capped), vectors
+    // joined back once
+    val cand = inCellPairs(assign)
     // guardedSim here is defense in depth: Similarity.vecs excludes
     // zero-norm vectors at the source, so na*nb > 0 for every pair this
     // stage can currently see — but the guard keeps the stage safe (and
@@ -189,8 +225,8 @@ object SemDedup extends QueryModule {
     * zero-norm sentinel and (csim DESC, cid ASC) tiebreak at BOTH
     * assignment levels AND the in-cell pair stage (an unguarded DuckDB
     * 0/0 is NaN, which >= threshold admits — divergent from the ANSI
-    * Spark side, which would throw), transitive closure via recursive
-    * CTE.
+    * Spark side, which would throw), the same ranked [[CellCap]] skew
+    * cap on pair participation, transitive closure via recursive CTE.
     */
   private val d08Sql =
     s"""WITH RECURSIVE ${Similarity.oracleVecs},
@@ -221,11 +257,17 @@ object SemDedup extends QueryModule {
        |      JOIN ca ON ca.gid = r.gid
        |      JOIN c ON c.cid = ca.cid)
        |  WHERE rn = 1),
+       |capped AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+       |      ORDER BY ${OracleSql.hex60("CAST(vec_id AS VARCHAR)")}, vec_id) AS rk
+       |    FROM assign)
+       |  WHERE rk <= $CellCap),
        |pr AS (
        |  SELECT ida, idb FROM (
        |    SELECT a.vec_id AS ida, b.vec_id AS idb,
        |      ${sqlSim("x.v", "y.v", "x.nrm", "y.nrm")} AS sim
-       |    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |    FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |    JOIN n x ON a.vec_id = x.vec_id JOIN n y ON b.vec_id = y.vec_id)
        |  WHERE sim >= $Threshold),
        |${Graph.ccSqlCtes("pr", "SELECT vec_id, vec_id FROM embeddings")}

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.internal.Logging
-import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, Join, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Expand, HintInfo, Join, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -16,7 +17,17 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     (the s02 hazard; use bucketed candidates, s05/s06) — UNLESS one
   *     side is broadcast-hinted or below the auto-broadcast threshold,
   *     in which case the product is a deliberate small-side broadcast
-  *     (s01's plane tables, s06's centroids) and not a hazard.
+  *     (s01's plane tables, s06's centroids) and not a hazard;
+  *   - multiple DISTINCT aggregates over DIFFERENT columns in one
+  *     Aggregate — Catalyst rewrites it with an Expand that multiplies
+  *     every input row (1 + #distinct-groups)× through every aggregate
+  *     buffer (the round-6 p01 hazard: 5× write amplification on the
+  *     profiling scan). Caught in both shapes: the pre-rewrite Aggregate
+  *     (when this rule runs among the operator-optimization rules) and
+  *     the post-rewrite Expand, recognized by its `gid` attribute so
+  *     rollup/cube/grouping-sets Expands (`spark_grouping_id`) never
+  *     false-positive. Fix: one distinct agg per column, tiny results
+  *     broadcast-joined back (q11/q25/p01's shape).
   *
   * Findings are logged and recorded in [[ScaleLint.findings]] so tests
   * (and interactive users) can inspect them; each (plan, message) pair is
@@ -60,6 +71,22 @@ object ScaleLint extends Rule[LogicalPlan] with Logging {
       threshold > 0 && side.stats.sizeInBytes <= threshold
     }
 
+  private val multiDistinctMsg =
+    "multiple DISTINCT aggregates over different columns in one aggregate: " +
+    "Catalyst Expands every input row (1 + #distinct-groups)x through every " +
+    "aggregate buffer - split into one distinct agg per column and " +
+    "broadcast-join the small results back (see q11/q25/p01)"
+
+  /** Number of distinct-aggregate argument groups in one Aggregate — the
+    * same grouping RewriteDistinctAggregates uses (non-foldable children
+    * sets); > 1 means Catalyst will plan the Expand.
+    */
+  private def distinctGroups(a: Aggregate): Int =
+    a.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression if ae.isDistinct =>
+        ae.aggregateFunction.children.filterNot(_.foldable).toSet
+    }).distinct.size
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.foreach {
       case w: Window if w.partitionSpec.isEmpty =>
@@ -73,6 +100,10 @@ object ScaleLint extends Rule[LogicalPlan] with Logging {
         record(j, 2,
           "join with no condition (cartesian product): O(n^2) pairs at scale " +
           "- consider bucketed candidate generation (LSH/IVF ops) or a broadcast-size side")
+      case a: Aggregate if distinctGroups(a) > 1 =>
+        record(a, 3, multiDistinctMsg)
+      case e: Expand if e.output.exists(_.name == "gid") =>
+        record(e, 3, multiDistinctMsg)
       case _ => ()
     }
     plan // advisory: never rewrites

@@ -15,16 +15,24 @@ import org.apache.spark.sql.types.DecimalType
 object Relational2 extends QueryModule {
 
   /** Distinct aggregation: per-flag distinct part/supplier counts.
-    * Spark plans expand + two-phase distinct agg; at 100 TB swap in
-    * approx_count_distinct when exactness isn't required.
+    * One distinct column per aggregate: TWO distinct columns in one agg
+    * make Catalyst Expand every input row 3x through every buffer
+    * (ScaleLint flags the shape). Split, each side plans as the plain
+    * two-phase distinct agg (map-side dedup), and the per-flag results
+    * broadcast-join back — at 100 TB swap in approx_count_distinct when
+    * exactness isn't required.
     */
-  private def q11(s: SparkSession, dir: String): DataFrame =
-    lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val parts = li.groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))
+    val supps = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supps"))
+    parts.join(broadcast(supps), "l_returnflag")
+      .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"))
+  }
 
   private val q11Sql =
     """SELECT l_returnflag,

@@ -61,20 +61,29 @@ object Relational4 extends QueryModule {
     */
   private def q34(s: SparkSession, dir: String): DataFrame = {
     val rf = nullif(col("l_returnflag"), lit("N"))
-    Tables.lineitem(s, dir)
+    val base = Tables.lineitem(s, dir)
       .select(col("l_linestatus"), rf.as("rf"), col("l_quantity"))
-      .groupBy(col("l_linestatus"))
+    // one distinct column per aggregate (rf here, coalesce(rf) below):
+    // both distincts in one agg would Expand every row 3x through every
+    // buffer (ScaleLint flags the shape) — split, each plans as the
+    // plain two-phase distinct, and the tiny per-status results
+    // broadcast-join back
+    val main = base.groupBy(col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_rows"),
         count(col("rf")).as("n_flagged"),
         count_distinct(col("rf")).as("n_flags"),
-        count_distinct(coalesce(col("rf"), lit("N"))).as("n_flags_all"),
         // exact decimal sum + floor so the double→integer rounding rule is
         // pinned on both engines (Spark casts double→long by truncation,
         // DuckDB by round-to-nearest — DETERMINISM.md rule 1)
         floor(sum(when(col("rf").isNull,
           col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))))
           .cast("long").as("qty_unflagged"))
+    val all = base.groupBy(col("l_linestatus"))
+      .agg(count_distinct(coalesce(col("rf"), lit("N"))).as("n_flags_all"))
+    main.join(broadcast(all), "l_linestatus")
+      .select(col("l_linestatus"), col("n_rows"), col("n_flagged"),
+        col("n_flags"), col("n_flags_all"), col("qty_unflagged"))
   }
 
   private val q34Sql =

@@ -297,17 +297,31 @@ object EventStream {
 
   case class AsofOut(event_id: Long, user_id: Long, last_signup_id: Option[Long])
 
+  /** Carried as-of state: the APPLIED signup's (ts_us, event_id) — not
+    * just its id — plus the (ts, event_id) order marker. Carrying the
+    * signup's own event time is what lets a LATE signup (one sorting
+    * before the carried signup) be recognized and contained instead of
+    * silently regressing the state.
+    */
+  case class AsofState(sigTs: Option[Long], sigId: Option[Long],
+                       lastTs: Long, lastId: Long)
+
   /** Streaming twin of e04: the as-of lookup (most recent signup
-    * at-or-before each event, per user) carried as O(1) state — just the
-    * latest signup event id plus the (ts, event_id) order marker. Each
-    * batch sort-merges in (ts_us, event_id) order and emits one row per
-    * event, updating the carried signup BEFORE emitting (the batch
-    * window's frame includes the current row, so a signup is its own
-    * as-of match). Same in-order-arrival assumption and disorder
-    * accumulator as [[transitions]]: an event sorting before the carried
-    * marker may have been emitted against a too-new signup upstream —
-    * counted, never silent; a production source buffers by watermark
-    * first, as [[sessionize]] does.
+    * at-or-before each event, per user) carried as O(1) state — the
+    * applied signup's (ts_us, event_id) plus the (ts, event_id) order
+    * marker. Each batch sort-merges in (ts_us, event_id) order and emits
+    * one row per event, updating the carried signup BEFORE emitting (the
+    * batch window's frame includes the current row, so a signup is its
+    * own as-of match). A LATE signup — one ordering before the carried
+    * applied signup — never replaces it (that would regress state and
+    * corrupt every subsequent in-order event's match with a too-old id);
+    * it applies exactly to its own emitted row (a signup is always its
+    * own as-of match) and is counted into `outOfOrder` via the marker
+    * comparison. Same in-order-arrival assumption and disorder
+    * accumulator as [[transitions]] for non-signup late events: an event
+    * sorting before the carried marker may have been emitted against a
+    * too-new signup upstream — counted, never silent; a production
+    * source buffers by watermark first, as [[sessionize]] does.
     */
   def asofSignup(spark: SparkSession, events: DataFrame,
                  outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[AsofOut] = {
@@ -317,25 +331,32 @@ object EventStream {
         unix_micros(col("ts")).as("ts_us"), col("ts"))
       .as[EvT]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Option[Long], Long, Long), AsofOut](
+      .flatMapGroupsWithState[AsofState, AsofOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[EvT], state: GroupState[(Option[Long], Long, Long)]) =>
+        (user: Long, it: Iterator[EvT], state: GroupState[AsofState]) =>
           val evs = it.map(e => (e.ts_us, e.event_id, e.event_type)).toVector
             .sortBy(e => (e._1, e._2))
-          val st = state.getOption.getOrElse((Option.empty[Long], Long.MinValue, Long.MinValue))
+          val st = state.getOption.getOrElse(
+            AsofState(None, None, Long.MinValue, Long.MinValue))
           for (acc <- outOfOrder) {
-            val late = evs.count(e => e._1 < st._2 || (e._1 == st._2 && e._2 < st._3))
+            val late = evs.count(e => e._1 < st.lastTs || (e._1 == st.lastTs && e._2 < st.lastId))
             if (late > 0) acc.add(late.toLong)
           }
-          var sig = st._1
-          val out = evs.map { case (_, id, t) =>
-            if (t == "signup") sig = Some(id)
-            AsofOut(id, user, sig)
+          var (sigTs, sigId) = (st.sigTs, st.sigId)
+          val out = evs.map { case (ts, id, t) =>
+            if (t == "signup") {
+              // only a NEWER signup advances the carried state; an older
+              // (late) one matches its own row and nothing after it
+              if (sigTs.forall(sts => ts > sts || (ts == sts && id > sigId.getOrElse(Long.MinValue)))) {
+                sigTs = Some(ts); sigId = Some(id)
+              }
+              AsofOut(id, user, Some(id))
+            } else AsofOut(id, user, sigId)
           }
           val (mts, mid) = evs.lastOption
-            .collect { case (ts, id, _) if ts > st._2 || (ts == st._2 && id > st._3) => (ts, id) }
-            .getOrElse((st._2, st._3))
-          state.update((sig, mts, mid))
+            .collect { case (ts, id, _) if ts > st.lastTs || (ts == st.lastTs && id > st.lastId) => (ts, id) }
+            .getOrElse((st.lastTs, st.lastId))
+          state.update(AsofState(sigTs, sigId, mts, mid))
           out.iterator
       }
   }
@@ -355,9 +376,14 @@ object EventStream {
     * timeout, exactly as [[dailyPaths]] closes days. In-order arrival
     * fixes the cohort at the first-seen event (within a batch the
     * sort-merge makes that the true minimum); an event from BEFORE the
-    * carried marker — which could in principle carry an earlier cohort
-    * the batch query would have used — is counted into `outOfOrder` and
-    * its (negative-offset) pair skipped, never silently emitted.
+    * carried marker is counted into `outOfOrder`, and then processed
+    * like any other: if its offset against the fixed cohort is >= 0 and
+    * unseen, its pair IS emitted (correct whenever the cohort was fixed
+    * right — day-level offsets are far coarser than event-level
+    * disorder); only a NEGATIVE offset — an event from before the
+    * recorded cohort day, i.e. the cohort itself was fixed too late —
+    * is skipped, since the batch query would have re-based every offset
+    * on the earlier cohort and no single emitted pair can repair that.
     */
   def retention(spark: SparkSession, events: DataFrame,
                 outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[RetOut] = {

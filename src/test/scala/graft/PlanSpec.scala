@@ -144,6 +144,24 @@ class PlanSpec extends AnyFunSuite {
       assert(ScaleLint.findings.size() == 1,
         s"identical plan must record once, got ${ScaleLint.findings.size()}")
 
+      // multi-distinct (two different columns in one agg): flagged
+      ScaleLint.reset()
+      spark.range(100).toDF("id")
+        .agg(countDistinct(col("id")), countDistinct(col("id") + 1))
+        .queryExecution.optimizedPlan
+      assert(ScaleLint.findings.toArray.exists(_.toString.contains("DISTINCT")),
+        s"multi-distinct Expand must be flagged, got: ${ScaleLint.findings}")
+
+      // single distinct + non-distinct aggs, and a rollup's Expand
+      // (spark_grouping_id, not gid): both legitimate, NOT flagged
+      ScaleLint.reset()
+      spark.range(100).toDF("id")
+        .agg(countDistinct(col("id")), count(lit(1))).queryExecution.optimizedPlan
+      spark.range(100).toDF("id")
+        .rollup(col("id")).agg(count(lit(1))).queryExecution.optimizedPlan
+      assert(ScaleLint.findings.isEmpty,
+        s"single-distinct and rollup must be lint-clean, got: ${ScaleLint.findings}")
+
       // a scale-safe plan triggers nothing
       ScaleLint.reset()
       SparkEntry.queries("q20_ntile")(spark, dir).queryExecution.optimizedPlan
@@ -245,6 +263,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("conv(substring(md5"), "md5-threshold sample filter missing")
     assert(p.contains("percentile("), "sampled exact percentile band missing")
     spark.sharedState.cacheManager.clearCache() // aggP persists
+  }
+
+  test("p01/q11/q34: distinct-agg queries carry no multi-distinct Expand") {
+    // p01 is the round-6 regression (4 countDistinct in one agg = 5x row
+    // amplification through every buffer); q11/q34 had the same latent
+    // shape. All three now run one distinct agg per column (p01 via the
+    // unpivot, q11/q34 via split + broadcast-join-back).
+    for (q <- Seq("p01_profile", "q11_distinct_agg", "q34_null_handling")) {
+      val p = plan(q)
+      assert(!p.contains("Expand"), s"$q: multi-distinct Expand is back:\n${p.take(800)}")
+    }
+    // p01 specifically: the unpivot is one Generate over ONE scan
+    val p01 = plan("p01_profile")
+    assert(p01.contains("Generate"), "p01 unpivot explode missing")
+    assert("Scan parquet".r.findAllIn(p01).size == 1, "p01 must stay a single scan")
   }
 
   test("d08: cell assignment stage is map-side only (broadcast argmax, zero exchanges)") {

@@ -180,4 +180,40 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     * both diameters, with some warm-state/AQE variance in full-suite
     * runs) — the round-5 recompute defect sat at ~3-4x (70+/hop). */
   private val PerHopTaskBudget = 60.0
+
+  /** d08's pair stage is quadratic in the hottest cell; the CellCap
+    * ranked guard is what keeps an adversarial corpus (one boilerplate
+    * near-dup cluster holding 10% of a web crawl) from planning C(n/10,2)
+    * pairs. Plant exactly that shape and pin the bound.
+    */
+  test("d08 skew guard: a planted hot cell yields at most C(cap,2) candidate pairs") {
+    import spark.implicits._
+    val n = 10000
+    // 10% of the corpus in cell 0 (the hot near-dup cluster), the rest
+    // spread over 64-row cells — deterministic, no randomness
+    val assign = spark.range(n)
+      .select(col("id").as("vec_id"),
+        when(col("id") % 10 === 0, 0L).otherwise(col("id") % 137 + 1).as("cell"))
+    val cap = 32
+    val nPairs = graft.ops.SemDedup.inCellPairs(assign, cap).count()
+    // uncapped, the hot cell alone is C(1000,2) ~ 500k pairs; capped,
+    // EVERY cell contributes at most C(cap,2)
+    val cells = assign.select(col("cell")).distinct().count()
+    val perCellMax = cap.toLong * (cap - 1) / 2
+    assert(nPairs <= cells * perCellMax,
+      s"$nPairs pairs from $cells cells exceeds the C($cap,2)=$perCellMax per-cell bound")
+    // the hot cell is actually bound (not just diluted): its members'
+    // pair participation alone stays under the cap bound
+    val hotPairs = graft.ops.SemDedup.inCellPairs(
+      assign.filter(col("cell") === 0L), cap).count()
+    assert(hotPairs === perCellMax,
+      s"hot cell must saturate exactly the C($cap,2) bound, got $hotPairs")
+    // and the guard is inert where it should be: a balanced corpus below
+    // the cap is untouched (pairs = exact all-pairs within each cell)
+    val balanced = spark.range(300)
+      .select(col("id").as("vec_id"), (col("id") % 10).as("cell"))
+    val balancedPairs = graft.ops.SemDedup.inCellPairs(balanced, cap).count()
+    assert(balancedPairs === 10L * 30 * 29 / 2,
+      s"cap must not bind on balanced 30-row cells, got $balancedPairs")
+  }
 }

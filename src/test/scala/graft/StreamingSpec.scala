@@ -15,8 +15,15 @@ class StreamingSpec extends AnyFunSuite {
     * dir so the file source delivers two micro-batches — cross-batch
     * state carry-over is the thing the two-batch tests exercise, and a
     * single batch would never hit it. Caller deletes the returned dir.
+    *
+    * `shuffled = true` scrambles the ROW ORDER INSIDE each half
+    * (deterministically, by md5 of the event id) while keeping the
+    * halves' time split: real sources deliver a micro-batch in arbitrary
+    * order, and a twin that silently assumed file order would converge
+    * in the plain replay and diverge in production. The batch oracles
+    * are order-free, so the shuffled replay must converge identically.
     */
-  private def twoHalfReplay(prefix: String): java.io.File = {
+  private def twoHalfReplay(prefix: String, shuffled: Boolean = false): java.io.File = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val rawSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
@@ -24,7 +31,8 @@ class StreamingSpec extends AnyFunSuite {
     val cut = raw.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m")
       .collect()(0).getDouble(0).toLong
     val tmp = java.nio.file.Files.createTempDirectory(prefix).toFile
-    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+    def writeHalf(df0: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val df = if (shuffled) df0.orderBy(md5(col("event_id").cast("string"))) else df0
       val stage = new java.io.File(tmp, s"stage_$name")
       df.coalesce(1).write.parquet(stage.getAbsolutePath)
       val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
@@ -354,5 +362,97 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(want.nonEmpty)
     assert(got === want)
+  }
+
+  test("as-of twin converges under SHUFFLED intra-batch arrival (e04)") {
+    // real micro-batches arrive in arbitrary row order; the twin's
+    // in-batch (ts, event_id) sort-merge must make that invisible —
+    // converging to the same batch as-of join as the ordered replay
+    val tmp = twoHalfReplay("graft_asof_shuf", shuffled = true)
+    val stream = EventStream.asofSignup(spark, EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val q = stream.writeStream
+      .format("memory").queryName("asof_shuf_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), Option(r.get(2)))
+    val got = spark.table("asof_shuf_out").collect().map(key).toSet
+    val want = SparkEntry.queries("e04_asof_last_signup")(spark, dir).collect().map(key).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
+  test("funnel twin converges under SHUFFLED intra-batch arrival (e08)") {
+    // the funnel's three stage-ordered passes (all views, then clicks,
+    // then purchases, each a min-fold) are what make in-batch row order
+    // irrelevant — the shuffled replay is the test that stays red if a
+    // future edit sneaks in a single order-dependent pass
+    val tmp = twoHalfReplay("graft_funnel_shuf", shuffled = true)
+    val stream = EventStream.funnel(spark, EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val q = stream.writeStream
+      .format("memory").queryName("funnel_shuf_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+    val got = spark.table("funnel_shuf_out")
+      .groupBy(col("user_id"))
+      .agg(min(col("first_view_us")), min(col("first_click_us")), min(col("first_purchase_us")))
+      .collect().map(key).toSet
+    val want = SparkEntry.queries("e08_funnel")(spark, dir)
+      .collect().map(key).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
+  test("late cross-batch signup never regresses the carried as-of state") {
+    // Batch A: signup s20 at ts=5s, event e30 at ts=6s (matches s20).
+    // Batch B: LATE signup s10 at ts=2s, then event e40 at ts=7s.
+    // The late signup matches only its own row; e40 must still see s20 —
+    // a state regression (the pre-fix behavior: sig := s10) would emit
+    // e40 -> s10 and silently corrupt every later in-order event.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asof_late").toFile
+    def writeOne(rows: Seq[(Long, Long, Long, String, Double, String)], name: String, mtime: Long): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(tmp, s"events_$name.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val S = 1000000000L // 1 s in ns (raw file ts unit)
+    val t0 = System.currentTimeMillis() - 60000
+    writeOne(Seq(
+      (20L, 5 * S, 7L, "signup", 0.0, "{}"),
+      (30L, 6 * S, 7L, "view", 0.0, "{}")), "a", t0)
+    writeOne(Seq(
+      (10L, 2 * S, 7L, "signup", 0.0, "{}"),
+      (40L, 7 * S, 7L, "view", 0.0, "{}")), "b", t0 + 30000)
+
+    val acc = spark.sparkContext.longAccumulator("graft.asof.outOfOrder")
+    val stream = EventStream.asofSignup(
+      spark, EventStream.readEvents(spark, tmp.getAbsolutePath), Some(acc))
+    val q = stream.writeStream
+      .format("memory").queryName("asof_late_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("asof_late_out")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(got(30L) === Some(20L), s"in-order event must match s20: $got")
+    assert(got(10L) === Some(10L), s"late signup matches its own row: $got")
+    assert(got(40L) === Some(20L),
+      s"event after the late signup must STILL match s20 (state regressed): $got")
+    assert(acc.value === 1L, s"the late signup must be counted as disorder, got ${acc.value}")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 }
