@@ -145,11 +145,16 @@ object SemDedup extends QueryModule {
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
   }
 
-  private def d08(s: SparkSession, dir: String): DataFrame = {
-    val base = Similarity.vecs(s, dir).persist()
-    // one count() drives K — the only driver action; deterministic, so
-    // the oracle can rebuild the same K from its own count(*)
-    val n = base.count()
+  /** The full two-level cell-assignment front half — centroid sampling,
+    * coarse grouping, fine argmax — for a (vec_id, v, nrm) corpus of `n`
+    * rows. Returns the persisted (vec_id, ..., cell) frame the pair
+    * stage consumes. Factored out of [[d08]] so the 10× scaling stress
+    * test can drive assignment + candidate generation against synthetic
+    * corpora at two sizes and assert the candidate count grows linearly
+    * (K scales with n, so per-cell fanout — and with it candidates per
+    * row — must stay ~constant).
+    */
+  private[graft] def cellAssignments(base: DataFrame, n: Long): DataFrame = {
     val cells = cellCount(n)
     val kc = coarseCount(cells)
     def sample(k: Int) = base
@@ -173,12 +178,20 @@ object SemDedup extends QueryModule {
     // level 2 (one hash join on the coarse group id): each row scores
     // only its group's ~sqrt(K) fine centroids; max_by's struct ordering
     // is the same (csim DESC, cid ASC) tiebreak as the fold
-    val assign = rowAssign.join(centAssign, "gid")
+    rowAssign.join(centAssign, "gid")
       .select(col("vec_id"), col("cid"),
         guardedSim(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("csim"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
       .persist()
+  }
+
+  private def d08(s: SparkSession, dir: String): DataFrame = {
+    val base = Similarity.vecs(s, dir).persist()
+    // one count() drives K — the only driver action; deterministic, so
+    // the oracle can rebuild the same K from its own count(*)
+    val n = base.count()
+    val assign = cellAssignments(base, n)
     // narrow in-cell candidate pairs (ids only, skew-capped), vectors
     // joined back once
     val cand = inCellPairs(assign)

@@ -216,4 +216,142 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(balancedPairs === 10L * 30 * 29 / 2,
       s"cap must not bind on balanced 30-row cells, got $balancedPairs")
   }
+
+  /** Synthetic-corpus scaling tripwires for the two flagship pipelines
+    * (testdata stops at sf0.1, so a super-linear term above that would
+    * ship silently — exactly how round 5's CC regression escaped). Both
+    * corpora are deterministic; the assertions target the two things
+    * that can go quadratic: the candidate/pair counts (must grow
+    * ~linearly with the corpus — d08's K scales with n precisely so
+    * per-cell fanout stays constant) and end-to-end wall time (loose
+    * ratio bound: a quadratic term is a 100× ratio, machine noise is
+    * not).
+    */
+  test("d08 10x scaling: candidate count and wall time grow ~linearly") {
+    def mkEmbeddings(n: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_emb_$n").toString
+      // high-entropy deterministic vectors: component j of row id is the
+      // murmur3 hash of (id, j) scaled to [-1, 1) — no lattice structure,
+      // so cells fill ~uniformly at ~TargetCellRows each
+      spark.range(n).select(
+        col("id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(sequence(lit(1), lit(64)),
+          j => (pmod(hash(col("id"), j), lit(2000)) / lit(1000.0) - 1.0).cast("float"))
+          .as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+        .coalesce(4).write.parquet(out + "/embeddings.parquet")
+      out
+    }
+    def run(dir: String): (Long, Long, Double) = {
+      val base = graft.ops.Similarity.vecs(spark, dir).persist()
+      val n = base.count()
+      val assign = graft.ops.SemDedup.cellAssignments(base, n)
+      val cand = graft.ops.SemDedup.inCellPairs(assign).count()
+      graft.core.Sessions.sweepPersistedState(spark)
+      val t0 = System.nanoTime()
+      SparkEntry.queries("d08_semantic_dedup")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.core.Sessions.sweepPersistedState(spark)
+      (n, cand, secs)
+    }
+    val dir1 = mkEmbeddings(2000)
+    val dir10 = mkEmbeddings(20000)
+    try {
+      val (n1, cand1, t1) = run(dir1)
+      val (n10, cand10, t10) = run(dir10)
+      info(f"d08 1x: n=$n1 cand=$cand1 (${cand1 * 1.0 / n1}%.0f/row) ${t1}%.1fs; " +
+        f"10x: n=$n10 cand=$cand10 (${cand10 * 1.0 / n10}%.0f/row) ${t10}%.1fs")
+      assert(n1 === 2000L && n10 === 20000L)
+      // candidates PER ROW must stay bounded by a corpus-independent
+      // constant. Measured: ~40/row at 1x, ~68/row at 10x — the drift is
+      // random-centroid Voronoi skew approaching its asymptote
+      // (size-weighted mean cell ~ (1 + CV^2) x TargetCellRows ~ 2x64),
+      // NOT divergence; the hard ceiling is (CellCap-1)/2 = 255 whatever
+      // the corpus does. 150 sits between asymptote and ceiling: red on
+      // any new super-linear term, green on the known skew.
+      assert(cand10 * 1.0 / n10 <= 150.0,
+        s"per-row candidate fanout must stay bounded: ${cand10 / n10}/row at 10x")
+      assert(cand10 <= cand1 * 25,
+        s"candidate count must scale ~linearly: $cand1 -> $cand10")
+      assert(cand10 >= cand1 * 5, // sanity: the 10x corpus actually exercises 10x work
+        s"10x corpus should produce ~10x candidates: $cand1 -> $cand10")
+      assert(t10 <= t1 * 25 + 5.0,
+        f"wall time must stay ~linear: $t1%.1fs -> $t10%.1fs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir10))
+    }
+  }
+
+  test("p06 10x scaling: candidates obey the df-cap bound, wall time ~linear") {
+    val src = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
+    def mkDocs(originals: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_docs_$originals").toString
+      // 5 mutated clones per original (unique suffix token, so clones are
+      // near-dups, never exact dups) — clone-GROUP size is fixed, so
+      // pairs-per-group is constant and the pair graph scales linearly
+      // in the number of originals
+      src.filter(col("doc_id") < originals)
+        .crossJoin(spark.range(5).select(col("id").as("clone")))
+        .select(
+          (col("doc_id") * 10 + col("clone")).as("doc_id"),
+          concat(col("text"), lit(" zqtail"), col("clone")).as("text"),
+          col("lang"), col("source"),
+          (length(col("text")) + 8).as("n_chars"))
+        .coalesce(4).write.parquet(out + "/documents.parquet")
+      out
+    }
+    def run(dir: String): (Long, Long, Long, Double) = {
+      val docs = graft.core.Tables.documents(spark, dir)
+      val cand = graft.ops.Dedup.jaccardCandidates(
+        docs.select(col("doc_id"), col("text")), graft.ops.Dedup.DfCap).count()
+      // the number of shingle keys that survive the 2 <= df <= cap
+      // filter — the quantity the df-cap candidate bound is written in
+      val pairedKeys = docs
+        .select(col("doc_id"), explode(graft.ops.Dedup.shingleArr(col("text"))).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= graft.ops.Dedup.DfCap)
+        .count()
+      graft.core.Sessions.sweepPersistedState(spark)
+      val t0 = System.nanoTime()
+      SparkEntry.queries("p06_prod_prep_pipeline")(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      graft.core.Sessions.sweepPersistedState(spark)
+      (docs.count(), cand, pairedKeys, secs)
+    }
+    val dir1 = mkDocs(400)
+    val dir10 = mkDocs(4000)
+    try {
+      val (n1, cand1, keys1, t1) = run(dir1)
+      val (n10, cand10, keys10, t10) = run(dir10)
+      info(f"p06 1x: n=$n1 cand=$cand1 keys=$keys1 ${t1}%.1fs; " +
+        f"10x: n=$n10 cand=$cand10 keys=$keys10 ${t10}%.1fs")
+      assert(n1 === 2000L && n10 === 20000L)
+      // The df-cap invariant: every candidate pair is emitted by some
+      // shingle key whose posting list passed 2 <= df <= DfCap, so
+      // candidates <= pairedKeys x C(DfCap, 2). Naive linear-in-docs
+      // growth does NOT hold on this corpus and should not be asserted:
+      // the fixed small vocabulary saturates, the per-shingle dfs climb
+      // through the (2, cap] window, and candidate mass legitimately
+      // grows toward the cap-bounded ceiling (measured ~94x here) before
+      // dfs cross the cap and boilerplate keys start being DROPPED —
+      // past the window, more duplication makes candidates collapse, not
+      // explode. The bound below is what a 100 TB template-heavy crawl
+      // actually relies on; deleting the cap filter breaks it loudly.
+      val capBound = keys10 * (graft.ops.Dedup.DfCap * (graft.ops.Dedup.DfCap - 1) / 2)
+      assert(cand10 <= capBound,
+        s"df-cap candidate bound violated: $cand10 > $keys10 keys x C(cap,2)")
+      assert(cand10 >= cand1 * 2, // sanity: the 10x corpus exercises real extra work
+        s"10x corpus should produce more candidates: $cand1 -> $cand10")
+      // wall time: candidate mass grew ~94x yet time must stay ~linear
+      // in the WORK (bounded per key), nowhere near quadratic in docs
+      assert(t10 <= t1 * 25 + 5.0,
+        f"wall time must stay ~linear: $t1%.1fs -> $t10%.1fs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir10))
+    }
+  }
 }
