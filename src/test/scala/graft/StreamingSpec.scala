@@ -410,6 +410,49 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("transitions twin converges under SHUFFLED intra-batch arrival (e09)") {
+    // the twin's in-batch (ts, event_id) sort-merge is what makes row
+    // order inside a micro-batch irrelevant; only CROSS-batch disorder
+    // (counted by the accumulator) can diverge
+    val tmp = twoHalfReplay("graft_trans_shuf", shuffled = true)
+    val stream = EventStream.transitions(spark, EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val q = stream.writeStream
+      .format("memory").queryName("trans_shuf_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("trans_shuf_out")
+      .groupBy(col("src_type"), col("dst_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("e09_transitions")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
+  test("retention twin converges under SHUFFLED intra-batch arrival (e07)") {
+    // the cohort is fixed at the (ts, event_id)-minimum of the user's
+    // first batch — the in-batch sort makes that order-independent
+    val tmp = twoHalfReplay("graft_ret_shuf", shuffled = true)
+    val stream = EventStream.retention(spark, EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val q = stream.writeStream
+      .format("memory").queryName("ret_shuf_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ret_shuf_out")
+      .groupBy(col("cohort_day"), col("day_offset")).agg(count(lit(1)).as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = SparkEntry.queries("e07_retention_cohorts")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("late cross-batch signup never regresses the carried as-of state") {
     // Batch A: signup s20 at ts=5s, event e30 at ts=6s (matches s20).
     // Batch B: LATE signup s10 at ts=2s, then event e40 at ts=7s.
