@@ -26,7 +26,7 @@ object Profiling extends QueryModule {
     // min/max/count riding along) — one scan, no Expand, and the
     // shuffle carries ~distinct-values-per-column tuples, not rows
     val pairs = cols.map(c => struct(lit(c).as("col_name"), col(c).as("v")))
-    li.select(explode(array(pairs: _*)).as("r"))
+    val grouped = li.select(explode(array(pairs: _*)).as("r"))
       .select(col("r.col_name").as("col_name"), col("r.v").as("v"))
       .groupBy(col("col_name"))
       .agg(
@@ -35,6 +35,21 @@ object Profiling extends QueryModule {
         countDistinct(col("v")).as("n_distinct"),
         min(col("v")).as("min_v"),
         max(col("v")).as("max_v"))
+    // seed from the static column list: on an EMPTY table the grouped
+    // frame has no rows, but the oracle (a UNION ALL of ungrouped
+    // aggregates) still emits one all-zero row per column — the left
+    // join + coalesce reproduces exactly that
+    val seed = s.createDataFrame(
+      s.sparkContext.parallelize(cols.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("col_name",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    seed.join(grouped, Seq("col_name"), "left")
+      .select(col("col_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_nonnull"), lit(0L)).as("n_nonnull"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_v"), col("max_v"))
   }
 
   private val p01Sql = cols.map { c =>

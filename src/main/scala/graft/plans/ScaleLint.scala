@@ -78,13 +78,19 @@ object ScaleLint extends Rule[LogicalPlan] with Logging {
     "broadcast-join the small results back (see q11/q25/p01)"
 
   /** Number of distinct-aggregate argument groups in one Aggregate — the
-    * same grouping RewriteDistinctAggregates uses (non-foldable children
-    * sets); > 1 means Catalyst will plan the Expand.
+    * same grouping RewriteDistinctAggregates uses: the CANONICALIZED
+    * non-foldable children (so countDistinct(a+b) and countDistinct(b+a)
+    * share a group, as Catalyst's semantic grouping does), falling back
+    * to the first child when every child is foldable (all-literal
+    * distincts still each form a group in the rewrite). > 1 means
+    * Catalyst will plan the Expand.
     */
   private def distinctGroups(a: Aggregate): Int =
     a.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression if ae.isDistinct =>
-        ae.aggregateFunction.children.filterNot(_.foldable).toSet
+        val unfoldable = ae.aggregateFunction.children.filterNot(_.foldable)
+        (if (unfoldable.isEmpty) ae.aggregateFunction.children.take(1) else unfoldable)
+          .map(_.canonicalized).toSet
     }).distinct.size
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -102,7 +108,13 @@ object ScaleLint extends Rule[LogicalPlan] with Logging {
           "- consider bucketed candidate generation (LSH/IVF ops) or a broadcast-size side")
       case a: Aggregate if distinctGroups(a) > 1 =>
         record(a, 3, multiDistinctMsg)
-      case e: Expand if e.output.exists(_.name == "gid") =>
+      // the distinct-rewrite Expand is recognized by its `gid` attribute;
+      // rollup/cube/grouping-sets Expands always carry spark_grouping_id,
+      // so their presence exempts the node even when a USER column named
+      // gid rides through (SemDedup's coarse group id makes that name
+      // live in this codebase)
+      case e: Expand if e.output.exists(_.name == "gid") &&
+          !e.output.exists(_.name == "spark_grouping_id") =>
         record(e, 3, multiDistinctMsg)
       case _ => ()
     }

@@ -30,7 +30,12 @@ object Relational2 extends QueryModule {
         count(lit(1)).as("n_rows"))
     val supps = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_suppkey")).as("n_supps"))
-    parts.join(broadcast(supps), "l_returnflag")
+      .withColumnRenamed("l_returnflag", "rf2")
+    // null-SAFE equi-join: both sides group by the same key, so every
+    // group (including a NULL flag group, which a plain inner join's
+    // NULL != NULL would silently drop while the oracle's GROUP BY
+    // keeps it) appears exactly once on each side
+    parts.join(broadcast(supps), col("l_returnflag") <=> col("rf2"))
       .select(col("l_returnflag"), col("n_parts"), col("n_supps"), col("n_rows"))
   }
 

@@ -81,7 +81,10 @@ object Relational4 extends QueryModule {
           .cast("long").as("qty_unflagged"))
     val all = base.groupBy(col("l_linestatus"))
       .agg(count_distinct(coalesce(col("rf"), lit("N"))).as("n_flags_all"))
-    main.join(broadcast(all), "l_linestatus")
+      .withColumnRenamed("l_linestatus", "ls2")
+    // null-safe join for the same reason as q11: a NULL group key must
+    // survive the recombination exactly as the oracle's GROUP BY keeps it
+    main.join(broadcast(all), col("l_linestatus") <=> col("ls2"))
       .select(col("l_linestatus"), col("n_rows"), col("n_flagged"),
         col("n_flags"), col("n_flags_all"), col("qty_unflagged"))
   }

@@ -312,12 +312,16 @@ object EventStream {
     * marker. Each batch sort-merges in (ts_us, event_id) order and emits
     * one row per event, updating the carried signup BEFORE emitting (the
     * batch window's frame includes the current row, so a signup is its
-    * own as-of match). A LATE signup — one ordering before the carried
-    * applied signup — never replaces it (that would regress state and
-    * corrupt every subsequent in-order event's match with a too-old id);
-    * it applies exactly to its own emitted row (a signup is always its
-    * own as-of match) and is counted into `outOfOrder` via the marker
-    * comparison. Same in-order-arrival assumption and disorder
+    * own as-of match). A signup OLDER than the carried applied signup
+    * never replaces it (that would regress state and corrupt every
+    * subsequent in-order event's match with a too-old id); it applies
+    * exactly to its own emitted row (a signup is always its own as-of
+    * match). Note the containment is relative to the carried SIGNUP, not
+    * the order marker: a late-arriving signup that is still NEWER than
+    * the carried one (sigTs < ts < lastTs) does advance the state — and
+    * that is the batch-correct answer for every subsequent event. Late
+    * arrivals of either kind are counted into `outOfOrder` via the
+    * marker comparison. Same in-order-arrival assumption and disorder
     * accumulator as [[transitions]] for non-signup late events: an event
     * sorting before the carried marker may have been emitted against a
     * too-new signup upstream — counted, never silent; a production

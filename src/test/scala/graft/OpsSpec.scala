@@ -370,6 +370,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("p01: an empty table still profiles one all-zero row per column (oracle parity)") {
+    // the oracle is a UNION ALL of ungrouped aggregates — it emits 4 rows
+    // of zeros on an empty table; the unpivot+groupBy alone would emit 0
+    // rows, so the static col_name seed + left join is what keeps the
+    // empty-corpus edge hash-aligned
+    val tmp = java.nio.file.Files.createTempDirectory("graft_p01empty").toString
+    graft.core.Tables.lineitem(spark, dir).limit(0)
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = SparkEntry.queries("p01_profile")(spark, tmp).collect()
+    assert(out.length === 4, s"expected one row per profiled column, got ${out.length}")
+    for (r <- out) {
+      assert(r.getAs[Long]("n_rows") === 0L)
+      assert(r.getAs[Long]("n_nonnull") === 0L)
+      assert(r.getAs[Long]("n_distinct") === 0L)
+      assert(r.isNullAt(r.fieldIndex("min_v")) && r.isNullAt(r.fieldIndex("max_v")))
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("p09: a corpus whose docs all hash to one split reports null shares, not a throw") {
     // doc_ids 1,2,3 all land in the train bucket (uhash < 0.8), so
     // tot_test = 0 — the test-share divisor; the guard nulls the share

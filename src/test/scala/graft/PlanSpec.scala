@@ -159,8 +159,18 @@ class PlanSpec extends AnyFunSuite {
         .agg(countDistinct(col("id")), count(lit(1))).queryExecution.optimizedPlan
       spark.range(100).toDF("id")
         .rollup(col("id")).agg(count(lit(1))).queryExecution.optimizedPlan
+      // a USER column literally named gid riding through a rollup Expand
+      // (the SemDedup coarse-group name) must not trip the gid heuristic
+      spark.range(100).selectExpr("id", "id % 3 AS gid")
+        .rollup(col("gid")).agg(count(lit(1))).queryExecution.optimizedPlan
+      // canonicalization: a+b and b+a are ONE semantic distinct group
+      // (Catalyst plans no Expand), so the lint must agree
+      spark.range(100).selectExpr("id AS a", "id + 1 AS b")
+        .agg(countDistinct(col("a") + col("b")), countDistinct(col("b") + col("a")))
+        .queryExecution.optimizedPlan
       assert(ScaleLint.findings.isEmpty,
-        s"single-distinct and rollup must be lint-clean, got: ${ScaleLint.findings}")
+        s"single-distinct, rollup, gid-named column and canonical-equal " +
+          s"distincts must be lint-clean, got: ${ScaleLint.findings}")
 
       // a scale-safe plan triggers nothing
       ScaleLint.reset()
