@@ -177,6 +177,40 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("funnel out-of-order accumulator flags a cross-batch late event") {
+    // batch A fixes the user's marker at ts=5s; batch B delivers ts=3s —
+    // at-or-before the marker, so its stage threshold may already have
+    // been fixed too high upstream. The funnel must COUNT it, not
+    // silently diverge from batch e08.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_funnel_ooo").toFile
+    def writeOne(rows: Seq[(Long, Long, Long, String, Double, String)], name: String, mtime: Long): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(tmp, s"events_$name.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val S = 1000000000L // 1 s in ns (raw file ts unit)
+    val t0 = System.currentTimeMillis() - 60000
+    writeOne(Seq((20L, 5 * S, 7L, "view", 0.0, "{}")), "a", t0)
+    writeOne(Seq((10L, 3 * S, 7L, "click", 0.0, "{}")), "b", t0 + 30000)
+
+    val acc = spark.sparkContext.longAccumulator("graft.funnel.outOfOrder")
+    val stream = EventStream.funnel(
+      spark, EventStream.readEvents(spark, tmp.getAbsolutePath), Some(acc))
+    val q = stream.writeStream
+      .format("memory").queryName("funnel_ooo")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(acc.value === 1L, s"late click must be counted as disorder, got ${acc.value}")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("streaming sliding window converges to the batch gold result (e06)") {
     val stream = EventStream.slidingAgg(EventStream.readEvents(spark, dir))
     val q = stream.writeStream
