@@ -15,7 +15,9 @@ object PlanAudit {
       "p06_prod_prep_pipeline", "q35_range_frame", "e08_funnel", "m04_record_assembly",
       // round 4
       "q39_stats_agg", "q40_recursive_cte", "q41_nested_struct",
-      "t10_bigram_pairs", "e10_top_paths", "p09_split_drift", "s07_quantized_knn")
+      "t10_bigram_pairs", "e10_top_paths", "p09_split_drift", "s07_quantized_knn",
+      // round 7 (distinct-agg rebuilds + the capped d08 pair stage)
+      "p01_profile", "q11_distinct_agg", "q34_null_handling", "q25_approx_sketches")
     for (n <- names) {
       val p = graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val flags = Seq(
