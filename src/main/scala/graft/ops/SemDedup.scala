@@ -42,19 +42,24 @@ object SemDedup extends QueryModule {
   private val MinCells       = 16
   private val TargetCellRows = 64
   private val Threshold      = 0.4
-  /** Per-cell participation cap for the quadratic pair stage. Expected
+  /** Chunk size for the quadratic pair stage's skew guard. Expected
     * cell size is ~TargetCellRows, but md5-threshold centroid sampling
     * only bounds the EXPECTATION — an adversarial corpus (one boilerplate
     * cluster holding 10% of a web crawl) can put nearly everything in one
-    * cell, and C(n,2) on that cell is the job-killer. Rows ranked past
-    * the cap (deterministic per-cell order: the shared 60-bit md5 fold,
-    * vec_id tiebreak — both engines rebuild it exactly) sit out the pair
-    * stage and stay singletons, so the stage's work is ≤ C(cap,2) pairs
-    * per cell at ANY cell size. 8× the target size: far above every
-    * honest cell (the cap never binds on balanced data — testdata
-    * results are byte-identical), small enough that a degenerate cell
-    * costs ~130k pairs, not 10^12. The oracle applies the same ranked
-    * cap, so a bound cell diverges nowhere.
+    * cell, and C(n,2) on that cell is the job-killer. Each cell's members
+    * are ranked in a deterministic order (the shared 60-bit md5 fold,
+    * vec_id tiebreak — both engines rebuild it exactly) and split into
+    * RANK CHUNKS of this size: pairs form within each chunk plus across
+    * ADJACENT chunks, so per-member fanout is ≤ 2×cap however hot the
+    * cell (linear total, never quadratic) while every member still meets
+    * ~2×cap neighbors and connected components stitches the chunk chain
+    * transitively — a boilerplate cluster flooding one cell collapses to
+    * ONE dedup cluster instead of (as the round-7 hard cap did) excusing
+    * everyone ranked past the cap into singletons. 8× the target size:
+    * a single-chunk cell (every honest cell — testdata results are
+    * byte-identical to uncapped) is exact all-pairs, and a degenerate
+    * 1M-row cell costs ~1.5 × 1M × cap pairs, not 10^12. The oracle
+    * applies the same chunking, so a chunked cell diverges nowhere.
     */
   private[graft] val CellCap = 8 * TargetCellRows
 
@@ -123,26 +128,40 @@ object SemDedup extends QueryModule {
     if (n == 0) 0L
     else ((BigInt(k) << 60) / BigInt(n)).min(BigInt(1) << 60).toLong
 
-  /** The in-cell candidate pair stage with the [[CellCap]] skew guard:
-    * rank each cell's members by the deterministic (hash60(vec_id),
-    * vec_id) order, let only the first `cap` participate, self-join on
-    * the cell id with ida < idb. Work is bounded by C(cap,2) pairs per
-    * cell however hot the cell — the window's hash partitioning on
-    * `cell` is the same distribution the self-join needs, so the rank
-    * adds no extra exchange. Factored out (with the cap injectable) so
-    * the skew stress test can drive it against a planted hot cell.
+  /** The in-cell candidate pair stage with the rank-chained [[CellCap]]
+    * skew guard: rank each cell's members by the deterministic
+    * (hash60(vec_id), vec_id) order, split into chunks of `cap`, and
+    * form pairs WITHIN each chunk plus across ADJACENT chunks. Every
+    * member participates (the round-7 hard cap excused rows past the
+    * cap into silent singletons — the recall gap this closes) yet
+    * per-member fanout is ≤ 2×cap at any cell size, and CC downstream
+    * stitches the chunk chain into one cluster wherever the links are
+    * dense. The adjacency is an EQUI-join: the probe side duplicates
+    * each row under (chunk, chunk+1) join keys, so the join hashes on
+    * (cell, chunk) — a hot cell's chunks spread across partitions
+    * instead of melting one reducer, and Spark never materializes the
+    * within-cell cross product the round-7 cell-keyed join would have
+    * filtered. Cross-chunk pairs arise exactly once (only the LOWER
+    * chunk probes upward); within-chunk duplicates fall to the vec_id
+    * order; outputs are (least, greatest)-normalized so the oracle's
+    * mirrored join matches row-for-row. Factored out (cap injectable)
+    * so the skew stress test can drive a planted hot cell.
     */
   private[graft] def inCellPairs(assign: DataFrame, cap: Int = CellCap): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell"))
       .orderBy(Sampling.hash60(col("vec_id").cast("string")), col("vec_id"))
-    val capped = assign
+    val chunked = assign
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= cap)
-      .select(col("vec_id"), col("cell"))
-    capped.as("a").join(capped.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+      .withColumn("chunk", expr(s"CAST(floor((rk - 1) / $cap) AS BIGINT)"))
+      .select(col("vec_id"), col("cell"), col("chunk"))
+    val probes = chunked.select(col("vec_id"), col("cell"), col("chunk"),
+      explode(array(col("chunk"), col("chunk") + 1)).as("jchunk"))
+    probes.as("a").join(chunked.as("b"),
+        col("a.cell") === col("b.cell") && col("a.jchunk") === col("b.chunk") &&
+          (col("a.chunk") =!= col("b.chunk") || col("a.vec_id") < col("b.vec_id")))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("ida"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("idb"))
   }
 
   /** The full two-level cell-assignment front half — centroid sampling,
@@ -238,8 +257,9 @@ object SemDedup extends QueryModule {
     * zero-norm sentinel and (csim DESC, cid ASC) tiebreak at BOTH
     * assignment levels AND the in-cell pair stage (an unguarded DuckDB
     * 0/0 is NaN, which >= threshold admits — divergent from the ANSI
-    * Spark side, which would throw), the same ranked [[CellCap]] skew
-    * cap on pair participation, transitive closure via recursive CTE.
+    * Spark side, which would throw), the same rank-chained [[CellCap]]
+    * chunking of pair participation (within-chunk plus adjacent-chunk,
+    * (least, greatest)-normalized), transitive closure via recursive CTE.
     */
   private val d08Sql =
     s"""WITH RECURSIVE ${Similarity.oracleVecs},
@@ -270,18 +290,20 @@ object SemDedup extends QueryModule {
        |      JOIN ca ON ca.gid = r.gid
        |      JOIN c ON c.cid = ca.cid)
        |  WHERE rn = 1),
-       |capped AS (
-       |  SELECT vec_id, cell FROM (
+       |chunked AS (
+       |  SELECT vec_id, cell, (rk - 1) // $CellCap AS chunk FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
        |      ORDER BY ${OracleSql.hex60("CAST(vec_id AS VARCHAR)")}, vec_id) AS rk
-       |    FROM assign)
-       |  WHERE rk <= $CellCap),
+       |    FROM assign)),
        |pr AS (
        |  SELECT ida, idb FROM (
-       |    SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    SELECT least(a.vec_id, b.vec_id) AS ida, greatest(a.vec_id, b.vec_id) AS idb,
        |      ${sqlSim("x.v", "y.v", "x.nrm", "y.nrm")} AS sim
-       |    FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
-       |    JOIN n x ON a.vec_id = x.vec_id JOIN n y ON b.vec_id = y.vec_id)
+       |    FROM chunked a JOIN chunked b ON a.cell = b.cell
+       |      AND b.chunk IN (a.chunk, a.chunk + 1)
+       |      AND (a.chunk <> b.chunk OR a.vec_id < b.vec_id)
+       |    JOIN n x ON least(a.vec_id, b.vec_id) = x.vec_id
+       |    JOIN n y ON greatest(a.vec_id, b.vec_id) = y.vec_id)
        |  WHERE sim >= $Threshold),
        |${Graph.ccSqlCtes("pr", "SELECT vec_id, vec_id FROM embeddings")}
        |SELECT id AS vec_id, min(comp) AS cluster_id,

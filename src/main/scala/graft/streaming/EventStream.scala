@@ -166,116 +166,146 @@ object EventStream {
       }
   }
 
-  case class EvT(user_id: Long, event_id: Long, event_type: String,
-                 ts_us: Long, ts: java.sql.Timestamp)
+  /** One buffered event: the fields every twin's step function needs
+    * ((ts_us, event_id) order key, the type, and the session-zone epoch
+    * day for retention). Encoded into flatMapGroupsWithState state.
+    */
+  case class BufEv(ts_us: Long, event_id: Long, event_type: String, day: Long)
+
+  /** Watermark-buffered per-user event-time processing — the harness the
+    * e04/e07/e08/e09 twins share.
+    *
+    * Events are BUFFERED in per-user state on arrival and handed to
+    * `step` only once the watermark has passed them (strictly, at ms
+    * granularity — the same cut Spark's own late-row filter uses, so the
+    * finalized prefix can never be contradicted by a later arrival), in
+    * (ts_us, event_id) order. Arrival order — within a batch or across
+    * batches — is therefore invisible to `step`: any disorder the
+    * watermark delay covers is REPAIRED, not merely counted, and the
+    * twins converge to their batch queries under arbitrary bounded-delay
+    * replay. An arrival already below the watermark can no longer be
+    * ordered into the finalized prefix; it is dropped exactly as a
+    * built-in streaming aggregation drops late rows. The `disorder`
+    * accumulator counts both kinds of out-of-order arrival (buffered-
+    * and-repaired, and beyond-watermark-dropped) — a health metric for
+    * sizing the delay, no longer a divergence warning.
+    *
+    * Pending state wakes via EventTimeTimeout at watermark+1 whenever
+    * events remain buffered, so a quiet user's tail still finalizes as
+    * other users' data advances the watermark. State per user is the
+    * twin's O(1) core plus the buffer, which the watermark bounds to the
+    * delay window — the same bound every built-in watermarked stateful
+    * operator carries at 100 TB scale.
+    */
+  private def bufferedTwin[S, O](
+      spark: SparkSession, events: DataFrame, delay: String,
+      disorder: Option[org.apache.spark.util.LongAccumulator], init: S,
+      step: (Long, S, Vector[BufEv]) => (S, Vector[O]))(
+      implicit stateEnc: org.apache.spark.sql.Encoder[(S, Vector[BufEv], Long, Long)],
+      outEnc: org.apache.spark.sql.Encoder[O]): Dataset[O] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id"),
+        graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+        col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PathEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(S, Vector[BufEv], Long, Long), O](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[PathEv], state: GroupState[(S, Vector[BufEv], Long, Long)]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val (core0, buf0, lastTs, lastId) = state.getOption
+            .getOrElse((init, Vector.empty[BufEv], Long.MinValue, Long.MinValue))
+          val arrivals =
+            if (state.hasTimedOut) Vector.empty
+            else it.map(e => BufEv(e.ts_us, e.event_id, e.event_type, e.day)).toVector
+          // an arrival whose ms already sits below the watermark missed
+          // its finalization window (defensive: Spark's own late filter
+          // normally removes these upstream)
+          val (dropped, kept) = arrivals.partition(_.ts_us < wmUs)
+          for (acc <- disorder) {
+            val late = dropped.size + kept.count(e =>
+              e.ts_us < lastTs || (e.ts_us == lastTs && e.event_id < lastId))
+            if (late > 0) acc.add(late.toLong)
+          }
+          val (mTs, mId) = kept.foldLeft((lastTs, lastId)) { case ((t, i), e) =>
+            if (e.ts_us > t || (e.ts_us == t && e.event_id > i)) (e.ts_us, e.event_id) else (t, i)
+          }
+          // finalize strictly below the watermark: equal-ms events can
+          // still legally arrive, so they stay buffered — which also
+          // guarantees equal-timestamp ties always reach `step` in ONE
+          // chunk (any later equal-ts arrival would be a dropped late row)
+          val (ready, pending) = (buf0 ++ kept).partition(_.ts_us < wmUs)
+          val (core1, out) =
+            if (ready.isEmpty) (core0, Vector.empty[O])
+            else step(user, core0, ready.sortBy(e => (e.ts_us, e.event_id)))
+          state.update((core1, pending, mTs, mId))
+          // wake when the watermark next advances; a fire with no advance
+          // is impossible (Spark fires only on watermark > timestamp)
+          if (pending.nonEmpty) state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          out.iterator
+      }
+  }
+
   case class TransOut(src_type: String, dst_type: String)
 
   /** Streaming twin of e09: per-user adjacent-event bigrams, one output
-    * row per transition (the spec/consumer aggregates counts). State is
-    * just the user's LAST event, carried across batches so the boundary
-    * transition between two batches is emitted exactly once. The carried
-    * event is SORT-MERGED with the batch (not prepended), so a
-    * same-timestamp tie straddling the batch boundary still emits in
-    * batch e09's (ts, event_id) order. No watermark: NoTimeout state
-    * needs none, and a watermark here would silently drop any event
-    * below the running max instead of processing it. Deeper cross-batch
-    * disorder (an event sorting before the PENULTIMATE already-emitted
-    * event) is assumed away for file replay; a production source with
-    * late arrivals would buffer by watermark before emitting, exactly
-    * as [[sessionize]] does. That assumption is not silent: any event
-    * sorting before the carried (ts_us, event_id) state — i.e. one whose
-    * boundary bigram was already emitted against a later event — is
-    * counted into `outOfOrder`, so divergence from batch e09 on a real
-    * source is observable as a non-zero metric instead of a wrong matrix.
+    * row per transition (the spec/consumer aggregates counts). Built on
+    * [[bufferedTwin]]: the watermark buffer hands this step the user's
+    * events in (ts, event_id) order regardless of arrival order, so the
+    * core state is just the LAST finalized event type and the boundary
+    * bigram between finalization chunks is emitted exactly once. The
+    * round-7 design processed arrival batches directly and could only
+    * COUNT cross-batch disorder while emitting against stale order;
+    * buffering makes the matrix itself correct for any disorder within
+    * `delay`.
     */
   def transitions(spark: SparkSession, events: DataFrame,
-                  outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[TransOut] = {
+                  outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None,
+                  delay: String = "2 hours"): Dataset[TransOut] = {
     import spark.implicits._
-    events
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"), col("ts"))
-      .as[EvT]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long, String), TransOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, it: Iterator[EvT], state: GroupState[(Long, Long, String)]) =>
-          val evs = it.map(e => (e.ts_us, e.event_id, e.event_type)).toVector
-          for ((sts, sid, _) <- state.getOption; acc <- outOfOrder) {
-            val late = evs.count(e => e._1 < sts || (e._1 == sts && e._2 < sid))
-            if (late > 0) acc.add(late.toLong)
-          }
-          val seq = (state.getOption.toVector ++ evs).sortBy(e => (e._1, e._2))
-          if (seq.nonEmpty) state.update(seq.last)
-          seq.sliding(2).collect {
-            case Vector(a, b) => TransOut(a._3, b._3)
-          }.toVector.iterator
-      }
+    bufferedTwin[Option[String], TransOut](spark, events, delay, outOfOrder, None,
+      (_, last, evs) => {
+        val seq = last.toVector ++ evs.map(_.event_type)
+        (Some(seq.last),
+          seq.sliding(2).collect { case Vector(a, b) => TransOut(a, b) }.toVector)
+      })
   }
 
   case class FunnelOut(user_id: Long, first_view_us: Option[Long],
                        first_click_us: Option[Long], first_purchase_us: Option[Long])
-  /** fv/fc/fp are the three funnel min-timestamps; (lastTs, lastId) is the
-    * order marker the disorder metric compares against.
-    */
-  case class FunnelState(fv: Option[Long], fc: Option[Long], fp: Option[Long],
-                         lastTs: Long, lastId: Long)
 
   /** Streaming twin of e08: the view → click → purchase funnel as THREE
-    * MIN-TIMESTAMPS of state per user (O(1), no event buffer): first
-    * view, first click at-or-after it, first purchase at-or-after that.
-    * Each batch runs three STAGE-ORDERED passes (all views, then all
-    * clicks, then all purchases), so every stage's threshold is
-    * batch-complete before any dependent event is tested — including
-    * the equal-timestamp case batch e08's value-based `ts >= fv`
-    * comparison admits (a click TIED with its qualifying view counts;
-    * a (ts, event_id)-ordered single pass would drop it when the click
-    * sorts first). All three mins are nonincreasing over time, so the
-    * row emitted whenever a user's batch arrives converges
-    * monotonically — the final (equivalently, per-column min) row per
-    * user IS the batch e08 row. Same in-order-arrival assumption as
-    * [[transitions]], and the same observability: an event at or
-    * before the carried max-(ts, event_id) marker — one whose stage
-    * threshold may already have been fixed too high in an earlier
-    * batch (`<=` because an equal-ts view can retro-qualify an
-    * already-discarded equal-ts click) — counts into `outOfOrder`
-    * instead of silently diverging; a production source would buffer
-    * by watermark first, as [[sessionize]] does.
+    * MIN-TIMESTAMPS of core state per user (first view, first click
+    * at-or-after it, first purchase at-or-after that). Each finalization
+    * chunk runs three STAGE-ORDERED passes (all views, then all clicks,
+    * then all purchases), so a click TIED with its qualifying view
+    * counts exactly as batch e08's value-based `ts >= fv` admits — and
+    * [[bufferedTwin]] guarantees equal-ts events always finalize in the
+    * same chunk, so the tie case can never straddle a chunk boundary.
+    * Chunks arrive in event-time order, so once a stage min is set no
+    * later chunk can lower it: the emitted row per chunk converges
+    * monotonically and the final (equivalently per-column min) row per
+    * user IS the batch e08 row, under arbitrary arrival order within
+    * `delay`.
     */
   def funnel(spark: SparkSession, events: DataFrame,
-             outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[FunnelOut] = {
+             outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None,
+             delay: String = "2 hours"): Dataset[FunnelOut] = {
     import spark.implicits._
-    events
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"), col("ts"))
-      .as[EvT]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[EvT], state: GroupState[FunnelState]) =>
-          val evs = it.map(e => (e.ts_us, e.event_id, e.event_type)).toVector
-          val st = state.getOption.getOrElse(
-            FunnelState(None, None, None, Long.MinValue, Long.MinValue))
-          for (acc <- outOfOrder) {
-            val late = evs.count(_._1 <= st.lastTs)
-            if (late > 0) acc.add(late.toLong)
-          }
-          var (fv, fc, fp) = (st.fv, st.fc, st.fp)
-          for ((ts, _, t) <- evs if t == "view")
-            if (fv.forall(ts < _)) fv = Some(ts)
-          for ((ts, _, t) <- evs if t == "click")
-            if (fv.exists(ts >= _) && fc.forall(ts < _)) fc = Some(ts)
-          for ((ts, _, t) <- evs if t == "purchase")
-            if (fc.exists(ts >= _) && fp.forall(ts < _)) fp = Some(ts)
-          if (evs.isEmpty) Iterator.empty
-          else {
-            val (mts, mid, _) = evs.maxBy(e => (e._1, e._2))
-            val keep = mts < st.lastTs || (mts == st.lastTs && mid < st.lastId)
-            state.update(
-              if (keep) FunnelState(fv, fc, fp, st.lastTs, st.lastId)
-              else FunnelState(fv, fc, fp, mts, mid))
-            Iterator.single(FunnelOut(user, fv, fc, fp))
-          }
-      }
+    bufferedTwin[(Option[Long], Option[Long], Option[Long]), FunnelOut](
+      spark, events, delay, outOfOrder, (None, None, None),
+      (user, st, evs) => {
+        var (fv, fc, fp) = st
+        for (e <- evs if e.event_type == "view")
+          if (fv.forall(e.ts_us < _)) fv = Some(e.ts_us)
+        for (e <- evs if e.event_type == "click")
+          if (fv.exists(e.ts_us >= _) && fc.forall(e.ts_us < _)) fc = Some(e.ts_us)
+        for (e <- evs if e.event_type == "purchase")
+          if (fc.exists(e.ts_us >= _) && fp.forall(e.ts_us < _)) fp = Some(e.ts_us)
+        ((fv, fc, fp), Vector(FunnelOut(user, fv, fc, fp)))
+      })
   }
 
   /** Streaming twin of e01: the JSON-prop extraction is stateless (the
@@ -297,72 +327,33 @@ object EventStream {
 
   case class AsofOut(event_id: Long, user_id: Long, last_signup_id: Option[Long])
 
-  /** Carried as-of state: the APPLIED signup's (ts_us, event_id) — not
-    * just its id — plus the (ts, event_id) order marker. Carrying the
-    * signup's own event time is what lets a LATE signup (one sorting
-    * before the carried signup) be recognized and contained instead of
-    * silently regressing the state.
-    */
-  case class AsofState(sigTs: Option[Long], sigId: Option[Long],
-                       lastTs: Long, lastId: Long)
-
   /** Streaming twin of e04: the as-of lookup (most recent signup
-    * at-or-before each event, per user) carried as O(1) state — the
-    * applied signup's (ts_us, event_id) plus the (ts, event_id) order
-    * marker. Each batch sort-merges in (ts_us, event_id) order and emits
-    * one row per event, updating the carried signup BEFORE emitting (the
-    * batch window's frame includes the current row, so a signup is its
-    * own as-of match). A signup OLDER than the carried applied signup
-    * never replaces it (that would regress state and corrupt every
-    * subsequent in-order event's match with a too-old id); it applies
-    * exactly to its own emitted row (a signup is always its own as-of
-    * match). Note the containment is relative to the carried SIGNUP, not
-    * the order marker: a late-arriving signup that is still NEWER than
-    * the carried one (sigTs < ts < lastTs) does advance the state — and
-    * that is the batch-correct answer for every subsequent event. Late
-    * arrivals of either kind are counted into `outOfOrder` via the
-    * marker comparison. Same in-order-arrival assumption and disorder
-    * accumulator as [[transitions]] for non-signup late events: an event
-    * sorting before the carried marker may have been emitted against a
-    * too-new signup upstream — counted, never silent; a production
-    * source buffers by watermark first, as [[sessionize]] does.
+    * at-or-before each event, per user). Built on [[bufferedTwin]], the
+    * core state is just the carried signup id: the harness finalizes
+    * events in (ts_us, event_id) order, so every processed signup IS the
+    * newest-so-far in event time and replaces the carried id
+    * unconditionally — the round-7 containment logic (detecting a LATE
+    * signup and refusing to regress state) became unreachable, because a
+    * late signup inside `delay` is simply ordered into place before the
+    * events it should answer, exactly as the batch window computes it. A
+    * signup is its own as-of match (the batch frame includes the current
+    * row), hence the update-before-emit.
     */
   def asofSignup(spark: SparkSession, events: DataFrame,
-                 outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[AsofOut] = {
+                 outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None,
+                 delay: String = "2 hours"): Dataset[AsofOut] = {
     import spark.implicits._
-    events
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"), col("ts"))
-      .as[EvT]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[AsofState, AsofOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[EvT], state: GroupState[AsofState]) =>
-          val evs = it.map(e => (e.ts_us, e.event_id, e.event_type)).toVector
-            .sortBy(e => (e._1, e._2))
-          val st = state.getOption.getOrElse(
-            AsofState(None, None, Long.MinValue, Long.MinValue))
-          for (acc <- outOfOrder) {
-            val late = evs.count(e => e._1 < st.lastTs || (e._1 == st.lastTs && e._2 < st.lastId))
-            if (late > 0) acc.add(late.toLong)
-          }
-          var (sigTs, sigId) = (st.sigTs, st.sigId)
-          val out = evs.map { case (ts, id, t) =>
-            if (t == "signup") {
-              // only a NEWER signup advances the carried state; an older
-              // (late) one matches its own row and nothing after it
-              if (sigTs.forall(sts => ts > sts || (ts == sts && id > sigId.getOrElse(Long.MinValue)))) {
-                sigTs = Some(ts); sigId = Some(id)
-              }
-              AsofOut(id, user, Some(id))
-            } else AsofOut(id, user, sigId)
-          }
-          val (mts, mid) = evs.lastOption
-            .collect { case (ts, id, _) if ts > st.lastTs || (ts == st.lastTs && id > st.lastId) => (ts, id) }
-            .getOrElse((st.lastTs, st.lastId))
-          state.update(AsofState(sigTs, sigId, mts, mid))
-          out.iterator
-      }
+    bufferedTwin[Option[Long], AsofOut](spark, events, delay, outOfOrder, None,
+      (user, st, evs) => {
+        var sigId = st
+        val out = evs.map { e =>
+          if (e.event_type == "signup") {
+            sigId = Some(e.event_id)
+            AsofOut(e.event_id, user, Some(e.event_id))
+          } else AsofOut(e.event_id, user, sigId)
+        }
+        (sigId, out)
+      })
   }
 
   case class RetOut(user_id: Long, cohort_day: Long, day_offset: Long)
@@ -373,62 +364,38 @@ object EventStream {
     * (cohort_day, day_offset) user count (e07's final aggregate) is then
     * a plain count over the emitted rows, one per (user, offset).
     *
-    * State per user: the cohort day plus the set of offsets already
+    * Built on [[bufferedTwin]]: the first FINALIZED event is the true
+    * event-time minimum among all in-watermark arrivals, so the cohort
+    * is fixed correctly no matter the arrival order and every later
+    * finalized event has `day >= cohort` — the round-7 negative-offset
+    * skip (a late event from before a too-late-fixed cohort, dropped
+    * because no emitted pair could repair the re-based offsets) is
+    * unreachable by construction and gone.
+    *
+    * Core state per user: the cohort day plus the offsets already
     * emitted — O(distinct active days since signup), the retention
     * horizon, NOT the event count; a production deployment bounds it
     * hard by evicting users idle past the horizon with an event-time
-    * timeout, exactly as [[dailyPaths]] closes days. In-order arrival
-    * fixes the cohort at the first-seen event (within a batch the
-    * sort-merge makes that the true minimum); an event from BEFORE the
-    * carried marker is counted into `outOfOrder`, and then processed
-    * like any other: if its offset against the fixed cohort is >= 0 and
-    * unseen, its pair IS emitted (correct whenever the cohort was fixed
-    * right — day-level offsets are far coarser than event-level
-    * disorder); only a NEGATIVE offset — an event from before the
-    * recorded cohort day, i.e. the cohort itself was fixed too late —
-    * is skipped, since the batch query would have re-based every offset
-    * on the earlier cohort and no single emitted pair can repair that.
+    * timeout, exactly as [[dailyPaths]] closes days.
     */
   def retention(spark: SparkSession, events: DataFrame,
-                outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[RetOut] = {
+                outOfOrder: Option[org.apache.spark.util.LongAccumulator] = None,
+                delay: String = "2 hours"): Dataset[RetOut] = {
     import spark.implicits._
-    events
-      .select(col("user_id"),
-        graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
-        col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"), col("ts"))
-      .as[PathEv]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Seq[Long], Long, Long), RetOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[PathEv], state: GroupState[(Long, Seq[Long], Long, Long)]) =>
-          val evs = it.map(e => (e.ts_us, e.event_id, e.day)).toVector
-            .sortBy(e => (e._1, e._2))
-          if (evs.isEmpty) Iterator.empty
-          else {
-            val st = state.getOption
-            for (acc <- outOfOrder; (_, _, lts, lid) <- st) {
-              val late = evs.count(e => e._1 < lts || (e._1 == lts && e._2 < lid))
-              if (late > 0) acc.add(late.toLong)
-            }
-            val cohort = st.map(_._1).getOrElse(evs.head._3)
-            var seen = st.map(_._2.toSet).getOrElse(Set.empty[Long])
-            val out = Vector.newBuilder[RetOut]
-            for ((_, _, d) <- evs) {
-              val off = d - cohort
-              if (off >= 0 && !seen(off)) {
-                seen += off
-                out += RetOut(user, cohort, off)
-              }
-            }
-            val (mts, mid) = {
-              val m = evs.last
-              st.collect { case (_, _, lts, lid) if lts > m._1 || (lts == m._1 && lid > m._2) =>
-                (lts, lid) }.getOrElse((m._1, m._2))
-            }
-            state.update((cohort, seen.toSeq.sorted, mts, mid))
-            out.result().iterator
+    bufferedTwin[Option[(Long, Seq[Long])], RetOut](spark, events, delay, outOfOrder, None,
+      (user, st, evs) => {
+        val cohort = st.map(_._1).getOrElse(evs.head.day)
+        var seen = st.map(_._2.toSet).getOrElse(Set.empty[Long])
+        val out = Vector.newBuilder[RetOut]
+        for (e <- evs) {
+          val off = e.day - cohort // >= 0: finalization is event-time-ordered
+          if (!seen(off)) {
+            seen += off
+            out += RetOut(user, cohort, off)
           }
-      }
+        }
+        (Some((cohort, seen.toSeq.sorted)), out.result())
+      })
   }
 
   case class PathEv(user_id: Long, day: Long, event_id: Long,

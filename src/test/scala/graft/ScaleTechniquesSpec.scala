@@ -181,12 +181,15 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     * runs) — the round-5 recompute defect sat at ~3-4x (70+/hop). */
   private val PerHopTaskBudget = 60.0
 
-  /** d08's pair stage is quadratic in the hottest cell; the CellCap
-    * ranked guard is what keeps an adversarial corpus (one boilerplate
+  /** d08's pair stage is quadratic in the hottest cell; the rank-chained
+    * chunk guard is what keeps an adversarial corpus (one boilerplate
     * near-dup cluster holding 10% of a web crawl) from planning C(n/10,2)
-    * pairs. Plant exactly that shape and pin the bound.
+    * pairs — while, unlike the round-7 hard cap, still giving EVERY hot
+    * cell member candidate neighbors so the cluster dedups instead of
+    * leaking capped-out singletons. Plant exactly that shape and pin
+    * both the bound and the connectivity.
     */
-  test("d08 skew guard: a planted hot cell yields at most C(cap,2) candidate pairs") {
+  test("d08 skew guard: a planted hot cell stays linear in pairs AND fully connected") {
     import spark.implicits._
     val n = 10000
     // 10% of the corpus in cell 0 (the hot near-dup cluster), the rest
@@ -195,26 +198,53 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .select(col("id").as("vec_id"),
         when(col("id") % 10 === 0, 0L).otherwise(col("id") % 137 + 1).as("cell"))
     val cap = 32
+    // per-cell pair bound for a size-s cell chunked at `cap`:
+    // ceil(s/cap) within-chunk cliques of <= C(cap,2) plus full bipartite
+    // cap x cap links between the ceil(s/cap)-1 adjacent chunk pairs —
+    // LINEAR in s (~1.5*cap*s), never the C(s,2) blowup
+    def cellBound(s: Long): Long = {
+      val chunks = (s + cap - 1) / cap
+      chunks * cap.toLong * (cap - 1) / 2 + (chunks - 1) * cap.toLong * cap
+    }
+    val sizes = assign.groupBy("cell").count().collect().map(_.getLong(1))
     val nPairs = graft.ops.SemDedup.inCellPairs(assign, cap).count()
-    // uncapped, the hot cell alone is C(1000,2) ~ 500k pairs; capped,
-    // EVERY cell contributes at most C(cap,2)
-    val cells = assign.select(col("cell")).distinct().count()
-    val perCellMax = cap.toLong * (cap - 1) / 2
-    assert(nPairs <= cells * perCellMax,
-      s"$nPairs pairs from $cells cells exceeds the C($cap,2)=$perCellMax per-cell bound")
-    // the hot cell is actually bound (not just diluted): its members'
-    // pair participation alone stays under the cap bound
+    val bound = sizes.map(cellBound).sum
+    assert(nPairs <= bound,
+      s"$nPairs pairs exceeds the rank-chain bound $bound (uncapped hot cell would be ~C(1000,2)=499500)")
+    // the hot cell (1000 rows) must stay ~linear: vs C(1000,2) ~ 500k
     val hotPairs = graft.ops.SemDedup.inCellPairs(
-      assign.filter(col("cell") === 0L), cap).count()
-    assert(hotPairs === perCellMax,
-      s"hot cell must saturate exactly the C($cap,2) bound, got $hotPairs")
+      assign.filter(col("cell") === 0L), cap)
+    val hotCount = hotPairs.count()
+    assert(hotCount <= cellBound(1000),
+      s"hot cell must stay linear (~1.5*cap*s), got $hotCount")
+    // the recall property the round-7 hard cap lacked: every hot-cell
+    // member participates, and the chunk chain is connected — CC over
+    // the candidate pairs (a boilerplate cluster passes the sim filter
+    // wholesale) labels ALL 1000 members into ONE cluster, no
+    // capped-out singletons
+    val participants = hotPairs.select(col("ida").as("v"))
+      .union(hotPairs.select(col("idb").as("v"))).distinct().count()
+    assert(participants === 1000L,
+      s"every hot-cell member must meet candidates, got $participants/1000")
+    val comps = graft.ops.Graph.connectedComponents(
+        assign.filter(col("cell") === 0L).select(col("vec_id").as("id")),
+        hotPairs.select(col("ida"), col("idb")))
+      .select(col("comp")).distinct().count()
+    assert(comps === 1L,
+      s"the chunk chain must stitch the hot cell into ONE dedup cluster, got $comps components")
+    // per-member fanout is bounded by the chunk neighborhood (own chunk
+    // + both adjacent), corpus-size-independent
+    val maxDeg = hotPairs.select(explode(array(col("ida"), col("idb"))).as("v"))
+      .groupBy("v").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxDeg <= 3L * cap,
+      s"per-member fanout must stay <= ~2-3x cap, got $maxDeg")
     // and the guard is inert where it should be: a balanced corpus below
-    // the cap is untouched (pairs = exact all-pairs within each cell)
+    // the chunk size is untouched (pairs = exact all-pairs within each cell)
     val balanced = spark.range(300)
       .select(col("id").as("vec_id"), (col("id") % 10).as("cell"))
     val balancedPairs = graft.ops.SemDedup.inCellPairs(balanced, cap).count()
     assert(balancedPairs === 10L * 30 * 29 / 2,
-      s"cap must not bind on balanced 30-row cells, got $balancedPairs")
+      s"chunking must not bind on balanced 30-row cells, got $balancedPairs")
   }
 
   /** Synthetic-corpus scaling tripwires for the two flagship pipelines
@@ -267,9 +297,10 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       // constant. Measured: ~40/row at 1x, ~68/row at 10x — the drift is
       // random-centroid Voronoi skew approaching its asymptote
       // (size-weighted mean cell ~ (1 + CV^2) x TargetCellRows ~ 2x64),
-      // NOT divergence; the hard ceiling is (CellCap-1)/2 = 255 whatever
-      // the corpus does. 150 sits between asymptote and ceiling: red on
-      // any new super-linear term, green on the known skew.
+      // NOT divergence; the hard ceiling under rank-chained chunking is
+      // ~1.5 x CellCap = 768 per row whatever the corpus does. 150 sits
+      // between asymptote and ceiling: red on any new super-linear term,
+      // green on the known skew.
       assert(cand10 * 1.0 / n10 <= 150.0,
         s"per-row candidate fanout must stay bounded: ${cand10 / n10}/row at 10x")
       assert(cand10 <= cand1 * 25,

@@ -153,6 +153,17 @@ class StreamingRecoverySpec extends AnyFunSuite {
     runOnce()
     Files.deleteIfExists(Paths.get(streamDir, "events_a.parquet"))
     writeHalf(raw.filter(org.apache.spark.sql.functions.col("ts") > cut), "b")
+    // sentinel flush (user -1, 60 days out): the round-8 buffered as-of
+    // twin finalizes events only once the watermark passes them, so the
+    // tail — including phase-1 rows RESTORED FROM THE CHECKPOINT BUFFER —
+    // emits on this final watermark advance; the sentinel itself stays
+    // buffered and never reaches the sink
+    val maxTs = raw.agg(org.apache.spark.sql.functions.max("ts")).collect()(0).getLong(0)
+    locally {
+      import spark.implicits._
+      writeHalf(Seq((-1L, maxTs + 60L * 86400 * 1000000000L, -1L, "flush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), "z")
+    }
     raw.unpersist()
     runOnce()
 
