@@ -126,12 +126,16 @@ object Dedup extends QueryModule {
   private def d03(s: SparkSession, dir: String): DataFrame = {
     val shdocs = shingled(Tables.documents(s, dir))
     // per-doc set size is just the shingle-array length: a row-level
-    // projection broadcast to the pair stream — not a groupBy over the
-    // exploded index plus two shuffle joins
+    // projection joined to the pair stream — not a groupBy over the
+    // exploded index. NO broadcast hint: sizes is one row PER DOCUMENT
+    // (corpus-proportional — ScaleLint's uncapped-broadcast class), so
+    // the planner must stay free to shuffle it at 100 TB; at test scale
+    // the stats-based auto-broadcast picks the same broadcast plan the
+    // hint forced
     val sizes = shdocs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     jaccardCandidatesFromShingled(shdocs, DfCap)
-      .join(broadcast(sizes.select(col("doc_id"), col("n").as("na"))), col("ida") === col("doc_id")).drop("doc_id")
-      .join(broadcast(sizes.select(col("doc_id"), col("n").as("nb"))), col("idb") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("ida") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("idb") === col("doc_id")).drop("doc_id")
       .select(col("ida"), col("idb"), (col("c") / (col("na") + col("nb") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
@@ -254,10 +258,11 @@ object Dedup extends QueryModule {
     */
   private def d06(s: SparkSession, dir: String): DataFrame = {
     val shdocs = shingled(Tables.documents(s, dir))
+    // no broadcast hint on the corpus-proportional sizes frame — see d03
     val sizes = shdocs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
     jaccardCandidatesFromShingled(shdocs, DfCap)
-      .join(broadcast(sizes.select(col("doc_id"), col("n").as("na"))), col("ida") === col("doc_id")).drop("doc_id")
-      .join(broadcast(sizes.select(col("doc_id"), col("n").as("nb"))), col("idb") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("ida") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("idb") === col("doc_id")).drop("doc_id")
       .select(col("ida"), col("idb"), (col("c") / least(col("na"), col("nb"))).as("containment"))
       .filter(col("containment") >= 0.8)
   }

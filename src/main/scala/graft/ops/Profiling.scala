@@ -25,6 +25,16 @@ object Profiling extends QueryModule {
     // two-phase distinct (map-side dedup on (col_name, value), partial
     // min/max/count riding along) — one scan, no Expand, and the
     // shuffle carries ~distinct-values-per-column tuples, not rows
+    // the unpivot aggregates every column through ONE `v` slot, so
+    // array(struct(...)) coerces v to the columns' common type — fine
+    // while every profiled column is a native DOUBLE, silently divergent
+    // from the oracle (which aggregates each column natively and coerces
+    // only the OUTPUT of the UNION ALL) the day a decimal/string/int
+    // column joins `cols`. Fail loudly at plan time instead.
+    val badTypes = cols.filterNot(c =>
+      li.schema(c).dataType == org.apache.spark.sql.types.DoubleType)
+    require(badTypes.isEmpty,
+      s"p01 unpivot requires homogeneous DOUBLE columns; widen per-type before adding: $badTypes")
     val pairs = cols.map(c => struct(lit(c).as("col_name"), col(c).as("v")))
     val grouped = li.select(explode(array(pairs: _*)).as("r"))
       .select(col("r.col_name").as("col_name"), col("r.v").as("v"))
@@ -119,12 +129,18 @@ object Profiling extends QueryModule {
     (withLang, kept, survivors)
   }
 
-  /** 3-gram-Jaccard >= 0.5 near-dup pairs among survivors (d03 machinery). */
+  /** 3-gram-Jaccard >= 0.5 near-dup pairs among survivors (d03 machinery).
+    * No broadcast hint on the corpus-proportional sizes frame (one row
+    * per surviving document): the stats-based auto-broadcast picks the
+    * same plan at test scale, and at 100 TB the planner must stay free
+    * to shuffle it — an obeyed hint there melts the executors
+    * (ScaleLint's uncapped-broadcast class).
+    */
   private def nearDupPairs(survivors: DataFrame): DataFrame = {
     val sizes = survivors.select(col("doc_id"), size(Dedup.shingleArr(col("text"))).cast("long").as("n"))
     Dedup.jaccardCandidates(survivors.select(col("doc_id"), col("text")), Dedup.DfCap)
-      .join(broadcast(sizes.select(col("doc_id"), col("n").as("na"))), col("ida") === col("doc_id")).drop("doc_id")
-      .join(broadcast(sizes.select(col("doc_id"), col("n").as("nb"))), col("idb") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("ida") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("idb") === col("doc_id")).drop("doc_id")
       .filter(col("c") / (col("na") + col("nb") - col("c")) >= 0.5)
       .select(col("ida"), col("idb"))
   }

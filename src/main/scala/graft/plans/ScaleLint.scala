@@ -2,9 +2,10 @@ package graft.plans
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Expand, HintInfo, Join, LogicalPlan, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Expand, GlobalLimit, HintInfo, Join, LocalLimit, LogicalPlan, Sample, Window}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
 
 /** Advisory optimizer rule: flags plan shapes that are correct at test
   * scale but melt at 100 TB, without changing the plan. The two classic
@@ -24,10 +25,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     buffer (the round-6 p01 hazard: 5× write amplification on the
   *     profiling scan). Caught in both shapes: the pre-rewrite Aggregate
   *     (when this rule runs among the operator-optimization rules) and
-  *     the post-rewrite Expand, recognized by its `gid` attribute so
-  *     rollup/cube/grouping-sets Expands (`spark_grouping_id`) never
-  *     false-positive. Fix: one distinct agg per column, tiny results
-  *     broadcast-joined back (q11/q25/p01's shape).
+  *     the post-rewrite Expand, recognized by the `gid` attribute the
+  *     rewrite PRODUCES so rollup/cube/grouping-sets Expands
+  *     (`spark_grouping_id`) and pass-through user columns named gid
+  *     never false-positive. Fix: one distinct agg per column, tiny
+  *     results broadcast-joined back (q11/q25/p01's shape);
+  *   - a broadcast HINT on a side derived from an UNCAPPED corpus-table
+  *     scan — Spark obeys explicit hints regardless of size, so a frame
+  *     that grows with the corpus rides into every executor (and through
+  *     the driver) at 100 TB. Capped shapes (limit, aggregate,
+  *     hash-threshold sample) pass; the raw scan flags.
   *
   * Findings are logged and recorded in [[ScaleLint.findings]] so tests
   * (and interactive users) can inspect them; each (plan, message) pair is
@@ -52,9 +59,12 @@ object ScaleLint extends Rule[LogicalPlan] with Logging {
   /** Clear findings AND the per-node dedup memory (tests). */
   def reset(): Unit = { findings.clear(); seen.clear() }
 
-  private def record(node: LogicalPlan, kind: Int, msg: String): Unit = {
+  private def record(node: LogicalPlan, kind: Int, msg: String): Unit =
+    recordKeyed(node.semanticHash(), kind, msg)
+
+  private def recordKeyed(key: Int, kind: Int, msg: String): Unit = {
     if (seen.size() > MaxSeen) seen.clear()
-    if (seen.add((node.semanticHash(), kind))) {
+    if (seen.add((key, kind))) {
       logWarning(s"[graft-scale-lint] $msg")
       findings.add(msg)
       while (findings.size() > MaxFindings) findings.poll()
@@ -93,29 +103,104 @@ object ScaleLint extends Rule[LogicalPlan] with Logging {
           .map(_.canonicalized).toSet
     }).distinct.size
 
+  /** Tables whose row count grows with the corpus (the TPC-H facts plus
+    * the training-data tables). nation/region are genuinely constant and
+    * part/customer/supplier are conventional broadcast dims; everything
+    * here is the 100 TB side of the schema.
+    */
+  private val corpusTables =
+    Seq("lineitem", "orders", "events", "documents", "embeddings")
+
+  private def scansCorpusTable(p: LogicalPlan): Boolean =
+    p.collectLeaves().exists { l =>
+      // a LogicalRelation's default string carries only the schema — the
+      // table identity lives in the file location; cached frames carry it
+      // in the cached physical plan's scan node
+      val s = (l match {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.mkString(",")
+            case r => r.toString
+          }
+        case im: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          im.cachedPlan.toString
+        case other => other.toString
+      }).toLowerCase(java.util.Locale.ROOT)
+      corpusTables.exists(s.contains)
+    }
+
+  /** A corpus-derived subtree is "capped" when something between the scan
+    * and the broadcast bounds its size: a limit, a sample, an aggregate
+    * (the group-to-small-result pattern — q33/t09/s04; an empty grouping
+    * collapses to one row, SemDedup's broadcast array), or the library's
+    * deterministic md5-hash-threshold sample filter (SemDedup/s07's
+    * fixed-fraction selection). Heuristic, not proof: an aggregate
+    * grouped on a corpus-cardinality key would still slip through — the
+    * advisory's job is catching the RAW uncapped scan, the shape that
+    * melts first.
+    */
+  private def capped(p: LogicalPlan): Boolean =
+    p.exists {
+      case _: GlobalLimit | _: LocalLimit | _: Sample | _: Aggregate => true
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.toString.contains("md5")
+      // a persisted frame substitutes as an opaque InMemoryRelation leaf;
+      // look through to its cached PHYSICAL plan for the same cap shapes
+      // (q25's per-group band aggregate and s07's global stats both
+      // persist — the Aggregate that bounds them lives inside the cache)
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        val s = r.cachedPlan.toString
+        s.contains("Aggregate") || s.contains("Limit") ||
+          s.contains("TakeOrderedAndProject") || s.contains("Sample") ||
+          s.contains("md5")
+      case _ => false
+    }
+
+  private def checkBroadcastSide(j: Join, side: LogicalPlan,
+                                 hint: Option[HintInfo], which: String): Unit =
+    if (hint.exists(_.strategy.contains(BROADCAST)) &&
+        scansCorpusTable(side) && !capped(side))
+      record(j, 4,
+        s"broadcast-hinted $which side derives from an UNCAPPED corpus-table scan: " +
+        "the broadcast grows with the corpus and melts the driver/executors at " +
+        "100 TB - bound it (limit, aggregate, hash-threshold sample; see s07's " +
+        "limit-bounded query batch) or drop the hint and let it shuffle")
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.foreach {
       case w: Window if w.partitionSpec.isEmpty =>
         record(w, 1,
           "window with no PARTITION BY: all rows flow through one task at scale " +
           "- consider the two-pass global-order plan (graft.plans.GlobalOrder)")
-      case j: Join if j.condition.isEmpty &&
-          (j.joinType == Cross || j.joinType == Inner) &&
-          !broadcastable(j.left, j.hint.leftHint) &&
-          !broadcastable(j.right, j.hint.rightHint) =>
-        record(j, 2,
-          "join with no condition (cartesian product): O(n^2) pairs at scale " +
-          "- consider bucketed candidate generation (LSH/IVF ops) or a broadcast-size side")
+      case j: Join =>
+        if (j.condition.isEmpty &&
+            (j.joinType == Cross || j.joinType == Inner) &&
+            !broadcastable(j.left, j.hint.leftHint) &&
+            !broadcastable(j.right, j.hint.rightHint))
+          record(j, 2,
+            "join with no condition (cartesian product): O(n^2) pairs at scale " +
+            "- consider bucketed candidate generation (LSH/IVF ops) or a broadcast-size side")
+        checkBroadcastSide(j, j.left, j.hint.leftHint, "left")
+        checkBroadcastSide(j, j.right, j.hint.rightHint, "right")
+      // kind 3 is keyed on the CHILD's semantic hash, not the node's: the
+      // pre-rewrite Aggregate and the post-rewrite Expand are different
+      // nodes over the SAME child, and a node-keyed dedup would report
+      // one hazard twice when the rule sees both shapes in one query
       case a: Aggregate if distinctGroups(a) > 1 =>
-        record(a, 3, multiDistinctMsg)
-      // the distinct-rewrite Expand is recognized by its `gid` attribute;
-      // rollup/cube/grouping-sets Expands always carry spark_grouping_id,
-      // so their presence exempts the node even when a USER column named
-      // gid rides through (SemDedup's coarse group id makes that name
-      // live in this codebase)
-      case e: Expand if e.output.exists(_.name == "gid") &&
+        recordKeyed(a.child.semanticHash(), 3, multiDistinctMsg)
+      // the distinct-rewrite Expand is recognized by the `gid` attribute
+      // it PRODUCES: an IntegerType output attribute absent from the
+      // child's output — a user column named gid riding through an
+      // unpivot/melt Expand (SemDedup's coarse group id makes that name
+      // live) is pass-through child output and never matches;
+      // rollup/cube/grouping-sets Expands carry spark_grouping_id and
+      // are exempted explicitly
+      case e: Expand if e.output.exists(a =>
+            a.name == "gid" && a.dataType == IntegerType &&
+              !e.child.outputSet.contains(a)) &&
           !e.output.exists(_.name == "spark_grouping_id") =>
-        record(e, 3, multiDistinctMsg)
+        recordKeyed(e.child.semanticHash(), 3, multiDistinctMsg)
       case _ => ()
     }
     plan // advisory: never rewrites

@@ -151,6 +151,11 @@ class PlanSpec extends AnyFunSuite {
         .queryExecution.optimizedPlan
       assert(ScaleLint.findings.toArray.exists(_.toString.contains("DISTINCT")),
         s"multi-distinct Expand must be flagged, got: ${ScaleLint.findings}")
+      // ONE finding per hazard: the pre-rewrite Aggregate and the
+      // post-rewrite Expand are different nodes over the same child —
+      // the child-keyed dedup must collapse them
+      assert(ScaleLint.findings.size() == 1,
+        s"one multi-distinct hazard must record once, got: ${ScaleLint.findings}")
 
       // single distinct + non-distinct aggs, and a rollup's Expand
       // (spark_grouping_id, not gid): both legitimate, NOT flagged
@@ -171,6 +176,25 @@ class PlanSpec extends AnyFunSuite {
       assert(ScaleLint.findings.isEmpty,
         s"single-distinct, rollup, gid-named column and canonical-equal " +
           s"distincts must be lint-clean, got: ${ScaleLint.findings}")
+
+      // broadcast HINT on an uncapped corpus-table scan: flagged (Spark
+      // obeys explicit hints regardless of size — at 100 TB the frame
+      // rides into every executor)
+      ScaleLint.reset()
+      val docs = graft.core.Tables.documents(spark, dir).select("doc_id", "lang")
+      spark.range(10).toDF("doc_id").join(broadcast(docs), "doc_id")
+        .queryExecution.optimizedPlan
+      assert(ScaleLint.findings.toArray.exists(_.toString.contains("UNCAPPED")),
+        s"uncapped corpus broadcast must be flagged, got: ${ScaleLint.findings}")
+
+      // the capped shapes pass: a limit, and an aggregate
+      ScaleLint.reset()
+      spark.range(10).toDF("doc_id").join(broadcast(docs.limit(100)), "doc_id")
+        .queryExecution.optimizedPlan
+      spark.range(10).toDF("n").crossJoin(broadcast(docs.agg(count(lit(1)).as("cnt"))))
+        .queryExecution.optimizedPlan
+      assert(ScaleLint.findings.isEmpty,
+        s"limit/aggregate-capped corpus broadcasts must be lint-clean, got: ${ScaleLint.findings}")
 
       // a scale-safe plan triggers nothing
       ScaleLint.reset()

@@ -88,6 +88,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** The reusable law behind every multi-distinct Expand kill (q11, q34,
+    * p01 — and the next one): splitting an N-distinct aggregate into
+    * per-column single-distinct aggs recombined with a NULL-SAFE (`<=>`)
+    * broadcast join is semantics-preserving for ARBITRARY groupings —
+    * including a NULL group key, which a plain inner join's NULL != NULL
+    * would silently drop while GROUP BY keeps it. Random null densities
+    * and domain sizes drive the edge cases a hand-picked fixture misses:
+    * all-null columns, a group key that is only ever null, single-row
+    * groups.
+    */
+  test("split single-distinct aggs + null-safe join ≡ one multi-distinct agg (12 seeded cases)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (seed <- 41 to 52) {
+      val rng = new Random(seed)
+      val (dG, dA, dB) = (rng.nextDouble() * 0.6, rng.nextDouble(), rng.nextDouble())
+      val (gDom, aDom, bDom) = (rng.nextInt(5) + 1, rng.nextInt(50) + 1, rng.nextInt(8) + 1)
+      val n = rng.nextInt(3000) + 2
+      def opt[T](den: Double)(v: => T): Option[T] =
+        if (rng.nextDouble() < den) None else Some(v)
+      val rows = (None: Option[String], None: Option[Long], None: Option[String]) +:
+        Seq.fill(n - 1)((
+          opt(dG)(s"g${rng.nextInt(gDom)}"),
+          opt(dA)(rng.nextInt(aDom).toLong),
+          opt(dB)(s"b${rng.nextInt(bDom)}")))
+      val df = rows.toDF("g", "a", "b")
+      val single = df.groupBy(col("g")).agg(
+        countDistinct(col("a")).as("n_a"),
+        countDistinct(col("b")).as("n_b"),
+        count(lit(1)).as("n"))
+      val left = df.groupBy(col("g")).agg(
+        countDistinct(col("a")).as("n_a"), count(lit(1)).as("n"))
+      val right = df.groupBy(col("g")).agg(countDistinct(col("b")).as("n_b"))
+        .withColumnRenamed("g", "g2")
+      val split = left.join(broadcast(right), col("g") <=> col("g2"))
+        .select(col("g"), col("n_a"), col("n_b"), col("n"))
+      def key(r: org.apache.spark.sql.Row) =
+        (Option(r.get(0)), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(split.collect().map(key).toSet === single.collect().map(key).toSet,
+        f"seed=$seed nullG=$dG%1.2f")
+    }
+  }
+
   test("non-commutative-safe: reduce sees every value of its key exactly once (5 seeded cases)") {
     import spark.implicits._
     for (seed <- 21 to 25) {
