@@ -285,11 +285,20 @@ object Dedup extends QueryModule {
     * cluster_id)`. Components via [[Graph.connectedComponents]] — see its
     * scale notes (hash-partitioned label propagation, O(diameter) rounds).
     */
-  private def d07(s: SparkSession, dir: String): DataFrame =
+  /** The d07/d10-shared label frame (CC over the d03 pair graph),
+    * factored so tools/LabelOnceProf can materialize it ONCE and measure
+    * the label-once production shape (one labeling per ingest, every
+    * consumer reading the materialized frame) against the
+    * label-per-query bench shape.
+    */
+  private[graft] def docClusterLabels(s: SparkSession, dir: String): DataFrame =
     Graph.connectedComponents(
       Tables.documents(s, dir).select(col("doc_id")),
       d03(s, dir).select(col("ida"), col("idb")))
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+
+  private def d07(s: SparkSession, dir: String): DataFrame =
+    docClusterLabels(s, dir)
 
   /** Oracle: the same pair set (d03's CTEs), then transitive min-label
     * closure as a recursive CTE — `walk` carries every (node, candidate
@@ -321,12 +330,18 @@ object Dedup extends QueryModule {
     * aggregations after the CC labels; the singleton count doubles as a
     * "corpus mostly unique" sanity signal.
     */
-  private def d10(s: SparkSession, dir: String): DataFrame =
-    d07(s, dir)
+  /** d10's rollup given an (doc_id, cluster_id) label frame — two tiny
+    * aggregations, sub-second when the labels are already materialized.
+    */
+  private[graft] def clusterHistogram(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
+
+  private def d10(s: SparkSession, dir: String): DataFrame =
+    clusterHistogram(docClusterLabels(s, dir))
 
   private val d10Sql =
     s"""WITH RECURSIVE $d07Ctes,

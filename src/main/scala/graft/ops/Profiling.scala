@@ -87,7 +87,7 @@ object Profiling extends QueryModule {
     * This method is the shared funnel front half: (withLang, kept,
     * survivors) stage frames.
     */
-  private def funnelFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+  private[graft] def funnelFrames(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
     val w = filter(split(col("text"), " "), x => length(x) > 0)
     val nTok = size(w).cast("long")
@@ -136,7 +136,7 @@ object Profiling extends QueryModule {
     * to shuffle it — an obeyed hint there melts the executors
     * (ScaleLint's uncapped-broadcast class).
     */
-  private def nearDupPairs(survivors: DataFrame): DataFrame = {
+  private[graft] def nearDupPairs(survivors: DataFrame): DataFrame = {
     val sizes = survivors.select(col("doc_id"), size(Dedup.shingleArr(col("text"))).cast("long").as("n"))
     Dedup.jaccardCandidates(survivors.select(col("doc_id"), col("text")), Dedup.DfCap)
       .join(sizes.select(col("doc_id"), col("n").as("na")), col("ida") === col("doc_id")).drop("doc_id")
@@ -232,10 +232,13 @@ object Profiling extends QueryModule {
     * the rule p02's pairwise drop approximates) and deterministic
     * train/val/test assignment (p03's hash) with per-split counts.
     */
-  private def p06(s: SparkSession, dir: String): DataFrame = {
-    val (withLang, kept, survivors) = funnelFrames(s, dir)
-    val labels = graft.ops.Graph.connectedComponents(
-      survivors.select(col("doc_id")), nearDupPairs(survivors))
+  /** p06's back half given an already-computed survivor label frame —
+    * factored so tools/LabelOnceProf can measure the label-once
+    * production shape (labels materialized once, consumers reading
+    * them) against the label-per-query bench shape.
+    */
+  private[graft] def p06Stages(withLang: DataFrame, kept: DataFrame,
+                               survivors: DataFrame, labels: DataFrame): DataFrame = {
     val reps = survivors.join(
       labels.filter(col("id") === col("comp")).select(col("id").as("doc_id")), "doc_id")
     val withSplit = reps.withColumn("split",
@@ -249,6 +252,13 @@ object Profiling extends QueryModule {
       .unionAll(stage("3_exact_dedup", survivors))
       .unionAll(stage("4_cluster_dedup", reps))
       .unionAll(splitStages)
+  }
+
+  private def p06(s: SparkSession, dir: String): DataFrame = {
+    val (withLang, kept, survivors) = funnelFrames(s, dir)
+    val labels = graft.ops.Graph.connectedComponents(
+      survivors.select(col("doc_id")), nearDupPairs(survivors))
+    p06Stages(withLang, kept, survivors, labels)
   }
 
   private val p06Sql =
