@@ -17,6 +17,24 @@ package graft
   * remaining queries still run.
   */
 object Bench {
+
+  /** The reported warm time from the three samples: median of the valid
+    * three; MIDPOINT of two when one run failed (neither lone sample
+    * deserves full trust — a spike can point either way); the lone
+    * survivor as-is; -1 when every run failed. Factored out so the
+    * selection rule is unit-testable (CoreSpec) — the round-7 artifact
+    * taught that the sample-selection rule IS the bench's credibility.
+    */
+  private[graft] def combineWarm(samples: Seq[Double]): Double = {
+    val valid = samples.filter(_ >= 0).sorted
+    valid.size match {
+      case 3 => valid(1)
+      case 2 => (valid(0) + valid(1)) / 2.0
+      case 1 => valid.head
+      case _ => -1.0
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -131,13 +149,7 @@ object Bench {
       // midpoint of two (neither lone sample deserves full trust), the
       // lone survivor as-is, -1 if none.
       val warmSamples = Seq(once(), once(), once())
-      val valid = warmSamples.filter(_ >= 0).sorted
-      val warm = valid.size match {
-        case 3 => valid(1)
-        case 2 => (valid(0) + valid(1)) / 2.0
-        case 1 => valid.head
-        case _ => -1.0
-      }
+      val warm = combineWarm(warmSamples)
       val load = loadAvg()
       val fp =
         try { if (spark.sparkContext.isStopped) spark = newSession(); planFp(fn(spark, sfDir)) }

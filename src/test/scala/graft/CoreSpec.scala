@@ -107,4 +107,19 @@ class QuerySmokeSpec extends AnyFunSuite {
   test("every oracle key exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("bench warm-sample selection: median of 3, midpoint of 2, lone survivor, -1 on total failure") {
+    // median tolerates one spike in EITHER direction (min-selection
+    // biased low — the round-6 defect; a lone retry can be a spike too)
+    assert(Bench.combineWarm(Seq(1.0, 9.0, 1.2)) === 1.2)
+    assert(Bench.combineWarm(Seq(9.0, 0.1, 1.2)) === 1.2)
+    // one failed run (-1): midpoint of the two valid samples, never a
+    // lone sample (the round-7 ADVICE finding)
+    assert(Bench.combineWarm(Seq(-1.0, 1.0, 3.0)) === 2.0)
+    assert(Bench.combineWarm(Seq(2.0, -1.0, 2.0)) === 2.0)
+    // two failures: the survivor is all the information there is
+    assert(Bench.combineWarm(Seq(-1.0, 5.0, -1.0)) === 5.0)
+    // all failed: report failure, never a fast-looking number
+    assert(Bench.combineWarm(Seq(-1.0, -1.0, -1.0)) === -1.0)
+  }
 }

@@ -616,6 +616,49 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("an arrival BEYOND the watermark is dropped, never reordered into the finalized prefix") {
+    // Batch A: view id1 at ts=1000s. Batch B: a far-future event pushes
+    // the watermark past 1000s (everything finalizes). Batch C: view id2
+    // at ts=500s — BELOW the watermark. The finalized prefix is already
+    // emitted, so the only correct options are reorder (impossible) or
+    // drop; the harness must drop it exactly as a built-in streaming
+    // aggregation drops late rows, and id2 must not appear in the output.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wmdrop").toFile
+    def writeOne(rows: Seq[(Long, Long, Long, String, Double, String)], name: String, mtime: Long): Unit = {
+      val stage = new java.io.File(tmp, s"stage_$name")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(tmp, s"events_$name.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val S = 1000000000L // 1 s in ns (raw file ts unit)
+    val t0 = System.currentTimeMillis() - 60000
+    writeOne(Seq((1L, 1000 * S, 7L, "view", 0.0, "{}")), "a", t0)
+    writeOne(Seq((99L, 86400 * S, -1L, "flush", 0.0, "{}")), "b", t0 + 20000)
+    writeOne(Seq((2L, 500 * S, 7L, "view", 0.0, "{}")), "c", t0 + 40000)
+
+    val acc = spark.sparkContext.longAccumulator("graft.asof.outOfOrder")
+    val stream = EventStream.asofSignup(
+      spark, EventStream.readEvents(spark, tmp.getAbsolutePath), Some(acc))
+    val q = stream.writeStream
+      .format("memory").queryName("wmdrop_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("wmdrop_out").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L), s"the beyond-watermark event must be dropped, got $ids")
+    // and the drop is OBSERVABLE, not silent: flatMapGroupsWithState does
+    // not pre-filter late rows the way built-in aggregations do (measured
+    // — the row reaches the harness), so the harness's own drop path
+    // counts it into the disorder accumulator
+    assert(acc.value === 1L, s"the dropped event must be counted, got ${acc.value}")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("late cross-batch signup is ordered into place, never regresses the carried as-of state") {
     // Batch A: signup s20 at ts=5s, event e30 at ts=6s (matches s20).
     // Batch B: LATE signup s10 at ts=2s, then event e40 at ts=7s.
