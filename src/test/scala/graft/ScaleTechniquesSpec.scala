@@ -316,8 +316,11 @@ class ScaleTechniquesSpec extends AnyFunSuite {
   }
 
   /** 10x tripwires for the relational heavies (the judge's "sf0.1 only"
-    * evidence gap): q01 (decimal hash agg), q23 (pivot), q26 (two-pass
-    * exact percentiles), q39 (decimal moments), q42 (changelog window).
+    * evidence gap): q01 (decimal hash agg), q03/q05 (fact-dim join
+    * pyramids — the broadcast-vs-shuffle strategy choice is exactly what
+    * a size flip would silently change), q14 (set ops), q23 (pivot), q26
+    * (two-pass exact percentiles), q39 (decimal moments), q42 (changelog
+    * window).
     * Synthetic corpora stack key-offset copies of the real sf0.01 files,
     * so group-key domains stay realistic while fact cardinality scales
     * 10x. Two pins per query: the OPTIMIZED PLAN SHAPE must not change
@@ -326,7 +329,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     * miss), and wall time must stay ~linear (quadratic is 100x, noise is
     * not).
     */
-  test("relational heavies 10x scaling: q01/q23/q26/q39/q42 linear wall time, stable plans") {
+  test("relational heavies 10x scaling: q01/q03/q05/q14/q23/q26/q39/q42 linear wall time, stable plans") {
     val base = "/root/testdata/sf0.01"
     def mkDir(k: Int): String = {
       val out = java.nio.file.Files.createTempDirectory(s"graft_rel${k}x").toString
@@ -336,9 +339,18 @@ class ScaleTechniquesSpec extends AnyFunSuite {
           .reduce(_.union(_))
           .write.parquet(s"$out/$t.parquet")
       }
+      // dimension tables ride along unscaled (broadcast sides stay
+      // broadcast-sized at 100 TB too — only FACTS grow), so the
+      // join-heavy queries run against the same schema layout
+      for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$base/$t.parquet"),
+          java.nio.file.Paths.get(s"$out/$t.parquet"))
+      }
       out
     }
-    val qs = Seq("q01_agg_lineitem", "q23_pivot", "q26_exact_percentiles",
+    val qs = Seq("q01_agg_lineitem", "q03_join_topk", "q05_multi_join",
+      "q14_set_ops", "q23_pivot", "q26_exact_percentiles",
       "q39_stats_agg", "q42_changelog_compact")
     def planShape(name: String, dir: String): Seq[String] =
       SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
