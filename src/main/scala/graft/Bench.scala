@@ -114,20 +114,35 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     // Fingerprint of the canonicalized optimized logical plan (exprIds
-    // normalized away, so stable across sessions): identical fingerprint
-    // across rounds proves a timing delta is environmental, a changed one
-    // localizes it to a plan change. Analysis only — nothing executes.
+    // normalized away): identical fingerprint across rounds proves a
+    // timing delta is environmental, a changed one localizes it to a
+    // plan change. Computed from the LAST measured run's DataFrame —
+    // rebuilding via fn() would EXECUTE the iterative CC queries a fifth
+    // time (their construction runs hop actions eagerly and
+    // localCheckpoints blocks the inter-run sweep would then have to
+    // chase). Two comparability caveats: internally-persisted frames
+    // appear as InMemoryRelation in this plan (deterministic because the
+    // bench protocol — order, sweeps, run count — is fixed, so compare
+    // only bench-to-bench), and for CC queries the optimized plan is the
+    // post-labeling LogicalRDD union, so the fp localizes changes in the
+    // consumer plan, not the hop pipeline.
     def planFp(df: org.apache.spark.sql.DataFrame): String = {
       val s = df.queryExecution.optimizedPlan.canonicalized.toString
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var lastDf: org.apache.spark.sql.DataFrame = null
       def once(): Double = {
         if (spark.sparkContext.isStopped) spark = newSession()
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          try {
+            val df = fn(spark, sfDir)
+            df.write.format("noop").mode("overwrite").save()
+            lastDf = df // fingerprint source: already analyzed, nothing re-executes
+            true
+          }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
@@ -152,7 +167,7 @@ object Bench {
       val warm = combineWarm(warmSamples)
       val load = loadAvg()
       val fp =
-        try { if (spark.sparkContext.isStopped) spark = newSession(); planFp(fn(spark, sfDir)) }
+        try { if (lastDf != null) planFp(lastDf) else "" }
         catch { case _: Throwable => "" }
       name -> (warm, cold, warmSamples, load, fp)
     }

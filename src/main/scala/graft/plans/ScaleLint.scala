@@ -183,12 +183,18 @@ object ScaleLint extends Rule[LogicalPlan] with Logging {
             "- consider bucketed candidate generation (LSH/IVF ops) or a broadcast-size side")
         checkBroadcastSide(j, j.left, j.hint.leftHint, "left")
         checkBroadcastSide(j, j.right, j.hint.rightHint, "right")
-      // kind 3 is keyed on the CHILD's semantic hash, not the node's: the
+      // kind 3 is keyed on (CHILD semantic hash, projection count): the
       // pre-rewrite Aggregate and the post-rewrite Expand are different
       // nodes over the SAME child, and a node-keyed dedup would report
-      // one hazard twice when the rule sees both shapes in one query
+      // one hazard twice when the rule sees both shapes in one query —
+      // while a child-only key would silently merge two DIFFERENT
+      // multi-distinct aggregates sharing one scan. The rewrite plans
+      // 1 + #distinct-groups Expand projections, so both shapes derive
+      // the same composite key (best-effort: an all-distinct agg with no
+      // regular aggregate may differ by one and record twice — advisory,
+      // so over-reporting beats under-reporting)
       case a: Aggregate if distinctGroups(a) > 1 =>
-        recordKeyed(a.child.semanticHash(), 3, multiDistinctMsg)
+        recordKeyed(a.child.semanticHash() * 31 + (1 + distinctGroups(a)), 3, multiDistinctMsg)
       // the distinct-rewrite Expand is recognized by the `gid` attribute
       // it PRODUCES: an IntegerType output attribute absent from the
       // child's output — a user column named gid riding through an
@@ -200,7 +206,7 @@ object ScaleLint extends Rule[LogicalPlan] with Logging {
             a.name == "gid" && a.dataType == IntegerType &&
               !e.child.outputSet.contains(a)) &&
           !e.output.exists(_.name == "spark_grouping_id") =>
-        recordKeyed(e.child.semanticHash(), 3, multiDistinctMsg)
+        recordKeyed(e.child.semanticHash() * 31 + e.projections.size, 3, multiDistinctMsg)
       case _ => ()
     }
     plan // advisory: never rewrites

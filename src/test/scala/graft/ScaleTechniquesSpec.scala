@@ -352,8 +352,12 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val qs = Seq("q01_agg_lineitem", "q03_join_topk", "q05_multi_join",
       "q14_set_ops", "q23_pivot", "q26_exact_percentiles",
       "q39_stats_agg", "q42_changelog_compact")
+    // PHYSICAL plan node names: join strategy selection (broadcast vs
+    // shuffle — the flip this test exists to catch) happens during
+    // physical planning, so the optimized LOGICAL plan would look
+    // identical on both sides of a size-triggered flip
     def planShape(name: String, dir: String): Seq[String] =
-      SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan
         .collect { case n => n.nodeName }
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
