@@ -60,6 +60,16 @@ object SemDedup extends QueryModule {
     * byte-identical to uncapped) is exact all-pairs, and a degenerate
     * 1M-row cell costs ~1.5 × 1M × cap pairs, not 10^12. The oracle
     * applies the same chunking, so a chunked cell diverges nowhere.
+    *
+    * Honest recall bound: chain-stitching recovers the ONE-dominant-
+    * cluster shape the guard exists for (every chunk pair is internally
+    * dense, adjacent links merge them). A hot cell interleaving SEVERAL
+    * distinct clusters hashes their members across chunks, and two
+    * cluster-mates in non-adjacent chunks pair only if intermediate
+    * chunks carry linking members — bounded fanout necessarily trades
+    * some cross-chunk recall there. That shape also implies the cell is
+    * semantically heterogeneous, i.e. the quantizer (K scaling, two-level
+    * refinement) is the right fix, not a bigger pair stage.
     */
   private[graft] val CellCap = 8 * TargetCellRows
 

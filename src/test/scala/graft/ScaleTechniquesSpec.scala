@@ -238,6 +238,12 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       .groupBy("v").count().agg(max("count")).collect()(0).getLong(0)
     assert(maxDeg <= 3L * cap,
       s"per-member fanout must stay <= ~2-3x cap, got $maxDeg")
+    // the chunk id must be part of the EQUI-join key (the probe side's
+    // jchunk): a cell-only key would materialize the within-cell cross
+    // product and filter — the exact quadratic blowup being guarded
+    val pp = graft.ops.SemDedup.inCellPairs(assign, cap).queryExecution.sparkPlan.toString
+    assert(pp.contains("jchunk"),
+      s"pair join must equi-join on (cell, chunk), not cell alone:\n${pp.take(600)}")
     // and the guard is inert where it should be: a balanced corpus below
     // the chunk size is untouched (pairs = exact all-pairs within each cell)
     val balanced = spark.range(300)
