@@ -127,7 +127,14 @@ object Bench {
     // post-labeling LogicalRDD union, so the fp localizes changes in the
     // consumer plan, not the hop pipeline.
     def planFp(df: org.apache.spark.sql.DataFrame): String = {
+      // closure-bearing nodes (mapPartitions lambdas, typed Aggregators —
+      // m01-m03/s01/wc02/wc03) print per-JVM object identities
+      // ($$Lambda$123/0x7f..., @1a2b3c) that canonicalization does NOT
+      // normalize; measured fp flapping across otherwise-identical runs.
+      // Strip them so the fingerprint tracks plan STRUCTURE only.
       val s = df.queryExecution.optimizedPlan.canonicalized.toString
+        .replaceAll("\\$\\$?Lambda\\$\\d+(/0x[0-9a-f]+)?", "\\$Lambda")
+        .replaceAll("@[0-9a-f]{4,}", "@id")
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     }
