@@ -30,7 +30,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity extends QueryModule {
 
-  private[ops] val Dim = 64
+  private[graft] val Dim = 64
 
   /** embeddings with double-cast vector and precomputed L2 norm.
     * vec_dot is the native codegen expression (graft.functions.DotProduct)
