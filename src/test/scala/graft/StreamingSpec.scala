@@ -616,6 +616,33 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("buffered twin state drains to ONE row per user — never event-proportional") {
+    // the harness's state = core + pending buffer; once the sentinel
+    // advances the watermark past every real event, every buffer must
+    // have drained and the state store must hold exactly one row per
+    // user key (plus the sentinel user's own) — a leak that retained
+    // buffered events would scale state with the STREAM, not the users
+    val tmp = twoHalfReplay("graft_state_bound")
+    val stream = EventStream.asofSignup(spark, EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val q = stream.writeStream
+      .format("memory").queryName("state_bound_out")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(_.stateOperators.toSeq.map(_.numRowsTotal)).lastOption
+      val nUsers = graft.core.Tables.events(spark, dir)
+        .select(col("user_id")).distinct().count()
+      assert(stateRows.contains(nUsers + 1), // +1: the sentinel flush user
+        s"state must be one row per user (${nUsers + 1}), got $stateRows")
+      val nEvents = graft.core.Tables.events(spark, dir).count()
+      assert(stateRows.exists(_ < nEvents),
+        "state must not scale with the event count")
+    } finally q.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("an arrival BEYOND the watermark is dropped, never reordered into the finalized prefix") {
     // Batch A: view id1 at ts=1000s. Batch B: a far-future event pushes
     // the watermark past 1000s (everything finalizes). Batch C: view id2
