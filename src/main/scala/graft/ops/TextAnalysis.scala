@@ -316,6 +316,53 @@ object TextAnalysis extends QueryModule {
        |FROM pairs WHERE pair IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, pair LIMIT $TopPairs""".stripMargin
 
+  /** t11 window geometry: 32-token windows, stride 16 (50% overlap) —
+    * the shape a context-window chunker feeds a tokenizer/packer.
+    */
+  private val ChunkW      = 32
+  private val ChunkStride = 16
+
+  /** t11: token-window chunking — split each document's token stream into
+    * fixed-size OVERLAPPING windows (the step between cleaning and batch
+    * packing in a training-data pipeline: long documents become
+    * context-window-sized training samples, the overlap preserving
+    * cross-boundary spans). One row per (doc, window): chunk_id, the
+    * re-joined window text, and its token count (the tail window may be
+    * short).
+    *
+    * Row-local and shuffle-free: tokens split once, window starts are a
+    * generated sequence, `slice` takes each window — all codegen'd
+    * collection expressions, so chunking streams over 100 TB at scan
+    * speed and inherits the document partitioning (no skew surface: a
+    * huge document costs rows proportional to its own length only).
+    * Empty/whitespace-only documents yield no chunks (the guard also
+    * keeps `sequence(0, -1)` from throwing).
+    */
+  private def t11(s: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), w.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(when(size(col("toks")) > 0,
+          sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride)))
+          .otherwise(array())).as("s"))
+      .select(
+        col("doc_id"),
+        (col("s") / ChunkStride).cast("long").as("chunk_id"),
+        array_join(slice(col("toks"), col("s") + 1, lit(ChunkW)), " ").as("chunk_text"),
+        least(lit(ChunkW), size(col("toks")) - col("s")).cast("long").as("n_tokens"))
+  }
+
+  private val t11Sql =
+    s"""SELECT doc_id,
+       |  CAST(s // $ChunkStride AS BIGINT) AS chunk_id,
+       |  array_to_string(w[(s + 1):(s + $ChunkW)], ' ') AS chunk_text,
+       |  CAST(least($ChunkW, len(w) - s) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT doc_id, w, unnest(range(0, len(w), $ChunkStride)) AS s
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+       |        FROM documents))""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_quality_score", t02, Some(t02Sql)),
@@ -327,5 +374,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("t08_scrub", t08, Some(t08Sql)),
     QueryDef("t09_vocab_coverage", t09, Some(t09Sql)),
     QueryDef("t10_bigram_pairs", t10, Some(t10Sql)),
+    QueryDef("t11_token_chunks", t11, Some(t11Sql)),
   )
 }

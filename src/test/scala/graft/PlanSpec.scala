@@ -219,6 +219,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "row-local generator must not shuffle")
   }
 
+  test("t11: token chunking is a row-local generate with no shuffle") {
+    // windows are generated per row (sequence + slice): the whole chunker
+    // must stream at scan speed — an Exchange would mean per-chunk work
+    // got hoisted into a shuffle stage
+    val p = plan("t11_token_chunks")
+    assert(p.contains("Generate"), p.take(400))
+    assert(!p.contains("Exchange"), "chunking must be shuffle-free")
+  }
+
   test("q33/t09: tiny aggregate sides broadcast, never sort-merge") {
     for (q <- Seq("q33_string_agg", "t09_vocab_coverage")) {
       val p = plan(q)
