@@ -469,6 +469,67 @@ object Dedup extends QueryModule {
        |FROM sp JOIN dup ON sp.g = dup.g JOIN sz ON sp.doc_id = sz.doc_id
        |GROUP BY sp.doc_id, sz.n_spans""".stripMargin
 
+  /** d11 core: eval-set decontamination over any (doc_id, split, text)
+    * frame — flag `train`-split documents sharing at least one distinct
+    * [[SpanN]]-gram span with a `test`-split document, the n-gram-overlap
+    * decontamination rule every LLM training-data pipeline runs before
+    * shipping a corpus (Brown et al. 2020 appendix C use 13-grams; these
+    * synthetic docs are short, so the d09 span size). Output: one row per
+    * contaminated train doc — how many of its distinct spans hit the
+    * eval set, and the smallest eval doc_id it collides with (the
+    * attribution a human auditing the leak asks for first).
+    *
+    * Scale shape: an inverted-index equi-join on the span key, like d09.
+    * The eval side is pre-reduced to ONE row per distinct eval span
+    * (min doc_id for attribution), so per-posting join fanout is exactly
+    * 1 and the join output is bounded by the train posting count — no
+    * quadratic pair stage, no df cap needed. No broadcast hint: against
+    * a real (tiny, external) benchmark set stats pick a broadcast join
+    * on their own; against this self-split eval the side grows with the
+    * corpus and MUST stay a shuffle join (ScaleLint kind-4 would flag
+    * the hint). Factored over an arbitrary tagged frame so tests drive
+    * it with synthetic splits.
+    */
+  private[graft] def decontaminate(tagged: DataFrame): DataFrame = {
+    // persisted: the exploded span index feeds both the eval-span
+    // reduction and the train probe side
+    val spans = tagged
+      .select(col("doc_id"), col("split"),
+        explode(graft.functions.TextFunctions.word_shingles(col("text"), SpanN)).as("g"))
+      .persist()
+    val evalSpans = spans.filter(col("split") === "test")
+      .groupBy(col("g")).agg(min(col("doc_id")).as("eval_doc"))
+    spans.filter(col("split") === "train")
+      .join(evalSpans, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("eval_doc")).as("first_eval_doc"))
+  }
+
+  /** d11: decontaminate THE p03 train/test partition — split membership
+    * is `Sampling.splitOf` over the shared md5 hash, so the train set
+    * being audited here is bit-identical to the one p03 ships and p09
+    * drift-checks.
+    */
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    val u = Sampling.uhash("split_", col("doc_id"))
+    decontaminate(Tables.documents(s, dir)
+      .select(col("doc_id"), Sampling.splitOf(u).as("split"), col("text")))
+  }
+
+  private val d11Sql =
+    s"""WITH sp AS (
+       |  SELECT doc_id, ${Sampling.splitCaseSql} AS split
+       |  FROM (SELECT doc_id, ${Sampling.uhashSql("split_", "doc_id")} AS u FROM documents)),
+       |gs AS (
+       |  SELECT d.doc_id, sp.split, unnest(list_distinct(list_transform(range(1, len(w) - ${SpanN - 2}),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS g
+       |  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+       |        FROM documents) d JOIN sp USING (doc_id)),
+       |ev AS (SELECT g, min(doc_id) AS eval_doc FROM gs WHERE split = 'test' GROUP BY 1)
+       |SELECT gs.doc_id, count(*) AS n_shared, min(ev.eval_doc) AS first_eval_doc
+       |FROM gs JOIN ev USING (g) WHERE gs.split = 'train'
+       |GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
     QueryDef("d02_dedup_normalized", d02, Some(d02Sql)),
@@ -479,5 +540,6 @@ object Dedup extends QueryModule {
     QueryDef("d07_dedup_clusters", d07, Some(d07Sql)),
     QueryDef("d09_dup_coverage", d09, Some(d09Sql)),
     QueryDef("d10_cluster_sizes", d10, Some(d10Sql)),
+    QueryDef("d11_decontamination", d11, Some(d11Sql)),
   )
 }

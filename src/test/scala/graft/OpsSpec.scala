@@ -233,6 +233,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(total <= docs)
   }
 
+  test("d11 decontamination: planted 5-gram leaks found, clean/val docs excused") {
+    import spark.implicits._
+    // train 10 shares "a b c d e" with eval 21 and "b c d e f" with eval
+    // 20; train 11 is clean; val 12 has the same leak as 10 but only the
+    // TRAIN split is audited; test docs never self-report.
+    val tagged = Seq(
+      (10L, "train", "a b c d e f"),
+      (11L, "train", "p q r s t u"),
+      (12L, "val", "a b c d e f"),
+      (20L, "test", "x b c d e f y"),
+      (21L, "test", "a b c d e zz")
+    ).toDF("doc_id", "split", "text")
+    val out = graft.ops.Dedup.decontaminate(tagged)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((10L, 2L, 20L)),
+      s"expected exactly doc 10 with 2 shared spans attributed to eval 20, got ${out.toSeq}")
+  }
+
   test("multimodal features (m01) md5 matches a local digest") {
     import org.apache.spark.sql.functions.col
     val row = SparkEntry.queries("m01_multimodal_features")(spark, dir)
