@@ -363,6 +363,80 @@ object TextAnalysis extends QueryModule {
        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
        |        FROM documents))""".stripMargin
 
+  /** t12: per-document repetition profile — the Gopher-family quality
+    * filter (Rae et al. 2021 §A1.1 use duplicate-line and repeated-n-gram
+    * fractions; these single-line docs get the token-level analogues):
+    * distinct-token ratio and the most-frequent bigram's share of all
+    * bigram slots. A doc whose top bigram fills most of its slots is
+    * generated/boilerplate text a training pipeline drops. Ties on the
+    * top bigram break lexicographically, so the report is deterministic
+    * in both engines. Docs with fewer than two tokens have no bigram and
+    * are excused (both sides filter identically).
+    *
+    * Scale shape: bigram counts group on (doc_id, pair) and the top-1
+    * pick windows on doc_id — the lead-window's hash(doc_id) exchange
+    * already satisfies BOTH downstream distributions (equal (doc_id,
+    * pair) tuples share a doc_id), so the whole pair path rides ONE
+    * exchange; the row-local stats branch joins back on the same key.
+    * Per-doc work is linear in that doc's own length — no cross-doc key
+    * can skew it.
+    */
+  private def t12(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(lower(col("text"))).as("w"))
+      .filter(size(col("w")) >= 2)
+      .persist() // feeds both the stats branch and the bigram branch
+    val stats = base.select(
+      col("doc_id"),
+      size(col("w")).cast("long").as("n_tokens"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("n").desc, col("pair"))
+    val top = base
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("i", "tok")))
+      .withColumn("pair", concat(col("tok"), lit(" "), lead(col("tok"), 1).over(byDoc)))
+      .filter(col("pair").isNotNull)
+      .groupBy(col("doc_id"), col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+    stats.join(top, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("pair").as("top_pair"), col("n").as("top_pair_n"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+        (col("n").cast("double") / (col("n_tokens") - 1)).as("top_pair_frac"))
+  }
+
+  private val t12Sql =
+    """WITH base AS (
+      |  SELECT doc_id, w
+      |  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 2),
+      |stats AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+      |  FROM base),
+      |toks AS (
+      |  SELECT base.doc_id, base.w[x.i] AS tok, x.i
+      |  FROM base, LATERAL (SELECT unnest(range(1, len(base.w) + 1)) AS i) x),
+      |pairs AS (
+      |  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS pair
+      |  FROM toks),
+      |pc AS (
+      |  SELECT doc_id, pair, CAST(count(*) AS BIGINT) AS n
+      |  FROM pairs WHERE pair IS NOT NULL GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id, pair, n,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, pair) AS rn
+      |  FROM pc)
+      |SELECT s.doc_id, s.n_tokens, s.n_distinct, t.pair AS top_pair, t.n AS top_pair_n,
+      |  CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS distinct_ratio,
+      |  CAST(t.n AS DOUBLE) / (s.n_tokens - 1) AS top_pair_frac
+      |FROM stats s JOIN top t ON s.doc_id = t.doc_id AND t.rn = 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_quality_score", t02, Some(t02Sql)),
@@ -375,5 +449,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("t09_vocab_coverage", t09, Some(t09Sql)),
     QueryDef("t10_bigram_pairs", t10, Some(t10Sql)),
     QueryDef("t11_token_chunks", t11, Some(t11Sql)),
+    QueryDef("t12_repetition", t12, Some(t12Sql)),
   )
 }

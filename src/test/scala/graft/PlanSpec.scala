@@ -228,6 +228,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "chunking must be shuffle-free")
   }
 
+  test("t12: bigram count and top-1 window ride the lead-window's doc_id exchange") {
+    // the (doc_id, pair) groupBy and both doc_id windows are all satisfied
+    // by ONE hash(doc_id) partitioning; the only other shuffle allowed is
+    // the stats branch meeting the join — a third exchange means the pair
+    // path re-shuffled per stage
+    val p = plan("t12_repetition")
+    val nShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nShuffles <= 2, s"expected <=2 hash exchanges, got $nShuffles:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q33/t09: tiny aggregate sides broadcast, never sort-merge") {
     for (q <- Seq("q33_string_agg", "t09_vocab_coverage")) {
       val p = plan(q)
