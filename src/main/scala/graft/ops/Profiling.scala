@@ -314,12 +314,60 @@ object Profiling extends QueryModule {
        |FROM lineitem CROSS JOIN mm
        |GROUP BY 1""".stripMargin
 
+  /** p11: source-mixing report — per source: doc/token counts, corpus
+    * shares, and the temperature-0.5 upsample factor sqrt(total/n) (the
+    * inverse-frequency reweighting multilingual/multi-source training
+    * mixes use, e.g. the XLM-R-style alpha=0.5 rule: low-resource
+    * sources sampled above their raw share). Every number is exact or a
+    * single IEEE operation on exact integers — counts are integer sums,
+    * shares are one int/int division, the factor one division + one
+    * correctly-rounded sqrt — so no order-dependent float accumulation
+    * exists anywhere and the oracle hash-matches bit-exactly. A source
+    * of only empty documents yields null token stats, not a
+    * divide-by-zero.
+    *
+    * Scale shape: one shuffle (groupBy source over row-local token
+    * counts); the totals side is a one-row re-aggregate of the per-group
+    * frame — capped by construction, so its broadcast is lint-clean.
+    */
+  private def p11(s: SparkSession, dir: String): DataFrame = {
+    val w = filter(split(col("text"), " "), t => length(t) > 0)
+    val bySrc = Tables.documents(s, dir)
+      .select(col("source"), size(w).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val totals = bySrc.groupBy()
+      .agg(sum(col("n_docs")).as("tot_docs"), sum(col("n_tokens")).as("tot_tokens"))
+    bySrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("tot_docs").cast("double")).as("doc_share"),
+        when(col("n_tokens") > 0,
+          col("n_tokens").cast("double") / col("tot_tokens").cast("double")).as("token_share"),
+        when(col("n_tokens") > 0,
+          sqrt(col("tot_tokens").cast("double") / col("n_tokens").cast("double")))
+          .as("upsample_factor"))
+  }
+
+  private val p11Sql =
+    """WITH b AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(list_filter(string_split(text, ' '), t -> len(t) > 0))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+      |             CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM b)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE) AS doc_share,
+      |  CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) END AS token_share,
+      |  CASE WHEN n_tokens > 0 THEN sqrt(CAST(tot_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) END AS upsample_factor
+      |FROM b CROSS JOIN t""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p01_profile", p01, Some(p01Sql)),
     QueryDef("p02_clean_corpus_pipeline", p02, Some(p02Sql)),
     QueryDef("p06_prod_prep_pipeline", p06, Some(p06Sql)),
     QueryDef("p07_histogram", p07, Some(p07Sql)),
     QueryDef("p08_constraint_check", p08, Some(p08Sql)),
+    QueryDef("p11_mixing_report", p11, Some(p11Sql)),
   )
 
   /** p08: declarative ingest-validation — every constraint evaluated in
