@@ -554,6 +554,140 @@ object Similarity extends QueryModule {
        |  FROM dots)
        |SELECT query_id, rk, vec_id, qdot FROM ranked WHERE rk <= $QuantK""".stripMargin
 
+  // ---- s08: product quantization + ADC search --------------------------
+
+  private val PqM       = 8          // subspaces
+  private val PqSub     = Dim / PqM  // dims per subspace
+  private val PqK       = 16         // codebook size per subspace
+  private val PqQueries = 16         // fixed query batch (md5-order sample)
+  private val PqTopK    = 5
+
+  /** s08: product quantization + asymmetric-distance (ADC) search — the
+    * FAISS-style memory-compression ANN path: each vector becomes PqM
+    * 4-bit codes (8 bytes vs 256 for Dim floats, 32×), and a query scores
+    * a candidate by summing PqM precomputed table lookups instead of a
+    * Dim-wide dot. At 100 TB this is what makes the index FIT — the
+    * coded corpus rides in executor memory while the floats stay in cold
+    * storage for re-scoring.
+    *
+    * Codebooks are the per-subspace slices of a deterministic md5-order
+    * sample (the s06 stand-in for k-means — everything downstream is
+    * training-free); dense code indexes come from a join-count rank over
+    * the 16-row sample, not a window, so no unpartitioned window exists.
+    * Determinism: every float reduction (encode distances, table
+    * entries, the ADC score) is the SAME left-to-right sum in both
+    * engines (vec_dot / aggregate-fold vs list_sum), each term a single
+    * exact product or lookup, and every argmin/top-k tie breaks on the
+    * id — so the oracle hash-matches bit-exactly.
+    *
+    * Scale shape: encoding is a map-side projection under a broadcast
+    * 128-row codebook (one groupBy(vec_id) to assemble codes); the query
+    * batch and its 2048-entry tables are LIMIT-capped broadcasts (the
+    * s07 contract); scoring is corpus × 16 broadcast rows, linear in the
+    * corpus; only the final per-query top-k ranks.
+    */
+  private def s08(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir).persist()
+    val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(PqK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .persist() // tiny; feeds the rank join and the subspace explode
+    // dense 0..PqK-1 code index by id rank (join-count, not a window)
+    val cidx = cents.select(col("cid"))
+      .join(cents.select(col("cid").as("cid2")), col("cid2") <= col("cid"))
+      .groupBy(col("cid")).agg((count(lit(1)) - 1).cast("int").as("cidx"))
+    val centSub = cents.join(cidx, "cid")
+      .select(col("cidx"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("cv"))
+      .select(col("cidx"), col("j"), slice(col("cv"), col("j") * PqSub + 1, lit(PqSub)).as("cs"))
+    val vecSub = base
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqM - 1))).as("j"), col("v"))
+      .select(col("vec_id"), col("j"), slice(col("v"), col("j") * PqSub + 1, lit(PqSub)).as("xs"))
+    // encode: argmin_c ||xs - cs||^2, expanded as xx - 2*xc + cc so each
+    // of the three sums is the shared left-to-right dot reduction
+    val wCode = Window.partitionBy(col("vec_id"), col("j"))
+      .orderBy(col("d").asc, col("cidx"))
+    val codes = vecSub.join(broadcast(centSub), "j")
+      .select(col("vec_id"), col("j"), col("cidx"),
+        (dot(col("xs"), col("xs")) - lit(2.0) * dot(col("xs"), col("cs"))
+          + dot(col("cs"), col("cs"))).as("d"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("cidx")))).as("jc"))
+      .select(col("vec_id"), transform(col("jc"), x => x.getField("cidx")).as("codes"))
+    // per-query ADC tables: contrib[j][c] = <query subvector, centroid>,
+    // flattened to a 128-slot array in (j, cidx) order
+    val qids = base.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string"))).limit(PqQueries)
+    val tbl = base.join(broadcast(qids), "vec_id")
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(centSub))
+      .select(col("query_id"), col("j"), col("cidx"),
+        dot(slice(col("qv"), col("j") * PqSub + 1, lit(PqSub)), col("cs")).as("contrib"))
+      .groupBy(col("query_id"))
+      .agg(array_sort(collect_list(struct(col("j"), col("cidx"), col("contrib")))).as("e"))
+      .select(col("query_id"), transform(col("e"), x => x.getField("contrib")).as("tbl"))
+    // ADC score: fixed-order fold over j — sum of PqM exact lookups
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
+    codes.crossJoin(broadcast(tbl))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+          (acc, j) => acc + element_at(col("tbl"), j * PqK + element_at(col("codes"), j + 1) + 1))
+          .as("adc"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= PqTopK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("adc"))
+  }
+
+  /** Oracle: full stage-by-stage mirror — same md5 sample, same
+    * join-count code indexes, the same three-sum expanded distances,
+    * table entries, fixed-order ADC fold, and tiebreaks.
+    */
+  private val s08Sql =
+    s"""WITH $oracleVecs,
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv FROM n
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $PqK),
+       |cx AS (
+       |  SELECT a.cid, CAST(count(*) - 1 AS INTEGER) AS cidx
+       |  FROM cent a JOIN cent b ON b.cid <= a.cid GROUP BY a.cid),
+       |cs AS (
+       |  SELECT cx.cidx, jj.j, cent.cv[(jj.j * $PqSub + 1):(jj.j * $PqSub + $PqSub)] AS cs
+       |  FROM cent JOIN cx USING (cid),
+       |    LATERAL (SELECT unnest(range(0, $PqM)) AS j) jj),
+       |vs AS (
+       |  SELECT n.vec_id, jj.j, n.v[(jj.j * $PqSub + 1):(jj.j * $PqSub + $PqSub)] AS xs
+       |  FROM n, LATERAL (SELECT unnest(range(0, $PqM)) AS j) jj),
+       |dist AS (
+       |  SELECT vs.vec_id, vs.j, cs.cidx,
+       |    list_sum(list_transform(range(1, ${PqSub + 1}), i -> vs.xs[i] * vs.xs[i]))
+       |      - 2.0 * list_sum(list_transform(range(1, ${PqSub + 1}), i -> vs.xs[i] * cs.cs[i]))
+       |      + list_sum(list_transform(range(1, ${PqSub + 1}), i -> cs.cs[i] * cs.cs[i])) AS d
+       |  FROM vs JOIN cs ON vs.j = cs.j),
+       |code AS (
+       |  SELECT vec_id, j, cidx FROM (
+       |    SELECT vec_id, j, cidx,
+       |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cidx) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |codes AS (SELECT vec_id, array_agg(cidx ORDER BY j) AS codes FROM code GROUP BY 1),
+       |qids AS (
+       |  SELECT vec_id FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $PqQueries),
+       |tb AS (
+       |  SELECT q.vec_id AS query_id, cs.j, cs.cidx,
+       |    list_sum(list_transform(range(1, ${PqSub + 1}),
+       |      i -> q.v[cs.j * $PqSub + i] * cs.cs[i])) AS contrib
+       |  FROM n q JOIN qids USING (vec_id) CROSS JOIN cs),
+       |tbl AS (SELECT query_id, array_agg(contrib ORDER BY j, cidx) AS tbl FROM tb GROUP BY 1),
+       |sc AS (
+       |  SELECT t.query_id, c.vec_id,
+       |    list_sum(list_transform(range(0, $PqM),
+       |      j -> t.tbl[j * $PqK + c.codes[j + 1] + 1])) AS adc
+       |  FROM codes c CROSS JOIN tbl t WHERE t.query_id <> c.vec_id)
+       |SELECT query_id, rk, vec_id, adc FROM (
+       |  SELECT query_id, vec_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS BIGINT) AS rk
+       |  FROM sc) WHERE rk <= $PqTopK""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_knn", s01, Some(s01Sql)),
     QueryDef("s02_cosine_neardup", s02, Some(s02Sql)),
@@ -562,5 +696,6 @@ object Similarity extends QueryModule {
     QueryDef("s05_bucketed_neardup", s05, Some(s05Sql)),
     QueryDef("s06_ann_ivf", s06, Some(s06Sql)),
     QueryDef("s07_quantized_knn", s07, Some(s07Sql)),
+    QueryDef("s08_pq_ann", s08, Some(s08Sql)),
   )
 }

@@ -301,6 +301,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), "no interpreted HOF fold in the hot path")
   }
 
+  test("s08: codebook and query tables are limit-capped broadcasts; corpus side never broadcasts") {
+    // every broadcast side in the PQ pipeline descends from a LIMIT
+    // (md5-order sample of PqK vectors / PqQueries queries) — the coded
+    // corpus itself must stay the streamed probe side at 100 TB
+    val p = plan("s08_pq_ann")
+    assert(p.contains("TakeOrderedAndProject"),
+      "codebook/query sample must come from a deterministic fixed-size limit")
+    assert("BroadcastExchange".r.findAllIn(p).nonEmpty, p.take(400))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q25: gate has no Expand, no range shuffle, and only a sampled percentile") {
     // two distinct columns in one agg would Expand every row 3x through
     // the sketch buffers (round 5's gate cost); a band from the two-pass
