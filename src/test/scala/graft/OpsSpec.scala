@@ -251,6 +251,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
       s"expected exactly doc 10 with 2 shared spans attributed to eval 20, got ${out.toSeq}")
   }
 
+  test("d11 decontamination: eval side reduces to one row per span — no posting x eval-doc fanout") {
+    import spark.implicits._
+    // worst case at 100 TB: one boilerplate span in EVERY train doc and
+    // several eval docs. The eval side must pre-reduce to one row per
+    // distinct span, so each train posting joins exactly once — without
+    // it the join would fan out |postings| x |eval docs with the span|
+    // and n_shared would overcount
+    val hot = "alpha beta gamma delta epsilon"
+    val n = 2000
+    val train = (0 until n).map(i => (i.toLong, "train", s"$hot filler$i x y z"))
+    val evals = Seq(
+      (100000L, "test", hot),
+      (100001L, "test", s"pre $hot"),
+      (100002L, "test", s"$hot post"))
+    val out = graft.ops.Dedup.decontaminate((train ++ evals).toDF("doc_id", "split", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === n, s"every train doc flagged once, got ${out.length}")
+    assert(out.forall { case (_, nShared, firstEval) => nShared === 1L && firstEval === 100000L },
+      "each train doc must count the hot span ONCE, attributed to the min eval id")
+  }
+
   test("multimodal features (m01) md5 matches a local digest") {
     import org.apache.spark.sql.functions.col
     val row = SparkEntry.queries("m01_multimodal_features")(spark, dir)
