@@ -435,6 +435,17 @@ object Dedup extends QueryModule {
     */
   private val SpanN = 5
 
+  /** DuckDB mirror of `word_shingles(_, SpanN)` exploded to one row per
+    * distinct span, defined ONCE (the Sampling "defined once" rule): the
+    * concat chain is generated from SpanN so d09 and d11 cannot drift
+    * from each other or from a retuned span size.
+    */
+  private val spanUnnestSql: String = {
+    val terms = (0 until SpanN).map(k => if (k == 0) "w[i]" else s"w[i+$k]")
+      .mkString(" || ' ' || ")
+    s"unnest(list_distinct(list_transform(range(1, len(w) - ${SpanN - 2}), i -> $terms))) AS g"
+  }
+
   private def d09(s: SparkSession, dir: String): DataFrame = {
     // persisted: feeds both the span-df aggregation and the semi-join
     // probe side — uncached, the scan + shingling kernel would run twice
@@ -458,8 +469,7 @@ object Dedup extends QueryModule {
 
   private val d09Sql =
     s"""WITH sp AS (
-       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - ${SpanN - 2}),
-       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS g
+       |  SELECT doc_id, $spanUnnestSql
        |  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
        |        FROM documents)),
        |sz AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY 1),
@@ -492,8 +502,11 @@ object Dedup extends QueryModule {
     */
   private[graft] def decontaminate(tagged: DataFrame): DataFrame = {
     // persisted: the exploded span index feeds both the eval-span
-    // reduction and the train probe side
+    // reduction and the train probe side. The val split is audited by
+    // neither consumer — drop it BEFORE the shingle kernel and explode
+    // so its ~10% of the corpus costs nothing
     val spans = tagged
+      .filter(col("split").isin("train", "test"))
       .select(col("doc_id"), col("split"),
         explode(graft.functions.TextFunctions.word_shingles(col("text"), SpanN)).as("g"))
       .persist()
@@ -521,10 +534,10 @@ object Dedup extends QueryModule {
        |  SELECT doc_id, ${Sampling.splitCaseSql} AS split
        |  FROM (SELECT doc_id, ${Sampling.uhashSql("split_", "doc_id")} AS u FROM documents)),
        |gs AS (
-       |  SELECT d.doc_id, sp.split, unnest(list_distinct(list_transform(range(1, len(w) - ${SpanN - 2}),
-       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS g
+       |  SELECT d.doc_id, sp.split, $spanUnnestSql
        |  FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
-       |        FROM documents) d JOIN sp USING (doc_id)),
+       |        FROM documents) d JOIN sp USING (doc_id)
+       |  WHERE sp.split IN ('train', 'test')),
        |ev AS (SELECT g, min(doc_id) AS eval_doc FROM gs WHERE split = 'test' GROUP BY 1)
        |SELECT gs.doc_id, count(*) AS n_shared, min(ev.eval_doc) AS first_eval_doc
        |FROM gs JOIN ev USING (g) WHERE gs.split = 'train'

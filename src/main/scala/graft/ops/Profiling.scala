@@ -336,6 +336,11 @@ object Profiling extends QueryModule {
       .select(col("source"), size(w).cast("long").as("n_toks"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      // persisted: both the totals branch and the join probe consume this
+      // frame — unpersisted, the documents scan + tokenize + shuffle run
+      // twice (the s07 stats-frame lesson: no exchange reuse across a
+      // broadcast boundary)
+      .persist()
     val totals = bySrc.groupBy()
       .agg(sum(col("n_docs")).as("tot_docs"), sum(col("n_tokens")).as("tot_tokens"))
     bySrc.crossJoin(broadcast(totals))

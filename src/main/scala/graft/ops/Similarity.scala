@@ -615,9 +615,12 @@ object Similarity extends QueryModule {
       .agg(array_sort(collect_list(struct(col("j"), col("cidx")))).as("jc"))
       .select(col("vec_id"), transform(col("jc"), x => x.getField("cidx")).as("codes"))
     // per-query ADC tables: contrib[j][c] = <query subvector, centroid>,
-    // flattened to a 128-slot array in (j, cidx) order
+    // flattened to a 128-slot array in (j, cidx) order. SALTED md5 order:
+    // the unsalted ordering is the codebook sample's, and PqQueries ==
+    // PqK would make every query one of its own centroids — the batch
+    // must exercise out-of-codebook queries
     val qids = base.select(col("vec_id"))
-      .orderBy(md5(col("vec_id").cast("string"))).limit(PqQueries)
+      .orderBy(md5(concat(lit("pqq_"), col("vec_id").cast("string")))).limit(PqQueries)
     val tbl = base.join(broadcast(qids), "vec_id")
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .crossJoin(broadcast(centSub))
@@ -671,7 +674,8 @@ object Similarity extends QueryModule {
        |    FROM dist) WHERE rn = 1),
        |codes AS (SELECT vec_id, array_agg(cidx ORDER BY j) AS codes FROM code GROUP BY 1),
        |qids AS (
-       |  SELECT vec_id FROM n ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $PqQueries),
+       |  SELECT vec_id FROM n
+       |  ORDER BY md5('pqq_' || CAST(vec_id AS VARCHAR)) LIMIT $PqQueries),
        |tb AS (
        |  SELECT q.vec_id AS query_id, cs.j, cs.cidx,
        |    list_sum(list_transform(range(1, ${PqSub + 1}),

@@ -306,9 +306,19 @@ class PlanSpec extends AnyFunSuite {
     // (md5-order sample of PqK vectors / PqQueries queries) — the coded
     // corpus itself must stay the streamed probe side at 100 TB
     val p = plan("s08_pq_ann")
-    assert(p.contains("TakeOrderedAndProject"),
-      "codebook/query sample must come from a deterministic fixed-size limit")
-    assert("BroadcastExchange".r.findAllIn(p).nonEmpty, p.take(400))
+    val nTop = "TakeOrderedAndProject".r.findAllIn(p).size
+    val nBcast = "BroadcastExchange".r.findAllIn(p).size
+    val nSmj = "SortMergeJoin".r.findAllIn(p).size
+    // counts include persisted subplan bodies the string inlines; they
+    // are deterministic for this plan shape. nSmj == 0: every join is
+    // broadcast-side-capped, so the coded corpus never shuffles through
+    // a join. nTop pins the two md5-order LIMIT samples (and their
+    // inlined reprints); nBcast bounds the broadcast population — a NEW
+    // broadcast (e.g. the corpus codes frame) breaks the bound and must
+    // be re-justified here, not silently absorbed
+    assert(nSmj === 0, s"all s08 joins must be broadcast joins:\n${p.take(600)}")
+    assert(nTop === 7, s"limit-cap count changed (nTop=$nTop): a sample limit was dropped or added")
+    assert(nBcast <= 8, s"broadcast population grew (nBcast=$nBcast): corpus-side broadcast?")
     spark.sharedState.cacheManager.clearCache()
   }
 
