@@ -586,7 +586,12 @@ object Similarity extends QueryModule {
     * s07 contract); scoring is corpus × 16 broadcast rows, linear in the
     * corpus; only the final per-query top-k ranks.
     */
-  private def s08(s: SparkSession, dir: String): DataFrame = {
+  /** The PQ pipeline through ADC ranking, shared by s08 (shortlist IS the
+    * answer) and s09 (shortlist feeds an exact re-rank): returns the
+    * persisted normalized corpus and the full ADC-ranked candidate frame
+    * (query_id, vec_id, adc, rk) BEFORE any top-k cut.
+    */
+  private def pqAdcRanked(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = vecs(s, dir).persist()
     val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(PqK)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -631,23 +636,71 @@ object Similarity extends QueryModule {
       .select(col("query_id"), transform(col("e"), x => x.getField("contrib")).as("tbl"))
     // ADC score: fixed-order fold over j — sum of PqM exact lookups
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
-    codes.crossJoin(broadcast(tbl))
+    val ranked = codes.crossJoin(broadcast(tbl))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
           (acc, j) => acc + element_at(col("tbl"), j * PqK + element_at(col("codes"), j + 1) + 1))
           .as("adc"))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= PqTopK)
+    (base, ranked)
+  }
+
+  private def s08(s: SparkSession, dir: String): DataFrame = {
+    val (_, ranked) = pqAdcRanked(s, dir)
+    ranked.filter(col("rk") <= PqTopK)
       .select(col("query_id"), col("rk"), col("vec_id"), col("adc"))
+  }
+
+  private val PqShort  = 20  // stage-1 ADC shortlist size per query
+  private val RerankK  = 5   // stage-2 exact top-k
+
+  /** s09: two-stage retrieval — ADC shortlist, then exact cosine re-rank.
+    * The production ANN serving pattern (FAISS `IndexIVFPQ` + refine;
+    * Jégou et al. 2011 §V): stage 1 scans the 8-byte PQ codes and keeps
+    * PqShort candidates per query (cheap, linear, approximate); stage 2
+    * fetches ONLY those candidates' float vectors and re-scores them
+    * exactly, fixing ADC's quantization-induced rank inversions. At
+    * 100 TB the economics are the point: the exact pass touches
+    * PqQueries × PqShort vectors — a constant — while the corpus-wide
+    * work stays on the compressed codes.
+    *
+    * Scale shape: the shortlist (≤ PqQueries × PqShort rows by
+    * construction) broadcasts into a hash join against the persisted
+    * corpus to fetch candidate vectors — the corpus side streams, never
+    * shuffles or broadcasts; the PqQueries query vectors ride a second
+    * capped broadcast. Determinism: the re-rank sim is s01's exact
+    * cosine (the same left-to-right vec_dot fold over double-cast
+    * vectors, norms > 0 by the vecs() source filter), ties break on
+    * vec_id — bit-identical to the oracle's list_sum mirror.
+    */
+  private def s09(s: SparkSession, dir: String): DataFrame = {
+    val (base, ranked) = pqAdcRanked(s, dir)
+    val short = ranked.filter(col("rk") <= PqShort)
+      .select(col("query_id"), col("vec_id"))
+    // fetch: corpus streams against the two tiny capped sides
+    val cand = base.join(broadcast(short), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val qv = base
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(short.select(col("query_id")).distinct()), "query_id")
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    cand.join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= RerankK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
   }
 
   /** Oracle: full stage-by-stage mirror — same md5 sample, same
     * join-count code indexes, the same three-sum expanded distances,
-    * table entries, fixed-order ADC fold, and tiebreaks.
+    * table entries, fixed-order ADC fold, and tiebreaks. The CTE block
+    * through the ADC ranking is shared by the s08 and s09 oracles,
+    * mirroring the Spark-side pqAdcRanked split.
     */
-  private val s08Sql =
-    s"""WITH $oracleVecs,
+  private val pqCte =
+    s"""$oracleVecs,
        |cent AS (
        |  SELECT vec_id AS cid, v AS cv FROM n
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $PqK),
@@ -686,11 +739,31 @@ object Similarity extends QueryModule {
        |  SELECT t.query_id, c.vec_id,
        |    list_sum(list_transform(range(0, $PqM),
        |      j -> t.tbl[j * $PqK + c.codes[j + 1] + 1])) AS adc
-       |  FROM codes c CROSS JOIN tbl t WHERE t.query_id <> c.vec_id)
-       |SELECT query_id, rk, vec_id, adc FROM (
+       |  FROM codes c CROSS JOIN tbl t WHERE t.query_id <> c.vec_id),
+       |pqranked AS (
        |  SELECT query_id, vec_id, adc,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS BIGINT) AS rk
-       |  FROM sc) WHERE rk <= $PqTopK""".stripMargin
+       |  FROM sc)""".stripMargin
+
+  private val s08Sql =
+    s"""WITH $pqCte
+       |SELECT query_id, rk, vec_id, adc FROM pqranked WHERE rk <= $PqTopK""".stripMargin
+
+  /** s09 oracle: the shared PQ CTEs, the rk <= PqShort shortlist, then
+    * s01's exact-cosine mirror (same fixed-order list_sum fold, same
+    * vec_id tiebreak) over only the shortlisted pairs.
+    */
+  private val s09Sql =
+    s"""WITH $pqCte,
+       |short AS (SELECT query_id, vec_id FROM pqranked WHERE rk <= $PqShort),
+       |rr AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm) AS sim
+       |  FROM short s JOIN n q ON q.vec_id = s.query_id JOIN n c ON c.vec_id = s.vec_id)
+       |SELECT query_id, rk, vec_id, sim FROM (
+       |  SELECT query_id, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+       |  FROM rr) WHERE rk <= $RerankK""".stripMargin
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_knn", s01, Some(s01Sql)),
@@ -701,5 +774,6 @@ object Similarity extends QueryModule {
     QueryDef("s06_ann_ivf", s06, Some(s06Sql)),
     QueryDef("s07_quantized_knn", s07, Some(s07Sql)),
     QueryDef("s08_pq_ann", s08, Some(s08Sql)),
+    QueryDef("s09_two_stage_ann", s09, Some(s09Sql)),
   )
 }

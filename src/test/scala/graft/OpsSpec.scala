@@ -207,6 +207,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(probePairs.size <= homePairs.size * 4)
   }
 
+  test("two-stage ANN (s09): re-ranked sims bit-match brute force; recall reported") {
+    val exact = SparkEntry.queries("s01_cosine_knn")(spark, dir)
+      .select("qid", "nid", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val two = SparkEntry.queries("s09_two_stage_ann")(spark, dir)
+      .select("query_id", "vec_id", "sim").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    // 16 fixed queries x exact top-5 of each ADC shortlist
+    assert(two.size === 80, s"expected PqQueries*RerankK rows, got ${two.size}")
+    // stage 2 is the exact fold: every re-ranked sim that lands in the
+    // brute-force top-5 must be bit-identical to s01's value
+    val overlap = two.filter { case (k, _) => exact.contains(k) }
+    assert(overlap.nonEmpty)
+    overlap.foreach { case (k, sim) => assert(sim === exact(k)) }
+    val recall = overlap.size.toDouble / two.size
+    info(f"s09 two-stage recall@5 vs brute force (shortlist=20): $recall%.3f")
+    // deterministic corpus + md5 samples -> fixed 0.375 here; the floor
+    // guards the pipeline (a broken shortlist or re-rank drops it to ~0)
+    assert(recall > 0.3, "two-stage recall collapsed — shortlist or re-rank broken")
+  }
+
   test("IVF ANN (s06): re-scored sims bit-match brute force; recall reported") {
     val exact = SparkEntry.queries("s01_cosine_knn")(spark, dir)
       .select("qid", "nid", "sim").collect()

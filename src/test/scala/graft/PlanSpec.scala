@@ -322,6 +322,19 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("s09: re-rank joins are all broadcast-capped; corpus side streams") {
+    // stage 2 fetches candidate vectors by broadcasting the shortlist
+    // (<= PqQueries*PqShort rows by construction: LIMIT sample x rk
+    // filter) against the persisted corpus — the corpus must never
+    // broadcast or sort-merge through the two-stage pipeline
+    val p = plan("s09_two_stage_ann")
+    val nSmj = "SortMergeJoin".r.findAllIn(p).size
+    assert(nSmj === 0, s"all s09 joins must be broadcast joins:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "shortlist must descend from the md5-order LIMIT samples")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q25: gate has no Expand, no range shuffle, and only a sampled percentile") {
     // two distinct columns in one agg would Expand every row 3x through
     // the sketch buffers (round 5's gate cost); a band from the two-pass
