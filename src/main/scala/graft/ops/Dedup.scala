@@ -543,6 +543,96 @@ object Dedup extends QueryModule {
        |FROM gs JOIN ev USING (g) WHERE gs.split = 'train'
        |GROUP BY 1""".stripMargin
 
+  // ---- d12: duplicated-segment scrub (CCNet-style) --------------------
+
+  private val SegW = 8 // tokens per non-overlapping segment
+
+  /** d12: duplicated-segment scrub — the CCNet line-dedup step
+    * (Wenzek et al. 2020 §3.1 drop lines seen in other crawl shards;
+    * these single-line synthetic docs get the token-segment analogue):
+    * cut each document into non-overlapping [[SegW]]-token segments,
+    * find segments appearing verbatim in ≥ 2 DISTINCT documents, and
+    * report per doc the surviving text with every duplicated segment
+    * removed — boilerplate (headers, navigation, license blocks) is
+    * exactly the text that repeats across documents while the prose
+    * around it doesn't. Unlike d09 (which SCORES span duplication),
+    * d12 performs the removal a cleaning pipeline ships.
+    *
+    * Scale shape: one shuffle keyed on the segment text for the
+    * doc-frequency aggregate (single-distinct — no Expand; ScaleLint
+    * multi-distinct rule stays quiet), then an inverted-index-style
+    * equi-join back to the segment stream and a per-doc re-assembly
+    * grouped on doc_id. Join fanout per segment row is exactly 1 (the
+    * dup side is distinct segments), so the join output is bounded by
+    * the corpus segment count — never quadratic, no df cap needed. No
+    * broadcast hint: the dup-segment set grows with the corpus
+    * (ScaleLint kind-4 would flag it); stats may still pick a broadcast
+    * at small SF on their own. Per-doc state is the doc's own segments
+    * only — a 100 TB corpus streams through in segment-count time.
+    *
+    * Determinism: segments are exact strings; the survivor text is the
+    * g-ordered re-join (array_sort on the (g, seg) struct vs array_agg
+    * ORDER BY g — same total order, g is unique per doc); dup_ratio is
+    * one int/int IEEE division. A doc whose every segment is duplicated
+    * keeps empty text — the oracle coalesces its NULL-aggregate to ''
+    * to match (5 such docs at sf0.01, so the edge is exercised).
+    */
+  /** d12 core over any (doc_id, text) frame — factored so tests can
+    * plant cross-doc and within-doc duplicate segments directly.
+    */
+  private[graft] def segmentScrub(docs: DataFrame): DataFrame = {
+    val w = filter(split(col("text"), " "), x => length(x) > 0)
+    // persisted: feeds the df aggregate and the join probe side
+    val segs = docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(SegW))).as("st"))
+      .select(col("doc_id"), (col("st") / SegW).cast("long").as("g"),
+        array_join(slice(col("w"), col("st") + 1, lit(SegW)), " ").as("seg"))
+      .persist()
+    val dup = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("seg"), lit(1L).as("isdup"))
+    segs.join(dup, Seq("seg"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        coalesce(sum(col("isdup")), lit(0L)).as("n_dup_segs"),
+        // collect_list skips the null struct for dup segments; sort by g
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("isdup").isNull,
+              struct(col("g"), col("seg"))))),
+            x => x.getField("seg")), " ").as("clean_text"))
+      .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
+        (col("n_dup_segs") / col("n_segs")).as("dup_ratio"), col("clean_text"))
+  }
+
+  private def d12(s: SparkSession, dir: String): DataFrame =
+    segmentScrub(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  private val d12Sql =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |segs AS (
+       |  SELECT doc_id, CAST(st // $SegW AS BIGINT) AS g,
+       |    array_to_string(w[(st+1):(st+$SegW)], ' ') AS seg
+       |  FROM (SELECT doc_id, w, unnest(range(0, len(w), $SegW)) AS st
+       |        FROM t WHERE len(w) > 0)),
+       |dup AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT segs.doc_id,
+       |  count(*) AS n_segs,
+       |  CAST(count(dup.seg) AS BIGINT) AS n_dup_segs,
+       |  count(dup.seg) / count(*) AS dup_ratio,
+       |  coalesce(array_to_string(
+       |    array_agg(segs.seg ORDER BY segs.g) FILTER (WHERE dup.seg IS NULL), ' '),
+       |    '') AS clean_text
+       |FROM segs LEFT JOIN dup ON segs.seg = dup.seg
+       |GROUP BY segs.doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
     QueryDef("d02_dedup_normalized", d02, Some(d02Sql)),
@@ -554,5 +644,6 @@ object Dedup extends QueryModule {
     QueryDef("d09_dup_coverage", d09, Some(d09Sql)),
     QueryDef("d10_cluster_sizes", d10, Some(d10Sql)),
     QueryDef("d11_decontamination", d11, Some(d11Sql)),
+    QueryDef("d12_segment_scrub", d12, Some(d12Sql)),
   )
 }

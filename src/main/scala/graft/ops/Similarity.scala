@@ -765,6 +765,97 @@ object Similarity extends QueryModule {
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
        |  FROM rr) WHERE rk <= $RerankK""".stripMargin
 
+  // ---- s10: one Lloyd (k-means) iteration — IVF index training --------
+
+  private val KmK = 16 // centroid count for the training step
+
+  /** s10: one distributed Lloyd iteration — the k-means training step
+    * behind every IVF-family ANN index (s06/s08 use a deterministic
+    * SAMPLE as their codebook stand-in; a real FAISS-style deployment
+    * trains that codebook with exactly this step, iterated): assign each
+    * vector to its nearest of [[KmK]] seed centroids, then recompute
+    * each centroid as the mean of its assigned vectors. Output is one
+    * row per (centroid, dimension): the exact component sum, the cell
+    * population, and the new mean — the driver of the next iteration
+    * (and the cell-size balance check an index builder reads first).
+    *
+    * Scale shape: the textbook 100 TB k-means step. Seeds are a
+    * LIMIT-capped md5-order sample (KmK rows, collapsed to a single
+    * broadcast row holding the cid-sorted centroid array — the s06/s07
+    * capped-broadcast contract); assignment is a row-local fold over
+    * that array (corpus never shuffles for it, and no corpus x K row
+    * explosion ever exists — the distances live in a per-row array);
+    * the recompute is the plan's ONE corpus-fed shuffle, on (cid, pos)
+    * with map-side partial aggregation — bytes crossing the wire are
+    * O(KmK · Dim · partitions), independent of corpus size. Iterating
+    * re-runs the same plan with the emitted means as the next broadcast.
+    *
+    * Determinism: distances are the s08 three-sum expansion (each term
+    * the shared left-to-right dot fold), argmin ties break on cid (the
+    * first min-hitting entry of the cid-sorted array — exactly the
+    * oracle's ORDER BY d, cid under bit-equal distances); the
+    * component sums use the s04 float→shortest-string→DECIMAL(28,12)
+    * trick — exact and ORDER-INDEPENDENT, so the shuffle's arrival
+    * order can't flip a bit; the mean is one IEEE division of the
+    * exact-cast sum by the exact count (DETERMINISM.md rules 3/12).
+    */
+  private def s10(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir).persist() // feeds seed sample + assignment
+    val cents = base
+      .orderBy(md5(concat(lit("km_"), col("vec_id").cast("string")))).limit(KmK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // the K centroids as ONE broadcast row holding a cid-sorted array, so
+    // the argmin is a row-local fold over the array — NOT a per-(vec,cent)
+    // row explosion followed by a corpus-wide window on vec_id (that shape
+    // shuffles corpus x K rows; this one shuffles nothing before the
+    // recompute aggregate)
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+    def distTo(cv: Column): Column =
+      dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cv) + dot(cv, cv)
+    val assign = base.crossJoin(broadcast(centArr))
+      .withColumn("ds", transform(col("cents"), c => distTo(c.getField("cv"))))
+      .withColumn("bd", array_min(col("ds")))
+      // first zip entry hitting the min — cid-sorted array makes the tie
+      // break on the smallest cid, exactly the oracle's ORDER BY d, cid
+      .withColumn("cid",
+        element_at(filter(arrays_zip(col("cents"), col("ds")),
+          z => z.getField("ds") === col("bd")), 1)
+          .getField("cents").getField("cid"))
+    assign
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos0", "x")))
+      .groupBy(col("cid"), (col("pos0") + 1).cast("long").as("pos"))
+      .agg(
+        sum(col("x").cast("string").cast(DecimalType(28, 12))).cast("double").as("sx"),
+        count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"), col("sx"), col("n"),
+        (col("sx") / col("n")).as("mean_x"))
+  }
+
+  private val s10Sql =
+    s"""WITH $oracleVecs,
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv FROM n
+       |  ORDER BY md5('km_' || CAST(vec_id AS VARCHAR)) LIMIT $KmK),
+       |d AS (
+       |  SELECT n.vec_id, cent.cid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * n.v[i]))
+       |      - 2.0 * list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * cent.cv[i]))
+       |      + list_sum(list_transform(range(1, ${Dim + 1}), i -> cent.cv[i] * cent.cv[i])) AS d
+       |  FROM n CROSS JOIN cent),
+       |asg AS (SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |  FROM d) WHERE rn = 1),
+       |px AS (
+       |  SELECT asg.cid, unnest(range(1, len(n.v)+1)) AS pos,
+       |         unnest(list_transform(n.v, x -> CAST(x AS VARCHAR))) AS xs
+       |  FROM n JOIN asg USING (vec_id))
+       |SELECT cid, CAST(pos AS BIGINT) AS pos,
+       |  CAST(sum(CAST(xs AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+       |  count(*) AS n,
+       |  CAST(sum(CAST(xs AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_x
+       |FROM px GROUP BY cid, pos""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_knn", s01, Some(s01Sql)),
     QueryDef("s02_cosine_neardup", s02, Some(s02Sql)),
@@ -775,5 +866,6 @@ object Similarity extends QueryModule {
     QueryDef("s07_quantized_knn", s07, Some(s07Sql)),
     QueryDef("s08_pq_ann", s08, Some(s08Sql)),
     QueryDef("s09_two_stage_ann", s09, Some(s09Sql)),
+    QueryDef("s10_kmeans_step", s10, Some(s10Sql)),
   )
 }

@@ -437,6 +437,68 @@ object TextAnalysis extends QueryModule {
       |  CAST(t.n AS DOUBLE) / (s.n_tokens - 1) AS top_pair_frac
       |FROM stats s JOIN top t ON s.doc_id = t.doc_id AND t.rn = 1""".stripMargin
 
+  /** t13: unigram-surprise quality score — the perplexity-filter proxy
+    * (CCNet scores docs with a unigram/KenLM model; Wenzek et al. 2020
+    * §3.2): fit the unigram model ON the corpus itself (one aggregate),
+    * then score each document by its tokens' average information
+    * content. The log2 is QUANTIZED to whole bits via binary bit-length
+    * — surprise(t) = bitlen(N) − bitlen(count(t)), i.e.
+    * ⌊log2 N⌋ − ⌊log2 cnt⌋ ≈ log2(N/cnt) within ±1 bit — because JVM
+    * `Math.log` and DuckDB `ln` disagree in the last ulp ~1/2000 inputs
+    * (measured; docs/DETERMINISM.md forbids transcendentals on the hash
+    * path), while bit-length is exact integer arithmetic in both
+    * engines (`length(bin(x))`, no leading zeros in either). A doc of
+    * rare tokens (high mean bits) is gibberish/OCR noise; a doc of
+    * only-common tokens (low mean bits, low max) is boilerplate — the
+    * two tails a perplexity filter cuts.
+    *
+    * Scale shape: token stream persisted once, feeding (a) the vocab
+    * count aggregate — one shuffle on the token — and (b) the per-doc
+    * score join + doc_id aggregate. The 1-row corpus total rides a
+    * capped broadcast (the p11 totals contract); the vocab frame is
+    * corpus-derived and therefore NOT broadcast-hinted (ScaleLint
+    * kind-4) — at real scale the Zipf-truncated vocab still fits a
+    * stats-chosen broadcast, but that's the planner's call.
+    * Determinism: all-integer bits, one int/int IEEE division for the
+    * mean.
+    */
+  /** t13 core over any (doc_id, text) frame — factored so tests can
+    * plant rare/common token mixes with hand-computable bit values.
+    */
+  private[graft] def unigramSurprise(docs: DataFrame): DataFrame = {
+    val tk = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .persist()
+    val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = tk.agg(count(lit(1)).as("n_total"))
+    val bits = cnt.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        (length(bin(col("n_total"))) - length(bin(col("cnt")))).cast("long").as("bits"))
+    tk.join(bits, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"),
+        max(col("bits")).as("max_bits"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_bits") / col("n_tokens")).as("mean_bits"), col("max_bits"))
+  }
+
+  private def t13(s: SparkSession, dir: String): DataFrame =
+    unigramSurprise(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  private val t13Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_total FROM tk),
+      |b AS (
+      |  SELECT tok, CAST(length(bin(tot.n_total)) - length(bin(c.cnt)) AS BIGINT) AS bits
+      |  FROM c, tot)
+      |SELECT tk.doc_id, count(*) AS n_tokens,
+      |  sum(b.bits) / count(*) AS mean_bits, max(b.bits) AS max_bits
+      |FROM tk JOIN b USING (tok)
+      |GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_quality_score", t02, Some(t02Sql)),
@@ -450,5 +512,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("t10_bigram_pairs", t10, Some(t10Sql)),
     QueryDef("t11_token_chunks", t11, Some(t11Sql)),
     QueryDef("t12_repetition", t12, Some(t12Sql)),
+    QueryDef("t13_unigram_surprise", t13, Some(t13Sql)),
   )
 }

@@ -293,6 +293,84 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
       "each train doc must count the hot span ONCE, attributed to the min eval id")
   }
 
+  test("d12 segment scrub: cross-doc duplicate segments removed, within-doc repeats kept") {
+    import spark.implicits._
+    // segs are 8 tokens; docs 1 and 2 share their FIRST segment verbatim
+    // (boilerplate header), then diverge; doc 3 repeats its own segment
+    // twice but no other doc has it (df counts DISTINCT docs) — kept;
+    // doc 4 is entirely the shared header — scrubs to empty text.
+    val hdr = "h1 h2 h3 h4 h5 h6 h7 h8"
+    val docs = Seq(
+      (1L, s"$hdr a1 a2 a3 a4 a5 a6 a7 a8"),
+      (2L, s"$hdr b1 b2 b3 b4 b5 b6 b7 b8"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8"),
+      (4L, hdr)
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.segmentScrub(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(out(1L) === ((2L, 1L, "a1 a2 a3 a4 a5 a6 a7 a8")))
+    assert(out(2L) === ((2L, 1L, "b1 b2 b3 b4 b5 b6 b7 b8")))
+    assert(out(3L) === ((2L, 0L, docs.filter($"doc_id" === 3L).head().getString(1))),
+      "within-doc repetition alone must not scrub (distinct-doc df rule)")
+    assert(out(4L) === ((1L, 1L, "")), "all-duplicate doc keeps empty text")
+  }
+
+  test("d12 segment scrub: clean text rejoins surviving segments in document order") {
+    // on real data: clean_text must equal the doc's segments minus the
+    // duplicated ones, in original order — reconstruct independently
+    val docs = graft.core.Tables.documents(spark, dir).select("doc_id", "text")
+    val out = SparkEntry.queries("d12_segment_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val segOf = texts.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).grouped(8).map(_.mkString(" ")).toSeq
+    }
+    val df = segOf.values.flatten.toSeq.groupBy(identity).map { case (s, _) =>
+      s -> segOf.count { case (_, ss) => ss.contains(s) }
+    }
+    segOf.foreach { case (id, ss) =>
+      val kept = ss.filter(df(_) < 2).mkString(" ")
+      val (n, nd, clean) = out(id)
+      assert(n === ss.size.toLong, s"doc $id")
+      assert(nd === ss.count(df(_) >= 2).toLong, s"doc $id")
+      assert(clean === kept, s"doc $id")
+    }
+  }
+
+  test("t13 unigram surprise: hand-computed bit values; rare-token doc scores higher") {
+    import spark.implicits._
+    // corpus: 'c' x 12 + 'm' x 2 + 'r' x 2 = 16 tokens total.
+    // bitlen(16)=5; bits(c)=5-bitlen(12)=1, bits(m)=bits(r)=5-bitlen(2)=3
+    val docs = Seq(
+      (1L, "c c c c c c c c c c c c"), // 12 common -> mean 1.0, max 1
+      (2L, "m m"),                     // mean 3.0, max 3
+      (3L, "r r")                      // mean 3.0, max 3
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.unigramSurprise(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((12L, 1.0, 1L)))
+    assert(out(2L) === ((2L, 3.0, 3L)))
+    assert(out(3L) === ((2L, 3.0, 3L)))
+    assert(out(2L)._2 > out(1L)._2, "rarer tokens must mean higher surprise")
+  }
+
+  test("s10 k-means step: cells partition the corpus; means are the emitted sums/counts") {
+    val out = SparkEntry.queries("s10_kmeans_step")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+    assert(out.length === 16 * 64, "16 cells x 64 dims")
+    assert(out.map(_._1).distinct.length === 16, "every seed keeps a non-empty cell")
+    // each vector lands in exactly one cell: per-dimension populations sum
+    // to the corpus size (zero-norm vectors are excluded by the source)
+    val corpus = graft.ops.Similarity.vecs(spark, dir).count()
+    (1L to 64L).foreach { pos =>
+      assert(out.filter(_._2 == pos).map(_._4).sum === corpus, s"pos $pos")
+    }
+    out.foreach { case (cid, pos, sx, n, mean) =>
+      assert(n >= 1L, s"cell $cid empty — its own seed must assign to itself")
+      assert(mean === sx / n, s"($cid,$pos): mean must be the one-division of the exact sum")
+    }
+  }
+
   test("multimodal features (m01) md5 matches a local digest") {
     import org.apache.spark.sql.functions.col
     val row = SparkEntry.queries("m01_multimodal_features")(spark, dir)

@@ -335,6 +335,50 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("s10: argmin is row-local under one broadcast array — no vec_id shuffle, one corpus exchange") {
+    // the k-means assignment must NOT materialize corpus x K rows and
+    // window them on vec_id (that plan shuffles 16x the corpus); the
+    // centroid array broadcasts as one row and the fold happens in the
+    // projection, so the only corpus-fed exchange is the (cid, pos)
+    // recompute aggregate
+    val p = plan("s10_kmeans_step")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"corpus-wide vec_id shuffle in the assignment:\n${p.take(600)}")
+    val nSmj = "SortMergeJoin".r.findAllIn(p).size
+    assert(nSmj === 0, s"centroid join must stay broadcast:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"), "seed sample must be the md5-order LIMIT")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("d12: df aggregate is single-distinct (no Expand); no cartesian; no broadcast hint") {
+    // countDistinct(doc_id) grouped by seg plans as a two-phase agg, not
+    // a grouping-sets Expand; the dup-segment side is corpus-derived so
+    // the join must carry no explicit broadcast hint (stats may still
+    // pick broadcast at this SF — that's the planner's call, not ours)
+    val p = plan("d12_segment_scrub")
+    assert(!p.contains("Expand"), s"multi-distinct Expand appeared:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    val lp = SparkEntry.queries("d12_segment_scrub")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ResolvedHint"), "no broadcast hint on a corpus-derived side")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("t13: vocab join unhinted; only the 1-row corpus total broadcasts by construction") {
+    val p = plan("t13_unigram_surprise")
+    assert(!p.contains("Expand"), p.take(600))
+    // the 1-row total rides a BroadcastNestedLoopJoin cross join — fine;
+    // an unbroadcast CartesianProduct is not
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    val lp = SparkEntry.queries("t13_unigram_surprise")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    // exactly one hint: the 1-row total (p11's capped-totals contract);
+    // the corpus-derived vocab frame must not be hinted
+    val hints = "ResolvedHint".r.findAllIn(lp).size
+    assert(hints <= 1, s"unexpected broadcast hints ($hints):\n${lp.take(600)}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q25: gate has no Expand, no range shuffle, and only a sampled percentile") {
     // two distinct columns in one agg would Expand every row 3x through
     // the sketch buffers (round 5's gate cost); a band from the two-pass
