@@ -613,8 +613,13 @@ object Dedup extends QueryModule {
   private def d12(s: SparkSession, dir: String): DataFrame =
     segmentScrub(Tables.documents(s, dir).select(col("doc_id"), col("text")))
 
-  private val d12Sql =
-    s"""WITH t AS (
+  /** The d12 pipeline as a reusable CTE block ending in `scrub`
+    * (doc_id, n_segs, n_dup_segs, dup_ratio, clean_text) — shared with
+    * the composed clean→chunk pipeline's oracle (p13) exactly as the
+    * Spark side shares [[segmentScrub]].
+    */
+  private[graft] val segScrubCte =
+    s"""t AS (
        |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
        |  FROM documents),
        |segs AS (
@@ -622,16 +627,21 @@ object Dedup extends QueryModule {
        |    array_to_string(w[(st+1):(st+$SegW)], ' ') AS seg
        |  FROM (SELECT doc_id, w, unnest(range(0, len(w), $SegW)) AS st
        |        FROM t WHERE len(w) > 0)),
-       |dup AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
-       |SELECT segs.doc_id,
-       |  count(*) AS n_segs,
-       |  CAST(count(dup.seg) AS BIGINT) AS n_dup_segs,
-       |  count(dup.seg) / count(*) AS dup_ratio,
-       |  coalesce(array_to_string(
-       |    array_agg(segs.seg ORDER BY segs.g) FILTER (WHERE dup.seg IS NULL), ' '),
-       |    '') AS clean_text
-       |FROM segs LEFT JOIN dup ON segs.seg = dup.seg
-       |GROUP BY segs.doc_id""".stripMargin
+       |dup AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+       |scrub AS (
+       |  SELECT segs.doc_id,
+       |    count(*) AS n_segs,
+       |    CAST(count(dup.seg) AS BIGINT) AS n_dup_segs,
+       |    count(dup.seg) / count(*) AS dup_ratio,
+       |    coalesce(array_to_string(
+       |      array_agg(segs.seg ORDER BY segs.g) FILTER (WHERE dup.seg IS NULL), ' '),
+       |      '') AS clean_text
+       |  FROM segs LEFT JOIN dup ON segs.seg = dup.seg
+       |  GROUP BY segs.doc_id)""".stripMargin
+
+  private val d12Sql =
+    s"""WITH $segScrubCte
+       |SELECT doc_id, n_segs, n_dup_segs, dup_ratio, clean_text FROM scrub""".stripMargin
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),

@@ -366,6 +366,42 @@ object Profiling extends QueryModule {
       |  CASE WHEN n_tokens > 0 THEN sqrt(CAST(tot_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) END AS upsample_factor
       |FROM b CROSS JOIN t""".stripMargin
 
+  private val MinCleanTokens = 16 // p13's post-scrub length gate
+
+  /** p13: the cleaning→packing tail of a training-data pipeline,
+    * composed from the same factored kernels its stages ship as
+    * standalone ops: d12's duplicated-segment scrub rebuilds each
+    * document's boilerplate-free text, documents left with fewer than
+    * [[MinCleanTokens]] tokens are dropped (scrub survivors too short to
+    * yield a training window), and the survivors are packed into t11's
+    * 32-token stride-16 context windows. One row per (doc, chunk) of
+    * CLEANED text — what actually feeds a tokenizer, vs t11's chunks of
+    * raw text. The oracle is the literal CTE composition of d12's and
+    * t11's mirrors (segScrubCte + chunkSelectSql), so the three
+    * declarations cannot drift apart.
+    *
+    * Scale shape: d12's (one segment-keyed shuffle, fanout-1 join,
+    * per-doc rebuild) followed by t11's (row-local generate) — the
+    * composition adds NO new shuffle beyond its stages' own; the length
+    * gate is a row-local filter between them.
+    */
+  private def p13(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = Dedup.segmentScrub(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .filter(size(filter(split(col("text"), " "), x => length(x) > 0))
+        >= MinCleanTokens)
+    TextAnalysis.chunkWindows(cleaned)
+  }
+
+  private val p13Sql =
+    s"""WITH ${Dedup.segScrubCte},
+       |cw AS (
+       |  SELECT doc_id, list_filter(string_split(clean_text, ' '), x -> len(x) > 0) AS w
+       |  FROM scrub),
+       |keep AS (SELECT doc_id, w FROM cw WHERE len(w) >= $MinCleanTokens)
+       |${TextAnalysis.chunkSelectSql("keep")}""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p01_profile", p01, Some(p01Sql)),
     QueryDef("p02_clean_corpus_pipeline", p02, Some(p02Sql)),
@@ -373,6 +409,7 @@ object Profiling extends QueryModule {
     QueryDef("p07_histogram", p07, Some(p07Sql)),
     QueryDef("p08_constraint_check", p08, Some(p08Sql)),
     QueryDef("p11_mixing_report", p11, Some(p11Sql)),
+    QueryDef("p13_clean_chunk_pipeline", p13, Some(p13Sql)),
   )
 
   /** p08: declarative ingest-validation — every constraint evaluated in

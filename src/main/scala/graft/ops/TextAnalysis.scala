@@ -338,9 +338,13 @@ object TextAnalysis extends QueryModule {
     * Empty/whitespace-only documents yield no chunks (the guard also
     * keeps `sequence(0, -1)` from throwing).
     */
-  private def t11(s: SparkSession, dir: String): DataFrame = {
+  /** t11 core over any (doc_id, text) frame — shared with the composed
+    * clean→chunk pipeline (p13), which chunks d12's scrubbed text with
+    * exactly this kernel so its oracle is the CTE composition.
+    */
+  private[graft] def chunkWindows(docs: DataFrame): DataFrame = {
     val w = toks(col("text"))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), w.as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(when(size(col("toks")) > 0,
@@ -353,15 +357,27 @@ object TextAnalysis extends QueryModule {
         least(lit(ChunkW), size(col("toks")) - col("s")).cast("long").as("n_tokens"))
   }
 
-  private val t11Sql =
+  private def t11(s: SparkSession, dir: String): DataFrame =
+    chunkWindows(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** DuckDB mirror of [[chunkWindows]] over a relation exposing
+    * (doc_id, w) with w the token list — defined ONCE (the Sampling
+    * "defined once" rule) so t11 and p13 cannot drift.
+    */
+  private[graft] def chunkSelectSql(rel: String): String =
     s"""SELECT doc_id,
        |  CAST(s // $ChunkStride AS BIGINT) AS chunk_id,
        |  array_to_string(w[(s + 1):(s + $ChunkW)], ' ') AS chunk_text,
        |  CAST(least($ChunkW, len(w) - s) AS BIGINT) AS n_tokens
        |FROM (
        |  SELECT doc_id, w, unnest(range(0, len(w), $ChunkStride)) AS s
-       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
-       |        FROM documents))""".stripMargin
+       |  FROM $rel)""".stripMargin
+
+  private val t11Sql =
+    s"""WITH tw AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+       |  FROM documents)
+       |${chunkSelectSql("tw")}""".stripMargin
 
   /** t12: per-document repetition profile — the Gopher-family quality
     * filter (Rae et al. 2021 §A1.1 use duplicate-line and repeated-n-gram

@@ -392,6 +392,72 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("d12/t13/s10 10x scaling: linear wall time, fanout-1 join shape, fixed-size outputs") {
+    val src = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
+    // clone-heavy corpus: every clone shares its original's full-length
+    // segments (only the appended tail token differs), so the 10x corpus
+    // drives segment df's 10x higher — d12's worst realistic shape (a
+    // template-heavy crawl). t13 rides the same corpus; s10 reuses the
+    // d08 tripwire's synthetic embeddings.
+    def mkDocs(originals: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_r8docs_$originals").toString
+      src.filter(col("doc_id") < originals)
+        .crossJoin(spark.range(5).select(col("id").as("clone")))
+        .select((col("doc_id") * 10 + col("clone")).as("doc_id"),
+          concat(col("text"), lit(" zqtail"), col("clone")).as("text"),
+          col("lang"), col("source"), (length(col("text")) + 8).as("n_chars"))
+        .coalesce(4).write.parquet(out + "/documents.parquet")
+      out
+    }
+    def mkEmb(n: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_r8emb_$n").toString
+      spark.range(n).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(sequence(lit(1), lit(64)),
+          j => (pmod(hash(col("id"), j), lit(2000)) / lit(1000.0) - 1.0).cast("float"))
+          .as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+        .coalesce(4).write.parquet(out + "/embeddings.parquet")
+      out
+    }
+    def time(q: String, dir: String): Double = {
+      graft.core.Sessions.sweepPersistedState(spark)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      graft.core.Sessions.sweepPersistedState(spark)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (docs1, docs10) = (mkDocs(400), mkDocs(4000))
+    val (emb1, emb10) = (mkEmb(2000), mkEmb(20000))
+    try {
+      for (q <- Seq("d12_segment_scrub", "t13_unigram_surprise")) {
+        val (t1, t10) = (time(q, docs1), time(q, docs10))
+        info(f"$q 1x: $t1%.1fs; 10x: $t10%.1fs")
+        assert(t10 <= t1 * 25 + 5.0, f"$q wall time must stay ~linear: $t1%.1fs -> $t10%.1fs")
+      }
+      // d12 output invariants at 10x: docs partition into segments, the
+      // dup join never fans out (sum n_segs == corpus segment count),
+      // and the clone-heavy corpus really does scrub (the stress bites)
+      val out10 = SparkEntry.queries("d12_segment_scrub")(spark, docs10)
+        .agg(sum(col("n_segs")), sum(col("n_dup_segs")), count(lit(1))).collect()(0)
+      val segCount = graft.core.Tables.documents(spark, docs10)
+        .select(ceil(size(filter(split(col("text"), " "), x => length(x) > 0)) / lit(8.0))
+          .cast("long").as("ns"))
+        .agg(sum(col("ns"))).collect()(0).getLong(0)
+      assert(out10.getLong(0) === segCount,
+        s"sum(n_segs)=${out10.getLong(0)} must equal corpus segments $segCount — fanout-1 join")
+      assert(out10.getLong(2) === 20000L, "one row per doc")
+      assert(out10.getLong(1) > 0L, "clone corpus must actually scrub segments")
+      val (t1s, t10s) = (time("s10_kmeans_step", emb1), time("s10_kmeans_step", emb10))
+      info(f"s10 1x: $t1s%.1fs; 10x: $t10s%.1fs")
+      assert(t10s <= t1s * 25 + 5.0, f"s10 wall time must stay ~linear: $t1s%.1fs -> $t10s%.1fs")
+      // the recompute output is K x Dim whatever the corpus size
+      assert(SparkEntry.queries("s10_kmeans_step")(spark, emb10).count() === 1024L)
+    } finally {
+      for (d <- Seq(docs1, docs10, emb1, emb10))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    }
+  }
+
   test("p06 10x scaling: candidates obey the df-cap bound, wall time ~linear") {
     val src = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
     def mkDocs(originals: Int): String = {
