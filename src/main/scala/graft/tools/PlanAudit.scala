@@ -17,7 +17,11 @@ object PlanAudit {
       "q39_stats_agg", "q40_recursive_cte", "q41_nested_struct",
       "t10_bigram_pairs", "e10_top_paths", "p09_split_drift", "s07_quantized_knn",
       // round 7 (distinct-agg rebuilds + the capped d08 pair stage)
-      "p01_profile", "q11_distinct_agg", "q34_null_handling", "q25_approx_sketches")
+      "p01_profile", "q11_distinct_agg", "q34_null_handling", "q25_approx_sketches",
+      // round 8 (PQ/ADC ladder, scrub/surprise/k-means, composed tail)
+      "d11_decontamination", "d12_segment_scrub", "t13_unigram_surprise",
+      "s08_pq_ann", "s09_two_stage_ann", "s10_kmeans_step",
+      "p13_clean_chunk_pipeline")
     for (n <- names) {
       val p = graft.SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
       val flags = Seq(

@@ -148,6 +148,39 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, s"recombination law falsified: ${res.status}")
   }
 
+  test("d12 segment scrub equals an independent reference implementation (8 seeded cases)") {
+    import spark.implicits._
+    // random corpora with a small vocab (so cross-doc 8-token segment
+    // collisions actually occur) checked against a from-scratch Scala
+    // reference of the CCNet-style rule — the full output contract
+    // (counts, ratio denominator, order-preserving rebuild, empty-text
+    // edge), not just invariants
+    for (seed <- 31 to 38) {
+      val rng = new Random(seed)
+      val vocab = Vector.tabulate(rng.nextInt(6) + 3)(i => s"v$i")
+      val docs = (0 until rng.nextInt(40) + 5).map { id =>
+        (id.toLong, Seq.fill(rng.nextInt(40) + 1)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val ref: Map[Long, (Long, Long, String)] = {
+        val segOf = docs.map { case (id, t) =>
+          id -> t.split(" ").filter(_.nonEmpty).grouped(8).map(_.mkString(" ")).toSeq
+        }.toMap
+        val df = segOf.values.flatten.toSeq.distinct.map { s =>
+          s -> segOf.count { case (_, ss) => ss.contains(s) }
+        }.toMap
+        segOf.map { case (id, ss) =>
+          id -> ((ss.size.toLong, ss.count(df(_) >= 2).toLong,
+            ss.filter(df(_) < 2).mkString(" ")))
+        }
+      }
+      val out = graft.ops.Dedup.segmentScrub(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(4))))
+        .toMap
+      assert(out === ref, s"seed=$seed")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("non-commutative-safe: reduce sees every value of its key exactly once (5 seeded cases)") {
     import spark.implicits._
     for (seed <- 21 to 25) {
