@@ -856,6 +856,111 @@ object Similarity extends QueryModule {
        |  CAST(sum(CAST(xs AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_x
        |FROM px GROUP BY cid, pos""".stripMargin
 
+  // ---- s11: IVF range (radius) search ---------------------------------
+
+  private val RsCells   = 16   // coarse cells (md5-order sample, s06 contract)
+  private val RsProbes  = 4    // cells probed per query
+  private val RsQueries = 32   // fixed query batch (salted md5-order sample)
+  private val RsTau     = 0.25 // cosine radius
+
+  /** s11: range (radius) search — the OTHER vector-store query shape:
+    * not "the k nearest" (s03/s06/s08) but "EVERY neighbor with cosine
+    * >= [[RsTau]]" for a query batch, the primitive behind
+    * duplicate-radius audits and recall-at-threshold evaluations where
+    * the answer set's SIZE is the signal and a top-k cut would bias it.
+    * IVF-pruned: each corpus vector is assigned to its nearest of
+    * [[RsCells]] coarse cells, a query probes its [[RsProbes]] nearest
+    * cells, and only vectors in probed cells are scored exactly.
+    *
+    * Scale shape: ZERO corpus shuffles. The centroid sample rides one
+    * broadcast row holding a cid-sorted array (the s10 contract), so
+    * cell assignment is a row-local argmax fold — no corpus x K row
+    * explosion, no window; the probe list (RsQueries x RsProbes rows)
+    * and the query vectors (RsQueries rows) are LIMIT-capped broadcasts
+    * into the corpus stream. The whole query is one pass over the
+    * corpus: scan -> row-local assign -> two broadcast hash joins ->
+    * filter; output is bounded by the probed-cell occupancy, which
+    * nprobe/K tunes.
+    *
+    * Determinism: csim and sim are the shared left-to-right dot fold
+    * over double-cast vectors divided by norms (> 0 by the vecs()
+    * filter), bit-identical to the oracle's list_sum mirror, so the
+    * `>= RsTau` cut and the argmax's first-min-hitting-entry tiebreak
+    * (cid-sorted array == ORDER BY csim DESC, cid) cannot diverge.
+    */
+  private def s11(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir).persist() // feeds centroid sample, query batch, corpus stream
+    val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(RsCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv"), col("cnrm")))).as("cents"))
+    def csimTo(c: Column): Column =
+      dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cnrm"))
+    // row-local nearest-cell assignment, carrying the vector for the
+    // exact re-score so candidates never have to re-join the corpus
+    val assign = base.crossJoin(broadcast(centArr))
+      .withColumn("ss", transform(col("cents"), c => csimTo(c)))
+      .withColumn("mx", array_max(col("ss")))
+      .select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"),
+        element_at(filter(arrays_zip(col("cents"), col("ss")),
+          z => z.getField("ss") === col("mx")), 1)
+          .getField("cents").getField("cid").as("cell"))
+    // SALTED query sample: independent of the centroid sample's md5
+    // order, so the batch is not just the centroids themselves
+    val qids = base.select(col("vec_id"))
+      .orderBy(md5(concat(lit("rsq_"), col("vec_id").cast("string")))).limit(RsQueries)
+    val qv = base.join(broadcast(qids), "vec_id")
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probes = qv.crossJoin(broadcast(cents)) // RsQueries x RsCells rows
+      .select(col("qid"), col("cid"),
+        (dot(col("va"), col("cv")) / (col("na") * col("cnrm"))).as("csim"))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= RsProbes)
+      .select(col("qid"), col("cid").as("cell"))
+    assign.join(broadcast(probes), "cell")
+      .filter(col("qid") =!= col("nid"))
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= RsTau)
+  }
+
+  /** Oracle: full stage mirror — same centroid sample, the window-rank
+    * assignment equivalent of the Spark side's array-argmax (bit-equal
+    * csims make ORDER BY csim DESC, cid pick the same cell), same salted
+    * query batch, probe list, exact re-score, and radius cut.
+    */
+  private val s11Sql =
+    s"""WITH $oracleVecs,
+       |c AS (
+       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $RsCells),
+       |sims AS (
+       |  SELECT n.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS csim
+       |  FROM n CROSS JOIN c),
+       |rk AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+       |  FROM sims),
+       |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE crn = 1),
+       |q AS (
+       |  SELECT vec_id FROM n
+       |  ORDER BY md5('rsq_' || CAST(vec_id AS VARCHAR)) LIMIT $RsQueries),
+       |probes AS (
+       |  SELECT rk.vec_id AS qid, rk.cid AS cell
+       |  FROM rk JOIN q USING (vec_id) WHERE crn <= $RsProbes),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN assign a USING (cell)
+       |  WHERE p.qid <> a.vec_id)
+       |SELECT * FROM (
+       |  SELECT c.qid, c.nid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
+       |  FROM cand c JOIN n x ON c.qid = x.vec_id JOIN n y ON c.nid = y.vec_id)
+       |WHERE sim >= $RsTau""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_knn", s01, Some(s01Sql)),
     QueryDef("s02_cosine_neardup", s02, Some(s02Sql)),
@@ -867,5 +972,6 @@ object Similarity extends QueryModule {
     QueryDef("s08_pq_ann", s08, Some(s08Sql)),
     QueryDef("s09_two_stage_ann", s09, Some(s09Sql)),
     QueryDef("s10_kmeans_step", s10, Some(s10Sql)),
+    QueryDef("s11_range_search", s11, Some(s11Sql)),
   )
 }
