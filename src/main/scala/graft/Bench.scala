@@ -199,7 +199,18 @@ object Bench {
     if (warmExceedsCold.nonEmpty)
       System.err.println(s"[bench] WARM>COLD LEAK SUSPECTS: ${warmExceedsCold.mkString(", ")}")
     val guard = warmExceedsCold.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_._1)},"first_run":${map(_._2)},"warm_samples":$samplesMap,"load":${map(_._4)},"plan_fp":$fpMap,"warm_exceeds_cold":$guard,"sf":"$sfDir"}"""
+    // Error loudness (the round-8 lesson): a -1.0 sentinel used to hide
+    // inside a green-looking total (7 broken queries contributed ~0 s and
+    // nothing flagged them). Every query whose warm OR cold record is the
+    // failure sentinel is named in BOTH JSON lines, so the driver's
+    // bounded stdout tail and the artifact file each carry the red list.
+    val failed = results.collect {
+      case (name, (warm, cold, _, _, _)) if warm < 0 || cold < 0 => name
+    }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED (-1.0 sentinel): ${failed.mkString(", ")}")
+    val errList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_._1)},"first_run":${map(_._2)},"warm_samples":$samplesMap,"load":${map(_._4)},"plan_fp":$fpMap,"warm_exceeds_cold":$guard,"errors":$errList,"sf":"$sfDir"}"""
     // The per-query maps (~5 KB at 97 queries) overflow the bounded
     // stdout tail the driver captures — all four rounds' BENCH files
     // show "parsed": null from the line being truncated mid-JSON. So the
@@ -207,7 +218,7 @@ object Bench {
     // humans), and a short self-contained summary line prints LAST so
     // the captured tail always ends in parseable JSON.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"queries_file":"$out","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"errors":$errList,"queries_file":"$out","sf":"$sfDir"}"""
     // stop BEFORE printing so no late executor/log line lands after the
     // JSON lines.
     spark.stop()

@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet star schema (TESTDATA.md).
   *
@@ -23,18 +23,83 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw long under spark.sql.legacy.parquet.nanosAsLong (set in every
-    * session builder here). Normalize to a true TimestampType at
-    * microsecond precision — same truncation DuckDB applies via epoch_us.
+  /** The events table has been generated with THREE physical ts
+    * encodings across driver rounds: parquet TIMESTAMP(NANOS) (reads as a
+    * raw ns long under spark.sql.legacy.parquet.nanosAsLong — set in
+    * every session builder here), µs TIMESTAMP (isAdjustedToUTC, reads
+    * as TimestampType), and µs TIMESTAMP_NTZ (no UTC flag — the current
+    * testdata; reads as TimestampNTZType). A real 100 TB warehouse reads
+    * parquet written by many producers, so the loader normalizes ALL of
+    * them to one logical type at ONE seam instead of assuming a single
+    * physical encoding (the round-8 regression: ts flipped NANOS→NTZ
+    * between gate runs and every unix_micros(ts) failed analysis).
+    *
+    * Target type: TimestampType at microsecond precision — the same
+    * truncation DuckDB's epoch_us applies. The session time zone is
+    * pinned UTC (Sessions.scala), so the NTZ→TZ cast reinterprets the
+    * naive wall-clock as UTC: values are bit-identical to what the
+    * adjusted-to-UTC encoding of the same instants reads as.
+    *
+    * `longUnit` applies only when ts arrives as a raw long and names the
+    * epoch unit of those longs ("ns" | "us" | "ms" | "s"). Callers that
+    * read from parquet derive it from the file footer via
+    * [[eventTsLongUnit]]; the default "ns" matches the one long-typed
+    * encoding the driver has ever produced (TIMESTAMP(NANOS)) and the
+    * plain-int64 replay files the streaming tests write.
     */
-  /** ns-long → microsecond TimestampType, shared by the batch loader and
-    * the streaming source (one place for the truncation rule).
+  def normalizeEventTs(df: DataFrame, longUnit: String = "ns"): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        val us = longUnit match {
+          case "ns" => expr("ts DIV 1000")
+          case "us" => col("ts")
+          case "ms" => expr("ts * 1000")
+          case "s"  => expr("ts * 1000000")
+          case u    => throw new IllegalArgumentException(s"unknown ts unit: $u")
+        }
+        df.withColumn("ts", timestamp_micros(us))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df // TimestampType: already the target
+    }
+
+  /** Epoch unit of a long-typed ts column, derived from the parquet
+    * footer of the first matching file rather than assumed: a
+    * TIMESTAMP-annotated INT64 names its unit explicitly; a plain
+    * (unannotated) INT64 falls back to "ns" — the convention of the
+    * nanos-era testdata and of the replay harness's sentinel rows.
+    * `path` may be a single parquet file or a directory; `glob` selects
+    * the table's files within a directory.
     */
-  def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+  def eventTsLongUnit(s: SparkSession, path: String, glob: String = "*.parquet"): String = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    val conf = s.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.globStatus(new Path(p, glob)).headOption
+          .getOrElse(throw new java.io.FileNotFoundException(s"$path/$glob"))
+          .getPath
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField("ts")) "ns"
+      else schema.getType(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case TimeUnit.NANOS  => "ns"
+            case TimeUnit.MICROS => "us"
+            case TimeUnit.MILLIS => "ms"
+          }
+        case _ => "ns"
+      }
+    } finally reader.close()
+  }
 
   def events(s: SparkSession, d: String): DataFrame = {
     // defensive: callers may hand us a session built without the flag
@@ -42,7 +107,12 @@ object Tables {
     // no-ops and our own mains still set it at build time)
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    normalizeEventTs(table(s, d, "events"))
+    val df = table(s, d, "events")
+    val unit =
+      if (df.schema("ts").dataType == LongType)
+        eventTsLongUnit(s, s"$d/events.parquet")
+      else "ns"
+    normalizeEventTs(df, unit)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

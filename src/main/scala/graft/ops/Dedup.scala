@@ -292,10 +292,12 @@ object Dedup extends QueryModule {
     * label-per-query bench shape.
     */
   private[graft] def docClusterLabels(s: SparkSession, dir: String): DataFrame =
-    Graph.connectedComponents(
-      Tables.documents(s, dir).select(col("doc_id")),
-      d03(s, dir).select(col("ida"), col("idb")))
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    Graph.materializedOnce(s, s"doc_cluster_labels|$dir") {
+      Graph.connectedComponents(
+        Tables.documents(s, dir).select(col("doc_id")),
+        d03(s, dir).select(col("ida"), col("idb")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    }
 
   private def d07(s: SparkSession, dir: String): DataFrame =
     docClusterLabels(s, dir)

@@ -256,8 +256,10 @@ object Profiling extends QueryModule {
 
   private def p06(s: SparkSession, dir: String): DataFrame = {
     val (withLang, kept, survivors) = funnelFrames(s, dir)
-    val labels = graft.ops.Graph.connectedComponents(
-      survivors.select(col("doc_id")), nearDupPairs(survivors))
+    val labels = graft.ops.Graph.materializedOnce(s, s"p06_survivor_labels|$dir") {
+      graft.ops.Graph.connectedComponents(
+        survivors.select(col("doc_id")), nearDupPairs(survivors))
+    }
     p06Stages(withLang, kept, survivors, labels)
   }
 

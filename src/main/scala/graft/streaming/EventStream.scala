@@ -19,31 +19,34 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The parquet file schema under nanosAsLong (ts is raw nanos). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over the events table, ts normalized ns→µs via
-    * the same helper the batch loader uses.
+  /** File-source stream over the events table, ts normalized to
+    * TimestampType via the same Tables.normalizeEventTs seam the batch
+    * loader uses. The stream's fixed schema is taken from the files
+    * actually present (a batch-read schema probe) rather than hard-coded:
+    * round 8 proved a forced `ts LONG` schema silently reinterprets a
+    * µs-encoded file as nanos. For long-typed files the epoch unit comes
+    * from the parquet footer, also shared with the batch loader.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    // same defensive conf-set as Tables.events: the raw-long schema below
-    // only reads if nanosAsLong is on
+    // defensive conf-set, as in Tables.events: nanos-era files only read
+    // (as raw longs) when nanosAsLong is on
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
+    val glob = "events*.parquet"
+    val probed = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val unit =
+      if (probed("ts").dataType == LongType)
+        graft.core.Tables.eventTsLongUnit(spark, dir, glob)
+      else "ns"
     graft.core.Tables.normalizeEventTs(
       spark.readStream
-        .schema(rawSchema)
+        .schema(probed)
         .option("maxFilesPerTrigger", "1")
         // file source requires a directory: stream the sf dir, filtered to
         // the events table file(s)
-        .option("pathGlobFilter", "events*.parquet")
-        .parquet(dir))
+        .option("pathGlobFilter", glob)
+        .parquet(dir),
+      unit)
   }
 
   /** Tumbling 1-hour window counts/sums with a 2-hour watermark —

@@ -78,16 +78,9 @@ class StreamingRecoverySpec extends AnyFunSuite {
       .filter(_.getName.startsWith("events")).head.toPath
 
     def runOnce(): Long = {
-      val raw = graft.core.Tables.normalizeEventTs(
-        spark.readStream
-          .schema(org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-            org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
-          .parquet(streamDir))
+      // schema-probing reader: normalizes whatever ts encoding the copied
+      // files carry at the shared Tables seam
+      val raw = EventStream.readEvents(spark, streamDir)
       val q = EventStream.dedupedEvents(raw)
         .select("event_id").writeStream
         .format("parquet")
@@ -122,8 +115,11 @@ class StreamingRecoverySpec extends AnyFunSuite {
     // per-user state — reprocessing cannot save a silently ignored
     // checkpoint, and fresh state would emit a wrong (too-old) signup,
     // failing the set compare against the batch as-of join.
-    val rawSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet").cache()
+    // normalized load, then back to raw ns longs (the replay files
+    // exercise the plain-int64 leg of the normalization seam)
+    val raw = graft.core.Tables.events(spark, dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
+      .cache()
     val cut = raw.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m")
       .collect()(0).getDouble(0).toLong
     val streamDir = Files.createTempDirectory("graft-asofstream").toString

@@ -37,10 +37,13 @@ class StreamingSpec extends AnyFunSuite {
   private def twoHalfReplay(prefix: String, shuffled: Boolean = false,
                             across: Boolean = false): java.io.File = {
     import spark.implicits._
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    val rawSchema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    val raw = spark.read.schema(rawSchema).parquet(s"$dir/events.parquet").cache()
+    // Load via the one normalization seam (robust to whatever physical ts
+    // encoding the driver generated — round 8's NANOS→NTZ flip broke the
+    // old forced-LONG read here), then convert BACK to raw ns longs: the
+    // replay files deliberately exercise the plain-int64 leg of that seam.
+    val raw = graft.core.Tables.events(spark, dir)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .cache()
     val b = raw.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m", "max(ts) AS hi")
       .collect()(0)
     val (cut, maxTs) = (b.getDouble(0).toLong, b.getLong(1))
@@ -277,16 +280,9 @@ class StreamingSpec extends AnyFunSuite {
     Files.copy(src, tmp.resolve("events_a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(src, tmp.resolve("events_b.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
-    val raw = graft.core.Tables.normalizeEventTs(
-      spark.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType))))
-        .parquet(tmp.toString))
+    // schema-probing reader: the copied files carry whatever encoding the
+    // driver generated, and readEvents normalizes it at the shared seam
+    val raw = EventStream.readEvents(spark, tmp.toString)
     val q = EventStream.dedupedEvents(raw)
       .select("event_id").writeStream
       .format("memory").queryName("dedup_out")

@@ -34,6 +34,27 @@ def canon(df):
     rows.sort()
     return rows
 
+def testdata_fingerprint(con, sf_dir):
+    """Schema + row-count fingerprint of the testdata a gate run read.
+
+    Recorded so a "full gate green locally" claim is verifiable against
+    the data it actually ran on: round 8's events.ts flipped physical
+    encoding (TIMESTAMP(NANOS) -> TIMESTAMP_NTZ) minutes after a green
+    local run, and the stale green was cited as current. Any docs/SCALE.md
+    gate claim should quote this fingerprint.
+    """
+    fp = {}
+    for t in TABLES:
+        try:
+            desc = con.sql(f"DESCRIBE SELECT * FROM '{sf_dir}/{t}.parquet'").df()
+            n = con.sql(f"SELECT count(*) FROM '{sf_dir}/{t}.parquet'").fetchone()[0]
+            fp[t] = {"rows": int(n),
+                     "schema": {r["column_name"]: r["column_type"]
+                                for _, r in desc.iterrows()}}
+        except Exception as e:
+            fp[t] = {"error": str(e)}
+    return fp
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -41,6 +62,21 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         except Exception:
             pass
+    fp = testdata_fingerprint(con, sf_dir)
+    with open(f"{out_dir}/_TESTDATA_FP.json", "w") as f:
+        json.dump({"sf_dir": sf_dir, "tables": fp}, f, indent=1)
+    ev = fp.get("events", {})
+    print(f"testdata fingerprint: events.ts={ev.get('schema', {}).get('ts')} "
+          f"rows={ev.get('rows')} (full record: {out_dir}/_TESTDATA_FP.json)")
+    # the gate-omission tripwire artifact Verify.scala writes ({} = clean)
+    try:
+        errors = json.load(open(f"{out_dir}/_ERRORS.json"))
+        if errors:
+            print(f"VERIFY ERRORS ({len(errors)}):")
+            for k, v in sorted(errors.items()):
+                print(f"  {k}: {v[:200]}")
+    except Exception:
+        print("WARNING: no _ERRORS.json in dump dir (old Verify build?)")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
