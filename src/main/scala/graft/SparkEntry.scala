@@ -25,6 +25,7 @@ object SparkEntry {
     graft.ops.Profiling,
     graft.ops.Sampling,
     graft.ops.SemDedup,
+    graft.streaming.StreamingGate,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.queries.{QueryDef, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Gate (DuckDB-oracle) entries for streaming twins whose FINALIZED
+  * output is batch-expressible.
+  *
+  * The twins run append-mode with a watermark, so by stream end they have
+  * emitted exactly the windows/days the final watermark CLOSED — a
+  * deterministic set: the final watermark is `max(event time) - delay`
+  * regardless of how the file source batched the input. That makes the
+  * finalized output an ANSI-SQL-expressible function of the events table
+  * (the batch twin's aggregation plus a closed-under-watermark
+  * predicate), which moves the streaming convergence property from
+  * ScalaTest-only into the driver's row/schema/hash-matched gate.
+  *
+  * Each query here RUNS a bounded stream to completion (memory sink,
+  * `processAllAvailable`) and returns the sink table. That is the honest
+  * cost of the operator — the gate and bench both see the stream
+  * actually execute, state, watermark and all.
+  *
+  * Watermark arithmetic mirrored in the oracles: Spark tracks event-time
+  * stats in MILLISECONDS (each row contributes `ts_us DIV 1000`), so the
+  * final watermark is `(max(epoch_us(ts)) // 1000 - delay_ms)` ms. A
+  * tumbling window is emitted once `window.end <= watermark`; a
+  * flatMapGroupsWithState day closes when its event-time timeout at the
+  * day's end millisecond fires, i.e. `watermark > (day+1)*86400000`
+  * (strict — the same predicate StreamingSpec pins against the twin).
+  */
+object StreamingGate extends QueryModule {
+
+  /** Run a (bounded) streaming frame to completion into a memory sink
+    * and return the sink's table. The temp view is dropped first so
+    * re-runs in one session (bench cold + warm samples) don't collide.
+    */
+  private def runToTable(s: SparkSession, name: String)(out: => DataFrame): DataFrame = {
+    try s.catalog.dropTempView(name) catch { case _: Throwable => () }
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** es02: the e02 tumbling-window twin's finalized (closed-window)
+    * output — EventStream.tumblingAgg in append mode, 2 h watermark.
+    */
+  private def es02(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es02_sink") {
+      EventStream.tumblingAgg(EventStream.readEvents(s, dir))
+    }
+
+  private val es02Sql =
+    """WITH wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000 - 7200000) * 1000 AS wm_us FROM events)
+      |SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events, wm
+      |WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm.wm_us
+      |GROUP BY 1, 2, wm.wm_us""".stripMargin
+
+  /** es10: the e10 daily-paths twin's finalized (closed-day) output —
+    * EventStream.dailyPaths in append mode, 0 s watermark delay, one
+    * (user_id, day, path) row per day the final watermark passed.
+    */
+  private def es10(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    runToTable(s, "es10_sink") {
+      EventStream.dailyPaths(s, EventStream.readEvents(s, dir))
+        .select(col("user_id"), col("day"), col("path"))
+    }
+  }
+
+  private val es10Sql =
+    s"""WITH wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events),
+       |ev AS (
+       |  SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, event_type,
+       |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+       |                       ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events)
+       |SELECT user_id, day, string_agg(event_type, '>' ORDER BY rn) AS path
+       |FROM ev, wm
+       |WHERE rn <= ${graft.queries.EventsQueries.PathLen}
+       |  AND (day + 1) * 86400000 < wm.wm_ms
+       |GROUP BY 1, 2, wm.wm_ms""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("es02_tumbling_closed", es02, Some(es02Sql)),
+    QueryDef("es10_daily_paths_closed", es10, Some(es10Sql)),
+  )
+}

@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * its back half (representative join + split assignment + stage rollup)
   * timed separately.
   *
+  * Round 9: the measured label-once shape is now the SHIPPED shape —
+  * d07/d10/p06 share labels through Graph.materializedOnce (build-once
+  * parquet, read-many), so the "per-query" numbers below only show the
+  * old relabeling cost on the FIRST call per (dir, edge-set) key; repeat
+  * calls in one process read the materialized frame.
+  *
   * Usage: runMain graft.tools.LabelOnceProf [sfDir]
   */
 object LabelOnceProf {
