@@ -645,6 +645,121 @@ object Dedup extends QueryModule {
     s"""WITH $segScrubCte
        |SELECT doc_id, n_segs, n_dup_segs, dup_ratio, clean_text FROM scrub""".stripMargin
 
+  // ---- d13: incremental (Δ-vs-corpus) dedup ---------------------------
+
+  /** d13: INCREMENTAL dedup — the daily-ingest shape every production
+    * corpus actually runs: a new batch Δ arrives and each new document is
+    * classified against the EXISTING corpus (and never corpus-vs-corpus,
+    * which was settled at the previous ingest):
+    *
+    *   - `exact`: normalized content hash already present in the corpus
+    *     (dup_of = smallest such corpus doc);
+    *   - `near`:  3-gram Jaccard ≥ 0.5 with some corpus doc (dup_of =
+    *     the best match — highest Jaccard, ties to smallest doc_id);
+    *   - `new`:   neither (dup_of null) — the only rows that proceed to
+    *     ingestion.
+    *
+    * The declared query simulates the split deterministically: Δ =
+    * `doc_id % 10 == 0` (a tenth of the corpus as "today's batch").
+    *
+    * Scale shape — the point of the operator: work is proportional to
+    * |Δ| + touched postings, NOT the corpus. The exact check is a
+    * hash-keyed join of Δ against a corpus-hash table pre-reduced to one
+    * row per hash; the near check joins Δ's shingles against the corpus
+    * inverted index, so only postings for shingles that actually occur
+    * in Δ move — at 100 TB the corpus index is a materialized table
+    * (same pattern as Graph.materializedOnce labels) and an ingest
+    * re-shuffles only the day's delta. Corpus-side postings keep d03's
+    * df-cap as the boilerplate/fanout guard (a shingle in > DfCap corpus
+    * docs connects nothing but templates; cap far above this testdata's
+    * max df, so the oracle needs no mirror — the capped path is
+    * unit-tested in OpsSpec for d03's shared machinery).
+    */
+  private[graft] def incrementalDedup(delta: DataFrame, corpus: DataFrame): DataFrame = {
+    val norm = md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " "))))
+    val corpusHash = corpus.select(norm.as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("exact_of"))
+    val exact = delta.select(col("doc_id"), norm.as("h"))
+      .join(corpusHash, Seq("h"), "left_outer")
+      .select(col("doc_id"), col("exact_of"))
+
+    val dsh = delta.select(col("doc_id").as("d_id"), shingleArr(col("text")).as("sh"))
+      .select(col("d_id"), size(col("sh")).as("dn"), explode(col("sh")).as("shingle"))
+    val cshAll = corpus.select(col("doc_id").as("c_id"), shingleArr(col("text")).as("sh"))
+      .select(col("c_id"), size(col("sh")).as("cn"), explode(col("sh")).as("shingle"))
+    // df-cap on the corpus posting side — the join-fanout driver
+    val hot = cshAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select(col("shingle"))
+    val csh = cshAll.join(hot, Seq("shingle"), "left_anti")
+    val near = dsh.join(csh, Seq("shingle"))
+      .groupBy(col("d_id"), col("c_id"), col("dn"), col("cn"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jac", col("c") / (col("dn") + col("cn") - col("c")))
+      .filter(col("jac") >= 0.5)
+    val best = near
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("d_id"))
+          .orderBy(col("jac").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("d_id").as("doc_id"), col("c_id").as("near_of"))
+
+    exact.join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_of").isNotNull, lit("exact"))
+          .when(col("near_of").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_of"), col("near_of")).as("dup_of"))
+  }
+
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    incrementalDedup(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0))
+  }
+
+  private val d13Sql =
+    """WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+      |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+      |ch AS (
+      |  SELECT md5(lower(trim(regexp_replace(text,'[ \t\n\x0B\f\r]+',' ','g')))) AS h,
+      |    min(doc_id) AS exact_of
+      |  FROM corpus GROUP BY 1),
+      |dh AS (
+      |  SELECT doc_id, md5(lower(trim(regexp_replace(text,'[ \t\n\x0B\f\r]+',' ','g')))) AS h
+      |  FROM delta),
+      |dsh AS (
+      |  SELECT doc_id AS d_id, len(sh) AS dn, unnest(sh) AS shingle
+      |  FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+      |              FROM delta))),
+      |csh AS (
+      |  SELECT doc_id AS c_id, len(sh) AS cn, unnest(sh) AS shingle
+      |  FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+      |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |        FROM (SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+      |              FROM corpus))),
+      |near AS (
+      |  SELECT d_id, c_id, dn, cn, count(*) AS c
+      |  FROM dsh JOIN csh USING (shingle)
+      |  GROUP BY 1, 2, 3, 4),
+      |best AS (
+      |  SELECT d_id AS doc_id, c_id AS near_of
+      |  FROM (SELECT d_id, c_id, row_number() OVER (
+      |          PARTITION BY d_id
+      |          ORDER BY c / (dn + cn - c) DESC, c_id) AS rn
+      |        FROM near WHERE c / (dn + cn - c) >= 0.5)
+      |  WHERE rn = 1)
+      |SELECT dh.doc_id,
+      |  CASE WHEN ch.exact_of IS NOT NULL THEN 'exact'
+      |       WHEN best.near_of IS NOT NULL THEN 'near'
+      |       ELSE 'new' END AS verdict,
+      |  coalesce(ch.exact_of, best.near_of) AS dup_of
+      |FROM dh
+      |LEFT JOIN ch USING (h)
+      |LEFT JOIN best ON dh.doc_id = best.doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
     QueryDef("d02_dedup_normalized", d02, Some(d02Sql)),
@@ -657,5 +772,6 @@ object Dedup extends QueryModule {
     QueryDef("d10_cluster_sizes", d10, Some(d10Sql)),
     QueryDef("d11_decontamination", d11, Some(d11Sql)),
     QueryDef("d12_segment_scrub", d12, Some(d12Sql)),
+    QueryDef("d13_incremental_dedup", d13, Some(d13Sql)),
   )
 }

@@ -501,6 +501,79 @@ object TextAnalysis extends QueryModule {
   private def t13(s: SparkSession, dir: String): DataFrame =
     unigramSurprise(Tables.documents(s, dir).select(col("doc_id"), col("text")))
 
+  // ---- t14: bigram surprise (conditional LM quality proxy) ------------
+
+  /** t14: per-document BIGRAM surprise — the conditional next-token
+    * version of t13's unigram score, i.e. the CCNet-style "LM quality"
+    * proxy one step up the n-gram ladder: a document whose adjacent-token
+    * transitions are rare under the corpus bigram model reads as noise or
+    * boilerplate-free novelty; one whose transitions are all common reads
+    * as templated text. Per bigram, `P(cur|prev) = c(prev,cur) /
+    * c(prev,·)` with the prefix count taken over bigram PREFIXES (so the
+    * conditional distribution normalizes exactly, and a document-final
+    * token never skews its own denominator).
+    *
+    * Cross-engine determinism: same bit-length quantization as t13 —
+    * `bits = bitlen(c(prev,·)) - bitlen(c(prev,cur))` ≈ −log2 P, pure
+    * integer arithmetic, ulp-exact in any engine; the only float is the
+    * final mean (one division of two exact longs, identical in IEEE on
+    * both sides).
+    *
+    * Scale shape: bigram expansion is ROW-LOCAL (a transform over the
+    * token array — no self-join, no window); one shuffle pre-aggregates
+    * (doc, prev, cur) with map-side combine, the corpus bigram/prefix
+    * model is two small aggs over that, and the bits join back is keyed
+    * on (prev, cur) — at 100 TB every stage is hash-partitioned and
+    * linear, with the model table ~vocab² bounded far below the corpus.
+    */
+  private[graft] def bigramSurprise(docs: DataFrame): DataFrame = {
+    val withBg = docs
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(w)-1), i -> struct(w[i-1] AS prev, w[i] AS cur))"))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    // one corpus-wide shuffle; everything model-side derives from it
+    val perDoc = withBg.groupBy(col("doc_id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("k")).persist()
+    val model = perDoc.groupBy(col("prev"), col("cur")).agg(sum(col("k")).as("cnt"))
+    val prefix = model.groupBy(col("prev")).agg(sum(col("cnt")).as("pcnt"))
+    val bits = model.join(prefix, Seq("prev"))
+      .select(col("prev"), col("cur"),
+        (length(bin(col("pcnt"))) - length(bin(col("cnt")))).cast("long").as("bits"))
+    perDoc.join(bits, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("bits")).as("sum_bits"),
+        max(col("bits")).as("max_bits"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("sum_bits") / col("n_bigrams")).as("mean_bits"), col("max_bits"))
+  }
+
+  private def t14(s: SparkSession, dir: String): DataFrame =
+    bigramSurprise(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  private val t14Sql =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(w[1:-2]) AS prev, unnest(w[2:-1]) AS cur
+      |  FROM w WHERE len(w) >= 2),
+      |pd AS (SELECT doc_id, prev, cur, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+      |m AS (SELECT prev, cur, sum(k) AS cnt FROM pd GROUP BY 1, 2),
+      |p AS (SELECT prev, sum(cnt) AS pcnt FROM m GROUP BY 1),
+      |b AS (
+      |  SELECT m.prev, m.cur,
+      |    CAST(length(bin(p.pcnt)) - length(bin(m.cnt)) AS BIGINT) AS bits
+      |  FROM m JOIN p USING (prev))
+      |SELECT pd.doc_id, CAST(sum(pd.k) AS BIGINT) AS n_bigrams,
+      |  sum(pd.k * b.bits) / sum(pd.k) AS mean_bits, max(b.bits) AS max_bits
+      |FROM pd JOIN b USING (prev, cur)
+      |GROUP BY 1""".stripMargin
+
   private val t13Sql =
     """WITH tk AS (
       |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS tok
@@ -529,5 +602,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("t11_token_chunks", t11, Some(t11Sql)),
     QueryDef("t12_repetition", t12, Some(t12Sql)),
     QueryDef("t13_unigram_surprise", t13, Some(t13Sql)),
+    QueryDef("t14_bigram_surprise", t14, Some(t14Sql)),
   )
 }

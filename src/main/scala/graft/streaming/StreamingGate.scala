@@ -85,8 +85,44 @@ object StreamingGate extends QueryModule {
        |  AND (day + 1) * 86400000 < wm.wm_ms
        |GROUP BY 1, 2, wm.wm_ms""".stripMargin
 
+  /** es03: the e03 sessionize twin's finalized (closed-session) output —
+    * EventStream.sessionize in append mode, 0 s watermark delay. A
+    * session is closed either by the user's next event arriving more
+    * than the 30-min gap later (then the batch rule splits there too) or
+    * by its event-time timeout at `end + gap + 1 ms` firing, which needs
+    * the final watermark STRICTLY past it. So the closed set is every
+    * batch session except a user's LAST one whose timeout the watermark
+    * has not strictly exceeded — the same predicate StreamingSpec pins.
+    */
+  private def es03(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es03_sink") {
+      EventStream.sessionize(s, EventStream.readEvents(s, dir)).toDF()
+    }
+
+  private val es03Sql =
+    """WITH wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events),
+      |t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM t),
+      |sess AS (
+      |  SELECT user_id, session_id, count(*) AS n_events,
+      |    min(ts_us) AS start_us, max(ts_us) AS end_us,
+      |    max(session_id) OVER (PARTITION BY user_id) AS last_sid
+      |  FROM s GROUP BY user_id, session_id)
+      |SELECT user_id, session_id, n_events, start_us, end_us
+      |FROM sess, wm
+      |WHERE NOT (session_id = last_sid AND end_us // 1000 + 1800001 >= wm.wm_ms)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("es02_tumbling_closed", es02, Some(es02Sql)),
+    QueryDef("es03_sessions_closed", es03, Some(es03Sql)),
     QueryDef("es10_daily_paths_closed", es10, Some(es10Sql)),
   )
 }

@@ -569,4 +569,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
       assert(r.getAs[Boolean](c), s"${r.getString(0)} $c")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
+
+  test("d13 incremental dedup: exact beats near; near picks best Jaccard; rest are new") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val corpus = Seq(
+      (1L, base),                         // exact target
+      (2L, base),                         // same text, larger id: exact_of must pick min (1)
+      (3L, s"$base x1 x2"),               // near target for doc 102 (high jaccard)
+      (5L, "z1 z2 z3 z4 z5 z6 z7 z8")     // unrelated
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, base),                       // exact dup of 1 AND near 3 -> exact wins, dup_of 1
+      (102L, s"$base x1"),                // near 1/2/3; 3 shares most shingles -> near_of 3
+      (104L, "q1 q2 q3 q4 q5 q6 q7 q8")   // nothing shared -> new
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.incrementalDedup(delta, corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), Option(r.get(2))))).toMap
+    assert(out(100L) === (("exact", Some(1L))))
+    assert(out(102L)._1 === "near")
+    assert(out(102L)._2 === Some(3L), "best-Jaccard corpus doc must win the near attribution")
+    assert(out(104L) === (("new", None)))
+    assert(out.size === 3, "exactly one verdict row per delta doc")
+  }
+
+  test("t14 bigram surprise: hand-computed conditional bits; prefix counts normalize") {
+    import spark.implicits._
+    // corpus bigrams: doc1 'a b' x4 (via 'a b a b a b a b' -> ab,ba,ab,ba,ab,ba,ab: ab x4, ba x3)
+    // doc2 'a c': ab-prefix pool for 'a' = ab(4) + ac(1) = 5 -> bitlen(5)=3
+    //   bits(a->b) = 3 - bitlen(4) = 0 ; bits(a->c) = 3 - bitlen(1) = 2
+    //   prefix 'b' pool = ba(3) -> bits(b->a) = bitlen(3) - bitlen(3) = 0
+    val docs = Seq(
+      (1L, "a b a b a b a b"),
+      (2L, "a c")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.bigramSurprise(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((7L, 0.0, 0L)), "all-common transitions score zero bits")
+    assert(out(2L) === ((1L, 2.0, 2L)), "rare transition scores bitlen(prefix)-bitlen(bigram)")
+    // a doc with <2 tokens emits no row
+    val single = graft.ops.TextAnalysis.bigramSurprise(
+      Seq((9L, "only")).toDF("doc_id", "text"))
+    assert(single.count() === 0L)
+  }
 }
