@@ -961,6 +961,117 @@ object Similarity extends QueryModule {
        |  FROM cand c JOIN n x ON c.qid = x.vec_id JOIN n y ON c.nid = y.vec_id)
        |WHERE sim >= $RsTau""".stripMargin
 
+  // ---- s12: ANN recall audit ------------------------------------------
+
+  private val RecallQueries = 64 // fixed audit batch — NOT a corpus fraction
+
+  /** s12: recall@5 audit of the s03 LSH index against exact search, on a
+    * deterministic FIXED-SIZE query batch — the operator a production
+    * ANN deployment runs after every index build: "is the index still
+    * finding what brute force finds?". The fixed batch is the whole
+    * point of the scale shape: exact search runs batch × corpus (64·n,
+    * linear — a FRACTIONAL sample would make the audit (n/c)·n, i.e.
+    * quadratic again, which the first cut of this operator got wrong and
+    * the 10× tripwire caught), and the ANN side is the index's own
+    * candidate pipeline cut to the batch queries. Per audited query:
+    * k (exact neighbors available), n_hits (of them, how many the index
+    * returned in its top-5), recall = n_hits / k. The corpus-wide mean
+    * is one trivial aggregation the consumer runs; emitting per-query
+    * rows keeps the worst queries attributable (a recall report that
+    * only says "0.93 average" cannot name the queries the index lost).
+    *
+    * Batch rule: md5 order of the salted vec_id, LIMIT-capped — the s07/
+    * s11 query-batch contract; reproducible in both engines and
+    * independent of the s03 plane salt and the s11 query salt.
+    */
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir).persist()
+    val sampled = base
+      .orderBy(md5(concat(lit("rec_"), col("vec_id").cast("string"))))
+      .limit(RecallQueries)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    // exact top-5 for the sample only: sample × corpus through the
+    // bounded-memory TopK aggregator (s01's kernel, sample-sized)
+    import s.implicits._
+    val exact = sampled.crossJoin(
+        base.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .as[graft.functions.KnnRow]
+      .groupByKey(_.qid)
+      .agg(new graft.functions.TopKNeighbors(5).toColumn.name("top"))
+      .flatMap { case (qid, top) => top.items.iterator.map(r => (qid, r.nid)) }
+      .toDF("qid", "nid")
+    // the index's answer, cut to the sampled queries
+    val ann = s03(s, dir).select(col("qid"), col("nid"))
+      .join(sampled.select(col("qid")), Seq("qid"))
+    val hits = exact.join(ann, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / col("k")).as("recall"))
+  }
+
+  /** Oracle: exact side is the sample × corpus top-5 (s01's formula with
+    * the sample predicate); ANN side is the full s03 pipeline mirror cut
+    * to the sample; recall joins the two — so a hash match re-certifies
+    * every s03 stage AND the recall arithmetic in one query.
+    */
+  private val s12Sql =
+    s"""WITH $oracleVecs,
+       |smp AS (
+       |  SELECT vec_id FROM n
+       |  ORDER BY md5('rec_' || CAST(vec_id AS VARCHAR)) LIMIT $RecallQueries),
+       |ex AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, ${Dim + 1}), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) DESC,
+       |        b.vec_id) AS rn
+       |    FROM n a JOIN smp USING (vec_id) JOIN n b ON a.vec_id <> b.vec_id)
+       |  WHERE rn <= 5),
+       |pl AS (
+       |  SELECT t AS tbl, p AS plane, list_transform(range(0, $Dim), j ->
+       |    CAST(list_reduce(list_transform(list_transform(range(1, 16),
+       |        i -> substr(md5(t || '_' || p || '_' || j), i, 1)),
+       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS DOUBLE)
+       |      / 576460752303423488.0 - 1) AS pvec
+       |  FROM (SELECT unnest(range(0, $NumTables)) AS t)
+       |  CROSS JOIN (SELECT unnest(range(0, $NumPlanes)) AS p)),
+       |proj AS (
+       |  SELECT n.vec_id, pl.tbl, pl.plane,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * pl.pvec[i])) AS dot
+       |  FROM n CROSS JOIN pl),
+       |bk AS (
+       |  SELECT vec_id, tbl,
+       |    sum(CASE WHEN dot > 0 THEN (1::BIGINT << CAST(plane AS INT)) ELSE 0 END) AS bucket
+       |  FROM proj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |sc AS (
+       |  SELECT c.qid, c.nid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
+       |  FROM cand c JOIN n x ON c.qid = x.vec_id JOIN n y ON c.nid = y.vec_id),
+       |ann AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |    FROM sc)
+       |  WHERE rn <= 5 AND qid IN (SELECT vec_id FROM smp)),
+       |h AS (
+       |  SELECT ex.qid, count(*) AS n_hits
+       |  FROM ex JOIN ann ON ex.qid = ann.qid AND ex.nid = ann.nid
+       |  GROUP BY 1)
+       |SELECT ex.qid, count(*) AS k,
+       |  coalesce(any_value(h.n_hits), 0) AS n_hits,
+       |  coalesce(any_value(h.n_hits), 0) / count(*) AS recall
+       |FROM ex LEFT JOIN h ON ex.qid = h.qid
+       |GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_knn", s01, Some(s01Sql)),
     QueryDef("s02_cosine_neardup", s02, Some(s02Sql)),
@@ -973,5 +1084,6 @@ object Similarity extends QueryModule {
     QueryDef("s09_two_stage_ann", s09, Some(s09Sql)),
     QueryDef("s10_kmeans_step", s10, Some(s10Sql)),
     QueryDef("s11_range_search", s11, Some(s11Sql)),
+    QueryDef("s12_ann_recall", s12, Some(s12Sql)),
   )
 }

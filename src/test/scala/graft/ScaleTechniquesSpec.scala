@@ -528,4 +528,69 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir10))
     }
   }
+
+  test("d13/t14/s12 10x scaling: linear wall time, delta-sized output, recall bounds") {
+    val src = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
+    // same clone-heavy generator as the d12/t13 tripwire: ids are
+    // original*10+clone, so d13's delta rule (doc_id % 10 == 0) selects
+    // exactly clone 0 of every original and the corpus holds its 4
+    // near-identical siblings — every delta doc SHOULD classify near,
+    // which maximizes the posting-join and best-match work per delta row.
+    def mkDocs(originals: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_r9docs_$originals").toString
+      src.filter(col("doc_id") < originals)
+        .crossJoin(spark.range(5).select(col("id").as("clone")))
+        .select((col("doc_id") * 10 + col("clone")).as("doc_id"),
+          concat(col("text"), lit(" zqtail"), col("clone")).as("text"),
+          col("lang"), col("source"), (length(col("text")) + 8).as("n_chars"))
+        .coalesce(4).write.parquet(out + "/documents.parquet")
+      out
+    }
+    def mkEmb(n: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_r9emb_$n").toString
+      spark.range(n).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(sequence(lit(1), lit(64)),
+          j => (pmod(hash(col("id"), j), lit(2000)) / lit(1000.0) - 1.0).cast("float"))
+          .as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+        .coalesce(4).write.parquet(out + "/embeddings.parquet")
+      out
+    }
+    def time(q: String, dir: String): Double = {
+      graft.core.Sessions.sweepPersistedState(spark)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      graft.core.Sessions.sweepPersistedState(spark)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (docs1, docs10) = (mkDocs(400), mkDocs(4000))
+    val (emb1, emb10) = (mkEmb(2000), mkEmb(20000))
+    try {
+      for (q <- Seq("d13_incremental_dedup", "t14_bigram_surprise")) {
+        val (t1, t10) = (time(q, docs1), time(q, docs10))
+        info(f"$q 1x: $t1%.1fs; 10x: $t10%.1fs")
+        assert(t10 <= t1 * 25 + 5.0, f"$q wall time must stay ~linear: $t1%.1fs -> $t10%.1fs")
+      }
+      // d13 invariants at 10x: output is DELTA-sized (one verdict per
+      // delta doc, never corpus-sized), and the clone stress really
+      // bites (clone-0 docs find their siblings)
+      val verdicts = SparkEntry.queries("d13_incremental_dedup")(spark, docs10)
+        .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(verdicts.values.sum === 4000L, s"one row per delta doc: $verdicts")
+      assert(verdicts.getOrElse("near", 0L) + verdicts.getOrElse("exact", 0L) >= 3800L,
+        s"clone corpus: almost every delta doc must find a sibling, got $verdicts")
+      val (t1s, t10s) = (time("s12_ann_recall", emb1), time("s12_ann_recall", emb10))
+      info(f"s12 1x: $t1s%.1fs; 10x: $t10s%.1fs")
+      assert(t10s <= t1s * 25 + 5.0, f"s12 wall time must stay ~linear: $t1s%.1fs -> $t10s%.1fs")
+      val rec = SparkEntry.queries("s12_ann_recall")(spark, emb10)
+        .agg(count(lit(1)), min(col("recall")), max(col("recall")), min(col("k"))).collect()(0)
+      assert(rec.getLong(0) > 0, "sample must be non-empty")
+      assert(rec.getDouble(1) >= 0.0 && rec.getDouble(2) <= 1.0, "recall must stay in [0,1]")
+      assert(rec.getLong(3) === 5L, "every sampled query has 5 exact neighbors at n=20000")
+    } finally {
+      for (d <- Seq(docs1, docs10, emb1, emb10))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    }
+  }
 }
