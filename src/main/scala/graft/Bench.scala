@@ -35,6 +35,59 @@ object Bench {
     }
   }
 
+  /** Render the (full, compact) summary JSON lines from the per-query
+    * results: name -> (warm, cold, warmSamples, load, planFp). Factored
+    * from main so the two loudness tripwires are unit-testable (the
+    * round-8 "done" bar: planting one failing query must redden BOTH
+    * artifacts):
+    *  - `warm_exceeds_cold`: the leak guard — a steady-state median
+    *    slower than cold by a margin noise can't explain (round-5
+    *    checkpoint-leak signature);
+    *  - `errors`: every query whose warm OR cold record is the -1.0
+    *    failure sentinel, named in BOTH lines so the driver's bounded
+    *    stdout tail and the artifact file each carry the red list (a
+    *    sentinel used to hide inside a green-looking total: 7 broken
+    *    queries contributed ~0 s in round 8 and nothing flagged them).
+    */
+  private[graft] def renderSummary(
+      results: Seq[(String, (Double, Double, Seq[Double], Double, String))],
+      sfDir: String, out: String): (String, String) = {
+    def inverted(warm: Double, cold: Double): Boolean =
+      cold > 0 && warm > cold * 1.5 && warm - cold > 1.0
+    // 3-decimal times: ms resolution is below run-to-run noise, and the
+    // shorter line matters — the driver captures a bounded tail of stdout.
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def map(sel: ((Double, Double, Seq[Double], Double, String)) => Double) = results
+      .map { case (k, v) => "\"" + k + "\":" + fmt(sel(v)) }.mkString("{", ",", "}")
+    val samplesMap = results
+      .map { case (k, v) => "\"" + k + "\":" + v._3.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val fpMap = results
+      .map { case (k, v) => "\"" + k + "\":\"" + v._5 + "\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val warmExceedsCold = results.collect {
+      case (name, (warm, cold, _, _, _)) if inverted(warm, cold) => name
+    }
+    if (warmExceedsCold.nonEmpty)
+      System.err.println(s"[bench] WARM>COLD LEAK SUSPECTS: ${warmExceedsCold.mkString(", ")}")
+    val guard = warmExceedsCold.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failed = results.collect {
+      case (name, (warm, cold, _, _, _)) if warm < 0 || cold < 0 => name
+    }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED (-1.0 sentinel): ${failed.mkString(", ")}")
+    val errList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_._1)},"first_run":${map(_._2)},"warm_samples":$samplesMap,"load":${map(_._4)},"plan_fp":$fpMap,"warm_exceeds_cold":$guard,"errors":$errList,"sf":"$sfDir"}"""
+    // The per-query maps (~5 KB at 97 queries) overflow the bounded
+    // stdout tail the driver captures — all four rounds' BENCH files
+    // show "parsed": null from the line being truncated mid-JSON. So the
+    // full record goes to the output FILE (and to stdout first, for
+    // humans), and a short self-contained summary line prints LAST so
+    // the captured tail always ends in parseable JSON.
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"errors":$errList,"queries_file":"$out","sf":"$sfDir"}"""
+    (full, compact)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -102,9 +155,8 @@ object Bench {
     // plan regression.
     // warm_exceeds_cold flags a steady-state slower than first run by a
     // margin noise can't explain — the signature of state leaking across
-    // runs (the round-5 checkpoint leak's shape).
-    def inverted(warm: Double, cold: Double): Boolean =
-      cold > 0 && warm > cold * 1.5 && warm - cold > 1.0
+    // runs (the round-5 checkpoint leak's shape); the rule lives in
+    // renderSummary with the rest of the artifact assembly.
     // One load-average sample per query: round 7's recorded total was
     // ~40% inflated by machine load (18 s recorded vs 0.86 s reproduced
     // for q23), and without a contemporaneous load stamp a judge cannot
@@ -178,47 +230,8 @@ object Bench {
         catch { case _: Throwable => "" }
       name -> (warm, cold, warmSamples, load, fp)
     }
-    // 3-decimal times: ms resolution is below run-to-run noise, and the
-    // shorter line matters — the driver captures a bounded tail of stdout.
-    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def map(sel: ((Double, Double, Seq[Double], Double, String)) => Double) = results
-      .map { case (k, v) => "\"" + k + "\":" + fmt(sel(v)) }.mkString("{", ",", "}")
-    val samplesMap = results
-      .map { case (k, v) => "\"" + k + "\":" + v._3.map(fmt).mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
-    val fpMap = results
-      .map { case (k, v) => "\"" + k + "\":\"" + v._5 + "\"" }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    // Leak guard: reported in the JSON so a regression is visible in the
-    // round artifact, and loudly on stderr. With the always-median
-    // protocol a name here means the MEDIAN of three warm runs exceeded
-    // cold — load alone rarely does that; treat it as a real suspect.
-    val warmExceedsCold = results.collect {
-      case (name, (warm, cold, _, _, _)) if inverted(warm, cold) => name
-    }
-    if (warmExceedsCold.nonEmpty)
-      System.err.println(s"[bench] WARM>COLD LEAK SUSPECTS: ${warmExceedsCold.mkString(", ")}")
-    val guard = warmExceedsCold.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Error loudness (the round-8 lesson): a -1.0 sentinel used to hide
-    // inside a green-looking total (7 broken queries contributed ~0 s and
-    // nothing flagged them). Every query whose warm OR cold record is the
-    // failure sentinel is named in BOTH JSON lines, so the driver's
-    // bounded stdout tail and the artifact file each carry the red list.
-    val failed = results.collect {
-      case (name, (warm, cold, _, _, _)) if warm < 0 || cold < 0 => name
-    }
-    if (failed.nonEmpty)
-      System.err.println(s"[bench] ${failed.size} queries FAILED (-1.0 sentinel): ${failed.mkString(", ")}")
-    val errList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_._1)},"first_run":${map(_._2)},"warm_samples":$samplesMap,"load":${map(_._4)},"plan_fp":$fpMap,"warm_exceeds_cold":$guard,"errors":$errList,"sf":"$sfDir"}"""
-    // The per-query maps (~5 KB at 97 queries) overflow the bounded
-    // stdout tail the driver captures — all four rounds' BENCH files
-    // show "parsed": null from the line being truncated mid-JSON. So the
-    // full record goes to the output FILE (and to stdout first, for
-    // humans), and a short self-contained summary line prints LAST so
-    // the captured tail always ends in parseable JSON.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"errors":$errList,"queries_file":"$out","sf":"$sfDir"}"""
+    val (full, compact) = renderSummary(results, sfDir, out)
     // stop BEFORE printing so no late executor/log line lands after the
     // JSON lines.
     spark.stop()

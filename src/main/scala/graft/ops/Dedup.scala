@@ -310,7 +310,7 @@ object Dedup extends QueryModule {
   /** The d07 pipeline as a CTE prefix (pairs + CC closure + per-doc
     * labels) so composed rollups (d10) reuse the identical closure.
     */
-  private val d07Ctes =
+  private[graft] val d07Ctes =
     s"""$shingleCte,
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |cm AS (SELECT a.doc_id ida, b.doc_id idb, count(*) c

@@ -404,6 +404,59 @@ object Profiling extends QueryModule {
        |keep AS (SELECT doc_id, w FROM cw WHERE len(w) >= $MinCleanTokens)
        |${TextAnalysis.chunkSelectSql("keep")}""".stripMargin
 
+  /** p14: dedup-impact report — the before/after accounting a dedup run
+    * publishes: per source, document and token counts at three stages
+    * (raw corpus; exact-dedup survivors, d01's min-id rule; cluster-
+    * dedup representatives, d07's min-label rule). This is the number
+    * that justifies the dedup compute bill ("cluster dedup removed N
+    * tokens from source X") and the drift signal when an ingest's dup
+    * rate jumps.
+    *
+    * Composition showcase: the cluster stage READS the d07/d10-shared
+    * label frame through Graph.materializedOnce — one labeling per
+    * ingest serves d07, d10 and this report; the report itself adds two
+    * hash-partitioned joins and three small aggregations. The oracle
+    * recomputes the same closure via d07's recursive-CTE block, so the
+    * Spark-side reuse cannot drift from the declared semantics.
+    */
+  private def p14(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), x => length(x) > 0))
+          .cast("long").as("n_tokens"),
+        md5(col("text")).as("h"))
+      .persist()
+    val exactKeep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val clusterKeep = graft.ops.Dedup.docClusterLabels(s, dir)
+      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    def stage(name: String, ids: Option[DataFrame]): DataFrame =
+      ids.fold(docs)(docs.join(_, Seq("doc_id")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(name).as("stage"), col("source"), col("n_docs"), col("n_tokens"))
+    stage("1_raw", None)
+      .unionAll(stage("2_exact_dedup", Some(exactKeep)))
+      .unionAll(stage("3_cluster_dedup", Some(clusterKeep)))
+  }
+
+  private val p14Sql =
+    s"""WITH RECURSIVE ${graft.ops.Dedup.d07Ctes},
+       |tok AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(list_filter(string_split(text,' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |ck AS (SELECT doc_id FROM labels WHERE doc_id = cluster_id)
+       |SELECT '1_raw' AS stage, source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM tok GROUP BY 2
+       |UNION ALL
+       |SELECT '2_exact_dedup', source, count(*), CAST(sum(n_tokens) AS BIGINT)
+       |FROM tok JOIN ek USING (doc_id) GROUP BY 2
+       |UNION ALL
+       |SELECT '3_cluster_dedup', source, count(*), CAST(sum(n_tokens) AS BIGINT)
+       |FROM tok JOIN ck USING (doc_id) GROUP BY 2""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p01_profile", p01, Some(p01Sql)),
     QueryDef("p02_clean_corpus_pipeline", p02, Some(p02Sql)),
@@ -412,6 +465,7 @@ object Profiling extends QueryModule {
     QueryDef("p08_constraint_check", p08, Some(p08Sql)),
     QueryDef("p11_mixing_report", p11, Some(p11Sql)),
     QueryDef("p13_clean_chunk_pipeline", p13, Some(p13Sql)),
+    QueryDef("p14_dedup_impact", p14, Some(p14Sql)),
   )
 
   /** p08: declarative ingest-validation — every constraint evaluated in

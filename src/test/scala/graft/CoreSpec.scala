@@ -122,4 +122,28 @@ class QuerySmokeSpec extends AnyFunSuite {
     // all failed: report failure, never a fast-looking number
     assert(Bench.combineWarm(Seq(-1.0, -1.0, -1.0)) === -1.0)
   }
+
+  test("bench summary: a planted failing query reddens BOTH JSON lines; leak guard flags") {
+    // the round-8 "done" bar: a -1.0 sentinel must never hide inside a
+    // green-looking total — it is named in the full artifact AND the
+    // compact tail line the driver captures
+    val results = Seq(
+      "ok_query"   -> ((1.2, 2.0, Seq(1.1, 1.2, 1.3), 0.5, "aa")),
+      "boom_query" -> ((-1.0, -1.0, Seq(-1.0, -1.0, -1.0), 0.5, "")),
+      "leak_query" -> ((9.0, 2.0, Seq(9.0, 9.1, 8.9), 0.5, "bb")))
+    val (full, compact) = Bench.renderSummary(results, "/sf", "out.json")
+    for (line <- Seq(full, compact)) {
+      assert(line.contains("\"errors\":[\"boom_query\"]"), line)
+      assert(line.contains("\"warm_exceeds_cold\":[\"leak_query\"]"), line)
+    }
+    // failed queries contribute nothing to the total (never a negative)
+    assert(full.contains("\"value\":10.200"), full)
+    // clean results render empty tripwire lists, not absent fields
+    val (cleanFull, cleanCompact) =
+      Bench.renderSummary(results.take(1), "/sf", "out.json")
+    for (line <- Seq(cleanFull, cleanCompact)) {
+      assert(line.contains("\"errors\":[]"), line)
+      assert(line.contains("\"warm_exceeds_cold\":[]"), line)
+    }
+  }
 }
