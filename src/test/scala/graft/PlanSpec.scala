@@ -434,4 +434,27 @@ class PlanSpec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("d13/t14: incremental dedup and bigram model are join/agg-shaped, no cartesian, no global window") {
+    for (q <- Seq("d13_incremental_dedup", "t14_bigram_surprise")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: delta-vs-corpus / model joins must stay key-equi, never all-pairs")
+      // a partitionBy-less window would funnel the corpus through ONE
+      // task; d13's best-match window partitions by d_id, t14 has none
+      assert(!p.contains("Window [") || p.contains("windowspecdefinition(d_id"),
+        s"$q: no single-partition window allowed:\n${p.take(800)}")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("s12: the audit's query batch is LIMIT-capped, never a corpus fraction") {
+    // the s07/s11 contract: the ONLY exact-search query side is a
+    // deterministic fixed-size batch (TakeOrderedAndProject = orderBy(md5)
+    // + limit) — a fractional sample would re-quadratize the audit
+    val p = plan("s12_ann_recall")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"exact side must draw from a fixed-size md5-order batch:\n${p.take(800)}")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }
