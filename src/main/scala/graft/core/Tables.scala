@@ -116,4 +116,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Cheap change fingerprint of a table file (or directory of part
+    * files): total length + latest modification time. Used to key
+    * build-once materializations (Graph.materializedOnce) so a caller
+    * that REWRITES an input under the same path within one process gets
+    * a fresh build instead of stale cached results.
+    */
+  def fileFingerprint(s: SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) s"${st.getLen}-${st.getModificationTime}"
+    else {
+      val kids = fs.listStatus(p)
+      s"${kids.map(_.getLen).sum}-${if (kids.isEmpty) 0L else kids.map(_.getModificationTime).max}"
+    }
+  }
 }

@@ -292,7 +292,8 @@ object Dedup extends QueryModule {
     * label-per-query bench shape.
     */
   private[graft] def docClusterLabels(s: SparkSession, dir: String): DataFrame =
-    Graph.materializedOnce(s, s"doc_cluster_labels|$dir") {
+    Graph.materializedOnce(s,
+      s"doc_cluster_labels|$dir|${Tables.fileFingerprint(s, s"$dir/documents.parquet")}") {
       Graph.connectedComponents(
         Tables.documents(s, dir).select(col("doc_id")),
         d03(s, dir).select(col("ida"), col("idb")))
@@ -685,8 +686,12 @@ object Dedup extends QueryModule {
 
     val dsh = delta.select(col("doc_id").as("d_id"), shingleArr(col("text")).as("sh"))
       .select(col("d_id"), size(col("sh")).as("dn"), explode(col("sh")).as("shingle"))
+    // persisted: feeds the df-cap aggregate AND the anti-join probe —
+    // without the cache the corpus shingling kernel runs twice (the
+    // exact trap d03's shingled() cache documents)
     val cshAll = corpus.select(col("doc_id").as("c_id"), shingleArr(col("text")).as("sh"))
       .select(col("c_id"), size(col("sh")).as("cn"), explode(col("sh")).as("shingle"))
+      .persist()
     // df-cap on the corpus posting side — the join-fanout driver
     val hot = cshAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > DfCap).select(col("shingle"))

@@ -228,7 +228,12 @@ object Graph {
 
   private val labelStoreRoot: java.io.File = {
     val f = java.nio.file.Files.createTempDirectory("graft_labels").toFile
-    f.deleteOnExit(); f
+    // deleteOnExit is a no-op on non-empty directories — a recursive
+    // shutdown hook is what actually reclaims the store's parquet frames
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(f)
+      catch { case _: Throwable => () }))
+    f
   }
   private val labelStorePaths = scala.collection.mutable.HashMap[String, String]()
 
@@ -241,9 +246,11 @@ object Graph {
     * for the shared shape, tools/LabelOnceProf, docs/SCALE.md).
     *
     * The store is parquet under a per-PROCESS temp dir, keyed by the
-    * caller's (input dir | edge definition) string: per-process scoping
-    * means a regenerated testdata directory can never serve stale labels
-    * across JVM runs, and parquet (rather than persist/localCheckpoint)
+    * caller's (input dir | edge definition | input fingerprint) string:
+    * per-process scoping means a regenerated testdata directory can
+    * never serve stale labels across JVM runs, the fingerprint
+    * (Tables.fileFingerprint: length+mtime) catches an input rewritten
+    * under the SAME path within one process, and parquet (rather than persist/localCheckpoint)
     * means the frame survives the bench/verify inter-query persisted-
     * state sweeps, restarts included, exactly like a production table.
     * The builder's checkpoint blocks are released after the write. The

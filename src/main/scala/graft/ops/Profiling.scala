@@ -256,7 +256,8 @@ object Profiling extends QueryModule {
 
   private def p06(s: SparkSession, dir: String): DataFrame = {
     val (withLang, kept, survivors) = funnelFrames(s, dir)
-    val labels = graft.ops.Graph.materializedOnce(s, s"p06_survivor_labels|$dir") {
+    val labels = graft.ops.Graph.materializedOnce(s,
+      s"p06_survivor_labels|$dir|${Tables.fileFingerprint(s, s"$dir/documents.parquet")}") {
       graft.ops.Graph.connectedComponents(
         survivors.select(col("doc_id")), nearDupPairs(survivors))
     }

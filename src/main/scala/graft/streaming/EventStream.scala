@@ -27,7 +27,22 @@ object EventStream {
     * µs-encoded file as nanos. For long-typed files the epoch unit comes
     * from the parquet footer, also shared with the batch loader.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    readEventsWith(spark, dir, maxFilesPerTrigger = Some(1))
+
+  /** [[readEvents]] with the batching knob exposed. `Some(1)` (the
+    * replay/convergence-test default) delivers one file per micro-batch —
+    * the multi-batch shape the cross-batch state tests need.
+    * `None` reads every available file in the FIRST batch: no
+    * intermediate watermark exists, so no row can be dropped as late
+    * against a mid-stream watermark — which makes a bounded run's
+    * finalized output a function of the DATA alone, not the file
+    * layout. The es* gate queries use `None` for exactly that reason: a
+    * driver regeneration that splits events across files must not
+    * change what the oracle has to predict.
+    */
+  def readEventsWith(spark: SparkSession, dir: String,
+                     maxFilesPerTrigger: Option[Int]): DataFrame = {
     // defensive conf-set, as in Tables.events: nanos-era files only read
     // (as raw longs) when nanosAsLong is on
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -38,10 +53,10 @@ object EventStream {
       if (probed("ts").dataType == LongType)
         graft.core.Tables.eventTsLongUnit(spark, dir, glob)
       else "ns"
+    val reader = spark.readStream.schema(probed)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
     graft.core.Tables.normalizeEventTs(
-      spark.readStream
-        .schema(probed)
-        .option("maxFilesPerTrigger", "1")
+      reader
         // file source requires a directory: stream the sf dir, filtered to
         // the events table file(s)
         .option("pathGlobFilter", glob)

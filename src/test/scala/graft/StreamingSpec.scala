@@ -729,4 +729,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(acc.value === 1L, s"the late signup must be counted as disorder, got ${acc.value}")
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
+
+  test("streaming-gate reader: finalized output is layout-independent (4 interleaved files)") {
+    // The es* gate oracles predict the finalized set from the DATA alone.
+    // With per-file micro-batches that would be wrong: a time-interleaved
+    // multi-file layout makes rows in later batches late against the
+    // intermediate watermark and Spark DROPS them. The gate reader
+    // therefore ingests everything in ONE batch (readEventsWith(None));
+    // this pins that a 4-way md5-interleaved split — each file spanning
+    // the full time range — still finalizes exactly the closed-window
+    // set a single-file layout produces.
+    val splitDir = java.nio.file.Files.createTempDirectory("graft-gatesplit").toString
+    graft.core.Tables.events(spark, dir)
+      .withColumn("ts", expr("unix_micros(ts) * 1000")) // raw ns longs
+      .repartition(4, md5(col("event_id").cast("string"))) // interleaved by hash, not time
+      .write.mode("overwrite").parquet(splitDir)
+    // rename part files to match the events* glob
+    new java.io.File(splitDir).listFiles().filter(_.getName.startsWith("part-"))
+      .foreach(f => f.renameTo(new java.io.File(splitDir, s"events-${f.getName}")))
+    try {
+      val stream = EventStream.tumblingAgg(
+        EventStream.readEventsWith(spark, splitDir, maxFilesPerTrigger = None))
+      val q = stream.writeStream
+        .format("memory").queryName("gate_layout_out")
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("gate_layout_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      // gold: the batch tumbling agg restricted to windows the final
+      // watermark (max ts ms - 2h) closed — the es02 oracle's predicate
+      val ev = graft.core.Tables.events(spark, dir)
+      val wmUs = (ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000
+        - 7200000L) * 1000L
+      val want = SparkEntry.queries("e02_tumbling_window")(spark, dir)
+        .filter(col("bucket_us") + 3600000000L <= wmUs)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(want.nonEmpty)
+      assert(got === want,
+        "multi-file interleaved layout must finalize the same closed-window set")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(splitDir))
+  }
 }
