@@ -126,9 +126,33 @@ object StreamingGate extends QueryModule {
       |FROM sess, wm
       |WHERE NOT (session_id = last_sid AND end_us // 1000 + 1800001 >= wm.wm_ms)""".stripMargin
 
+  /** es07: the e07 retention twin's finalized (user, cohort, offset)
+    * pairs — EventStream.retention in append mode, 2 h watermark. The
+    * buffered harness finalizes exactly the events strictly below the
+    * final watermark (`ts_us < wm_ms * 1000`); over that subset the
+    * cohort is the user's min day and every distinct (cohort, day)
+    * activity pair emits once — a plain SQL function of the finalized
+    * event set.
+    */
+  private def es07(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es07_sink") {
+      EventStream.retention(s,
+        EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None)).toDF()
+    }
+
+  private val es07Sql =
+    """WITH wm AS (SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM events),
+      |fin AS (
+      |  SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+      |  FROM events, wm WHERE epoch_us(ts) < wm.wm_ms * 1000),
+      |coh AS (SELECT user_id, min(day) AS cohort_day FROM fin GROUP BY 1)
+      |SELECT DISTINCT f.user_id, c.cohort_day, f.day - c.cohort_day AS day_offset
+      |FROM fin f JOIN coh c USING (user_id)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("es02_tumbling_closed", es02, Some(es02Sql)),
     QueryDef("es03_sessions_closed", es03, Some(es03Sql)),
+    QueryDef("es07_retention_closed", es07, Some(es07Sql)),
     QueryDef("es10_daily_paths_closed", es10, Some(es10Sql)),
   )
 }
