@@ -40,11 +40,26 @@ object StreamingGate extends QueryModule {
     * and return the sink's table. The temp view is dropped first so
     * re-runs in one session (bench cold + warm samples) don't collide.
     */
-  private def runToTable(s: SparkSession, name: String)(out: => DataFrame): DataFrame = {
+  /** Stream micro-batches pay one state-store task per shuffle partition
+    * per stateful operator per batch; at gate/bench scale that fixed cost
+    * dominates the actual work, so the bounded gate runs drop to 8
+    * partitions for the stream's lifetime (results are partitioning-
+    * independent: counts, mins, decimal sums, and pair sets only). The
+    * session value is restored even on failure; a production deployment
+    * sizes this to cluster cores instead.
+    */
+  private val StreamShufflePartitions = "8"
+
+  private def runToTable(s: SparkSession, name: String, mode: String = "append")(
+      out: => DataFrame): DataFrame = {
     try s.catalog.dropTempView(name) catch { case _: Throwable => () }
-    val q = out.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
     s.table(name)
   }
 
@@ -149,10 +164,160 @@ object StreamingGate extends QueryModule {
       |SELECT DISTINCT f.user_id, c.cohort_day, f.day - c.cohort_day AS day_offset
       |FROM fin f JOIN coh c USING (user_id)""".stripMargin
 
+  /** es01: the e01 twin's converged snapshot — EventStream.jsonAgg is a
+    * plain streaming aggregation keyed by event_type (no watermark; the
+    * key domain, not time, bounds its state), so a complete-mode sink
+    * holds exactly the batch rollup once all input is processed. The
+    * oracle is e01's SQL verbatim.
+    */
+  private def es01(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es01_sink", mode = "complete") {
+      EventStream.jsonAgg(EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None))
+    }
+
+  private val es01Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type""".stripMargin
+
+  /** es04: the e04 as-of twin's finalized rows — EventStream.asofSignup
+    * in append mode, 2 h watermark. The buffered harness hands the step
+    * the finalized prefix (`ts_us < wm_ms*1000`) in (ts, event_id)
+    * order, so each emitted row carries the newest finalized signup
+    * at-or-before it. The as-of window only looks backward and the
+    * finalized set is a time-prefix per user, so restricting the batch
+    * e04 window to that subset is exactly the twin's output.
+    */
+  private def es04(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es04_sink") {
+      EventStream.asofSignup(s,
+        EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None)).toDF()
+    }
+
+  private val es04Sql =
+    """WITH wm AS (SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM events),
+      |fin AS (
+      |  SELECT user_id, event_id, event_type, ts
+      |  FROM events, wm WHERE epoch_us(ts) < wm.wm_ms * 1000)
+      |SELECT event_id, user_id,
+      |  last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+      |FROM fin""".stripMargin
+
+  /** es05: the e05 twin's emitted pair set — the watermark-bounded
+    * stream-stream interval self-join. The gate reader ingests all files
+    * in one batch, so every row joins against fully-populated state
+    * before any watermark eviction: the emitted set is the complete
+    * batch pair join (eviction bounds state on an unbounded stream; it
+    * never suppresses a pair here). Raw pairs, not the per-event count:
+    * the gate hashes the multiset the join actually emitted.
+    */
+  private def es05(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es05_sink") {
+      EventStream.intervalJoin(EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None))
+    }
+
+  private val es05Sql =
+    """SELECT a.user_id, a.event_id AS eid, b.event_id AS oid
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id <> b.event_id
+      | AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 300000000 AND epoch_us(a.ts) + 300000000""".stripMargin
+
+  /** es06: the e06 sliding-window twin's finalized (closed-window)
+    * output — EventStream.slidingAgg in append mode, 2 h watermark.
+    * Window starts sit on the epoch-aligned 30-minute grid (each event
+    * in the d∈{0,1} pair of 1-hour windows), and a window is emitted
+    * once `end <= watermark` (non-strict — DETERMINISM.md rule 13).
+    */
+  private def es06(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es06_sink") {
+      EventStream.slidingAgg(EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None))
+    }
+
+  private val es06Sql =
+    """WITH wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000 - 7200000) * 1000 AS wm_us FROM events)
+      |SELECT CAST((k - d) * 1800000000 AS BIGINT) AS bucket_us, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT epoch_us(ts) // 1800000000 AS k, event_type, value FROM events)
+      |CROSS JOIN (SELECT unnest([0, 1]) AS d)
+      |CROSS JOIN wm
+      |WHERE (k - d) * 1800000000 + 3600000000 <= wm.wm_us
+      |GROUP BY 1, 2, wm.wm_us""".stripMargin
+
+  /** es08: the e08 funnel twin's finalized per-user rows —
+    * EventStream.funnel in append mode, 2 h watermark. Single-batch
+    * ingest finalizes each user's in-watermark events in ONE chunk, so
+    * exactly one row per user with finalized events is emitted, holding
+    * the three value-based stage minimums over that subset — the batch
+    * e08 query restricted to `ts_us < wm_ms*1000`.
+    */
+  private def es08(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es08_sink") {
+      EventStream.funnel(s,
+        EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None)).toDF()
+    }
+
+  private val es08Sql =
+    """WITH wm AS (SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM events),
+      |fin AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us
+      |  FROM events, wm WHERE epoch_us(ts) < wm.wm_ms * 1000)
+      |SELECT user_id, min(fv) AS first_view_us, min(fc) AS first_click_us,
+      |  min(fp) AS first_purchase_us
+      |FROM (
+      |  SELECT user_id, fv, fc,
+      |    min(CASE WHEN event_type = 'purchase' AND ts_us >= fc THEN ts_us END)
+      |      OVER (PARTITION BY user_id) AS fp
+      |  FROM (
+      |    SELECT user_id, event_type, ts_us, fv,
+      |      min(CASE WHEN event_type = 'click' AND ts_us >= fv THEN ts_us END)
+      |        OVER (PARTITION BY user_id) AS fc
+      |    FROM (
+      |      SELECT user_id, event_type, ts_us,
+      |        min(CASE WHEN event_type = 'view' THEN ts_us END)
+      |          OVER (PARTITION BY user_id) AS fv
+      |      FROM fin)))
+      |GROUP BY user_id""".stripMargin
+
+  /** es09: the e09 transitions twin's finalized bigram rows —
+    * EventStream.transitions in append mode, 2 h watermark. One TransOut
+    * row per adjacent (ts, event_id)-ordered pair within the finalized
+    * prefix of each user; the gate hashes the raw multiset (the batch
+    * e09 matrix is its count rollup), so multiplicity is still checked.
+    */
+  private def es09(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es09_sink") {
+      EventStream.transitions(s,
+        EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None)).toDF()
+    }
+
+  private val es09Sql =
+    """WITH wm AS (SELECT epoch_us(max(ts)) // 1000 - 7200000 AS wm_ms FROM events),
+      |fin AS (
+      |  SELECT user_id, event_id, event_type, ts
+      |  FROM events, wm WHERE epoch_us(ts) < wm.wm_ms * 1000)
+      |SELECT event_type AS src_type, nxt AS dst_type
+      |FROM (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+      |  FROM fin)
+      |WHERE nxt IS NOT NULL""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("es01_rollup_snapshot", es01, Some(es01Sql)),
     QueryDef("es02_tumbling_closed", es02, Some(es02Sql)),
     QueryDef("es03_sessions_closed", es03, Some(es03Sql)),
+    QueryDef("es04_asof_closed", es04, Some(es04Sql)),
+    QueryDef("es05_interval_pairs", es05, Some(es05Sql)),
+    QueryDef("es06_sliding_closed", es06, Some(es06Sql)),
     QueryDef("es07_retention_closed", es07, Some(es07Sql)),
+    QueryDef("es08_funnel_closed", es08, Some(es08Sql)),
+    QueryDef("es09_transitions_closed", es09, Some(es09Sql)),
     QueryDef("es10_daily_paths_closed", es10, Some(es10Sql)),
   )
 }
