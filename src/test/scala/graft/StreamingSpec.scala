@@ -730,6 +730,23 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  /** A 4-way md5-interleaved rewrite of the events table — each file
+    * spans the full time range, so any per-file batching would make
+    * most rows late. Written as raw ns longs (the plain-int64 leg of
+    * the ts seam). Caller deletes the returned dir.
+    */
+  private def interleavedSplit(): String = {
+    val splitDir = java.nio.file.Files.createTempDirectory("graft-gatesplit").toString
+    graft.core.Tables.events(spark, dir)
+      .withColumn("ts", expr("unix_micros(ts) * 1000")) // raw ns longs
+      .repartition(4, md5(col("event_id").cast("string"))) // interleaved by hash, not time
+      .write.mode("overwrite").parquet(splitDir)
+    // rename part files to match the events* glob
+    new java.io.File(splitDir).listFiles().filter(_.getName.startsWith("part-"))
+      .foreach(f => f.renameTo(new java.io.File(splitDir, s"events-${f.getName}")))
+    splitDir
+  }
+
   test("streaming-gate reader: finalized output is layout-independent (4 interleaved files)") {
     // The es* gate oracles predict the finalized set from the DATA alone.
     // With per-file micro-batches that would be wrong: a time-interleaved
@@ -739,14 +756,7 @@ class StreamingSpec extends AnyFunSuite {
     // this pins that a 4-way md5-interleaved split — each file spanning
     // the full time range — still finalizes exactly the closed-window
     // set a single-file layout produces.
-    val splitDir = java.nio.file.Files.createTempDirectory("graft-gatesplit").toString
-    graft.core.Tables.events(spark, dir)
-      .withColumn("ts", expr("unix_micros(ts) * 1000")) // raw ns longs
-      .repartition(4, md5(col("event_id").cast("string"))) // interleaved by hash, not time
-      .write.mode("overwrite").parquet(splitDir)
-    // rename part files to match the events* glob
-    new java.io.File(splitDir).listFiles().filter(_.getName.startsWith("part-"))
-      .foreach(f => f.renameTo(new java.io.File(splitDir, s"events-${f.getName}")))
+    val splitDir = interleavedSplit()
     try {
       val stream = EventStream.tumblingAgg(
         EventStream.readEventsWith(spark, splitDir, maxFilesPerTrigger = None))
@@ -768,6 +778,77 @@ class StreamingSpec extends AnyFunSuite {
       assert(want.nonEmpty)
       assert(got === want,
         "multi-file interleaved layout must finalize the same closed-window set")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(splitDir))
+  }
+
+  test("gate multiset outputs are layout-independent (es05 pairs; es08 one row per user)") {
+    // The two riskiest new gate assumptions, pinned under the 4-file
+    // interleaved layout:
+    //  - es05 claims the stream-stream join's emitted pair MULTISET is
+    //    the complete batch pair join (single-batch ingest joins against
+    //    fully populated state; watermark eviction never suppresses a
+    //    pair). A per-file batching would silently drop cross-batch-late
+    //    pairs instead.
+    //  - es08 claims single-batch ingest finalizes each user in ONE
+    //    chunk, hence exactly one emitted row per user with finalized
+    //    events, equal to the batch funnel over the finalized prefix. A
+    //    second chunk would emit duplicate per-user rows — the gate's
+    //    multiset hash would break.
+    import org.apache.spark.sql.expressions.Window
+    val splitDir = interleavedSplit()
+    try {
+      def runGate(name: String, out: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
+        val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(name)
+      }
+
+      // es05: emitted pair multiset == batch interval self-join
+      val gotPairs = runGate("layout_es05", EventStream.intervalJoin(
+        EventStream.readEventsWith(spark, splitDir, maxFilesPerTrigger = None)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      val e = graft.core.Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      val winUs = 5L * 60 * 1000 * 1000
+      val wantPairs = e.as("a").join(e.select(col("user_id").as("ub"),
+          col("event_id").as("oid"), col("ts_us").as("tb")),
+          col("user_id") === col("ub") && col("event_id") =!= col("oid") &&
+            col("tb") >= col("ts_us") - winUs && col("tb") <= col("ts_us") + winUs)
+        .select(col("user_id"), col("event_id"), col("oid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(wantPairs.nonEmpty)
+      assert(gotPairs === wantPairs,
+        "stream-stream join must emit exactly the batch pair multiset under a multi-file layout")
+
+      // es08: one row per user, equal to the batch funnel over the
+      // finalized (ts_us < wm) prefix
+      def tup(r: org.apache.spark.sql.Row): (Long, Long, Long, Long) = {
+        def at(i: Int) = if (r.isNullAt(i)) Long.MinValue else r.getLong(i)
+        (r.getLong(0), at(1), at(2), at(3))
+      }
+      val got = runGate("layout_es08", EventStream.funnel(spark,
+        EventStream.readEventsWith(spark, splitDir, maxFilesPerTrigger = None)).toDF())
+        .collect().map(tup).sorted.toSeq
+      assert(got.map(_._1).distinct.size === got.size,
+        "single-batch ingest must finalize each user in one chunk — one row per user")
+      val ev = graft.core.Tables.events(spark, dir)
+      val wmUs = (ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000
+        - 7200000L) * 1000L
+      val w = Window.partitionBy(col("user_id"))
+      val want = ev.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+        .filter(col("ts_us") < wmUs)
+        .withColumn("fv", min(when(col("event_type") === "view", col("ts_us"))).over(w))
+        .withColumn("fc", min(when(col("event_type") === "click" && col("ts_us") >= col("fv"),
+          col("ts_us"))).over(w))
+        .withColumn("fp", min(when(col("event_type") === "purchase" && col("ts_us") >= col("fc"),
+          col("ts_us"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("fv")).as("fv"), min(col("fc")).as("fc"), min(col("fp")).as("fp"))
+        .collect().map(tup).sorted.toSeq
+      assert(want.nonEmpty)
+      assert(got === want,
+        "finalized funnel rows must equal the batch funnel over the finalized prefix")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(splitDir))
   }
 }
