@@ -170,4 +170,76 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(got === want,
       "post-restart emitted rows must equal the batch as-of join over ALL input")
   }
+
+  test("stream-stream interval join restarted from checkpoint recovers JOIN state") {
+    // the fourth recovery class: symmetric-hash JOIN state. Phase 1 feeds
+    // every event at-or-before a cut chosen ON a paired event, then its
+    // file is DELETED; phase 2 feeds the rest. A cross-boundary pair
+    // (one side in each phase, within the ±5 min window) can only emit if
+    // the restarted query joins phase-2 rows against the phase-1 side
+    // RESTORED from the checkpointed join state — fresh state would lose
+    // exactly those pairs, and the multiset compare against the batch
+    // pair join would fail.
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val winUs = 5L * 60 * 1000 * 1000
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val pairs = ev.as("a").join(ev.select(col("user_id").as("ub"),
+        col("event_id").as("oid"), col("ts_us").as("tb")),
+        col("user_id") === col("ub") && col("event_id") =!= col("oid") &&
+          col("tb") >= col("ts_us") - winUs && col("tb") <= col("ts_us") + winUs)
+      .select(col("user_id"), col("event_id").as("eid"), col("oid"), col("ts_us").as("ta"), col("tb"))
+      .cache()
+    // cut ON the earlier member of some pair, so that pair straddles the
+    // phase boundary by construction
+    val straddle = pairs.filter(col("ta") < col("tb")).orderBy(col("ta")).limit(1).collect()(0)
+    val cutUs = straddle.getLong(3)
+    val nCross = pairs.filter(col("ta") <= cutUs && col("tb") > cutUs
+      || col("tb") <= cutUs && col("ta") > cutUs).count()
+    assert(nCross > 0, "chosen cut must straddle at least one pair")
+
+    val raw = graft.core.Tables.events(spark, dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
+      .cache()
+    val cutNs = cutUs * 1000
+    val streamDir = Files.createTempDirectory("graft-joinstream").toString
+    val checkpoint = Files.createTempDirectory("graft-joinckpt").toString
+    val outDir = Files.createTempDirectory("graft-joinout").toString + "/pairs"
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = Files.createTempDirectory(s"graft-joinstage_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(streamDir, s"events_$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def runOnce(): Unit = {
+      val q = EventStream.intervalJoin(EventStream.readEvents(spark, streamDir))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    writeHalf(raw.filter(col("ts") <= cutNs), "a")
+    runOnce()
+    Files.deleteIfExists(Paths.get(streamDir, "events_a.parquet"))
+    // phase-2 rows all sit above the cut, and the phase-1 watermark is
+    // 1 h below it, so no phase-2 row is dropped as late
+    writeHalf(raw.filter(col("ts") > cutNs), "b")
+    raw.unpersist()
+    runOnce()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = pairs.select(col("user_id"), col("eid"), col("oid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    pairs.unpersist()
+    assert(want.nonEmpty)
+    assert(got === want,
+      s"post-restart pair multiset must equal the batch join (incl. $nCross cross-boundary pairs)")
+  }
 }
