@@ -593,4 +593,47 @@ class ScaleTechniquesSpec extends AnyFunSuite {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
     }
   }
+
+  test("es05 stream-stream join 10x scaling: linear wall time, exactly 10x pairs") {
+    // The one streaming gate entry whose cost is data-dependent (join
+    // state + emitted pairs), not fixed micro-batch overhead. Copies are
+    // user-offset, so per-user local density — the thing interval-join
+    // work scales with — is IDENTICAL across corpora: the 10x corpus
+    // must emit exactly 10x the pair multiset (pairs never cross user
+    // offsets), and wall time must stay ~linear. A super-linear blowup
+    // here would mean join state or pair fanout scales with corpus size
+    // rather than local density — the 100 TB failure mode.
+    val base = graft.core.Tables.events(spark, "/root/testdata/sf0.01")
+      .withColumn("ts", expr("unix_micros(ts) * 1000")) // raw ns longs
+    def mkDir(k: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_es${k}x").toString
+      (0 until k).map(i => base
+          .withColumn("user_id", col("user_id") + lit(i * 100000000L))
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+        .reduce(_.union(_))
+        .write.mode("overwrite").parquet(out)
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("part-"))
+        .foreach(f => f.renameTo(new java.io.File(out, s"events-${f.getName}")))
+      out
+    }
+    def run(d: String): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries("es05_interval_pairs")(spark, d).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val dir1 = mkDir(1)
+    val dir10 = mkDir(10)
+    try {
+      run(dir1) // warm codegen + state-store machinery
+      val (n1, t1) = run(dir1)
+      val (n10, t10) = run(dir10)
+      info(f"es05 1x: $n1 pairs ${t1}%.1fs; 10x: $n10 pairs ${t10}%.1fs")
+      assert(n1 > 0, "1x corpus must produce pairs")
+      assert(n10 === n1 * 10, s"user-offset copies must multiply pairs exactly: $n1 -> $n10")
+      assert(t10 <= t1 * 25 + 5.0, f"es05 wall time super-linear: $t1%.1fs -> $t10%.1fs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir10))
+    }
+  }
 }
