@@ -26,6 +26,7 @@ object SparkEntry {
     graft.ops.Sampling,
     graft.ops.SemDedup,
     graft.streaming.StreamingGate,
+    graft.streaming.IngestPipeline,
   )
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -242,4 +242,56 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(got === want,
       s"post-restart pair multiset must equal the batch join (incl. $nCross cross-boundary pairs)")
   }
+
+  test("ingest sink: a batch replayed after crash-before-commit does not duplicate output") {
+    // the exactly-once claim of p15's idempotent-by-batch-directory
+    // sink, attacked directly: after phase 1 commits, the checkpoint's
+    // COMMIT marker for the last batch is deleted — exactly the state a
+    // crash between the foreachBatch write and the commit leaves behind.
+    // The restart re-executes that batch; a non-idempotent sink (append
+    // mode, or a shared output dir) would now hold phase-1 rows twice.
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = graft.core.Tables.events(spark, dir)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .cache()
+    val cut = raw.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m")
+      .collect()(0).getDouble(0).toLong
+    val streamDir = Files.createTempDirectory("graft-ingeststream").toString
+    val base = Files.createTempDirectory("graft-ingestrec").toString
+    val root = s"$base/shards"
+    val ckpt = s"$base/ckpt"
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = Files.createTempDirectory(s"graft-ingeststage_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(streamDir, s"events_$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeHalf(raw.filter(col("ts") <= cut), "a")
+    graft.streaming.IngestPipeline.ingest(spark, streamDir, root, ckpt)
+    val phase1 = spark.read.parquet(root).count()
+    assert(phase1 > 0)
+    // crash-before-commit: offsets/0 exists, commits/0 gone
+    val lastCommit = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toLong)
+    assert(lastCommit.delete())
+    // the local FS keeps a CRC sidecar that would block the replayed
+    // commit's rename (a real object store has no such artifact)
+    new java.io.File(lastCommit.getParentFile, s".${lastCommit.getName}.crc").delete()
+    writeHalf(raw.filter(col("ts") > cut), "b")
+    raw.unpersist()
+    graft.streaming.IngestPipeline.ingest(spark, streamDir, root, ckpt)
+    val got = graft.streaming.IngestPipeline.readShards(spark, root)
+    assert(got.count() === got.dropDuplicates("event_id").count(),
+      "replayed batch must overwrite its own directory, never duplicate")
+    // and the final shard set is exactly the full projected events table
+    val want = graft.core.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+        col("event_type"), col("value"))
+    assert(got.count() === want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "post-recovery shards must equal the projected events table")
+  }
 }
