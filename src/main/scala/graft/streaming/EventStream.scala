@@ -343,6 +343,30 @@ object EventStream {
         sum(col("k")).as("sum_k"),
         max(col("k")).as("max_k"))
 
+  /** CDC-style changelog compaction of the event stream: the LATEST
+    * event per user (by (ts, event_id) — the q42 pattern applied to a
+    * live stream) plus the version count. A plain streaming aggregation
+    * whose per-key state is one row — `max_by` folds incrementally, so
+    * arrival order and batching are invisible by construction and the
+    * snapshot equals the batch window query over all input. State is
+    * bounded by the KEY domain, not time (no watermark); at 100 TB the
+    * same plan feeds update mode into an upsert sink instead of a
+    * complete-mode snapshot.
+    */
+  def compactSnapshot(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(struct(col("ts_us"), col("event_id"))).as("lk"),
+        max_by(struct(col("event_type"), col("value")),
+          struct(col("ts_us"), col("event_id"))).as("lv"))
+      .select(col("user_id"), col("n_events"),
+        col("lk.ts_us").as("last_ts_us"), col("lk.event_id").as("last_event_id"),
+        col("lv.event_type").as("last_type"), col("lv.value").as("last_value"))
+
   case class AsofOut(event_id: Long, user_id: Long, last_signup_id: Option[Long])
 
   /** Streaming twin of e04: the as-of lookup (most recent signup

@@ -308,6 +308,29 @@ object StreamingGate extends QueryModule {
       |  FROM fin)
       |WHERE nxt IS NOT NULL""".stripMargin
 
+  /** es12: CDC changelog compaction of the event stream — the latest
+    * event per user plus the version count (the q42 pattern, live).
+    * `max_by` folds incrementally so the complete-mode snapshot equals
+    * the batch window query under any batching/arrival order; the
+    * oracle is that batch form. No batch e12 exists — the oracle IS the
+    * batch equivalent.
+    */
+  private def es12(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es12_sink", mode = "complete") {
+      EventStream.compactSnapshot(EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None))
+    }
+
+  private val es12Sql =
+    """SELECT user_id, n_events, ts_us AS last_ts_us, event_id AS last_event_id,
+      |  event_type AS last_type, value AS last_value
+      |FROM (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+      |  FROM events)
+      |WHERE rn = 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("es01_rollup_snapshot", es01, Some(es01Sql)),
     QueryDef("es02_tumbling_closed", es02, Some(es02Sql)),
@@ -319,5 +342,6 @@ object StreamingGate extends QueryModule {
     QueryDef("es08_funnel_closed", es08, Some(es08Sql)),
     QueryDef("es09_transitions_closed", es09, Some(es09Sql)),
     QueryDef("es10_daily_paths_closed", es10, Some(es10Sql)),
+    QueryDef("es12_compact_snapshot", es12, Some(es12Sql)),
   )
 }

@@ -71,6 +71,31 @@ class StreamingSpec extends AnyFunSuite {
     tmp
   }
 
+  test("CDC compact snapshot converges under arrival shuffled ACROSS batches (es12)") {
+    // latest-per-user compaction: max_by folds incrementally, so the
+    // complete-mode snapshot must equal the batch window query under
+    // the worst arrival order the harness can produce (md5 split across
+    // batches + shuffled rows inside each). The sentinel flush row
+    // (user -1) is an artifact of the replay harness, not the data.
+    val tmp = twoHalfReplay("graft_cdc", shuffled = true, across = true)
+    val stream = EventStream.compactSnapshot(EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val q = stream.writeStream
+      .format("memory").queryName("cdc_out")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getDouble(5))
+    val got = spark.table("cdc_out")
+      .filter(col("user_id") =!= -1L).collect().map(key).toSet
+    val want = SparkEntry.queries("es12_compact_snapshot")(spark, dir)
+      .collect().map(key).toSet
+    assert(want.nonEmpty)
+    assert(got === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("streaming tumbling window converges to the batch gold result (e02)") {
     val stream = EventStream.tumblingAgg(EventStream.readEvents(spark, dir))
     val q = stream.writeStream
