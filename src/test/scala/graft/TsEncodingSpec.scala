@@ -113,4 +113,30 @@ class TsEncodingSpec extends AnyFunSuite {
     assert(graft.core.Tables.eventTsLongUnit(spark,
       s"${dirs("ts_ntz")}/events.parquet") === "us")
   }
+
+  test("table loader widens narrow integral columns to long (int32 regeneration)") {
+    // the other physical-type flip a driver regeneration could make:
+    // ids written as int32. The seam must hand every consumer the same
+    // BIGINT schema the all-long data produces — encoders (`as[T]` with
+    // Long fields), `getLong` in tests, and long-literal arithmetic all
+    // assume it.
+    import org.apache.spark.sql.functions.{col, expr}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-int32").toFile
+    try {
+      spark.range(10)
+        .select(col("id").cast("int").as("doc_id"),
+          expr("CAST(id % 3 AS SMALLINT)").as("source"),
+          expr("repeat('w ', 5)").as("text"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new File(tmp, "documents.parquet").getAbsolutePath)
+      val df = graft.core.Tables.documents(spark, tmp.getAbsolutePath)
+      import org.apache.spark.sql.types.LongType
+      assert(df.schema("doc_id").dataType === LongType)
+      assert(df.schema("source").dataType === LongType)
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq === (0L until 10L))
+      // and the real testdata round-trips unchanged (all-long already)
+      val real = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      assert(real.schema("doc_id").dataType === LongType)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
 }
