@@ -181,10 +181,52 @@ object Multimodal extends QueryModule {
       |FROM documents d
       |JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin
 
+  /** m05: byte-budget shard packing — binary payloads packed into
+    * shards bounded by BYTE size (the multimodal counterpart of p10's
+    * count-based batches: media payloads vary 100x in size, so a count
+    * split gives wildly uneven shards). Deterministic md5 global order,
+    * then each record lands in the shard where its payload's byte
+    * OFFSET starts: `shard_id = (running_sum - n_bytes) DIV budget` —
+    * records are never split, a shard overflows the budget by at most
+    * its last record. The running sum rides
+    * [[graft.plans.GlobalOrder.withGlobalRunningSum]] (two-pass partial
+    * sums; no single-partition window — the lint sweep would flag one),
+    * so the plan is one range exchange + a partitioned window at any
+    * corpus size.
+    */
+  private val ShardBudgetBytes = 8192L
+
+  private def m05(s: SparkSession, dir: String): DataFrame = {
+    val m = media(s, dir).toDF().select(col("doc_id"), col("n_bytes"))
+    graft.plans.GlobalOrder.withGlobalRunningSum(
+        m, Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+        col("n_bytes"), "s")
+      .select(expr(s"(s - n_bytes) DIV $ShardBudgetBytes").as("shard_id"), col("n_bytes"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("sum_bytes"),
+        max(col("n_bytes")).as("max_doc_bytes"))
+  }
+
+  private val m05Sql =
+    s"""WITH m AS (
+       |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes FROM documents),
+       |o AS (
+       |  SELECT n_bytes, sum(n_bytes) OVER (
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+       |  FROM m)
+       |SELECT CAST((s - n_bytes) // $ShardBudgetBytes AS BIGINT) AS shard_id,
+       |  count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+       |  max(n_bytes) AS max_doc_bytes
+       |FROM o GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_features", m01, Some(m01Sql)),
     QueryDef("m02_frame_sample", m02, Some(m02Sql)),
     QueryDef("m03_resize", m03, Some(m03Sql)),
     QueryDef("m04_record_assembly", m04, Some(m04Sql)),
+    QueryDef("m05_byte_pack", m05, Some(m05Sql)),
   )
 }

@@ -51,6 +51,33 @@ object GlobalOrder {
     (out, total)
   }
 
+  /** df + a global running sum of `value` (cast to long) in `order`,
+    * with no single-partition exchange or window — the same two-pass
+    * shape as [[withGlobalRowNumber]]: range-partition on the order key,
+    * per-partition PARTIAL sums to the driver (P rows of metadata), then
+    * a partitioned running-sum window plus the partition's start offset.
+    * The running sum is inclusive of the current row.
+    */
+  def withGlobalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+                           sumCol: String): DataFrame = {
+    val v = "__graft_val"
+    val ranged = df.withColumn(v, value.cast("long"))
+      .repartitionByRange(order: _*)
+      .withColumn(Pid, spark_partition_id())
+      .persist()
+    val partials = ranged.groupBy(col(Pid)).agg(sum(col(v)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets: Map[Int, Long] =
+      partials.map(_._1).zip(partials.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val w = Window.partitionBy(col(Pid)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(sumCol,
+        sum(col(v)).over(w) +
+          coalesce(element_at(typedLit(offsets), col(Pid)), lit(0L)))
+      .drop(Pid, v)
+  }
+
   /** ntile(k) over a global order, built from the global row number with
     * SQL-standard tile sizing: the first `n % k` tiles get `ceil(n/k)`
     * rows, the rest `floor(n/k)` — identical to `ntile(k) OVER (ORDER BY

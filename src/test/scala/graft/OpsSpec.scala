@@ -612,4 +612,25 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
       Seq((9L, "only")).toDF("doc_id", "text"))
     assert(single.count() === 0L)
   }
+
+  test("m05 byte packing: shards contiguous, bytes conserved, bounded overflow") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val shards = SparkEntry.queries("m05_byte_pack")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(shards.length > 1, "budget must produce multiple shards at sf0.001")
+    assert(shards.map(_._1).toSeq === (0L until shards.length.toLong),
+      "shard ids must be contiguous from 0 — the packing leaves no gaps")
+    val docs = graft.core.Tables.documents(spark, dir)
+    val wantBytes = docs.agg(org.apache.spark.sql.functions
+      .sum(org.apache.spark.sql.functions.octet_length(col("text")))).collect()(0).getLong(0)
+    assert(shards.map(_._3).sum === wantBytes, "every payload byte lands in exactly one shard")
+    assert(shards.map(_._2).sum === docs.count(), "every doc lands in exactly one shard")
+    // records start inside an 8192-byte window, so a shard exceeds the
+    // budget by LESS than its largest record
+    for ((id, _, sumBytes, maxDoc) <- shards)
+      assert(sumBytes - maxDoc < 8192L,
+        s"shard $id overflows by a full record: sum=$sumBytes max=$maxDoc")
+  }
 }
