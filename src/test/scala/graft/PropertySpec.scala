@@ -71,6 +71,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GlobalOrder running sum equals single-window running sum (8 seeded cases)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (seed <- 61 to 68) {
+      val rng = new Random(seed)
+      val n = rng.nextInt(2000) + 1
+      val nPart = rng.nextInt(6) + 1
+      // duplicate order values + zero/large weights: the partition-offset
+      // arithmetic must hold regardless of where the range cut lands
+      val df = (0 until n).map(i =>
+          (i.toLong, rng.nextInt(20).toDouble, rng.nextInt(5000).toLong))
+        .toDF("id", "m", "w").repartition(nPart)
+      val got = graft.plans.GlobalOrder
+        .withGlobalRunningSum(df, Seq(col("m"), col("id")), col("w"), "s")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+      val want = df.select(col("id"),
+          sum(col("w")).over(Window.orderBy(col("m"), col("id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"seed=$seed n=$n parts=$nPart")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("SortedIdPairs emits exactly the C(n,2) ordered pairs (8 seeded cases)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
