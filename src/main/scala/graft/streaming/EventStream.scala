@@ -343,6 +343,22 @@ object EventStream {
         sum(col("k")).as("sum_k"),
         max(col("k")).as("max_k"))
 
+  /** Stream-static dimension enrichment: each micro-batch joins the
+    * event stream against a STATIC dimension frame — the standard
+    * enrich-on-ingest shape (Spark plans the join per micro-batch; a
+    * dim under the broadcast threshold rides a broadcast hash join, a
+    * larger one shuffles — deliberately unhinted, since TPC-H's
+    * customer scales with SF and a hard broadcast hint is exactly the
+    * corpus-sized-hint smell ScaleLint kind-4 exists to catch).
+    * Stateless: no watermark, every event emits enriched exactly once.
+    */
+  def enrichStatic(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+        dim.select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("mktsegment"), col("c_nationkey").as("nationkey"))
+
   /** CDC-style changelog compaction of the event stream: the LATEST
     * event per user (by (ts, event_id) — the q42 pattern applied to a
     * live stream) plus the version count. A plain streaming aggregation

@@ -331,6 +331,23 @@ object StreamingGate extends QueryModule {
       |  FROM events)
       |WHERE rn = 1""".stripMargin
 
+  /** es13: stream-static enrichment — the events stream joined per
+    * micro-batch against the static customer dimension. Stateless, so
+    * the emitted set is the plain batch left join regardless of
+    * batching; the gate hashes every enriched row.
+    */
+  private def es13(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es13_sink") {
+      EventStream.enrichStatic(
+        EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None),
+        graft.core.Tables.customer(s, dir))
+    }
+
+  private val es13Sql =
+    """SELECT e.event_id, e.user_id, e.event_type,
+      |  c.c_mktsegment AS mktsegment, c.c_nationkey AS nationkey
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("es01_rollup_snapshot", es01, Some(es01Sql)),
     QueryDef("es02_tumbling_closed", es02, Some(es02Sql)),
@@ -343,5 +360,6 @@ object StreamingGate extends QueryModule {
     QueryDef("es09_transitions_closed", es09, Some(es09Sql)),
     QueryDef("es10_daily_paths_closed", es10, Some(es10Sql)),
     QueryDef("es12_compact_snapshot", es12, Some(es12Sql)),
+    QueryDef("es13_enrich_static", es13, Some(es13Sql)),
   )
 }
