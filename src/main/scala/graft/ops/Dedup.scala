@@ -765,6 +765,107 @@ object Dedup extends QueryModule {
       |LEFT JOIN ch USING (h)
       |LEFT JOIN best ON dh.doc_id = best.doc_id""".stripMargin
 
+  // ---- d14: edit-distance near-dup (SimHash-blocked Levenshtein) ------
+
+  /** Max edit distance — and, by the |len(a)−len(b)| ≤ K lower bound,
+    * the candidate length-gap prefilter.
+    */
+  private val EditK = 8L
+
+  /** d14: EDIT-DISTANCE near-dup — catches the near-dup class shingle
+    * Jaccard (d03) under-weights: small in-place character edits (typo
+    * fixes, re-punctuation, entity swaps) that break every 3-gram they
+    * touch while leaving the string 99% identical. Candidates come from
+    * d05's SimHash banded blocking (4 × 15-bit bands) plus the exact
+    * |len(a)−len(b)| ≤ K length gate (a true edit-distance lower bound,
+    * applied INSIDE the band join so far-apart pairs never reach the
+    * verify stage); survivors are verified with full Levenshtein ≤ K.
+    * Blocking is approximate by construction (an edit can flip > 3
+    * fingerprint bits) — the oracle therefore mirrors the BLOCKED
+    * pipeline structurally, stage for stage, rather than a brute-force
+    * form: matching hashes certify fingerprints, banding, the length
+    * gate, and every verified distance.
+    *
+    * Scale shape: fingerprint+length is a row-local scan projection
+    * (native SimHash60 expression); the band self-join is the d05 shape
+    * (shuffle on (band, chunk), never all-pairs); texts are fetched for
+    * DEDUPED candidates only, via two hash joins on doc_id; the O(K·len)
+    * Levenshtein runs once per surviving candidate. At 100 TB the verify
+    * cost is bounded by the banded candidate count — the same contract
+    * d05 documents — not by corpus².
+    */
+  /** d14 core over any (doc_id, text) frame — factored so tests can
+    * plant known-distance edit pairs.
+    */
+  private[graft] def editDistNearDup(docs: DataFrame): DataFrame = {
+    val bandBits = SimBits / SimBands
+    val fp = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        shingleArr(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("len"),
+        graft.functions.TextFunctions.simhash60(col("sh")).as("simhash"))
+    val banded = fp.select(col("doc_id"), col("len"),
+      posexplode(array((0 until SimBands).map(b =>
+        shiftrightunsigned(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+        .as(Seq("band", "chunk")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= EditK)
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .dropDuplicates("ida", "idb")
+    cand
+      .join(docs.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
+      .join(docs.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
+      .select(col("ida"), col("idb"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .filter(col("dist") <= EditK)
+  }
+
+  private def d14(s: SparkSession, dir: String): DataFrame =
+    editDistNearDup(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** Oracle: the identical blocked pipeline — d05's md5-derived SimHash
+    * fingerprint CTEs, the same band/chunk split, length gate, candidate
+    * dedup, and Levenshtein verification.
+    */
+  private val d14Sql = {
+    val bandBits = SimBits / SimBands
+    val mask = (1L << bandBits) - 1
+    s"""WITH $shingleCte,
+       |h AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(list_transform(range(1, 16), i -> substr(md5(shingle), i, 1)),
+       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+       |  FROM sh),
+       |bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, $SimBits)) AS b)
+       |  GROUP BY 1, 2),
+       |fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       |       FROM bits GROUP BY 1),
+       |fl AS (
+       |  SELECT fp.doc_id, fp.simhash, CAST(length(d.text) AS BIGINT) AS len
+       |  FROM fp JOIN documents d USING (doc_id)),
+       |banded AS (
+       |  SELECT doc_id, len, b AS band, (simhash >> (b * $bandBits)) & $mask AS chunk
+       |  FROM fl CROSS JOIN (SELECT unnest(range(0, $SimBands)) AS b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |   AND abs(a.len - b.len) <= $EditK)
+       |SELECT ida, idb, dist FROM (
+       |  SELECT cand.ida, cand.idb,
+       |    CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+       |  FROM cand
+       |  JOIN documents ta ON ta.doc_id = cand.ida
+       |  JOIN documents tb ON tb.doc_id = cand.idb)
+       |WHERE dist <= $EditK""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
     QueryDef("d02_dedup_normalized", d02, Some(d02Sql)),
@@ -778,5 +879,6 @@ object Dedup extends QueryModule {
     QueryDef("d11_decontamination", d11, Some(d11Sql)),
     QueryDef("d12_segment_scrub", d12, Some(d12Sql)),
     QueryDef("d13_incremental_dedup", d13, Some(d13Sql)),
+    QueryDef("d14_editdist_neardup", d14, Some(d14Sql)),
   )
 }

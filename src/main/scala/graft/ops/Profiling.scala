@@ -458,6 +458,142 @@ object Profiling extends QueryModule {
        |SELECT '3_cluster_dedup', source, count(*), CAST(sum(n_tokens) AS BIGINT)
        |FROM tok JOIN ck USING (doc_id) GROUP BY 2""".stripMargin
 
+  /** p16: join-key skew report — the heavy-hitter diagnostic run BEFORE
+    * choosing a shuffle strategy: for the fact table's join key
+    * (l_partkey), the top-20 heaviest keys with their corpus share,
+    * multiple-of-average load, and a ≥10×-average hot flag — exactly the
+    * numbers that decide salting / AQE-skew-join / broadcast for the
+    * 100 TB plan. (q23's pivot showed WHAT is skewed; this reports HOW
+    * MUCH, per key, actionably.)
+    *
+    * Determinism: counts are exact longs; share and x_avg are single
+    * IEEE operations on exact integers, mirrored token-for-token; is_hot
+    * derives from the already-computed double (no second rounding).
+    * x_avg multiplies in DOUBLE space (cnt×n_keys would overflow longs
+    * at petabyte cardinalities).
+    *
+    * Scale shape: ONE shuffle (groupBy key with map-side combine); the
+    * totals side is a one-row re-aggregate of the per-key frame riding a
+    * capped broadcast (p11 contract); top-20 is a distributed
+    * TakeOrderedAndProject. Linear in keys, constant memory.
+    */
+  private def p16(s: SparkSession, dir: String): DataFrame = {
+    val byKey = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+      // both the totals branch and the final projection consume this
+      .persist()
+    val tot = byKey.groupBy()
+      .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_keys"))
+    val xAvg = (col("cnt").cast("double") * col("n_keys").cast("double")) /
+      col("tot").cast("double")
+    byKey.crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("cnt"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("share"),
+        xAvg.as("x_avg"),
+        (xAvg > lit(10.0)).as("is_hot"))
+      .orderBy(col("cnt").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  private val p16Sql =
+    """WITH bk AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS tot, count(*) AS n_keys FROM bk)
+      |SELECT l_partkey, cnt,
+      |  CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+      |  (CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)) / CAST(tot AS DOUBLE) AS x_avg,
+      |  ((CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)) / CAST(tot AS DOUBLE)) > 10.0 AS is_hot
+      |FROM bk CROSS JOIN tot
+      |ORDER BY cnt DESC, l_partkey LIMIT 20""".stripMargin
+
+  /** p17: snapshot diff — the ingest-regression audit run between two
+    * corpus versions before promoting one: per document key, is it
+    * added / removed / changed / same, with the content compare an
+    * md5 equality (never a byte-wise text shuffle). The two snapshots
+    * are deterministic stand-ins carved from the documents table (old =
+    * doc_id % 7 ≠ 0, new = doc_id % 5 ≠ 0, with every doc_id % 11 = 0
+    * doc "edited" by lowercasing), so both engines reconstruct identical
+    * inputs. Emits one row per key in either snapshot — the downstream
+    * promotion gate aggregates or filters as needed.
+    *
+    * Scale shape: hash-partitioned FULL OUTER join on the key, each side
+    * reduced to (key, md5) at the scan — the diff never moves document
+    * bodies across the wire, only 32-byte digests. Linear at any corpus
+    * size; at 100 TB both sides are parquet scans with column pruning
+    * down to (doc_id, text→md5).
+    */
+  private def p17(s: SparkSession, dir: String): DataFrame = {
+    def snap(pred: Column, edited: Column) = Tables.documents(s, dir)
+      .filter(pred)
+      .select(col("doc_id"),
+        md5(when(edited, lower(col("text"))).otherwise(col("text"))).as("h"))
+    val old = snap(col("doc_id") % 7 =!= 0, lit(false))
+      .withColumnRenamed("h", "h_old")
+    val neu = snap(col("doc_id") % 5 =!= 0, col("doc_id") % 11 === 0)
+      .withColumnRenamed("h", "h_new")
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") =!= col("h_new"), lit("changed"))
+          .otherwise(lit("same")).as("status"))
+  }
+
+  private val p17Sql =
+    """WITH old AS (
+      |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 7 <> 0),
+      |neu AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN lower(text) ELSE text END) AS h_new
+      |  FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+      |  CASE WHEN old.doc_id IS NULL THEN 'added'
+      |       WHEN neu.doc_id IS NULL THEN 'removed'
+      |       WHEN h_old <> h_new THEN 'changed'
+      |       ELSE 'same' END AS status
+      |FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id""".stripMargin
+
+  /** p18: incremental aggregate maintenance — the merge step a daily
+    * 100 TB pipeline runs INSTEAD of rescanning history: yesterday's
+    * per-group partials (one tiny row per event_type) merged with the
+    * fresh delta's partials by re-aggregating the UNION of the two
+    * partial frames. Count and decimal-exact sum are algebraic, so the
+    * merged result is bit-identical to a full recompute — which is
+    * exactly what the oracle states (one plain GROUP BY over all
+    * events): the hash match certifies the merge law, not just the
+    * values. The cutoff is data-derived and deterministic (start of the
+    * max event day), so both engines carve identical base/delta splits;
+    * in production the base partials are read back from a stored
+    * snapshot rather than recomputed — here both sides derive from the
+    * one table so the gate can see the whole shape.
+    *
+    * Scale shape: the delta side scans |Δ| only; the base side is a
+    * per-group partial frame (rows = group cardinality, not corpus
+    * size); the merge re-aggregate moves group-cardinality rows through
+    * one tiny shuffle. value stays DECIMAL until the final cast.
+    */
+  private def p18(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+    val cutoff = ev.agg(
+      (floor(max(col("ts_us")) / lit(86400000000L)) * lit(86400000000L)).cast("long")
+        .as("cut"))
+    val withCut = ev.crossJoin(broadcast(cutoff))
+    def partial(f: DataFrame) = f.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val base  = partial(withCut.filter(col("ts_us") <  col("cut")))
+    val delta = partial(withCut.filter(col("ts_us") >= col("cut")))
+    base.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).cast("double").as("sum_value"))
+  }
+
+  private val p18Sql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p01_profile", p01, Some(p01Sql)),
     QueryDef("p02_clean_corpus_pipeline", p02, Some(p02Sql)),
@@ -467,6 +603,9 @@ object Profiling extends QueryModule {
     QueryDef("p11_mixing_report", p11, Some(p11Sql)),
     QueryDef("p13_clean_chunk_pipeline", p13, Some(p13Sql)),
     QueryDef("p14_dedup_impact", p14, Some(p14Sql)),
+    QueryDef("p16_skew_report", p16, Some(p16Sql)),
+    QueryDef("p17_snapshot_diff", p17, Some(p17Sql)),
+    QueryDef("p18_incremental_agg", p18, Some(p18Sql)),
   )
 
   /** p08: declarative ingest-validation — every constraint evaluated in

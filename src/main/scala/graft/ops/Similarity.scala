@@ -1072,6 +1072,64 @@ object Similarity extends QueryModule {
        |FROM ex LEFT JOIN h ON ex.qid = h.qid
        |GROUP BY 1""".stripMargin
 
+  // ---- s13: embedding ingest audit ------------------------------------
+
+  /** Fixed-point scale for the quantized norm² sum: floor(nrm² · 2²⁰) is
+    * exact integer arithmetic on a bit-identical double, so the per-label
+    * SUM is order-independent where a double sum is not.
+    */
+  private val NormQ = 1L << 20
+
+  /** s13: embedding-quality ingest audit — the validation gate an ANN
+    * index build runs BEFORE trusting a vector column: per label,
+    * vector count, wrong-dimension count, zero-norm count, min/max norm,
+    * and a fixed-point-exact norm² sum (magnitude drift detector). Every
+    * s0x op silently assumes dim-64 nonzero vectors (vecs() filters
+    * nrm > 0); this op COUNTS the violations instead of hiding them, so
+    * a bad producer is caught at ingest rather than as a recall cliff.
+    *
+    * Determinism: norm² is the shared left-to-right vec_dot fold over
+    * double-cast floats (bit-identical cross-engine, the s01/s03 rule);
+    * min/max over identical doubles are exact; the only aggregate SUM
+    * runs on floor(nrm² · 2²⁰) — exact longs, order-independent —
+    * because a double norm sum would be arrival-order-dependent and the
+    * s04 float→string→decimal trick only round-trips FLOAT reprs, not
+    * the 17-digit doubles a norm is.
+    *
+    * Scale shape: one row-local scan projection + one hash aggregate on
+    * label — linear, no joins, no broadcasts; the audit costs one pass
+    * at any corpus size.
+    */
+  private def s13(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"),
+        size(col("embedding")).as("dim"),
+        graft.functions.VectorFunctions.vec_dot(
+          transform(col("embedding"), x => x.cast("double")),
+          transform(col("embedding"), x => x.cast("double"))).as("nsq"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("dim") =!= Dim, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("nsq") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        min(sqrt(col("nsq"))).as("min_norm"),
+        max(sqrt(col("nsq"))).as("max_norm"),
+        sum(floor(col("nsq") * NormQ).cast("long")).as("nsq_q20_sum"))
+
+  private val s13Sql =
+    s"""WITH e AS (
+       |  SELECT label, CAST(len(embedding) AS INTEGER) AS dim,
+       |    list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |      x -> x * x)) AS nsq
+       |  FROM embeddings)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN dim <> $Dim THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+       |  CAST(sum(CASE WHEN nsq = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       |  min(sqrt(nsq)) AS min_norm,
+       |  max(sqrt(nsq)) AS max_norm,
+       |  CAST(sum(CAST(floor(nsq * $NormQ) AS BIGINT)) AS BIGINT) AS nsq_q20_sum
+       |FROM e GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_knn", s01, Some(s01Sql)),
     QueryDef("s02_cosine_neardup", s02, Some(s02Sql)),
@@ -1085,5 +1143,6 @@ object Similarity extends QueryModule {
     QueryDef("s10_kmeans_step", s10, Some(s10Sql)),
     QueryDef("s11_range_search", s11, Some(s11Sql)),
     QueryDef("s12_ann_recall", s12, Some(s12Sql)),
+    QueryDef("s13_embedding_audit", s13, Some(s13Sql)),
   )
 }

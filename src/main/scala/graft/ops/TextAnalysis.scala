@@ -588,6 +588,99 @@ object TextAnalysis extends QueryModule {
       |FROM tk JOIN b USING (tok)
       |GROUP BY 1""".stripMargin
 
+  // ---- t15: BM25 retrieval (corpus search / quality-ranked lookup) ----
+
+  /** t15: BM25 top-k retrieval — the ranked-lookup step behind
+    * dedup-audit "find me docs like this" queries and retrieval-based
+    * decontamination. The query is CORPUS-DERIVED and deterministic: the
+    * 8 highest-document-frequency terms of length ≥ 5 (ties by term), so
+    * both engines reconstruct the identical query with no side channel.
+    *
+    * Scoring is Okapi BM25 (k1 = 1.2, b = 0.75) with the idf log2
+    * QUANTIZED to whole bits, the t13/t14 trick: the Robertson ratio
+    * (N − df + 0.5)/(df + 0.5) = (2N − 2df + 1)/(2df + 1) is floored by
+    * exact integer division, clamped ≥ 1, and its binary bit-length is
+    * the idf weight — pure integer arithmetic, ulp-exact in any engine,
+    * where libm `ln` is not (DETERMINISM.md). The tf saturation term
+    * stays in IEEE doubles with the formula mirrored token-for-token
+    * (single int/int divisions and exact-binary or identically-parsed
+    * constants; no transcendentals). Per-doc total = left-to-right fold
+    * over the term-SORTED matches (the q41/s08 fixed-order-fold rule).
+    *
+    * Scale shape: one token shuffle builds tf; df and per-doc length both
+    * derive from tf (no second corpus shuffle); the query-term frame is
+    * LIMIT-8-capped so its broadcast is constant-size (the s07/s11
+    * capped-broadcast contract — NOT a corpus-sized hint); corpus totals
+    * ride one broadcast row (p11 contract); the final top-20 is a
+    * distributed TakeOrderedAndProject, never a single-partition sort.
+    * At 100 TB: linear scans, hash joins on (word) and (doc_id), and a
+    * constant-size query — the classic sparse-retrieval shape.
+    */
+  /** t15 core over any (doc_id, text) frame — factored so tests can
+    * plant corpora with hand-computable df/tf/idf-bits values.
+    */
+  private[graft] def bm25Retrieval(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val qterms = dfreq.filter(length(col("word")) >= 5)
+      .orderBy(col("df").desc, col("word"))
+      .limit(8)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+    val matched = tf.join(broadcast(qterms), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("word"),
+        (length(bin(greatest(
+          expr("(2 * n_docs - 2 * df + 1) div (2 * df + 1)"), lit(1L))))
+          .cast("double") *
+          ((col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                (col("dl").cast("double") /
+                  (col("tot_tokens").cast("double") / col("n_docs").cast("double")))))))
+          .as("sc"))
+    matched.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("word"), col("sc")))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_terms"),
+        expr("aggregate(ts, CAST(0.0 AS DOUBLE), (a, x) -> a + x.sc)").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private def t15(s: SparkSession, dir: String): DataFrame =
+    bm25Retrieval(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  private val t15Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT word, df FROM dfq WHERE len(word) >= 5
+      |       ORDER BY df DESC, word LIMIT 8),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_docs, sum(dl) AS tot_tokens FROM dl),
+      |m AS (
+      |  SELECT tf.doc_id, tf.word,
+      |    CAST(length(bin(greatest((2 * tot.n_docs - 2 * qt.df + 1) // (2 * qt.df + 1),
+      |                             CAST(1 AS BIGINT)))) AS DOUBLE)
+      |      * ((CAST(tf.tf AS DOUBLE) * 2.2) /
+      |         (CAST(tf.tf AS DOUBLE) + 1.2 *
+      |          (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
+      |            (CAST(tot.tot_tokens AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))))) AS sc
+      |  FROM tf JOIN qt USING (word) JOIN dl USING (doc_id) CROSS JOIN tot),
+      |g AS (
+      |  SELECT doc_id, list_sort(list(struct_pack(word := word, sc := sc))) AS ts
+      |  FROM m GROUP BY 1)
+      |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_terms,
+      |  list_sum(list_transform(ts, x -> x.sc)) AS score
+      |FROM g ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_quality_score", t02, Some(t02Sql)),
@@ -603,5 +696,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("t12_repetition", t12, Some(t12Sql)),
     QueryDef("t13_unigram_surprise", t13, Some(t13Sql)),
     QueryDef("t14_bigram_surprise", t14, Some(t14Sql)),
+    QueryDef("t15_bm25_retrieval", t15, Some(t15Sql)),
   )
 }

@@ -342,5 +342,51 @@ object EventsQueries extends QueryModule {
     QueryDef("e04_asof_last_signup", e04, Some(e04Sql)),
     QueryDef("e05_interval_join", e05, Some(e05Sql)),
     QueryDef("e10_top_paths", e10, Some(e10Sql)),
+    QueryDef("e11_session_window", e11, Some(e11Sql)),
   )
+
+  /** e11: Spark's NATIVE session_window aggregation — gap-merged
+    * per-user sessions through the dedicated SessionWindow plan path
+    * (UpdatingSessionsExec / MergingSessionsExec), not e03's
+    * lag+running-sum formulation. Semantics differ from e03 at the exact
+    * boundary: a session window is `[ts, ts+gap)` and merges only on
+    * OVERLAP, so a successor event arriving exactly `gap` later starts a
+    * NEW session (`>=` rule), where e03's `>` rule keeps it — the oracle
+    * states the `>=` rule, documenting the boundary contract instead of
+    * papering over it. Window end is `last ts + gap` (not last ts),
+    * mirrored as `max(ts_us) + gap`.
+    *
+    * Scale shape: one hash exchange on user_id, then per-partition sort
+    * + linear session merge — the same single-shuffle budget as e03,
+    * with the merge logic in the engine rather than in window functions.
+    */
+  private def e11(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+
+  private val e11Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |              IS NULL
+      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |              >= 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM ev),
+      |sess AS (
+      |  SELECT user_id, ts_us,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts_us) AS start_us,
+      |  max(ts_us) + 1800000000 AS end_us,
+      |  count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid""".stripMargin
 }

@@ -250,11 +250,114 @@ object Relational5 extends QueryModule {
       |        THEN l_extendedprice / (l_quantity - 25.0) END) AS min_ratio
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** q44: aggregate FILTER clause — per-group conditional aggregates in
+    * ONE pass without CASE-wrapping every input (the ANSI surface for
+    * "count the subset while you aggregate the whole"): filtered COUNT,
+    * a filtered DECIMAL-exact SUM, a filtered MAX over dates, and ONE
+    * filtered COUNT(DISTINCT) kept single so the plan stays Expand-free
+    * (the q11/q34 split-agg rule; ScaleLint kind-3 watches the sweep —
+    * and caught the first cut's `COUNT(DISTINCT) FILTER`, which Catalyst
+    * CAN only plan through the Expand rewrite; the filter lives in the
+    * distinct's CASE argument instead, null-ignoring and Expand-free).
+    *
+    * Determinism: the sum stays in DECIMAL(18,2) until the final cast
+    * (order-independent); comparisons are literal IEEE compares both
+    * engines parse identically; the date max casts to string for a
+    * type-stable hash.
+    *
+    * Scale shape: one hash-partitioned aggregate over the fact scan —
+    * FILTER folds into the aggregate's update path, so the conditional
+    * families add zero extra scans or shuffles at 100 TB.
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q44_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_hi_disc,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F')
+        |       AS DOUBLE) AS qty_f,
+        |  CAST(MAX(CAST(l_shipdate AS DATE)) FILTER (WHERE l_quantity < 5.0)
+        |       AS STRING) AS last_small_ship,
+        |  COUNT(DISTINCT CASE WHEN l_quantity >= 25.0 THEN l_suppkey END) AS n_bulk_supps
+        |FROM graft_q44_lineitem
+        |GROUP BY l_returnflag""".stripMargin)
+  }
+
+  private val q44Sql =
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n_all,
+      |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_hi_disc,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F')
+      |       AS DOUBLE) AS qty_f,
+      |  CAST(MAX(CAST(l_shipdate AS DATE)) FILTER (WHERE l_quantity < 5.0)
+      |       AS VARCHAR) AS last_small_ship,
+      |  COUNT(DISTINCT CASE WHEN l_quantity >= 25.0 THEN l_suppkey END) AS n_bulk_supps
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** q45: correlated LATERAL derived-table join — "for each customer,
+    * its top-2 orders by price" stated as a per-row subquery (the
+    * LATERAL surface q32's UNNEST form doesn't cover: a correlated,
+    * ordered, LIMITed relation per outer row). Catalyst decorrelates
+    * this into the plan you'd hand-write at 100 TB: a WindowGroupLimit
+    * chain that prunes to ≤2 rows per key map-side BEFORE the exchange
+    * (no per-outer-row re-execution, no nested loop — plan-asserted in
+    * PlanSpec), then one join back to customers. Deterministic tiebreak
+    * (o_totalprice DESC, o_orderkey) so the LIMIT is stable; customers
+    * with no orders drop out (inner lateral), which both engines agree
+    * on by construction.
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q45_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q45_orders")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM graft_q45_customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_q45_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)
+  }
+
+  private val q45Sql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin
+
+  /** q46: UNPIVOT — wide-to-long reshaping as a first-class relational
+    * clause (the melt step feeding per-metric profiling like p01, which
+    * uses the same Expand-one-row-per-metric plan internally). NULL
+    * metrics are excluded by default in BOTH engines — stated here as
+    * the contract. Row-local: the reshape is a Generate/Expand over the
+    * scan, no shuffle at any scale.
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q46_customer")
+    s.sql(
+      """SELECT c_custkey, metric, val
+        |FROM (SELECT c_custkey, c_acctbal AS acctbal,
+        |             CAST(c_nationkey AS DOUBLE) AS nationd
+        |      FROM graft_q46_customer)
+        |UNPIVOT (val FOR metric IN (acctbal, nationd))""".stripMargin)
+  }
+
+  private val q46Sql =
+    """SELECT c_custkey, metric, val
+      |FROM (SELECT c_custkey, c_acctbal AS acctbal,
+      |             CAST(c_nationkey AS DOUBLE) AS nationd
+      |      FROM customer)
+      |UNPIVOT (val FOR metric IN (acctbal, nationd))""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q39_stats_agg", q39, Some(q39Sql)),
     QueryDef("q40_recursive_cte", q40, Some(q40Sql)),
     QueryDef("q41_nested_struct", q41, Some(q41Sql)),
     QueryDef("q42_changelog_compact", q42, Some(q42Sql)),
     QueryDef("q43_try_funcs", q43, Some(q43Sql)),
+    QueryDef("q44_filter_clause", q44, Some(q44Sql)),
+    QueryDef("q45_lateral_topk", q45, Some(q45Sql)),
+    QueryDef("q46_unpivot", q46, Some(q46Sql)),
   )
 }

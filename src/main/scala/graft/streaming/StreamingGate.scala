@@ -308,6 +308,34 @@ object StreamingGate extends QueryModule {
       |  FROM fin)
       |WHERE nxt IS NOT NULL""".stripMargin
 
+  /** es11: watermark-evicted ingestion dedup, live with REAL duplicates —
+    * the events stream unioned with a second reader over the same files
+    * (every event_id arrives twice, the at-least-once-delivery shape)
+    * through `dropDuplicatesWithinWatermark(event_id)`. Exactly one row
+    * per event_id survives regardless of batching, and since duplicate
+    * rows are bit-identical the survivor is unambiguous — so the emitted
+    * set is the plain events projection, which the oracle states
+    * directly. The watermark's job here is STATE EVICTION (ids older
+    * than the delay stop occupying the store on an unbounded stream);
+    * it never suppresses output in a bounded run. The duplicate-file
+    * replay attack on the same operator is separately pinned by
+    * StreamingRecoverySpec across a checkpoint restart.
+    */
+  private def es11(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es11_sink") {
+      import org.apache.spark.sql.functions.col
+      val once = EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None)
+      val again = EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None)
+      EventStream.dedupedEvents(once.unionAll(again))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("ts_us"),
+          col("value"))
+    }
+
+  private val es11Sql =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+      |FROM events""".stripMargin
+
   /** es12: CDC changelog compaction of the event stream — the latest
     * event per user plus the version count (the q42 pattern, live).
     * `max_by` folds incrementally so the complete-mode snapshot equals
@@ -359,6 +387,7 @@ object StreamingGate extends QueryModule {
     QueryDef("es08_funnel_closed", es08, Some(es08Sql)),
     QueryDef("es09_transitions_closed", es09, Some(es09Sql)),
     QueryDef("es10_daily_paths_closed", es10, Some(es10Sql)),
+    QueryDef("es11_dedup_ingest", es11, Some(es11Sql)),
     QueryDef("es12_compact_snapshot", es12, Some(es12Sql)),
     QueryDef("es13_enrich_static", es13, Some(es13Sql)),
   )

@@ -613,6 +613,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(single.count() === 0L)
   }
 
+  test("t15 bm25: hand-computed scores on a fixed corpus; ranking and tiebreaks") {
+    import spark.implicits._
+    // N=3 docs, dl=3 each -> avgdl=3.0 exactly; df(alpha)=2, all others 1.
+    // All idf ratios floor to <=1 -> clamp -> bitlen = 1 for every term,
+    // so scores reduce to the tf-saturation part: (tf*2.2)/(tf+1.2).
+    val docs = Seq(
+      (1L, "alpha alpha bravo"),
+      (2L, "alpha charl delta"),
+      (3L, "echoo foxtr golfy")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.bm25Retrieval(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // mirror the plan's IEEE op order exactly
+    def term(tf: Double, dl: Double) =
+      1.0 * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / 3.0))))
+    val s1 = 0.0 + term(2.0, 3.0) + term(1.0, 3.0) // alpha then bravo (word-sorted)
+    val s2 = 0.0 + term(1.0, 3.0) + term(1.0, 3.0) + term(1.0, 3.0)
+    assert(out.toSeq === Seq((2L, 3L, s2), (3L, 3L, s2), (1L, 2L, s1)),
+      "score-desc then doc_id-asc; exact IEEE-mirrored values")
+  }
+
+  test("d14 edit-distance near-dup: planted typo pair found with exact distance") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val typo = base.replace(" w20 ", " x20 ")        // one substitution
+    val far  = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, typo), (3L, far)).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.editDistNearDup(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.contains((1L, 2L, 1L)),
+      "a one-char edit must survive blocking and verify at distance 1")
+    assert(out.forall(t => t._1 < t._2 && t._3 <= 8L))
+    assert(!out.exists(t => t._2 == 3L || t._1 == 3L),
+      "an unrelated doc must not pair")
+  }
+
+  test("p16 skew report: top-20 by count, share/x_avg/is_hot consistent") {
+    val rows = SparkEntry.queries("p16_skew_report")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.length <= 20 && rows.nonEmpty)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq, "count-descending")
+    assert(rows.forall(t => t._3 > 0.0 && t._3 <= 1.0), "share in (0,1]")
+    assert(rows.forall(t => t._5 === (t._4 > 10.0)), "is_hot derives from x_avg")
+  }
+
   test("m05 byte packing: shards contiguous, bytes conserved, bounded overflow") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"

@@ -52,6 +52,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), "no global sort shuffle for top-k")
   }
 
+  test("q45: lateral top-k decorrelates to WindowGroupLimit, never a nested loop") {
+    val p = plan("q45_lateral_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "the correlated LIMIT must lower to a group-limit, pruned map-side")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "per-outer-row re-execution would be quadratic at scale")
+  }
+
   test("wc01: word count aggregates partially before the shuffle (map-side combine)") {
     val p = plan("wc01_wordcount")
     assert(p.contains("HashAggregate"))
