@@ -123,6 +123,28 @@ object EventStream {
       .select(col("user_id"), col("eid"), col("oid"))
   }
 
+  /** Stream-stream LEFT OUTER interval self-join — [[intervalJoin]] plus
+    * the null-extended rows an outer join owes: an event with NO
+    * same-user partner within ±5 minutes is emitted with a null `oid`
+    * once the watermark passes the end of its match window (only then
+    * can the engine PROVE no partner is coming — the state-eviction
+    * emission that distinguishes streaming outer joins from inner ones).
+    * Matched pairs emit immediately, exactly as in the inner join; a
+    * tail row whose match window the final watermark never clears stays
+    * in state and emits nothing — the es14 oracle states that predicate.
+    */
+  def intervalJoinLeftOuter(events: DataFrame): DataFrame = {
+    val a = events.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("eid"), col("ts").as("ta"))
+    val b = events.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("user_b"), col("event_id").as("oid"), col("ts").as("tb"))
+    a.join(b, expr(
+      """user_id = user_b AND eid != oid AND
+        |tb BETWEEN ta - INTERVAL 5 MINUTES AND ta + INTERVAL 5 MINUTES""".stripMargin),
+      "left_outer")
+      .select(col("user_id"), col("eid"), col("oid"))
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----------------
 
   /** ts is carried (unused by the lambda) because the watermark tag lives

@@ -336,6 +336,37 @@ object StreamingGate extends QueryModule {
     """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
       |FROM events""".stripMargin
 
+  /** es14: the LEFT OUTER stream-stream interval join — es05's pair set
+    * PLUS a null-oid row per event the engine could PROVE partnerless:
+    * an outer row emits only when the watermark passes the end of the
+    * event's ±5-minute match window (state eviction), so the finalized
+    * null-row set is `no partner exists AND ta + 5 min < final
+    * watermark` — tail events inside the last watermark-delay+5min
+    * stay in state and contribute no null row. Matched pairs emit
+    * immediately and are watermark-independent, exactly as in es05.
+    */
+  private def es14(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es14_sink") {
+      EventStream.intervalJoinLeftOuter(
+        EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None))
+    }
+
+  private val es14Sql =
+    """WITH wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 AS wm_us FROM events),
+      |pairs AS (
+      |  SELECT a.user_id, a.event_id AS eid, b.event_id AS oid
+      |  FROM events a JOIN events b
+      |    ON a.user_id = b.user_id AND a.event_id <> b.event_id
+      |   AND epoch_us(b.ts) BETWEEN epoch_us(a.ts) - 300000000
+      |                          AND epoch_us(a.ts) + 300000000)
+      |SELECT user_id, eid, oid FROM pairs
+      |UNION ALL
+      |SELECT a.user_id, a.event_id AS eid, CAST(NULL AS BIGINT) AS oid
+      |FROM events a, wm
+      |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.eid = a.event_id)
+      |  AND epoch_us(a.ts) + 300000000 < wm.wm_us""".stripMargin
+
   /** es12: CDC changelog compaction of the event stream — the latest
     * event per user plus the version count (the q42 pattern, live).
     * `max_by` folds incrementally so the complete-mode snapshot equals
@@ -390,5 +421,6 @@ object StreamingGate extends QueryModule {
     QueryDef("es11_dedup_ingest", es11, Some(es11Sql)),
     QueryDef("es12_compact_snapshot", es12, Some(es12Sql)),
     QueryDef("es13_enrich_static", es13, Some(es13Sql)),
+    QueryDef("es14_interval_left_outer", es14, Some(es14Sql)),
   )
 }

@@ -594,6 +594,58 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("d14/t15 10x scaling: linear wall time; clone families fully recovered; fixed top-k") {
+    // Clone-heavy generator (the d13 shape): 5 clones per original whose
+    // texts differ only in the final suffix digit — every in-family pair
+    // is at Levenshtein distance 1, so d14 must recover exactly the
+    // C(5,2)=10 family pairs per original (plus whatever true near-dups
+    // the base corpus replicates); cross-original 15-bit chunk
+    // collisions are the stress — the length gate + verify must kill
+    // them without quadratic wall time at this scale.
+    val src = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
+    def mkDocs(originals: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_d14docs_$originals").toString
+      src.filter(col("doc_id") < originals)
+        .crossJoin(spark.range(5).select(col("id").as("clone")))
+        .select((col("doc_id") * 10 + col("clone")).as("doc_id"),
+          concat(col("text"), lit(" zqtail"), col("clone")).as("text"),
+          col("lang"), col("source"), (length(col("text")) + 8).as("n_chars"))
+        .coalesce(4).write.parquet(out + "/documents.parquet")
+      out
+    }
+    def time(q: String, dir: String): Double = {
+      graft.core.Sessions.sweepPersistedState(spark)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      graft.core.Sessions.sweepPersistedState(spark)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (docs1, docs10) = (mkDocs(200), mkDocs(2000))
+    try {
+      for (q <- Seq("d14_editdist_neardup", "t15_bm25_retrieval")) {
+        val (t1, t10) = (time(q, docs1), time(q, docs10))
+        info(f"$q 1x: $t1%.1fs; 10x: $t10%.1fs")
+        assert(t10 <= t1 * 25 + 5.0, f"$q wall time must stay ~linear: $t1%.1fs -> $t10%.1fs")
+      }
+      // Growth must be ~linear in BOTH directions: families are found at
+      // the same per-original rate (a family is only missed when its base
+      // text is too short for the one-shingle suffix flip to stay within
+      // the hamming band — a fixed property of the base corpus, so the
+      // rate carries across scales), and chunk collisions don't compound.
+      val p1 = SparkEntry.queries("d14_editdist_neardup")(spark, docs1).count()
+      val p10 = SparkEntry.queries("d14_editdist_neardup")(spark, docs10).count()
+      info(s"d14 pairs 1x: $p1; 10x: $p10")
+      assert(p1 >= 200L * 5, s"clone families must dominate the 1x pair set, got $p1")
+      assert(p10 >= p1 * 7 && p10 <= p1 * 14,
+        s"pair growth must stay ~linear (len gate + verify kill chunk collisions): $p1 -> $p10")
+      assert(SparkEntry.queries("t15_bm25_retrieval")(spark, docs10).count() === 20L,
+        "top-k output is fixed-size regardless of corpus scale")
+    } finally {
+      for (d <- Seq(docs1, docs10))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    }
+  }
+
   test("es05 stream-stream join 10x scaling: linear wall time, exactly 10x pairs") {
     // The one streaming gate entry whose cost is data-dependent (join
     // state + emitted pairs), not fixed micro-batch overhead. Copies are

@@ -240,6 +240,41 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("left-outer interval join emits every provable null row across batches (es14)") {
+    // Two time-split batches + the far-future sentinel: cross-boundary
+    // pairs must match through retained join state, and once the sentinel
+    // pushes the watermark past every real event, EVERY partnerless real
+    // event owes exactly one null row (the sentinel itself stays in
+    // state — its match window never closes — and must not appear).
+    import org.apache.spark.sql.functions._
+    val tmp = twoHalfReplay("graft_louter", shuffled = true)
+    val stream = EventStream.intervalJoinLeftOuter(
+      EventStream.readEvents(spark, tmp.getAbsolutePath))
+    val q = stream.writeStream
+      .format("memory").queryName("louter_out")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("louter_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+
+    val e = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_id") =!= col("b.event_id") &&
+          col("b.us").between(col("a.us") - 300000000L, col("a.us") + 300000000L))
+      .select(col("a.user_id"), col("a.event_id").as("eid"), col("b.event_id").as("oid"))
+    val lonely = e.join(pairs.select(col("eid")), col("event_id") === col("eid"), "left_anti")
+      .select(col("user_id"), col("event_id"))
+    val want = pairs.collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet ++
+      lonely.collect().map(r => (r.getLong(0), r.getLong(1), None: Option[Any])).toSet
+    assert(want.exists(_._3.isEmpty), "fixture must contain partnerless events")
+    assert(want.exists(_._3.nonEmpty), "fixture must contain matched pairs")
+    assert(got === want)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("funnel REPAIRS a cross-batch late event (buffered) and the accumulator reports it") {
     // batch A fixes the user's marker at ts=5s; batch B delivers ts=3s.
     // The buffered twin orders the late click BEFORE the view, so the
