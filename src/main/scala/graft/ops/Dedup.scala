@@ -765,6 +765,103 @@ object Dedup extends QueryModule {
       |LEFT JOIN ch USING (h)
       |LEFT JOIN best ON dh.doc_id = best.doc_id""".stripMargin
 
+  // ---- d15: MinHash estimator audit -----------------------------------
+
+  /** d15: MinHash ESTIMATE-vs-EXACT audit — before trusting the d04
+    * sketch at corpus scale, measure it: for every banded candidate
+    * pair, the signature-agreement estimate (matching components / 128),
+    * the exact shingle Jaccard, and the absolute estimator error. The
+    * report is what sizes NumHashes for a production run — a fat error
+    * tail says buy more hashes, a thin one says the sketch can stand in
+    * for the exact join. (Same per-pair cost shape as d04: candidates
+    * come from the banding, never all-pairs; signatures and shingle sets
+    * each join back by id once per unique pair.)
+    *
+    * Determinism: matches is exact integer agreement of identically-
+    * derived signatures; est is one division by the 128.0 literal;
+    * jaccard is d04's int/int division; err_abs one IEEE subtraction —
+    * all mirrored token-for-token, so the gate hashes exact equality,
+    * not an error-bound contract.
+    */
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingleArr(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hs", graft.functions.TextFunctions.md5_hash31(col("sh")))
+      .withColumn("sig", graft.functions.TextFunctions.minhash_signature(
+        col("hs"), hashA, hashB))
+      .persist()
+    val banded = docs
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b =>
+          concat_ws("_", slice(col("sig"), b * Rows + 1, Rows).cast("array<string>"))): _*))
+          .as(Seq("band", "bucket")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .dropDuplicates("ida", "idb")
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+    val matches = size(filter(
+      zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b)).cast("long")
+    pairs
+      .join(docs.select(col("doc_id").as("ida"), col("sh").as("sha"), col("sig").as("siga")), "ida")
+      .join(docs.select(col("doc_id").as("idb"), col("sh").as("shb"), col("sig").as("sigb")), "idb")
+      .select(col("ida"), col("idb"),
+        matches.as("matches"),
+        (inter / (size(col("sha")).cast("long") + size(col("shb")).cast("long") - inter)).as("jaccard"))
+      .select(col("ida"), col("idb"), col("matches"),
+        (col("matches").cast("double") / lit(128.0)).as("est"),
+        col("jaccard"),
+        abs((col("matches").cast("double") / lit(128.0)) - col("jaccard")).as("err_abs"))
+  }
+
+  /** Oracle: the d04 structural mirror extended with the component-
+    * agreement count over the same ordered signatures.
+    */
+  private val d15Sql = {
+    val prm = (0 until NumHashes)
+      .map(i => s"(${i}, ${hashA(i)}, ${hashB(i)})").mkString(", ")
+    s"""WITH $shingleCte,
+       |h AS (
+       |  SELECT doc_id, ${OracleSql.hex60("shingle")} & 2147483647 AS h31
+       |  FROM sh),
+       |prm(i, a, b) AS (VALUES $prm),
+       |ps AS (
+       |  SELECT doc_id, prm.i, min((prm.a * h.h31 + prm.b) & 2147483647) AS s
+       |  FROM h CROSS JOIN prm GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM ps GROUP BY 1),
+       |banded AS (
+       |  SELECT doc_id, bd, array_to_string(list_slice(sig, bd * $Rows + 1, bd * $Rows + $Rows), '_') AS bucket
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS bd)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM banded a JOIN banded b
+       |    ON a.bd = b.bd AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cm AS (
+       |  SELECT c.ida, c.idb, count(*) AS c
+       |  FROM cand c JOIN sh x ON x.doc_id = c.ida JOIN sh y ON y.doc_id = c.idb AND x.shingle = y.shingle
+       |  GROUP BY 1, 2),
+       |mt AS (
+       |  SELECT cand.ida, cand.idb,
+       |    CAST(len(list_filter(list_transform(range(1, ${NumHashes + 1}),
+       |      j -> sa.sig[j] = sb.sig[j]), x -> x)) AS BIGINT) AS matches
+       |  FROM cand JOIN sigs sa ON sa.doc_id = cand.ida
+       |            JOIN sigs sb ON sb.doc_id = cand.idb)
+       |SELECT mt.ida, mt.idb, mt.matches,
+       |  CAST(mt.matches AS DOUBLE) / 128.0 AS est,
+       |  coalesce(cm.c, 0) / (sa.n + sb.n - coalesce(cm.c, 0)) AS jaccard,
+       |  abs(CAST(mt.matches AS DOUBLE) / 128.0
+       |      - coalesce(cm.c, 0) / (sa.n + sb.n - coalesce(cm.c, 0))) AS err_abs
+       |-- LEFT join: a banded candidate with ZERO shared shingles (a pure
+       |-- bucket false positive) must appear with jaccard 0 — those are
+       |-- exactly the estimator errors the audit exists to surface
+       |FROM mt
+       |LEFT JOIN cm ON cm.ida = mt.ida AND cm.idb = mt.idb
+       |JOIN sz sa ON mt.ida = sa.doc_id JOIN sz sb ON mt.idb = sb.doc_id""".stripMargin
+  }
+
   // ---- d14: edit-distance near-dup (SimHash-blocked Levenshtein) ------
 
   /** Max edit distance — and, by the |len(a)−len(b)| ≤ K lower bound,
@@ -880,5 +977,6 @@ object Dedup extends QueryModule {
     QueryDef("d12_segment_scrub", d12, Some(d12Sql)),
     QueryDef("d13_incremental_dedup", d13, Some(d13Sql)),
     QueryDef("d14_editdist_neardup", d14, Some(d14Sql)),
+    QueryDef("d15_minhash_audit", d15, Some(d15Sql)),
   )
 }

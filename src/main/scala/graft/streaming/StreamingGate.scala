@@ -367,6 +367,28 @@ object StreamingGate extends QueryModule {
       |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.eid = a.event_id)
       |  AND epoch_us(a.ts) + 300000000 < wm.wm_us""".stripMargin
 
+  /** es15: UPDATE output mode on the tumbling window agg — the third
+    * emission contract (es02 covers append = closed-only, es01/es12
+    * complete = full snapshot): update emits each group once per batch
+    * it CHANGED in, including still-open windows append must withhold.
+    * Single-batch ingest touches every window exactly once and the
+    * trailing no-data batch changes none, so the emitted multiset is
+    * the plain batch window aggregation with NO watermark cutoff — the
+    * distinction from es02 the oracle pins (an upsert sink consumes
+    * exactly this changelog in production).
+    */
+  private def es15(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es15_sink", mode = "update") {
+      EventStream.tumblingAgg(EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None))
+    }
+
+  private val es15Sql =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
   /** es12: CDC changelog compaction of the event stream — the latest
     * event per user plus the version count (the q42 pattern, live).
     * `max_by` folds incrementally so the complete-mode snapshot equals
@@ -422,5 +444,6 @@ object StreamingGate extends QueryModule {
     QueryDef("es12_compact_snapshot", es12, Some(es12Sql)),
     QueryDef("es13_enrich_static", es13, Some(es13Sql)),
     QueryDef("es14_interval_left_outer", es14, Some(es14Sql)),
+    QueryDef("es15_update_emission", es15, Some(es15Sql)),
   )
 }

@@ -658,6 +658,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(rows.forall(t => t._5 === (t._4 > 10.0)), "is_hot derives from x_avg")
   }
 
+  test("d15 minhash audit: identical docs report a zero-error estimate; errors bounded on real data") {
+    val out = SparkEntry.queries("d15_minhash_audit")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out.nonEmpty, "the banding must surface candidate pairs at sf0.001")
+    for ((ida, idb, matches, est, jac, err) <- out) {
+      assert(ida < idb)
+      assert(matches >= 0L && matches <= 128L)
+      assert(est === matches / 128.0)
+      assert(jac >= 0.0 && jac <= 1.0)
+      assert(err === math.abs(est - jac))
+      if (jac == 1.0)
+        assert(matches === 128L, s"identical shingle sets must agree on every component ($ida,$idb)")
+    }
+    // 128 hashes: a >0.5 absolute error would be a broken estimator, not noise
+    assert(out.forall(_._6 <= 0.5), "estimator error tail must stay sane")
+  }
+
   test("m05 byte packing: shards contiguous, bytes conserved, bounded overflow") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"

@@ -243,6 +243,77 @@ class StreamingRecoverySpec extends AnyFunSuite {
       s"post-restart pair multiset must equal the batch join (incl. $nCross cross-boundary pairs)")
   }
 
+  test("left-outer join restarted from checkpoint still emits null rows from restored state") {
+    // The fifth recovery class: OUTER-join eviction emission. A
+    // partnerless event ingested in phase 1 has its null row pending in
+    // join state when the query stops; after a restart (phase-1 file
+    // deleted), the sentinel-driven watermark advance must emit that
+    // null row from the RESTORED state — fresh state would silently
+    // drop it, and a re-delivery would double it. The multiset compare
+    // catches both failure modes.
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    val winUs = 5L * 60 * 1000 * 1000
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .cache()
+    val pairs = ev.as("a").join(ev.select(col("user_id").as("ub"),
+        col("event_id").as("oid"), col("ts_us").as("tb")),
+        col("user_id") === col("ub") && col("event_id") =!= col("oid") &&
+          col("tb") >= col("ts_us") - winUs && col("tb") <= col("ts_us") + winUs)
+      .select(col("user_id"), col("event_id").as("eid"), col("oid"))
+      .cache()
+    val lonely = ev.join(pairs.select(col("eid")), col("event_id") === col("eid"), "left_anti")
+      .select(col("user_id"), col("event_id")).cache()
+    assert(lonely.count() > 0, "fixture must contain partnerless events")
+
+    val raw = graft.core.Tables.events(spark, dir)
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .cache()
+    val b = raw.selectExpr(
+      "percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m", "max(ts) AS hi").collect()(0)
+    val (cutNs, maxNs) = (b.getDouble(0).toLong, b.getLong(1))
+    val streamDir = Files.createTempDirectory("graft-louterstream").toString
+    val checkpoint = Files.createTempDirectory("graft-louterckpt").toString
+    val outDir = Files.createTempDirectory("graft-louterout").toString + "/rows"
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = Files.createTempDirectory(s"graft-louterstage_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, Paths.get(streamDir, s"events_$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def runOnce(): Unit = {
+      val q = EventStream.intervalJoinLeftOuter(EventStream.readEvents(spark, streamDir))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeFile(raw.filter(col("ts") <= cutNs), "a")
+    runOnce()
+    Files.deleteIfExists(Paths.get(streamDir, "events_a.parquet"))
+    import spark.implicits._
+    writeFile(raw.filter(col("ts") > cutNs), "b")
+    writeFile(Seq((-1L, maxNs + 60L * 86400 * 1000000000L, -1L, "flush", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"), "z")
+    raw.unpersist()
+    runOnce()
+
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).sorted(
+        Ordering.by((t: (Long, Long, Option[Any])) => (t._1, t._2, t._3.map(_.toString).getOrElse(""))))
+    val want = (pairs.collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))) ++
+      lonely.collect().map(r => (r.getLong(0), r.getLong(1), None: Option[Any]))).sorted(
+        Ordering.by((t: (Long, Long, Option[Any])) => (t._1, t._2, t._3.map(_.toString).getOrElse(""))))
+    ev.unpersist(); pairs.unpersist(); lonely.unpersist()
+    assert(got.toSeq === want.toSeq,
+      "post-restart multiset must hold every pair and EXACTLY one null row per partnerless event")
+  }
+
   test("ingest sink: a batch replayed after crash-before-commit does not duplicate output") {
     // the exactly-once claim of p15's idempotent-by-batch-directory
     // sink, attacked directly: after phase 1 commits, the checkpoint's
