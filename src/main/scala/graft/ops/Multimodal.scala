@@ -222,11 +222,53 @@ object Multimodal extends QueryModule {
        |  max(n_bytes) AS max_doc_bytes
        |FROM o GROUP BY 1""".stripMargin
 
+  private val BlockChars = 32
+
+  /** m06: block-level storage-dedup estimate — the content-addressed-
+    * store (CAS) sizing number for a media corpus: payloads cut into
+    * fixed 32-char blocks, each block content-hashed, and per source the
+    * total vs DISTINCT block count = the fraction of storage a
+    * block-dedup store actually pays for. (d09/d12 measure TOKEN-level
+    * duplication for text quality; this is the BYTE-block analogue a
+    * storage planner reads. A real CAS uses content-defined chunk
+    * boundaries; fixed blocks are the deterministic stand-in, exactly
+    * like m02's fixed frames.) Blocks are character-sliced because
+    * DuckDB's substring counts characters (the m02 lesson).
+    *
+    * Scale shape: row-local block split + hash, ONE shuffle for the
+    * per-source single-distinct aggregate (lint kind-3 clean). At
+    * 100 TB the block stream is the scan itself re-keyed — linear.
+    */
+  private def m06(s: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("source"), explode(expr(
+        s"transform(sequence(0, CAST((length(text) + ${BlockChars - 1}) DIV $BlockChars AS INT) - 1), " +
+          s"i -> md5(substring(text, i * $BlockChars + 1, $BlockChars)))")).as("bh"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        countDistinct(col("bh")).as("n_unique"),
+        (countDistinct(col("bh")).cast("double") / count(lit(1)).cast("double"))
+          .as("stored_fraction"))
+
+  private val m06Sql =
+    s"""WITH b AS (
+       |  SELECT source,
+       |    unnest(list_transform(range(0, (len(text) + ${BlockChars - 1}) // $BlockChars),
+       |      i -> md5(substring(text, CAST(i * $BlockChars + 1 AS INT), $BlockChars)))) AS bh
+       |  FROM documents WHERE len(text) > 0)
+       |SELECT source, count(*) AS n_blocks,
+       |  count(DISTINCT bh) AS n_unique,
+       |  CAST(count(DISTINCT bh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS stored_fraction
+       |FROM b GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_features", m01, Some(m01Sql)),
     QueryDef("m02_frame_sample", m02, Some(m02Sql)),
     QueryDef("m03_resize", m03, Some(m03Sql)),
     QueryDef("m04_record_assembly", m04, Some(m04Sql)),
     QueryDef("m05_byte_pack", m05, Some(m05Sql)),
+    QueryDef("m06_block_dedup", m06, Some(m06Sql)),
   )
 }

@@ -1130,6 +1130,77 @@ object Similarity extends QueryModule {
        |  CAST(sum(CAST(floor(nsq * $NormQ) AS BIGINT)) AS BIGINT) AS nsq_q20_sum
        |FROM e GROUP BY 1""".stripMargin
 
+  // ---- s14: IVF index-balance audit -----------------------------------
+
+  /** s14: IVF cell-balance audit — the index-quality report an ANN
+    * deployment reads before trusting its probe budget: per coarse cell
+    * (the s06 centroid contract), the assigned vector count INCLUDING
+    * empty cells (a dead cell wastes every probe that lands on it), the
+    * corpus share, the multiple-of-average load, and a ≥4×-average hot
+    * flag (a hot cell makes every probe touching it scan far more than
+    * n/K candidates — the signal to retrain centroids or split cells).
+    * Completes the ANN audit trio: s12 measures recall, s13 input
+    * quality, s14 index balance.
+    *
+    * Scale shape: the s10/s11 contract — centroids ride ONE broadcast
+    * row as a cid-sorted array, assignment is a row-local argmax fold
+    * (no corpus×K explosion, no vec_id window), and the only corpus-fed
+    * exchange is the per-cell count aggregate; totals ride a 1-row
+    * broadcast (p11 contract).
+    */
+  private def s14(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir).persist()
+    val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(IvfCells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv"), col("cnrm")))).as("cents"))
+    def csimTo(c: Column): Column =
+      dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cnrm"))
+    val assign = base.crossJoin(broadcast(centArr))
+      .withColumn("ss", transform(col("cents"), c => csimTo(c)))
+      .withColumn("mx", array_max(col("ss")))
+      .select(element_at(filter(arrays_zip(col("cents"), col("ss")),
+          z => z.getField("ss") === col("mx")), 1)
+        .getField("cents").getField("cid").as("cell"))
+    val byCell = assign.groupBy(col("cell")).agg(count(lit(1)).as("nv"))
+    val full = cents.select(col("cid").as("cell"))
+      .join(byCell, Seq("cell"), "left_outer")
+      .select(col("cell"), coalesce(col("nv"), lit(0L)).as("n_vecs"))
+    val tot = full.groupBy().agg(sum(col("n_vecs")).as("tot"))
+    val xAvg = (col("n_vecs").cast("double") * lit(IvfCells.toDouble)) /
+      col("tot").cast("double")
+    full.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("tot").cast("double")).as("share"),
+        xAvg.as("x_avg"),
+        (xAvg > lit(4.0)).as("is_hot"))
+  }
+
+  private val s14Sql =
+    s"""WITH $oracleVecs,
+       |c AS (
+       |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfCells),
+       |sims AS (
+       |  SELECT n.vec_id, c.cid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS csim
+       |  FROM n CROSS JOIN c),
+       |rk AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+       |  FROM sims),
+       |assign AS (SELECT vec_id, cid AS cell FROM rk WHERE crn = 1),
+       |bc AS (SELECT cell, count(*) AS nv FROM assign GROUP BY 1),
+       |fc AS (
+       |  SELECT c.cid AS cell, CAST(coalesce(bc.nv, 0) AS BIGINT) AS n_vecs
+       |  FROM c LEFT JOIN bc ON bc.cell = c.cid),
+       |tot AS (SELECT sum(n_vecs) AS tot FROM fc)
+       |SELECT cell, n_vecs,
+       |  CAST(n_vecs AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+       |  (CAST(n_vecs AS DOUBLE) * $IvfCells.0) / CAST(tot AS DOUBLE) AS x_avg,
+       |  ((CAST(n_vecs AS DOUBLE) * $IvfCells.0) / CAST(tot AS DOUBLE)) > 4.0 AS is_hot
+       |FROM fc CROSS JOIN tot""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_knn", s01, Some(s01Sql)),
     QueryDef("s02_cosine_neardup", s02, Some(s02Sql)),
@@ -1144,5 +1215,6 @@ object Similarity extends QueryModule {
     QueryDef("s11_range_search", s11, Some(s11Sql)),
     QueryDef("s12_ann_recall", s12, Some(s12Sql)),
     QueryDef("s13_embedding_audit", s13, Some(s13Sql)),
+    QueryDef("s14_ivf_balance", s14, Some(s14Sql)),
   )
 }

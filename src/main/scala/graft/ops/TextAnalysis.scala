@@ -681,6 +681,63 @@ object TextAnalysis extends QueryModule {
       |  list_sum(list_transform(ts, x -> x.sc)) AS score
       |FROM g ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---- t16: keyword-in-context snippets -------------------------------
+
+  /** t16: KWIC snippet extraction — the "show me WHY this doc matched"
+    * step a retrieval audit (t15) or a decontamination review (d11)
+    * needs: for each document containing a query term, the ±2-token
+    * window around the term's FIRST occurrence. Query terms are t15's
+    * corpus-derived deterministic rule (top-8 document-frequency terms
+    * of length ≥ 5) restated as the same sub-plan, the p13 composition
+    * rule: shared declarations mirror as shared CTEs so they cannot
+    * drift.
+    *
+    * Scale shape: the 8-row query-term frame rides a capped broadcast
+    * into a row-local probe (`array_position` + `slice` per doc×term —
+    * a constant 8× scan fanout, zero shuffles beyond the tiny df aggs
+    * that pick the terms). Snippets never leave the row they came from.
+    */
+  private[graft] def kwicSnippets(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val qterms = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .filter(length(col("word")) >= 5)
+      .orderBy(col("df").desc, col("word"))
+      .limit(8)
+      .select(col("word"))
+    val start = greatest(col("pos") - 2, lit(1L))
+    val len = least(col("pos") + 2, size(col("w")).cast("long")) - start + 1
+    docs.select(col("doc_id"), toks(col("text")).as("w"))
+      .crossJoin(broadcast(qterms))
+      .withColumn("pos", array_position(col("w"), col("word")))
+      .filter(col("pos") > 0)
+      .select(col("doc_id"), col("word"), col("pos"),
+        array_join(slice(col("w"), start.cast("int"), len.cast("int")), " ").as("snippet"))
+  }
+
+  private def t16(s: SparkSession, dir: String): DataFrame =
+    kwicSnippets(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  private val t16Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS word
+      |  FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk GROUP BY 1, 2),
+      |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |qt AS (SELECT word FROM dfq WHERE len(word) >= 5
+      |       ORDER BY df DESC, word LIMIT 8),
+      |w AS (
+      |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |hit AS (
+      |  SELECT w.doc_id, qt.word,
+      |    CAST(coalesce(list_position(w.w, qt.word), 0) AS BIGINT) AS pos, w.w
+      |  FROM w CROSS JOIN qt)
+      |SELECT doc_id, word, pos,
+      |  array_to_string(w[greatest(pos - 2, 1):least(pos + 2, len(w))], ' ') AS snippet
+      |FROM hit WHERE pos > 0""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_quality_score", t02, Some(t02Sql)),
@@ -697,5 +754,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("t13_unigram_surprise", t13, Some(t13Sql)),
     QueryDef("t14_bigram_surprise", t14, Some(t14Sql)),
     QueryDef("t15_bm25_retrieval", t15, Some(t15Sql)),
+    QueryDef("t16_kwic_snippets", t16, Some(t16Sql)),
   )
 }

@@ -343,7 +343,98 @@ object EventsQueries extends QueryModule {
     QueryDef("e05_interval_join", e05, Some(e05Sql)),
     QueryDef("e10_top_paths", e10, Some(e10Sql)),
     QueryDef("e11_session_window", e11, Some(e11Sql)),
+    QueryDef("e12_gap_profile", e12, Some(e12Sql)),
+    QueryDef("e13_run_lengths", e13, Some(e13Sql)),
   )
+
+  /** e12: inter-event gap profile — the think-time/arrival-rate
+    * distribution per event type: for every event with a same-user
+    * predecessor, the gap to it in µs, aggregated per the CURRENT
+    * event's type. The input side of watermark-delay sizing (es*) and
+    * session-gap tuning (e03/e11): you pick 30 minutes BECAUSE of this
+    * table. Gaps are exact integer µs; the sum aggregates in
+    * DECIMAL(38,0) (a 100 TB corpus's µs-gap sum overflows a long);
+    * the mean is one division of exact ints (the q39 2^53 magnitude
+    * note applies to the double cast).
+    *
+    * Scale shape: one user_id exchange feeds the lag window; the type
+    * rollup is a second tiny aggregate with map-side combine.
+    */
+  private def e12(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        (sum(col("gap_us").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / count(lit(1))).as("mean_gap_us"))
+  }
+
+  private val e12Sql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+      |  CAST(sum(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS mean_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
+  /** e13: run-length profile — consecutive same-type events per user
+    * (the stuck-sensor / repeated-fire data-quality signal): a run is a
+    * maximal streak of one event_type in a user's (ts, event_id) order;
+    * per type, the run count, longest run, and how many runs reach the
+    * ≥5 "stuck" threshold. The e03 boundary trick (running sum over
+    * is-new markers) applied to type CHANGES instead of time gaps, so
+    * both window passes ride ONE user_id exchange.
+    */
+  private def e13(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("is_new",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("run_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("max_run_len"),
+        sum(when(col("run_len") >= 5, 1L).otherwise(0L)).as("n_stuck"))
+  }
+
+  private val e13Sql =
+    """WITH m AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS DISTINCT FROM event_type
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_type,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM m),
+      |runs AS (
+      |  SELECT user_id, run_id, event_type, count(*) AS run_len
+      |  FROM r GROUP BY 1, 2, 3)
+      |SELECT event_type, count(*) AS n_runs,
+      |  max(run_len) AS max_run_len,
+      |  CAST(sum(CASE WHEN run_len >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_stuck
+      |FROM runs GROUP BY 1""".stripMargin
 
   /** e11: Spark's NATIVE session_window aggregation — gap-merged
     * per-user sessions through the dedicated SessionWindow plan path
