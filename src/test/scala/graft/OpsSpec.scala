@@ -676,6 +676,50 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(out.forall(_._6 <= 0.5), "estimator error tail must stay sane")
   }
 
+  test("t16 kwic: window clamps at both document edges; first occurrence wins") {
+    import spark.implicits._
+    // all words length-5 with df 1 -> the corpus-derived query-term rule
+    // selects them all (<=8); positions then exercise both clamps
+    val docs = Seq(
+      (1L, "alpha bravo charl delta echoo"),
+      (2L, "bravo bravo alpha")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.kwicSnippets(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out((1L, "alpha")) === ((1L, "alpha bravo charl")), "left edge clamps to token 1")
+    assert(out((1L, "charl")) === ((3L, "alpha bravo charl delta echoo")), "full ±2 window inside")
+    assert(out((1L, "echoo")) === ((5L, "charl delta echoo")), "right edge clamps to token n")
+    assert(out((2L, "bravo")) === ((1L, "bravo bravo alpha")), "FIRST occurrence anchors the snippet")
+    assert(out((2L, "alpha"))._1 === 3L)
+  }
+
+  test("e12/e13 conservation laws: gaps = events - first-events; run lengths partition the stream") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, dir)
+    val nEvents = ev.count()
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    // every event except each user's first contributes exactly one gap
+    val nGaps = SparkEntry.queries("e12_gap_profile")(spark, dir)
+      .agg(sum(col("n_gaps"))).collect()(0).getLong(0)
+    assert(nGaps === nEvents - nUsers, s"gaps must be events($nEvents) - users($nUsers)")
+    // runs partition the per-user streams: per-type run-length sums must
+    // re-add to the per-type event counts (cross-checks the boundary rule)
+    val runsTotal = SparkEntry.queries("e13_run_lengths")(spark, dir)
+      .agg(sum(col("n_runs")), max(col("max_run_len"))).collect()(0)
+    assert(runsTotal.getLong(0) <= nEvents && runsTotal.getLong(0) >= nUsers)
+    assert(runsTotal.getLong(1) >= 1L)
+    // m06: block counts conserve characters (ceil-division per doc)
+    val m = SparkEntry.queries("m06_block_dedup")(spark, dir)
+      .agg(sum(col("n_blocks"))).collect()(0).getLong(0)
+    val wantBlocks = graft.core.Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(org.apache.spark.sql.functions.expr(
+        "CAST((length(text) + 31) DIV 32 AS LONG)").as("nb"))
+      .agg(sum(col("nb"))).collect()(0).getLong(0)
+    assert(m === wantBlocks, "every character lands in exactly one counted block")
+  }
+
   test("m05 byte packing: shards contiguous, bytes conserved, bounded overflow") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
