@@ -320,9 +320,12 @@ object Similarity extends QueryModule {
     * s03Sql's plane/bucket/candidate CTEs with a threshold filter in
     * place of the per-query top-k.
     */
-  private val s05Sql =
-    s"""WITH $oracleVecs,
-       |pl AS (
+  /** The s05 pipeline's CTE block (planes, sign buckets, candidates,
+    * threshold verify), factored so s15's leakage audit composes the
+    * LITERAL same stages (the p13 shared-CTE rule).
+    */
+  private val s05Ctes =
+    s"""pl AS (
        |  SELECT t AS tbl, p AS plane, list_transform(range(0, $Dim), j ->
        |    CAST(${OracleSql.hex60("t || '_' || p || '_' || j")} AS DOUBLE)
        |      / 576460752303423488.0 - 1) AS pvec
@@ -338,12 +341,18 @@ object Similarity extends QueryModule {
        |  FROM proj GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
-       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT ida, idb, sim FROM (
-       |  SELECT c.ida, c.idb,
-       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
-       |  FROM cand c JOIN n x ON c.ida = x.vec_id JOIN n y ON c.idb = y.vec_id)
-       |WHERE sim >= $NearDupThreshold""".stripMargin
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |verified AS (
+       |  SELECT ida, idb, sim FROM (
+       |    SELECT c.ida, c.idb,
+       |      list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
+       |    FROM cand c JOIN n x ON c.ida = x.vec_id JOIN n y ON c.idb = y.vec_id)
+       |  WHERE sim >= $NearDupThreshold)""".stripMargin
+
+  private val s05Sql =
+    s"""WITH $oracleVecs,
+       |$s05Ctes
+       |SELECT ida, idb, sim FROM verified""".stripMargin
 
   // ---- s06: IVF-flat ANN ---------------------------------------------
 
@@ -1201,6 +1210,49 @@ object Similarity extends QueryModule {
        |  ((CAST(n_vecs AS DOUBLE) * $IvfCells.0) / CAST(tot AS DOUBLE)) > 4.0 AS is_hot
        |FROM fc CROSS JOIN tot""".stripMargin
 
+  // ---- s15: cross-split leakage audit ---------------------------------
+
+  /** s15: train/test LEAKAGE audit at the EMBEDDING level — near-dup
+    * pairs (the s05 bucketed pipeline, verbatim) whose members land in
+    * DIFFERENT p03 splits: a test document semantically near-identical
+    * to a training document inflates eval scores exactly like the
+    * verbatim n-gram contamination d11 catches, but survives n-gram
+    * checks after paraphrase. The split is THE p03 rule (same salt, same
+    * thresholds — [[Sampling.uhash]]/[[Sampling.splitOf]], defined
+    * once), keyed on vec_id, which shares the documents' id domain
+    * (m04's record-assembly contract). Output: each leaking pair with
+    * its similarity and the two split labels — the rows a release gate
+    * either quarantines or re-splits.
+    *
+    * Scale shape: inherited wholesale from s05 (bucket equi-join, never
+    * all-pairs) plus two hash joins against the row-local split
+    * projection. The oracle composes the literal s05 CTE block with the
+    * p03 split CASE — the p13 rule, so the stages cannot drift.
+    */
+  private def s15(s: SparkSession, dir: String): DataFrame = {
+    val pairs = bucketedNearDup(s, vecs(s, dir),
+      NearDupPlanes, NearDupTables, NearDupThreshold)
+    val splits = Tables.embeddings(s, dir).select(col("vec_id"),
+      Sampling.splitOf(Sampling.uhash("split_", col("vec_id"))).as("split"))
+    pairs
+      .join(splits.select(col("vec_id").as("ida"), col("split").as("split_a")), "ida")
+      .join(splits.select(col("vec_id").as("idb"), col("split").as("split_b")), "idb")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("ida"), col("idb"), col("sim"), col("split_a"), col("split_b"))
+  }
+
+  private val s15Sql =
+    s"""WITH $oracleVecs,
+       |$s05Ctes,
+       |sp AS (
+       |  SELECT vec_id, ${Sampling.splitCaseSql} AS split
+       |  FROM (SELECT vec_id, ${Sampling.uhashSql("split_", "vec_id")} AS u FROM embeddings))
+       |SELECT v.ida, v.idb, v.sim, sa.split AS split_a, sb.split AS split_b
+       |FROM verified v
+       |JOIN sp sa ON v.ida = sa.vec_id
+       |JOIN sp sb ON v.idb = sb.vec_id
+       |WHERE sa.split <> sb.split""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_knn", s01, Some(s01Sql)),
     QueryDef("s02_cosine_neardup", s02, Some(s02Sql)),
@@ -1216,5 +1268,6 @@ object Similarity extends QueryModule {
     QueryDef("s12_ann_recall", s12, Some(s12Sql)),
     QueryDef("s13_embedding_audit", s13, Some(s13Sql)),
     QueryDef("s14_ivf_balance", s14, Some(s14Sql)),
+    QueryDef("s15_split_leakage", s15, Some(s15Sql)),
   )
 }
