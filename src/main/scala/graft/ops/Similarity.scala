@@ -1269,5 +1269,106 @@ object Similarity extends QueryModule {
     QueryDef("s13_embedding_audit", s13, Some(s13Sql)),
     QueryDef("s14_ivf_balance", s14, Some(s14Sql)),
     QueryDef("s15_split_leakage", s15, Some(s15Sql)),
+    QueryDef("s16_kmeans_converge", s16, Some(s16Sql)),
   )
+
+  // ---- s16: second Lloyd iteration + migration audit ------------------
+
+  /** s16: k-means convergence velocity — run s10's Lloyd step, recompute
+    * the centroids as the assigned means, REASSIGN, and report per final
+    * cell: population and how many members arrived from a different
+    * seed cell. The "is it converging / are cells collapsing" diagnostic
+    * an IVF index builder (s06/s08) reads between training iterations —
+    * iteration count is tuned by WHEN migration flattens, not by a fixed
+    * loop bound. Dead cells (no members after pass 1) drop out of the
+    * pass-2 codebook, the standard Lloyd treatment.
+    *
+    * Scale shape: both assignments are row-local folds under ONE
+    * broadcast row each (seed array / mean array — K·Dim doubles,
+    * corpus-independent); the corpus is scanned twice and shuffled
+    * twice, both with map-side combine: once on (cid, pos) for the
+    * means (wire bytes O(K·Dim·partitions)), once on (cid2, cid1) for
+    * the migration matrix rollup (≤ K² rows per partition). No join of
+    * corpus against corpus anywhere.
+    *
+    * Determinism: s10's contract throughout — three-sum distance
+    * expansion over the shared left-to-right dot fold, argmin ties on
+    * the cid-sorted array == ORDER BY d, cid, means from exact
+    * float→string→DECIMAL(28,12) sums divided once in IEEE doubles.
+    */
+  private def s16(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir)
+    val cents = base
+      .orderBy(md5(concat(lit("km_"), col("vec_id").cast("string")))).limit(KmK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+    def distTo(cv: Column): Column =
+      dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cv) + dot(cv, cv)
+    def assignAgainst(in: DataFrame, arr: DataFrame, arrCol: String, outCid: String): DataFrame =
+      in.crossJoin(broadcast(arr))
+        .withColumn("ds", transform(col(arrCol), c => distTo(c.getField("cv"))))
+        .withColumn("bd", array_min(col("ds")))
+        .withColumn(outCid,
+          element_at(filter(arrays_zip(col(arrCol), col("ds")),
+            z => z.getField("ds") === col("bd")), 1)
+            .getField(arrCol).getField("cid"))
+        .drop(arrCol, "ds", "bd")
+    val assigned = assignAgainst(base, centArr, "cents", "cid1").persist()
+    val means = assigned
+      .select(col("cid1"), posexplode(col("v")).as(Seq("pos0", "x")))
+      .groupBy(col("cid1"), (col("pos0") + 1).cast("long").as("pos"))
+      .agg((sum(col("x").cast("string").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("mx"))
+    val cv2 = means.groupBy(col("cid1").as("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        e => e.getField("mx")).as("cv"))
+    val cv2Arr = cv2.agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents2"))
+    assignAgainst(assigned, cv2Arr, "cents2", "cid2")
+      .groupBy(col("cid2").as("cid"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("cid1") =!= col("cid2"), 1L).otherwise(0L)).as("n_migrated"))
+  }
+
+  private val s16Sql =
+    s"""WITH $oracleVecs,
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv FROM n
+       |  ORDER BY md5('km_' || CAST(vec_id AS VARCHAR)) LIMIT $KmK),
+       |d1 AS (
+       |  SELECT n.vec_id, cent.cid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * n.v[i]))
+       |      - 2.0 * list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * cent.cv[i]))
+       |      + list_sum(list_transform(range(1, ${Dim + 1}), i -> cent.cv[i] * cent.cv[i])) AS d
+       |  FROM n CROSS JOIN cent),
+       |a1 AS (SELECT vec_id, cid AS cid1 FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |  FROM d1) WHERE rn = 1),
+       |px AS (
+       |  SELECT a1.cid1, unnest(range(1, len(n.v)+1)) AS pos,
+       |         unnest(list_transform(n.v, x -> CAST(x AS VARCHAR))) AS xs
+       |  FROM n JOIN a1 USING (vec_id)),
+       |m AS (
+       |  SELECT cid1, pos,
+       |    CAST(sum(CAST(xs AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx
+       |  FROM px GROUP BY 1, 2),
+       |cv2 AS (
+       |  SELECT cid1 AS cid,
+       |    list_transform(list_sort(list(struct_pack(pos := pos, mx := mx))),
+       |                   e -> e.mx) AS cv
+       |  FROM m GROUP BY 1),
+       |d2 AS (
+       |  SELECT n.vec_id, cv2.cid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * n.v[i]))
+       |      - 2.0 * list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * cv2.cv[i]))
+       |      + list_sum(list_transform(range(1, ${Dim + 1}), i -> cv2.cv[i] * cv2.cv[i])) AS d
+       |  FROM n CROSS JOIN cv2),
+       |a2 AS (SELECT vec_id, cid AS cid2 FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |  FROM d2) WHERE rn = 1)
+       |SELECT a2.cid2 AS cid, count(*) AS n_members,
+       |  CAST(sum(CASE WHEN a1.cid1 <> a2.cid2 THEN 1 ELSE 0 END) AS BIGINT) AS n_migrated
+       |FROM a1 JOIN a2 USING (vec_id)
+       |GROUP BY 1""".stripMargin
 }

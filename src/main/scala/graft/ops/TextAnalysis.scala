@@ -3,6 +3,7 @@ package graft.ops
 import graft.core.Tables
 import graft.queries.{QueryDef, QueryModule}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM training-data pipeline, over the
@@ -738,6 +739,119 @@ object TextAnalysis extends QueryModule {
       |  array_to_string(w[greatest(pos - 2, 1):least(pos + 2, len(w))], ' ') AS snippet
       |FROM hit WHERE pos > 0""".stripMargin
 
+  // ---- t17: corpus boilerplate n-gram coverage ------------------------
+
+  /** Boilerplate geometry: 5-token shingles, top-20 corpus-wide. */
+  private val BoilN   = 5
+  private val BoilTop = 20
+
+  /** t17: boilerplate detection — the C4/CCNet cleaning step that drops
+    * template text (nav bars, cookie banners, license footers): the
+    * corpus's [[BoilTop]] most frequent [[BoilN]]-token shingles are
+    * declared boilerplate, and each document reports what fraction of
+    * its shingle positions they cover (the drop/keep signal). Distinct
+    * from t12 (WITHIN-doc repetition): this flags text repeated ACROSS
+    * documents.
+    *
+    * Tie rule at the top-K cutoff: (count DESC, gram ASC) — total, so
+    * the boilerplate set is unique on both engines.
+    *
+    * Scale shape: one shuffle on the shingle string builds the frequency
+    * table (map-side combine); the top-20 is an aggregate-then-limit
+    * broadcast back into a map-side membership probe; the per-doc
+    * rollup rides one doc_id exchange. Shingle fan-out is ≤ n_tokens
+    * rows per doc — linear in corpus size.
+    */
+  private def t17(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(lower(col("text"))).as("w"))
+    val grams = docs
+      .select(col("doc_id"),
+        explode(when(size(col("w")) >= BoilN,
+          transform(sequence(lit(0), size(col("w")) - BoilN),
+            i => concat_ws(" ", slice(col("w"), i + 1, lit(BoilN)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val top = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(BoilTop)
+      .select(col("gram"), lit(1L).as("hit"))
+    grams.join(broadcast(top), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_ratio", col("n_boiler").cast("double") / col("n_grams"))
+  }
+
+  private val t17Sql =
+    s"""WITH toksr AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, array_to_string(list_slice(w, i.i, i.i + ${BoilN - 1}), ' ') AS gram
+       |  FROM toksr, LATERAL (SELECT unnest(range(1, len(w) - ${BoilN - 2})) AS i) i),
+       |top AS (
+       |  SELECT gram, 1 AS hit FROM (
+       |    SELECT gram, count(*) AS n FROM grams GROUP BY 1
+       |    ORDER BY n DESC, gram LIMIT $BoilTop)),
+       |j AS (SELECT g.doc_id, t.hit FROM grams g LEFT JOIN top t USING (gram))
+       |SELECT doc_id, count(*) AS n_grams,
+       |  CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_boiler,
+       |  CAST(CAST(sum(coalesce(hit, 0)) AS BIGINT) AS DOUBLE) / count(*) AS boiler_ratio
+       |FROM j GROUP BY 1""".stripMargin
+
+  // ---- t18: Zipf rank-frequency profile -------------------------------
+
+  private val ZipfTop = 50
+
+  /** t18: Zipf rank-frequency profile — the corpus vocabulary's top-50
+    * (rank, word, count, cumulative mass fraction) curve: the
+    * sanity-check behind tokenizer sizing (how much of the stream do K
+    * types cover) and corpus-health checks (a broken scrape shows up as
+    * a deformed head). Complements t09 (per-DOC OOV against a fixed
+    * vocab): this is the corpus-level curve itself.
+    *
+    * Determinism: rank order is (count DESC, word ASC) — total; the
+    * cumulative sum runs over that total order; cum_frac is one
+    * long/long IEEE division against the exact corpus token total.
+    *
+    * Scale shape: one shuffle builds word counts (map-side combine);
+    * the top-50 is aggregate-then-limit (TakeOrdered — no global sort);
+    * the rank/cum-sum window runs over the LIMIT-bounded 50-row frame
+    * (constant at any corpus size — not a corpus-wide single-partition
+    * window); the 1-row total rides a broadcast.
+    */
+  private def t18(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(toks(lower(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val w = Window.orderBy(col("n").desc, col("word"))
+    counts.orderBy(col("n").desc, col("word")).limit(ZipfTop)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_n",
+        sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("word"), col("n"),
+        (col("cum_n").cast("double") / col("total")).as("cum_frac"))
+  }
+
+  private val t18Sql =
+    s"""WITH c AS (
+       |  SELECT word, count(*) AS n
+       |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> len(t) > 0)) AS word
+       |        FROM documents)
+       |  GROUP BY 1),
+       |tot AS (SELECT sum(n) AS total FROM c),
+       |top AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT $ZipfTop),
+       |r AS (
+       |  SELECT word, n,
+       |    CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank,
+       |    sum(n) OVER (ORDER BY n DESC, word
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+       |  FROM top)
+       |SELECT rank, word, n, CAST(cum_n AS DOUBLE) / total AS cum_frac
+       |FROM r CROSS JOIN tot""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_quality_score", t02, Some(t02Sql)),
@@ -755,5 +869,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("t14_bigram_surprise", t14, Some(t14Sql)),
     QueryDef("t15_bm25_retrieval", t15, Some(t15Sql)),
     QueryDef("t16_kwic_snippets", t16, Some(t16Sql)),
+    QueryDef("t17_boilerplate", t17, Some(t17Sql)),
+    QueryDef("t18_zipf_profile", t18, Some(t18Sql)),
   )
 }

@@ -167,9 +167,26 @@ object ScaleLint extends Rule[LogicalPlan] with Logging {
         "100 TB - bound it (limit, aggregate, hash-threshold sample; see s07's " +
         "limit-bounded query batch) or drop the hint and let it shuffle")
 
+  /** A frame whose row count is LIMIT-capped somewhere below: a window
+    * (or any single-task construct) over it is constant-size work at any
+    * corpus scale, so kind 1 stays silent. Deliberately STRICTER than
+    * [[capped]]: an Aggregate does NOT qualify (a global window over
+    * word counts is exactly the one-task hazard kind 1 exists to catch —
+    * group cardinality grows with the corpus), only an explicit limit
+    * (t18's top-50 rank/cum-sum frame, TakeOrdered shapes) does.
+    */
+  private def limitBounded(p: LogicalPlan): Boolean =
+    p.exists {
+      case _: GlobalLimit | _: LocalLimit => true
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        val s = r.cachedPlan.toString
+        s.contains("TakeOrderedAndProject") || s.contains("Limit")
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     plan.foreach {
-      case w: Window if w.partitionSpec.isEmpty =>
+      case w: Window if w.partitionSpec.isEmpty && !limitBounded(w.child) =>
         record(w, 1,
           "window with no PARTITION BY: all rows flow through one task at scale " +
           "- consider the two-pass global-order plan (graft.plans.GlobalOrder)")

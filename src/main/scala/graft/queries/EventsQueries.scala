@@ -345,6 +345,8 @@ object EventsQueries extends QueryModule {
     QueryDef("e11_session_window", e11, Some(e11Sql)),
     QueryDef("e12_gap_profile", e12, Some(e12Sql)),
     QueryDef("e13_run_lengths", e13, Some(e13Sql)),
+    QueryDef("e14_conversion_lag", e14, Some(e14Sql)),
+    QueryDef("e15_dau_wau", e15, Some(e15Sql)),
   )
 
   /** e12: inter-event gap profile — the think-time/arrival-rate
@@ -480,4 +482,86 @@ object EventsQueries extends QueryModule {
       |  max(ts_us) + 1800000000 AS end_us,
       |  count(*) AS n_events
       |FROM sess GROUP BY user_id, sid""".stripMargin
+
+  /** e14: view→purchase conversion-lag histogram — per user, the time
+    * from FIRST `view` to FIRST `purchase` (users who purchase at or
+    * after their first view), bucketed to whole hours. The
+    * time-to-conversion distribution funnels (e08) don't show: how LONG
+    * the funnel takes, the signal behind attribution windows and the
+    * es04 as-of join's staleness bound.
+    *
+    * Determinism: both firsts are exact integer-µs `min`s; the bucket is
+    * integer division of non-negative longs (`DIV` truncation ==
+    * DuckDB `//` floor on non-negatives). No doubles anywhere.
+    *
+    * Scale shape: one user_id hash aggregate (map-side combine on the
+    * two conditional mins) then a tiny histogram aggregate — the
+    * filter on the two event types is pushed into the scan.
+    */
+  private def e14(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts")))).as("fv"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("fb"))
+      .filter(col("fv").isNotNull && col("fb").isNotNull && col("fb") >= col("fv"))
+      .select(expr("(fb - fv) DIV 3600000000").as("lag_hours"))
+      .groupBy(col("lag_hours"))
+      .agg(count(lit(1)).as("n_users"))
+
+  private val e14Sql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fb
+      |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1)
+      |SELECT (fb - fv) // 3600000000 AS lag_hours, count(*) AS n_users
+      |FROM f
+      |WHERE fv IS NOT NULL AND fb IS NOT NULL AND fb >= fv
+      |GROUP BY 1""".stripMargin
+
+  /** e15: DAU / WAU / stickiness — daily active users, 7-day rolling
+    * distinct actives ending each day, and their ratio (the engagement
+    * metric every product dashboard carries). Rolling DISTINCT over a
+    * time range is not window-expressible (distinct doesn't decompose),
+    * so the plan pre-reduces to distinct (day, user) pairs — the
+    * cardinality-collapsing step — then fans each pair out to the ≤7
+    * window-end days it supports via a range join against the DAY LIST,
+    * which is calendar-bounded (≤ a few thousand rows at ANY corpus
+    * scale) and broadcast. Fan-out is exactly 7×pairs rows into a
+    * count-distinct aggregate: linear, no corpus-side nested loop.
+    *
+    * Determinism: counts are exact; stickiness is one long/long IEEE
+    * double division.
+    */
+  private def e15(s: SparkSession, dir: String): DataFrame = {
+    val du = events(s, dir)
+      .select(
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val days = du.select(col("day").as("d")).distinct()
+    val wau = du
+      .join(broadcast(days), col("day") >= col("d") - 6 && col("day") <= col("d"))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+  }
+
+  private val e15Sql =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, user_id
+      |  FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+      |days AS (SELECT DISTINCT day AS d FROM du),
+      |wau AS (
+      |  SELECT d, count(DISTINCT user_id) AS wau
+      |  FROM du JOIN days ON du.day BETWEEN days.d - 6 AND days.d
+      |  GROUP BY 1)
+      |SELECT day, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
+      |FROM dau JOIN wau ON day = d""".stripMargin
 }

@@ -445,5 +445,46 @@ object StreamingGate extends QueryModule {
     QueryDef("es13_enrich_static", es13, Some(es13Sql)),
     QueryDef("es14_interval_left_outer", es14, Some(es14Sql)),
     QueryDef("es15_update_emission", es15, Some(es15Sql)),
+    QueryDef("es16_window_topk", es16, Some(es16Sql)),
   )
+
+  /** es16: streaming top-k per closed window — the live "trending now"
+    * board: the es02 tumbling aggregation runs as a REAL stream (append
+    * mode, 2 h watermark), and each finalized window's event types are
+    * ranked by count, top 3 kept. The rank is a stateless view over the
+    * closed-window stream output (rows rank only against their own
+    * window, and a closed window's rows are final by construction), so
+    * it composes AFTER the stream without a second stateful operator —
+    * the production shape: state pays for the windowed counts once;
+    * leaderboards are derived.
+    *
+    * Determinism: ties break (n DESC, event_type ASC) — total. The rank
+    * window partitions by bucket (per-window frames, no global window).
+    */
+  private def es16(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sink = runToTable(s, "es16_sink") {
+      EventStream.tumblingAgg(EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None))
+    }
+    val w = Window.partitionBy(col("bucket_us")).orderBy(col("n").desc, col("event_type"))
+    sink.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("bucket_us"), col("event_type"), col("n"), col("rn"))
+  }
+
+  private val es16Sql =
+    """WITH wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000 - 7200000) * 1000 AS wm_us FROM events),
+      |agg AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+      |    count(*) AS n
+      |  FROM events, wm
+      |  WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm.wm_us
+      |  GROUP BY 1, 2, wm.wm_us)
+      |SELECT bucket_us, event_type, n, rn FROM (
+      |  SELECT bucket_us, event_type, n,
+      |    CAST(row_number() OVER (PARTITION BY bucket_us ORDER BY n DESC, event_type) AS BIGINT) AS rn
+      |  FROM agg)
+      |WHERE rn <= 3""".stripMargin
 }

@@ -740,4 +740,112 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
       assert(sumBytes - maxDoc < 8192L,
         s"shard $id overflows by a full record: sum=$sumBytes max=$maxDoc")
   }
+
+  test("e14 conversion lag: every bucketed user has view<=purchase; totals bounded by purchasers") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val hist = SparkEntry.queries("e14_conversion_lag")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hist.nonEmpty)
+    assert(hist.forall(_._1 >= 0L), "lag buckets are non-negative by the fb>=fv filter")
+    assert(hist.map(_._1).distinct.length === hist.length, "one row per bucket")
+    val ev = graft.core.Tables.events(spark, dir)
+    val purchasers = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    assert(hist.map(_._2).sum <= purchasers,
+      "converted users are a subset of all purchasing users")
+  }
+
+  test("e15 DAU/WAU: wau >= dau (7-day superset), stickiness in (0,1]; single-day sanity") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("e15_dau_wau")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    for ((day, dau, wau, st) <- rows) {
+      assert(wau >= dau, s"day $day: weekly actives ($wau) must cover daily actives ($dau)")
+      assert(st > 0.0 && st <= 1.0, s"day $day: stickiness $st out of (0,1]")
+    }
+    // cross-check one day's WAU against a direct distinct count
+    val (d0, _, wau0, _) = rows.minBy(_._1)
+    val direct = graft.core.Tables.events(spark, dir)
+      .select(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("day"),
+        col("user_id"))
+      .filter(col("day") >= d0 - 6 && col("day") <= d0)
+      .select(col("user_id")).distinct().count()
+    assert(wau0 === direct, "WAU must equal the direct 7-day distinct-user count")
+  }
+
+  test("t17 boilerplate: shingle counts conserve; ratio bounded; top set actually covers") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("t17_boilerplate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    for ((id, nGrams, nBoiler, ratio) <- rows) {
+      assert(nBoiler <= nGrams, s"doc $id: boilerplate positions exceed shingle positions")
+      assert(math.abs(ratio - nBoiler.toDouble / nGrams) < 1e-15, s"doc $id ratio")
+    }
+    // every doc with >= 5 tokens contributes exactly n_tokens - 4 shingles
+    val wantGrams = graft.core.Tables.documents(spark, dir)
+      .select(size(filter(split(lower(col("text")), " "), w => length(w) > 0)).as("n"))
+      .filter(col("n") >= 5)
+      .agg(sum(col("n") - 4)).collect()(0).getLong(0)
+    assert(rows.map(_._2).sum === wantGrams, "shingle positions conserve per doc")
+    // on this tiny-vocab corpus the top-20 boilerplate set must hit something
+    assert(rows.map(_._3).sum > 0L, "top-20 shingles cover at least one position")
+  }
+
+  test("t18 zipf: ranks contiguous, counts non-increasing, cumulative mass monotone to <=1") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("t18_zipf_profile")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq === (1L to rows.length.toLong), "ranks contiguous from 1")
+    rows.sliding(2).foreach {
+      case Array((_, _, n1, c1), (_, w2, n2, c2)) =>
+        assert(n2 <= n1, s"counts must be non-increasing at $w2")
+        assert(c2 > c1, s"cumulative mass must strictly grow at $w2")
+      case _ => ()
+    }
+    assert(rows.last._4 <= 1.0 + 1e-12, "cumulative fraction is a probability mass")
+    assert(rows.head._4 > 0.0)
+  }
+
+  test("s16 kmeans convergence: members conserve; migration bounded; pass-2 strictly no worse") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("s16_kmeans_converge")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    for ((cid, n, mig) <- rows) {
+      assert(n > 0L, s"cell $cid emitted empty")
+      assert(mig >= 0L && mig <= n, s"cell $cid migration $mig out of [0, $n]")
+    }
+    // every directional (non-zero-norm) vector lands in exactly one cell
+    val corpus = graft.core.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0).count()
+    assert(rows.map(_._2).sum === corpus, "pass-2 assignment partitions the corpus")
+  }
+
+  test("es16 window top-k: ranks dense in 1..3, counts non-increasing within a bucket") {
+    val rows = SparkEntry.queries("es16_window_topk")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (bucket, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length.toLong),
+        s"bucket $bucket ranks must be dense from 1")
+      assert(sorted.length <= 3, s"bucket $bucket leaked rank > 3")
+      sorted.sliding(2).foreach {
+        case Array((_, t1, n1, _), (_, t2, n2, _)) =>
+          assert(n2 <= n1, s"bucket $bucket: counts must be non-increasing ($t1=$n1, $t2=$n2)")
+        case _ => ()
+      }
+    }
+  }
 }
