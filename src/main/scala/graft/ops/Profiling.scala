@@ -594,6 +594,98 @@ object Profiling extends QueryModule {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  /** p19: data-card quality quantiles — per (predicted language, source):
+    * document count and exact q25/q50/q75 of the t02 quality score, the
+    * per-slice table a dataset card publishes and a mixing policy (p11)
+    * reads before weighting sources. Quantiles use the DISCRETE rule —
+    * the value at rank ceil(q·n) in (quality, doc_id) order — because a
+    * picked-from-the-data value survives cross-engine hashing where
+    * interpolation would reintroduce engine-ordered float arithmetic.
+    * Quality/language reuse [[funnelFrames]] (the p02/p06 seam), so the
+    * formulas cannot drift from t02/t03; zero-token (null-quality) docs
+    * are excluded.
+    *
+    * Scale shape: one doc_id equi-join to recover `source` (funnel
+    * frames drop it), then ONE exchange on (pred_lang, source) carries
+    * both window passes AND the final aggregate — rank, count, and the
+    * conditional-max pivot all reuse the same hash partitioning.
+    */
+  private def p19(s: SparkSession, dir: String): DataFrame = {
+    val (withLang, _, _) = funnelFrames(s, dir)
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val scored = withLang.join(src, "doc_id").filter(col("quality").isNotNull)
+    val grp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pred_lang"), col("source"))
+    val w = grp.orderBy(col("quality"), col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(grp))
+      .groupBy(col("pred_lang"), col("source"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        max(when(col("rn") === ceil(col("n") * 0.25), col("quality"))).as("q25"),
+        max(when(col("rn") === ceil(col("n") * 0.50), col("quality"))).as("q50"),
+        max(when(col("rn") === ceil(col("n") * 0.75), col("quality"))).as("q75"))
+  }
+
+  private val p19Sql =
+    s"""WITH $funnelCtes,
+       |scq AS (
+       |  SELECT l.pred_lang, d.source, l.quality, l.doc_id
+       |  FROM langed l JOIN documents d USING (doc_id)
+       |  WHERE l.quality IS NOT NULL),
+       |r AS (
+       |  SELECT pred_lang, source, quality,
+       |    CAST(row_number() OVER (PARTITION BY pred_lang, source ORDER BY quality, doc_id) AS BIGINT) AS rn,
+       |    count(*) OVER (PARTITION BY pred_lang, source) AS n
+       |  FROM scq)
+       |SELECT pred_lang, source, max(n) AS n_docs,
+       |  max(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT) THEN quality END) AS q25,
+       |  max(CASE WHEN rn = CAST(ceil(n * 0.50) AS BIGINT) THEN quality END) AS q50,
+       |  max(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT) THEN quality END) AS q75
+       |FROM r GROUP BY 1, 2""".stripMargin
+
+  /** p20: quality-threshold retention sweep — for each cut in
+    * {0.0, 0.1, …, 0.9}: documents and tokens surviving
+    * `quality >= cut` — the curve a curator reads to pick the p02/p06
+    * funnel's 0.45, trading corpus size against quality. One scan
+    * buckets every doc by floor(quality·10) (clamped to [0,9]); the ten
+    * suffix sums come from joining the ≤10-row bucket aggregate
+    * (broadcast — aggregate-capped) against a literal 10-row threshold
+    * frame, NOT from re-scanning per threshold or a global window.
+    * Thresholds with nothing above them still emit (0, 0) rows.
+    */
+  private def p20(s: SparkSession, dir: String): DataFrame = {
+    val (withLang, _, _) = funnelFrames(s, dir)
+    val b = withLang.filter(col("quality").isNotNull)
+      .select(
+        least(greatest(floor(col("quality") * 10).cast("long"), lit(0L)), lit(9L)).as("bkt"),
+        col("n_tokens"))
+      .groupBy(col("bkt"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tokens")).as("nt"))
+    val th = s.range(0, 10).select(col("id").as("t"))
+    th.join(broadcast(b), col("bkt") >= col("t"), "left")
+      .groupBy(col("t"))
+      .agg(
+        coalesce(sum(col("nd")), lit(0L)).as("docs_kept"),
+        coalesce(sum(col("nt")), lit(0L)).as("tokens_kept"))
+      .select((col("t").cast("double") / 10.0).as("threshold"),
+        col("docs_kept"), col("tokens_kept"))
+  }
+
+  private val p20Sql =
+    s"""WITH $funnelCtes,
+       |bq AS (
+       |  SELECT least(greatest(CAST(floor(quality * 10) AS BIGINT), 0), 9) AS bkt,
+       |    count(*) AS nd, CAST(sum(n_tokens) AS BIGINT) AS nt
+       |  FROM langed WHERE quality IS NOT NULL GROUP BY 1),
+       |th AS (SELECT unnest(range(0, 10)) AS t)
+       |SELECT CAST(t AS DOUBLE) / 10.0 AS threshold,
+       |  CAST(coalesce(sum(nd), 0) AS BIGINT) AS docs_kept,
+       |  CAST(coalesce(sum(nt), 0) AS BIGINT) AS tokens_kept
+       |FROM th LEFT JOIN bq ON bq.bkt >= th.t
+       |GROUP BY t""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p01_profile", p01, Some(p01Sql)),
     QueryDef("p02_clean_corpus_pipeline", p02, Some(p02Sql)),
@@ -606,6 +698,8 @@ object Profiling extends QueryModule {
     QueryDef("p16_skew_report", p16, Some(p16Sql)),
     QueryDef("p17_snapshot_diff", p17, Some(p17Sql)),
     QueryDef("p18_incremental_agg", p18, Some(p18Sql)),
+    QueryDef("p19_quality_card", p19, Some(p19Sql)),
+    QueryDef("p20_quality_sweep", p20, Some(p20Sql)),
   )
 
   /** p08: declarative ingest-validation — every constraint evaluated in

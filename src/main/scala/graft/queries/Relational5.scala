@@ -350,6 +350,59 @@ object Relational5 extends QueryModule {
       |      FROM customer)
       |UNPIVOT (val FOR metric IN (acctbal, nationd))""".stripMargin
 
+  /** q47: running COUNT(DISTINCT) over an ordered window — "distinct
+    * parts shipped by this supplier so far", the cumulative-cardinality
+    * shape neither engine's window operator accepts directly (DISTINCT
+    * doesn't decompose over frames). Standard rewrite, mirrored in both
+    * engines: flag each (supplier, part)'s FIRST row by ship order
+    * (row_number = 1), then running-sum the flags per supplier. The
+    * (shipdate, orderkey, linenumber) order key is total (orderkey,
+    * linenumber is the table PK), so both windows are deterministic.
+    *
+    * Scale shape: the two windows partition by (suppkey, partkey) and
+    * (suppkey) — planned naively that's two exchanges, because the
+    * finer hash can't serve the coarser key. The explicit
+    * `repartition(suppkey)` seeds hash(suppkey) ONCE, which satisfies
+    * BOTH windows' clustering (suppkey ⊂ both partition specs), so the
+    * plan carries one exchange and two sorts — PlanSpec pins it. The
+    * suppkey ≤ 50 slice keeps the gate dump bounded; the plan shape is
+    * slice-independent.
+    */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 50)
+      .select(col("l_suppkey"), col("l_partkey"), col("l_shipdate"),
+        col("l_orderkey"), col("l_linenumber"))
+      .repartition(col("l_suppkey"))
+    val firstW = Window.partitionBy(col("l_suppkey"), col("l_partkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val runW = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.withColumn("is_first",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("run_distinct_parts", sum(col("is_first")).over(runW))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("run_distinct_parts"))
+  }
+
+  private val q47Sql =
+    """WITH l AS (
+      |  SELECT l_suppkey, l_partkey, l_shipdate, l_orderkey, l_linenumber
+      |  FROM lineitem WHERE l_suppkey <= 50),
+      |f AS (
+      |  SELECT *, CASE WHEN row_number() OVER (
+      |      PARTITION BY l_suppkey, l_partkey
+      |      ORDER BY l_shipdate, l_orderkey, l_linenumber) = 1
+      |    THEN 1 ELSE 0 END AS is_first
+      |  FROM l)
+      |SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  CAST(sum(is_first) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_distinct_parts
+      |FROM f""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q39_stats_agg", q39, Some(q39Sql)),
     QueryDef("q40_recursive_cte", q40, Some(q40Sql)),
@@ -359,5 +412,6 @@ object Relational5 extends QueryModule {
     QueryDef("q44_filter_clause", q44, Some(q44Sql)),
     QueryDef("q45_lateral_topk", q45, Some(q45Sql)),
     QueryDef("q46_unpivot", q46, Some(q46Sql)),
+    QueryDef("q47_window_distinct", q47, Some(q47Sql)),
   )
 }

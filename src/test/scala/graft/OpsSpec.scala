@@ -832,6 +832,61 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(rows.map(_._2).sum === corpus, "pass-2 assignment partitions the corpus")
   }
 
+  test("p19 quality card: quantiles ordered within every slice; doc counts conserve") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("p19_quality_card")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    for ((lang, src, n, q25, q50, q75) <- rows) {
+      assert(n > 0L, s"($lang,$src) empty slice emitted")
+      assert(q25 <= q50 && q50 <= q75, s"($lang,$src): quantiles out of order")
+    }
+    val scoredDocs = graft.core.Tables.documents(spark, dir)
+      .filter(size(filter(split(col("text"), " "), x => length(x) > 0)) > 0).count()
+    assert(rows.map(_._3).sum === scoredDocs,
+      "every non-empty doc lands in exactly one (lang, source) slice")
+  }
+
+  test("p20 quality sweep: 10 thresholds, both curves non-increasing, t=0 keeps everything") {
+    val rows = SparkEntry.queries("p20_quality_sweep")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.length === 10)
+    assert(rows.map(_._1) === (0 until 10).map(_ / 10.0))
+    rows.sliding(2).foreach {
+      case Array((t1, d1, k1), (t2, d2, k2)) =>
+        assert(d2 <= d1 && k2 <= k1, s"retention must fall from $t1 to $t2")
+      case _ => ()
+    }
+    assert(rows.head._2 > 0L, "threshold 0.0 keeps the scored corpus")
+  }
+
+  test("q47 running distinct: final value per supplier equals the true distinct part count") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q47_window_distinct")(spark, dir)
+    // the LAST row per supplier (max running value) must equal a direct
+    // count-distinct — the rewrite's end-to-end conservation law
+    val finals = out.groupBy(col("l_suppkey"))
+      .agg(max(col("run_distinct_parts")).as("got"))
+    val want = graft.core.Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 50)
+      .groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("want"))
+    val bad = finals.join(want, "l_suppkey")
+      .filter(col("got") =!= col("want")).count()
+    assert(bad === 0L, "running distinct must converge to the exact distinct count")
+    // monotone, steps of 0/1 only
+    val steps = out.select(col("l_suppkey"), col("run_distinct_parts")).collect()
+      .groupBy(_.getLong(0)).values
+    steps.foreach { rs =>
+      val vals = rs.map(_.getLong(1)).sorted
+      assert(vals.head >= 1L && (vals.last - vals.head) <= vals.length.toLong,
+        "running counts grow by at most one per row")
+    }
+  }
+
   test("es16 window top-k: ranks dense in 1..3, counts non-increasing within a bucket") {
     val rows = SparkEntry.queries("es16_window_topk")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

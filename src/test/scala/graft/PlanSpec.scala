@@ -465,4 +465,13 @@ class PlanSpec extends AnyFunSuite {
       s"exact side must draw from a fixed-size md5-order batch:\n${p.take(800)}")
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("q47: both windows ride the ONE seeded suppkey exchange") {
+    // repartition(l_suppkey) satisfies the (suppkey, partkey) window's
+    // clustering too (subset rule) — a naive plan pays two exchanges
+    val p = plan("q47_window_distinct")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"first-occurrence flag and running sum must share hash(l_suppkey):\n$p")
+    assert("Window ".r.findAllIn(p).size >= 2, p)
+  }
 }
