@@ -347,6 +347,7 @@ object EventsQueries extends QueryModule {
     QueryDef("e13_run_lengths", e13, Some(e13Sql)),
     QueryDef("e14_conversion_lag", e14, Some(e14Sql)),
     QueryDef("e15_dau_wau", e15, Some(e15Sql)),
+    QueryDef("e16_anomaly_mad", e16, Some(e16Sql)),
   )
 
   /** e12: inter-event gap profile — the think-time/arrival-rate
@@ -564,4 +565,69 @@ object EventsQueries extends QueryModule {
       |  GROUP BY 1)
       |SELECT day, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
       |FROM dau JOIN wau ON day = d""".stripMargin
+
+  /** e16: robust anomaly days — per event type, flag days whose event
+    * count deviates from the type's median by more than 3× the median
+    * absolute deviation (the MAD rule — the robust outlier test that,
+    * unlike z-scores, one broken day can't drag). The pipeline-health
+    * alarm over ingest volume: a scraper outage or a duplicate replay
+    * shows up as a flagged day.
+    *
+    * Both medians use the discrete rule (value at rank ceil(n/2) in
+    * (value, day) order), so EVERYTHING here is integer arithmetic —
+    * counts, deviations, the 3×MAD comparison — and the result is
+    * bit-free deterministic on both engines with no float anywhere.
+    *
+    * Scale shape: one (type, day) hash aggregate over the corpus, then
+    * all three window passes and both joins live on the tiny per-type
+    * day table (|types|·|days| rows — calendar-bounded); the median
+    * frames broadcast by size.
+    */
+  private def e16(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir)
+      .groupBy(col("event_type"), epochDay(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    def discMedian(in: DataFrame, valueCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol), col("day"))
+      val g = Window.partitionBy(col("event_type"))
+      in.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(g))
+        .filter(col("rn") === ceil(col("cnt") * 0.5))
+        .select(col("event_type"), col(valueCol).as(outCol))
+    }
+    val med = discMedian(counts, "n", "med_n")
+    val withDev = counts.join(med, "event_type")
+      .withColumn("dev", abs(col("n") - col("med_n")))
+    val mad = discMedian(withDev.select(col("event_type"), col("day"), col("dev")),
+      "dev", "mad_n")
+    withDev.join(mad, "event_type")
+      .select(col("event_type"), col("day"), col("n"), col("med_n"), col("mad_n"),
+        when(col("dev") > lit(3L) * col("mad_n"), 1L).otherwise(0L).as("anomaly"))
+  }
+
+  private val e16Sql =
+    """WITH c AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |medr AS (
+      |  SELECT event_type, n AS med_n FROM (
+      |    SELECT event_type, day, n,
+      |      CAST(row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS BIGINT) AS rn,
+      |      count(*) OVER (PARTITION BY event_type) AS cnt
+      |    FROM c)
+      |  WHERE rn = CAST(ceil(cnt * 0.5) AS BIGINT)),
+      |dev AS (
+      |  SELECT c.event_type, c.day, c.n, m.med_n, abs(c.n - m.med_n) AS dev
+      |  FROM c JOIN medr m USING (event_type)),
+      |madr AS (
+      |  SELECT event_type, dev AS mad_n FROM (
+      |    SELECT event_type, day, dev,
+      |      CAST(row_number() OVER (PARTITION BY event_type ORDER BY dev, day) AS BIGINT) AS rn,
+      |      count(*) OVER (PARTITION BY event_type) AS cnt
+      |    FROM dev)
+      |  WHERE rn = CAST(ceil(cnt * 0.5) AS BIGINT))
+      |SELECT d.event_type, d.day, d.n, d.med_n, md.mad_n,
+      |  CAST(CASE WHEN d.dev > 3 * md.mad_n THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+      |FROM dev d JOIN madr md USING (event_type)""".stripMargin
 }

@@ -540,6 +540,56 @@ object EventStream {
       }
   }
 
+  case class QuotaOut(user_id: Long, day: Long, n_seen: Long, n_kept: Long, n_suppressed: Long)
+
+  /** The es17 quota constant — small enough that real suppression occurs
+    * at every test SF.
+    */
+  val QuotaPerDay = 5L
+
+  /** Per-(user, day) ingest quota — the firehose throttle a 100 TB event
+    * pipeline runs at the front door: each user-day may contribute at
+    * most `quota` events downstream; the rest are counted as suppressed.
+    * One accounting row emits per closed (user, day).
+    *
+    * State per open key is ONE counter (order doesn't matter for a
+    * count, so unlike [[dailyPaths]] no prefix buffer is needed — the
+    * cheapest possible stateful operator); the row emits exactly once
+    * via the same session-zone end-of-day event-time timeout dailyPaths
+    * uses, and closed days hold zero state.
+    */
+  def dailyQuota(spark: SparkSession, events: DataFrame,
+                 quota: Long = QuotaPerDay,
+                 delay: String = "0 seconds"): Dataset[QuotaOut] = {
+    import spark.implicits._
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id"),
+        graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+        col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[PathEv]
+      .groupByKey(e => (e.user_id, e.day))
+      .flatMapGroupsWithState[Long, QuotaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((user, day), it: Iterator[PathEv], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            val n = state.get
+            state.remove()
+            Iterator.single(QuotaOut(user, day, n,
+              math.min(n, quota), math.max(n - quota, 0L)))
+          } else {
+            val n = state.getOption.getOrElse(0L) + it.size
+            state.update(n)
+            val dayEndMs = java.time.LocalDate.ofEpochDay(day + 1)
+              .atStartOfDay(zone).toInstant.toEpochMilli
+            state.setTimeoutTimestamp(
+              math.max(dayEndMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Flush helper for tests/finite streams: emit still-open sessions from
     * the final state by running the same gap rule over a batch view.
     * (On an unbounded stream these would emit via timeout instead.)

@@ -446,7 +446,32 @@ object StreamingGate extends QueryModule {
     QueryDef("es14_interval_left_outer", es14, Some(es14Sql)),
     QueryDef("es15_update_emission", es15, Some(es15Sql)),
     QueryDef("es16_window_topk", es16, Some(es16Sql)),
+    QueryDef("es17_daily_quota", es17, Some(es17Sql)),
   )
+
+  /** es17: per-(user, day) ingest quota accounting — the live throttle
+    * ([[EventStream.dailyQuota]]) run to completion; one row per day the
+    * final watermark closed (es10's strict day-close predicate). The
+    * batch oracle is a plain (user, day) count with least/greatest
+    * arithmetic — all integers.
+    */
+  private def es17(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es17_sink") {
+      EventStream.dailyQuota(s,
+        EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None)).toDF()
+    }
+
+  private val es17Sql =
+    s"""WITH wm AS (SELECT epoch_us(max(ts)) // 1000 AS wm_ms FROM events),
+       |c AS (
+       |  SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+       |    count(*) AS n_seen
+       |  FROM events GROUP BY 1, 2)
+       |SELECT user_id, day, n_seen,
+       |  least(n_seen, ${EventStream.QuotaPerDay}) AS n_kept,
+       |  greatest(n_seen - ${EventStream.QuotaPerDay}, 0) AS n_suppressed
+       |FROM c, wm
+       |WHERE (day + 1) * 86400000 < wm.wm_ms""".stripMargin
 
   /** es16: streaming top-k per closed window — the live "trending now"
     * board: the es02 tumbling aggregation runs as a REAL stream (append
@@ -488,3 +513,4 @@ object StreamingGate extends QueryModule {
       |  FROM agg)
       |WHERE rn <= 3""".stripMargin
 }
+

@@ -887,6 +887,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("e16 MAD anomalies: one row per (type, day); flag consistent; medians are data values") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("e16_anomaly_mad")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.map(t => (t._1, t._2)).distinct.length === rows.length)
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      assert(rs.map(_._4).distinct.length === 1, s"$tpe: median must be constant per type")
+      assert(rs.map(_._5).distinct.length === 1, s"$tpe: MAD must be constant per type")
+      val med = rs.head._4
+      assert(rs.map(_._3).contains(med), s"$tpe: discrete median must be an actual day count")
+      for ((_, day, n, m, mad, fl) <- rs)
+        assert((fl === 1L) === (math.abs(n - m) > 3 * mad), s"$tpe day $day flag inconsistent")
+    }
+  }
+
   test("es16 window top-k: ranks dense in 1..3, counts non-increasing within a bucket") {
     val rows = SparkEntry.queries("es16_window_topk")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))

@@ -911,4 +911,39 @@ class StreamingSpec extends AnyFunSuite {
         "finalized funnel rows must equal the batch funnel over the finalized prefix")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(splitDir))
   }
+
+  test("daily quota (es17 twin) converges across shuffled batches; counts conserve") {
+    // Cross-batch accumulation is the thing under test: the same
+    // (user, day)'s events split across batches must land in ONE
+    // counter and emit ONE row. The 45-day delay keeps every real row
+    // inside the watermark under the md5-across split (the gate runs
+    // delay 0 with single-batch ingest instead), while the sentinel
+    // still closes every real day.
+    val tmp = twoHalfReplay("graft_quota", shuffled = true, across = true)
+    try {
+      val stream = EventStream.dailyQuota(spark,
+        EventStream.readEvents(spark, tmp.getAbsolutePath), delay = "45 days")
+      val q = stream.toDF().writeStream
+        .format("memory").queryName("quota_out").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("quota_out")
+        .filter(col("user_id") =!= -1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(got.nonEmpty)
+      // exactly one row per (user, day); conservation and the cap hold
+      assert(got.map(t => (t._1, t._2)).distinct.length === got.length)
+      for ((u, d, seen, kept, sup) <- got) {
+        assert(kept + sup === seen, s"($u,$d): kept+suppressed must equal seen")
+        assert(kept <= EventStream.QuotaPerDay && kept >= math.min(seen, EventStream.QuotaPerDay))
+      }
+      // the emitted multiset equals the batch per-(user, day) counts
+      val want = graft.core.Tables.events(spark, dir)
+        .groupBy(col("user_id"),
+          graft.queries.EventsQueries.epochDay(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got.map(t => (t._1, t._2, t._3)).toSet === want,
+        "every real (user, day) must emit with its full cross-batch count")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
 }
