@@ -348,6 +348,7 @@ object EventsQueries extends QueryModule {
     QueryDef("e14_conversion_lag", e14, Some(e14Sql)),
     QueryDef("e15_dau_wau", e15, Some(e15Sql)),
     QueryDef("e16_anomaly_mad", e16, Some(e16Sql)),
+    QueryDef("e17_gap_fill", e17, Some(e17Sql)),
   )
 
   /** e12: inter-event gap profile — the think-time/arrival-rate
@@ -630,4 +631,56 @@ object EventsQueries extends QueryModule {
       |SELECT d.event_type, d.day, d.n, d.med_n, md.mad_n,
       |  CAST(CASE WHEN d.dev > 3 * md.mad_n THEN 1 ELSE 0 END AS BIGINT) AS anomaly
       |FROM dev d JOIN madr md USING (event_type)""".stripMargin
+
+  /** e17: time-series gap fill — densify the per-type daily count series
+    * onto the full corpus calendar spine (every (type, day) pair from
+    * global min to max day), zero-filling missing days and carrying the
+    * last OBSERVED count forward (LOCF). The regularization step
+    * between raw event counts and anything window-shaped downstream
+    * (e16's MAD, dashboards, forecasting): rolling statistics over a
+    * series with holes silently skew without it.
+    *
+    * Scale shape: the corpus contributes ONE (type, day) aggregate; the
+    * spine is |types| × |days| — calendar-bounded at any corpus size —
+    * built from a broadcast 1-row bounds frame, and the fill join, LOCF
+    * window, and output all live on that bounded spine.
+    */
+  private def e17(s: SparkSession, dir: String): DataFrame = {
+    val counts = events(s, dir)
+      .groupBy(col("event_type"), epochDay(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = counts.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val types = counts.select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        when(col("cnt").isNotNull, 1L).otherwise(0L).as("observed"),
+        coalesce(last(col("cnt"), ignoreNulls = true).over(w), lit(0L)).as("locf"))
+  }
+
+  private val e17Sql =
+    """WITH c AS (
+      |  SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+      |ty AS (SELECT DISTINCT event_type FROM c),
+      |spine AS (
+      |  SELECT ty.event_type, gs.day
+      |  FROM ty CROSS JOIN b,
+      |    LATERAL (SELECT unnest(generate_series(b.lo, b.hi)) AS day) gs),
+      |f AS (
+      |  SELECT s.event_type, s.day, c.cnt
+      |  FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.day = c.day)
+      |SELECT event_type, day,
+      |  CAST(coalesce(cnt, 0) AS BIGINT) AS n,
+      |  CAST(CASE WHEN cnt IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS observed,
+      |  CAST(coalesce(last_value(cnt IGNORE NULLS) OVER (
+      |    PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS locf
+      |FROM f""".stripMargin
 }

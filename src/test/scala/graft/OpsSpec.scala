@@ -904,6 +904,40 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("e17 gap fill: spine complete at sf0.001; injected holes zero-fill and carry LOCF") {
+    import org.apache.spark.sql.functions._
+    // (a) real data: spine = |types| x |days|, observed rows keep their count
+    val real = SparkEntry.queries("e17_gap_fill")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val types = real.map(_._1).distinct.length
+    val (lo, hi) = (real.map(_._2).min, real.map(_._2).max)
+    assert(real.length.toLong === types.toLong * (hi - lo + 1), "dense spine: every (type, day)")
+    for ((t, d, n, obs, locf) <- real) {
+      if (obs === 1L) assert(locf === n, s"($t,$d): observed day's LOCF is its own count")
+      if (obs === 0L) assert(n === 0L, s"($t,$d): missing day must zero-fill")
+    }
+    // (b) injected holes: A on days 1 and 3, B on day 2 only
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_e17").toFile
+    try {
+      def ts(day: Long, i: Int) =
+        new java.sql.Timestamp(day * 86400000L + i * 1000L)
+      Seq(
+        (1L, ts(1, 1), 10L, "A", 0.0, "{}"), (2L, ts(1, 2), 10L, "A", 0.0, "{}"),
+        (3L, ts(3, 1), 10L, "A", 0.0, "{}"),
+        (4L, ts(2, 1), 11L, "B", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(new java.io.File(tmp, "events.parquet").getAbsolutePath)
+      val got = SparkEntry.queries("e17_gap_fill")(spark, tmp.getAbsolutePath)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val want = Set(
+        ("A", 1L, 2L, 1L, 2L), ("A", 2L, 0L, 0L, 2L), ("A", 3L, 1L, 1L, 1L),
+        ("B", 1L, 0L, 0L, 0L), ("B", 2L, 1L, 1L, 1L), ("B", 3L, 0L, 0L, 1L))
+      assert(got === want, s"gap semantics: got $got")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("es16 window top-k: ranks dense in 1..3, counts non-increasing within a bucket") {
     val rows = SparkEntry.queries("es16_window_topk")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
