@@ -978,5 +978,102 @@ object Dedup extends QueryModule {
     QueryDef("d13_incremental_dedup", d13, Some(d13Sql)),
     QueryDef("d14_editdist_neardup", d14, Some(d14Sql)),
     QueryDef("d15_minhash_audit", d15, Some(d15Sql)),
+    QueryDef("d16_bloom_prefilter", d16, Some(d16Sql)),
   )
+
+  // ---- d16: Bloom-filter prefilter for incremental dedup --------------
+
+  /** 16 words × 60 usable bits (bit 60-63 unused: DuckDB's checked `<<`
+    * overflows at bit 63, so the word stride stays at 60 where both
+    * engines' shifts agree bit-for-bit). K = 3 salted hash positions per
+    * key, each from the shared cross-engine [[Sampling.hash60]] fold.
+    * At 100 TB the seam is these two constants: a corpus-scale deploy
+    * sizes M to ~1.2 bytes/key for ~1% FP (a few GB broadcast — still
+    * constant per executor where the corpus hash table is not).
+    */
+  private[ops] val BloomBits  = 960L
+  private[ops] val BloomK     = 3
+
+  private def bloomPos(j: Int, h: Column): Column =
+    Sampling.hash60(concat(lit(s"bloom${j}_"), h)) % BloomBits
+
+  /** d16: Bloom-prefiltered incremental dedup — d13's daily-ingest exact
+    * check with the accelerator every production ingest bolts on first:
+    * the corpus's normalized-hash set is folded into a CONSTANT-SIZE bit
+    * array (here 960 bits; see [[BloomBits]]) that rides one broadcast,
+    * and each delta document probes it map-side. `bloom_hit = 0` proves
+    * "definitely new" (a Bloom filter has NO false negatives), so only
+    * the hit subset pays the corpus-hash equi-join; false positives
+    * surface as `bloom_hit = 1` with a null `dup_of` — the saturated
+    * test-scale filter (~1350 set bits in 960) guarantees the FP leg is
+    * actually exercised.
+    *
+    * The DuckDB oracle computes `dup_of` by joining EVERY delta doc
+    * (not just hits) against the corpus hashes, so the gate equality
+    * IS the no-false-negative proof: if the filter ever missed a true
+    * duplicate, the Spark side would emit dup_of = null where the
+    * oracle's join found one, and the hash would break.
+    *
+    * Scale shape: corpus → distinct hashes → 16-row (word, bits)
+    * aggregate → one tiny broadcast; delta probes are row-local expands
+    * (3 rows/doc) against it; only `bloom_hit = 1` rows join the corpus
+    * hash table. Work ∝ |Δ| + |hits|, never the corpus.
+    */
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val norm = md5(lower(trim(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]+", " "))))
+    val corpusHash = corpus.select(norm.as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("dup_of"))
+    val posArr = array((0 until BloomK).map(j => bloomPos(j, col("h"))): _*)
+    val bloom = corpusHash.select(explode(posArr).as("p"))
+      .groupBy(expr("p DIV 60").as("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 60 AS INT)))").as("bits"))
+    val dpos = delta.select(col("doc_id"), norm.as("h"))
+      .select(col("doc_id"), col("h"), explode(posArr).as("p"))
+    val hits = dpos
+      .join(broadcast(bloom), expr("p DIV 60") === col("word"), "left")
+      .withColumn("hit",
+        when(expr("(bits & shiftleft(CAST(1 AS BIGINT), CAST(p % 60 AS INT))) <> 0"), 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(when(sum(col("hit")) === BloomK.toLong, 1L).otherwise(0L).as("bloom_hit"))
+    val maybe = hits.filter(col("bloom_hit") === 1)
+      .join(corpusHash, Seq("h"), "left_outer")
+    val fresh = hits.filter(col("bloom_hit") === 0)
+      .withColumn("dup_of", lit(null).cast("long"))
+    maybe.select(col("doc_id"), col("bloom_hit"), col("dup_of"))
+      .unionByName(fresh.select(col("doc_id"), col("bloom_hit"), col("dup_of")))
+      .withColumn("false_positive",
+        when(col("bloom_hit") === 1 && col("dup_of").isNull, 1L).otherwise(0L))
+  }
+
+  private val d16Sql = {
+    def pos(j: Int, hExpr: String) =
+      s"(${graft.ops.OracleSql.hex60(s"'bloom${j}_' || $hExpr")}) % $BloomBits"
+    val normSql = "md5(lower(trim(regexp_replace(text,'[ \\t\\n\\x0B\\f\\r]+',' ','g'))))"
+    s"""WITH delta AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+       |ch AS (SELECT $normSql AS h, min(doc_id) AS dup_of FROM corpus GROUP BY 1),
+       |cpos AS (
+       |  ${(0 until BloomK).map(j => s"SELECT ${pos(j, "h")} AS p FROM ch").mkString("\n  UNION ALL\n  ")}),
+       |bloom AS (
+       |  SELECT p // 60 AS word,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(p % 60 AS INTEGER)) AS bits
+       |  FROM cpos GROUP BY 1),
+       |dh AS (SELECT doc_id, $normSql AS h FROM delta),
+       |dpos AS (
+       |  ${(0 until BloomK).map(j => s"SELECT doc_id, h, ${pos(j, "h")} AS p FROM dh").mkString("\n  UNION ALL\n  ")}),
+       |hits AS (
+       |  SELECT doc_id, h,
+       |    CAST(CASE WHEN sum(CASE WHEN (b.bits & (CAST(1 AS BIGINT) << CAST(d.p % 60 AS INTEGER))) <> 0
+       |                  THEN 1 ELSE 0 END) = $BloomK THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit
+       |  FROM dpos d LEFT JOIN bloom b ON b.word = d.p // 60
+       |  GROUP BY 1, 2)
+       |SELECT hits.doc_id, hits.bloom_hit, ch.dup_of,
+       |  CAST(CASE WHEN hits.bloom_hit = 1 AND ch.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS false_positive
+       |FROM hits LEFT JOIN ch USING (h)""".stripMargin
+  }
 }

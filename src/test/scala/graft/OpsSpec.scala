@@ -938,6 +938,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("d16 bloom prefilter: no false negatives; injected cross-boundary dup is caught") {
+    import org.apache.spark.sql.functions._
+    // (a) real data (no exact dups exist in the testdata): every row
+    // must be bloom_hit=0 or a false positive, and dup_of always null
+    val real = SparkEntry.queries("d16_bloom_prefilter")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    assert(real.nonEmpty)
+    for ((id, hit, dupOf, fp) <- real) {
+      assert(dupOf.isEmpty, s"doc $id: no exact dup exists in this corpus")
+      assert((fp === 1L) === (hit === 1L), s"doc $id: every hit here must be a false positive")
+    }
+    assert(real.exists(_._2 === 0L), "some definitely-new docs expected")
+    assert(real.exists(_._2 === 1L), "the saturated filter must produce false positives")
+    // (b) injected fixture: delta doc 10 duplicates corpus doc 3 exactly
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d16").toFile
+    try {
+      Seq(
+        (3L, "the same exact text", "en", "s1", 19L),
+        (7L, "some other corpus doc", "en", "s1", 21L),
+        (10L, "the same exact text", "en", "s1", 19L),
+        (20L, "a genuinely new doc", "en", "s1", 19L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(new java.io.File(tmp, "documents.parquet").getAbsolutePath)
+      val got = SparkEntry.queries("d16_bloom_prefilter")(spark, tmp.getAbsolutePath)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))))
+        .toMap
+      assert(got.keySet === Set(10L, 20L), "delta = doc_id % 10 == 0")
+      assert(got(10L) === ((1L, Some(3L), 0L)),
+        "the true duplicate MUST be a bloom hit (no false negatives) and resolve to doc 3")
+      val (h20, d20, fp20) = got(20L)
+      assert(d20.isEmpty, "doc 20 has no corpus duplicate")
+      assert((fp20 === 1L) === (h20 === 1L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("es16 window top-k: ranks dense in 1..3, counts non-increasing within a bucket") {
     val rows = SparkEntry.queries("es16_window_topk")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
