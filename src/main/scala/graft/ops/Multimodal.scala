@@ -263,6 +263,76 @@ object Multimodal extends QueryModule {
        |  CAST(count(DISTINCT bh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS stored_fraction
        |FROM b GROUP BY 1""".stripMargin
 
+  /** m07 fingerprint geometry — d05's lossless contract verbatim:
+    * 60-bit fingerprint, 4 × 15-bit bands, hamming ≤ 3 (pigeonhole: 3
+    * flipped bits cannot touch all 4 bands).
+    */
+  private val PercBits  = 60
+  private val PercBands = 4
+
+  /** m07: perceptual near-duplicate detection over BINARY payloads — the
+    * codec-agnostic analogue of an image pHash dedup: the payload's
+    * distinct byte 4-grams vote a 60-bit SimHash fingerprint (content
+    * overlap ⇒ close fingerprints, for ANY media encoding — no decode
+    * needed), banded exactly like d05 so the blocked pair set provably
+    * equals brute-force hamming ≤ 3. Completes the multimodal dedup
+    * ladder: m06 = block-level EXACT (storage), m07 = payload-level
+    * NEAR (content). Distinct from d05, which fingerprints word
+    * shingles of TEXT — this op never tokenizes; it reads raw bytes
+    * (the stand-in payload is ASCII, so the DuckDB mirror's character
+    * ops see the same bytes — the m02/m06 convention).
+    *
+    * Scale shape: fingerprints are a row-local projection (native
+    * SimHash60 expression, no explode/vote shuffle); candidate pairs
+    * come from the 4-way band self-join — never all-pairs; the hamming
+    * filter runs before the pair-dedup shuffle.
+    */
+  private def m07(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.QueryDef
+    val bandBits = PercBits / PercBands
+    val txt = media(s, dir).toDF()
+      .select(col("doc_id"), col("payload").cast("string").as("t"))
+    val fp = txt.filter(length(col("t")) >= 4)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash60(
+          array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
+            i => col("t").substr(i, lit(4))))).as("simhash"))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until PercBands).map(b =>
+        shiftrightunsigned(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+        .as(Seq("band", "chunk")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("ida", "idb")
+  }
+
+  private val m07Sql =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, len(text) - 2),
+       |      i -> substr(text, i, 4)))) AS gram
+       |  FROM documents WHERE len(text) >= 4),
+       |h AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(list_transform(range(1, 16), i -> substr(md5(gram), i, 1)),
+       |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+       |  FROM g),
+       |bits AS (
+       |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, $PercBits)) AS b)
+       |  GROUP BY 1, 2),
+       |fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       |       FROM bits GROUP BY 1)
+       |SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_features", m01, Some(m01Sql)),
     QueryDef("m02_frame_sample", m02, Some(m02Sql)),
@@ -270,5 +340,6 @@ object Multimodal extends QueryModule {
     QueryDef("m04_record_assembly", m04, Some(m04Sql)),
     QueryDef("m05_byte_pack", m05, Some(m05Sql)),
     QueryDef("m06_block_dedup", m06, Some(m06Sql)),
+    QueryDef("m07_perceptual_neardup", m07, Some(m07Sql)),
   )
 }

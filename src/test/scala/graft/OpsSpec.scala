@@ -976,6 +976,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("m07 perceptual near-dup: banded blocking is lossless vs brute-force byte-gram simhash") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("m07_perceptual_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "near-dup payloads exist in this corpus")
+    assert(got.forall(t => t._1 < t._2 && t._3 <= 3L))
+    assert(got.map(t => (t._1, t._2)).distinct.length === got.length)
+    // brute force: recompute fingerprints with the same byte-4gram
+    // expression and do the all-pairs hamming scan — pigeonhole says the
+    // banded plan must find exactly these pairs
+    val fp = graft.core.Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.simhash60(
+          array_distinct(transform(sequence(lit(1), length(col("text")) - 3),
+            i => col("text").substr(i, lit(4))))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, fa) <- fp; (ib, fb) <- fp
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(fa ^ fb).toLong)).toSet
+    assert(got.toSet === want, "blocked pair set must equal brute force (lossless banding)")
+  }
+
   test("es16 window top-k: ranks dense in 1..3, counts non-increasing within a bucket") {
     val rows = SparkEntry.queries("es16_window_topk")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
