@@ -540,6 +540,27 @@ object EventStream {
       }
   }
 
+  /** Native streaming session_window aggregation — e11's STREAMING twin
+    * through Spark's dedicated session plan path (UpdatingSessionsExec +
+    * state-store session merge), not the custom flatMapGroupsWithState
+    * sessionizer ([[sessionize]]/es03). Append mode emits a merged
+    * session once the watermark passes its end (`end = last ts + gap`,
+    * the `>=`-boundary contract e11's oracle states). The two streaming
+    * sessionizers deliberately coexist: this one is the engine-native
+    * operator a production job should reach for first; the custom one
+    * exists for semantics session_window can't express (e03's `>` rule,
+    * per-session ids).
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"))
+
   case class QuotaOut(user_id: Long, day: Long, n_seen: Long, n_kept: Long, n_suppressed: Long)
 
   /** The es17 quota constant — small enough that real suppression occurs

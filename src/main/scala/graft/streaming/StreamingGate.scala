@@ -447,7 +447,46 @@ object StreamingGate extends QueryModule {
     QueryDef("es15_update_emission", es15, Some(es15Sql)),
     QueryDef("es16_window_topk", es16, Some(es16Sql)),
     QueryDef("es17_daily_quota", es17, Some(es17Sql)),
+    QueryDef("es18_session_window", es18, Some(es18Sql)),
   )
+
+  /** es18: native session_window running as a REAL stream (append mode,
+    * engine-managed session-merge state) — the e11 batch aggregation's
+    * streaming twin, finalized = sessions whose end (`last ts + gap`)
+    * the final watermark passed. The oracle restates e11's `>=`-gap
+    * session construction (the session_window boundary contract) plus
+    * the closed-session predicate.
+    */
+  private def es18(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es18_sink") {
+      EventStream.sessionWindowAgg(
+        EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None))
+    }
+
+  private val es18Sql =
+    """WITH wm AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 AS wm_us FROM events),
+      |ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |              IS NULL
+      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |              >= 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM ev),
+      |sess AS (
+      |  SELECT user_id, ts_us,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |g AS (
+      |  SELECT user_id, min(ts_us) AS start_us,
+      |    max(ts_us) + 1800000000 AS end_us,
+      |    count(*) AS n_events
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, start_us, end_us, n_events
+      |FROM g, wm WHERE end_us <= wm.wm_us""".stripMargin
 
   /** es17: per-(user, day) ingest quota accounting — the live throttle
     * ([[EventStream.dailyQuota]]) run to completion; one row per day the

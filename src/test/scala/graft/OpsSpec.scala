@@ -1001,6 +1001,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(got.toSet === want, "blocked pair set must equal brute force (lossless banding)")
   }
 
+  test("es18 native session stream: finalized set equals closed e11 sessions; no per-user overlap") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = SparkEntry.queries("es18_session_window")(spark, dir).collect().map(key).toSet
+    assert(got.nonEmpty)
+    val wmUs = (graft.core.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000) * 1000
+    val want = SparkEntry.queries("e11_session_window")(spark, dir)
+      .filter(col("end_us") <= wmUs).collect().map(key).toSet
+    assert(got === want, "stream must finalize exactly the watermark-closed batch sessions")
+    // merged sessions never overlap within a user: the next session's
+    // first event can only start at or after the previous session's end
+    // (end = last ts + gap; an earlier event would have merged)
+    got.groupBy(_._1).foreach { case (u, ss) =>
+      ss.toSeq.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 >= e1, s"user $u: session starting at $s2 overlaps previous end $e1")
+        case _ => ()
+      }
+    }
+  }
+
   test("es16 window top-k: ranks dense in 1..3, counts non-increasing within a bucket") {
     val rows = SparkEntry.queries("es16_window_topk")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
