@@ -341,5 +341,50 @@ object Multimodal extends QueryModule {
     QueryDef("m05_byte_pack", m05, Some(m05Sql)),
     QueryDef("m06_block_dedup", m06, Some(m06Sql)),
     QueryDef("m07_perceptual_neardup", m07, Some(m07Sql)),
+    QueryDef("m08_modality_align", m08, Some(m08Sql)),
   )
+
+  /** m08: cross-modal alignment audit — the referential-integrity check
+    * between the text table and the embedding store (at 100 TB these
+    * are separately-produced tables that silently drift): per (lang,
+    * source) slice, how many documents exist, how many are paired with
+    * an embedding, how many MISS one (can't be retrieved / sem-deduped),
+    * and how many embeddings are ORPHANS (stale vectors for deleted
+    * docs — the grouping key for orphans is the `_orphan_vec` marker
+    * slice since they carry no document metadata). The go/no-go audit
+    * before any cross-modal op (d08, s15, m04) trusts the join.
+    *
+    * All-integer counts over ONE doc_id=vec_id full-outer equi-join —
+    * the operator is itself the join it audits.
+    */
+  private def m08(s: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
+      .join(graft.core.Tables.embeddings(s, dir).select(col("vec_id")),
+        col("doc_id") === col("vec_id"), "full_outer")
+      .select(
+        coalesce(col("lang"), lit("_orphan_vec")).as("lang"),
+        coalesce(col("source"), lit("_orphan_vec")).as("source"),
+        col("doc_id"), col("vec_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(col("doc_id")).as("n_docs"),
+        org.apache.spark.sql.functions.sum(
+          when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L).otherwise(0L))
+          .as("n_paired"),
+        org.apache.spark.sql.functions.sum(
+          when(col("doc_id").isNotNull && col("vec_id").isNull, 1L).otherwise(0L))
+          .as("n_missing_vec"),
+        org.apache.spark.sql.functions.sum(
+          when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_orphan_vec"))
+
+  private val m08Sql =
+    """SELECT coalesce(lang, '_orphan_vec') AS lang,
+      |  coalesce(source, '_orphan_vec') AS source,
+      |  count(doc_id) AS n_docs,
+      |  CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+      |  CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_vec,
+      |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_vec
+      |FROM (SELECT doc_id, lang, source FROM documents) d
+      |FULL OUTER JOIN (SELECT vec_id FROM embeddings) e ON d.doc_id = e.vec_id
+      |GROUP BY 1, 2""".stripMargin
 }

@@ -1024,6 +1024,37 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("m08 modality alignment: real corpus fully paired; injected drift is itemized") {
+    import org.apache.spark.sql.functions._
+    val real = SparkEntry.queries("m08_modality_align")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(real.nonEmpty)
+    for ((l, src, nd, np, nm, no) <- real) {
+      assert(np + nm === nd, s"($l,$src): paired + missing must equal docs")
+      assert(no === 0L || l === "_orphan_vec", s"($l,$src): orphans only in the marker slice")
+    }
+    assert(real.map(_._3).sum ===
+      graft.core.Tables.documents(spark, "/root/testdata/sf0.001").count())
+    // injected drift: doc 1 lacks a vector; vec 9 is an orphan
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_m08").toFile
+    try {
+      Seq((1L, "a", "en", "s1", 1L), (2L, "b", "en", "s1", 1L), (3L, "c", "fr", "s2", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(new java.io.File(tmp, "documents.parquet").getAbsolutePath)
+      Seq((2L, Seq(1.0f), 0), (3L, Seq(1.0f), 0), (9L, Seq(1.0f), 0))
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.parquet(new java.io.File(tmp, "embeddings.parquet").getAbsolutePath)
+      val got = SparkEntry.queries("m08_modality_align")(spark, tmp.getAbsolutePath)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got(("en", "s1")) === ((2L, 1L, 1L, 0L)), "en/s1: one paired, one missing")
+      assert(got(("fr", "s2")) === ((1L, 1L, 0L, 0L)))
+      assert(got(("_orphan_vec", "_orphan_vec")) === ((0L, 0L, 0L, 1L)), "vec 9 is an orphan")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   test("es16 window top-k: ranks dense in 1..3, counts non-increasing within a bucket") {
     val rows = SparkEntry.queries("es16_window_topk")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
