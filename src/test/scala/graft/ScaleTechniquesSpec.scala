@@ -688,4 +688,72 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir10))
     }
   }
+
+  /** 10x tripwires for the round-9-continuation heavies: t17 (corpus
+    * 5-gram boilerplate — the shingle shuffle is the only corpus-sized
+    * stage and must stay ~linear), d16 (Bloom prefilter — delta-sized
+    * output, constant filter), s16 (two Lloyd passes — row-local folds,
+    * output partitions the corpus). One synthetic dir carries documents
+    * AND embeddings so all three run against it.
+    */
+  test("t17/d16/s16 10x scaling: exact fanout laws hold, wall time ~linear") {
+    def mk(n: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_c9_$n").toString
+      // 20 hash-derived tokens per doc over a 500-word vocab
+      spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 20).map(j =>
+          concat(lit("w"), pmod(hash(col("id"), lit(j)), lit(500)))): _*).as("text"),
+        lit("en").as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(5))).as("source"),
+        lit(100L).as("n_chars"))
+        .coalesce(4).write.parquet(out + "/documents.parquet")
+      spark.range(n / 2).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          j => (pmod(hash(col("id"), j), lit(2000)) / lit(1000.0) - 1.0).cast("float"))
+          .as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+        .coalesce(4).write.parquet(out + "/embeddings.parquet")
+      out
+    }
+    def run(dir: String, n: Long): (Double, Double, Double) = {
+      def timed(q: String)(check: org.apache.spark.sql.DataFrame => Unit): Double = {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(spark, dir)
+        check(df)
+        graft.core.Sessions.sweepPersistedState(spark)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tT = timed("t17_boilerplate") { df =>
+        import org.apache.spark.sql.functions.{sum => fsum}
+        val r = df.agg(count(lit(1)), fsum(col("n_grams"))).collect()(0)
+        assert(r.getLong(0) === n, "one row per (>=5-token) doc")
+        assert(r.getLong(1) === n * 16, "exactly n_tokens-4 shingle positions per doc")
+      }
+      val tD = timed("d16_bloom_prefilter") { df =>
+        assert(df.count() === n / 10, "output is delta-sized, never corpus-sized")
+      }
+      val tS = timed("s16_kmeans_converge") { df =>
+        import org.apache.spark.sql.functions.{sum => fsum}
+        val members = df.agg(fsum(col("n_members"))).collect()(0).getLong(0)
+        assert(members === n / 2, "pass-2 assignment partitions the corpus")
+      }
+      (tT, tD, tS)
+    }
+    val dir1 = mk(3000)
+    val dir10 = mk(30000)
+    try {
+      run(dir1, 3000) // warm codegen
+      val (a1, b1, c1) = run(dir1, 3000)
+      val (a10, b10, c10) = run(dir10, 30000)
+      info(f"t17 $a1%.1fs->$a10%.1fs  d16 $b1%.1fs->$b10%.1fs  s16 $c1%.1fs->$c10%.1fs")
+      assert(a10 <= a1 * 25 + 5.0, f"t17 wall time super-linear: $a1%.1fs -> $a10%.1fs")
+      assert(b10 <= b1 * 25 + 5.0, f"d16 wall time super-linear: $b1%.1fs -> $b10%.1fs")
+      assert(c10 <= c1 * 25 + 5.0, f"s16 wall time super-linear: $c1%.1fs -> $c10%.1fs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir10))
+    }
+  }
 }
