@@ -365,4 +365,55 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(got.except(want).isEmpty && want.except(got).isEmpty,
       "post-recovery shards must equal the projected events table")
   }
+
+  test("session_window agg restarted from checkpoint merges sessions across the restart") {
+    // The SIXTH recovered state class: the engine's session-merge state
+    // (UpdatingSessionsExec), distinct from windowed-agg, dedup, custom
+    // fMGWS, join, and outer-join state. Time-split feed: any session
+    // whose early events arrived in phase 1 but whose close the
+    // watermark only reaches in phase 2 can ONLY emit correctly if the
+    // partial session survived the restart (phase-1 files are deleted).
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, dir)
+      .withColumn("ts", expr("unix_micros(ts) * 1000")) // raw ns longs
+      .cache()
+    val cut = ev.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m")
+      .collect()(0).getDouble(0).toLong
+    val streamDir = Files.createTempDirectory("graft-sessstream").toString
+    val checkpoint = Files.createTempDirectory("graft-sessckpt").toString
+    val outDir = Files.createTempDirectory("graft-sessout").toString + "/sessions"
+    def writeHalf(cond: org.apache.spark.sql.Column, name: String): Path = {
+      val stage = Files.createTempDirectory(s"graft-sess-$name")
+      ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = new java.io.File(stage.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val target = Paths.get(streamDir, s"events_$name.parquet")
+      Files.copy(part, target, StandardCopyOption.REPLACE_EXISTING)
+      target
+    }
+    def runOnce(): Unit = {
+      val q = EventStream.sessionWindowAgg(EventStream.readEvents(spark, streamDir))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val a = writeHalf(col("ts") <= cut, "a")
+    runOnce()
+    Files.deleteIfExists(a) // restored state is now the only memory of half A
+    writeHalf(col("ts") > cut, "b")
+    runOnce()
+    ev.unpersist()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = spark.read.parquet(outDir).collect().map(key).toSet
+    val wmUs = (graft.core.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000) * 1000
+    val want = SparkEntry.queries("e11_session_window")(spark, dir)
+      .filter(col("end_us") <= wmUs).collect().map(key).toSet
+    assert(want.nonEmpty)
+    assert(got === want,
+      "post-restart append output must equal the closed batch sessions — cross-restart merges included")
+  }
 }
