@@ -871,5 +871,60 @@ object TextAnalysis extends QueryModule {
     QueryDef("t16_kwic_snippets", t16, Some(t16Sql)),
     QueryDef("t17_boilerplate", t17, Some(t17Sql)),
     QueryDef("t18_zipf_profile", t18, Some(t18Sql)),
+    QueryDef("t19_shard_stitch", t19, Some(t19Sql)),
   )
+
+  // ---- t19: shard-stitch (document continuation) detection ------------
+
+  /** Overlap-key width. A production stitcher keys on ~50-token
+    * overlaps; 3 here so this vocabulary actually produces matches.
+    * The cap bounds join fanout when an overlap key is boilerplate
+    * (the d03 DfCap rule) — far above this corpus's max key frequency,
+    * so the oracle mirrors it structurally without being data-binding.
+    */
+  private val StitchK   = 3
+  private val StitchCap = 100L
+
+  /** t19: shard-stitch detection — find document pairs where A's token
+    * SUFFIX equals B's token PREFIX: the signature of one source
+    * document split across scrape shards (truncated page + continuation)
+    * that should be re-joined before training. The repair step d09/d12
+    * don't cover: they find REPEATED content; this finds SPLIT content.
+    *
+    * Scale shape: each doc contributes one (suffix, prefix) key row —
+    * corpus-linear; candidates come from ONE equi-join on the overlap
+    * key (never all-pairs); boilerplate keys above [[StitchCap]] are
+    * dropped before the join bounds fanout.
+    */
+  private def t19(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= StitchK)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("w"), -StitchK, StitchK)).as("suf"),
+        concat_ws(" ", slice(col("w"), 1, StitchK)).as("pre"))
+    val allowed = keys.groupBy(col("pre").as("k")).agg(count(lit(1)).as("c"))
+      .filter(col("c") <= StitchCap).select(col("k"))
+    keys.select(col("doc_id").as("ida"), col("suf"))
+      .join(allowed, col("suf") === col("k")).drop("k")
+      .join(keys.select(col("doc_id").as("idb"), col("pre")), col("suf") === col("pre"))
+      .filter(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"), col("suf").as("overlap_key"))
+  }
+
+  private val t19Sql =
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |keys AS (
+       |  SELECT doc_id,
+       |    array_to_string(w[len(w) - ${StitchK - 1}:len(w)], ' ') AS suf,
+       |    array_to_string(w[1:$StitchK], ' ') AS pre
+       |  FROM w WHERE len(w) >= $StitchK),
+       |allowed AS (
+       |  SELECT pre AS k FROM keys GROUP BY 1 HAVING count(*) <= $StitchCap)
+       |SELECT a.doc_id AS ida, b.doc_id AS idb, a.suf AS overlap_key
+       |FROM keys a
+       |JOIN allowed ON a.suf = allowed.k
+       |JOIN keys b ON a.suf = b.pre AND a.doc_id <> b.doc_id""".stripMargin
 }

@@ -413,5 +413,36 @@ object Relational5 extends QueryModule {
     QueryDef("q45_lateral_topk", q45, Some(q45Sql)),
     QueryDef("q46_unpivot", q46, Some(q46Sql)),
     QueryDef("q47_window_distinct", q47, Some(q47Sql)),
+    QueryDef("q48_nullsafe_join", q48, Some(q48Sql)),
   )
+
+  /** q48: null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * join semantic ordinary equality can't express: a NULL key matches a
+    * NULL key. Two aggregates with deliberately nullable group keys
+    * (nullif on the flag columns) are joined null-safely; the NULL↔NULL
+    * row in the output exists ONLY under this semantic, so the gate
+    * hash distinguishes `<=>` from `=` directly. Planner note: Spark
+    * plans null-safe equality as a hash join key (Coalesce/isnull
+    * wrapping), not a nested loop — same shuffle budget as a plain
+    * equi-join at any scale.
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val a = li.groupBy(nullif(col("l_returnflag"), lit("N")).as("k"))
+      .agg(count(lit(1)).as("na"))
+    val b = li.groupBy(nullif(col("l_linestatus"), lit("F")).as("k2"))
+      .agg(count(lit(1)).as("nb"))
+    a.join(b, col("k") <=> col("k2"))
+      .select(col("k"), col("na"), col("nb"))
+  }
+
+  private val q48Sql =
+    """WITH a AS (
+      |  SELECT nullif(l_returnflag, 'N') AS k, count(*) AS na
+      |  FROM lineitem GROUP BY 1),
+      |b AS (
+      |  SELECT nullif(l_linestatus, 'F') AS k2, count(*) AS nb
+      |  FROM lineitem GROUP BY 1)
+      |SELECT a.k, a.na, b.nb
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2""".stripMargin
 }

@@ -1055,6 +1055,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 
+  test("t19 shard stitch: every pair's key is truly A's suffix and B's prefix") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val pairs = SparkEntry.queries("t19_shard_stitch")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(pairs.nonEmpty, "this vocabulary produces 3-token overlaps")
+    val toksOf = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " +").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.nonEmpty)).toMap
+    for ((ia, ib, k) <- pairs) {
+      assert(ia !== ib)
+      assert(toksOf(ia).takeRight(3).mkString(" ") === k, s"$ia suffix mismatch")
+      assert(toksOf(ib).take(3).mkString(" ") === k, s"$ib prefix mismatch")
+    }
+  }
+
+  test("q48 null-safe join: the NULL-key row exists and is hash-joined, not nested-loop") {
+    val out = SparkEntry.queries("q48_nullsafe_join")(spark, "/root/testdata/sf0.001")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"null-safe equality must plan as a hash join key:\n$p")
+    val rows = out.collect()
+    assert(rows.length === 1 && rows(0).isNullAt(0),
+      "the only matching key pair is NULL<=>NULL - invisible to plain equality")
+    assert(rows(0).getLong(1) > 0L && rows(0).getLong(2) > 0L)
+  }
+
   test("es16 window top-k: ranks dense in 1..3, counts non-increasing within a bucket") {
     val rows = SparkEntry.queries("es16_window_topk")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
