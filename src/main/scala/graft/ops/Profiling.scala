@@ -686,6 +686,57 @@ object Profiling extends QueryModule {
        |FROM th LEFT JOIN bq ON bq.bkt >= th.t
        |GROUP BY t""".stripMargin
 
+  /** Deterministic erasure cohort: ~5% of users by the shared uhash
+    * rule (salted independently of split/sample decisions).
+    */
+  private val EraseFrac = 0.05
+
+  /** p21: user-erasure (right-to-be-forgotten) sweep — drop EVERY event
+    * belonging to an erasure cohort and emit the per-type compliance
+    * audit: rows before, rows after, rows erased, and a `residual`
+    * column that re-counts cohort rows in the post-sweep output (must
+    * be 0 — the proof an auditor asks for, computed from the swept
+    * frame itself, not assumed). The cohort is a deterministic
+    * uhash-derived user set standing in for the real deletion-request
+    * table.
+    *
+    * Scale shape: membership is a row-local hash decision (no
+    * request-table join at test scale; at 100 TB the cohort arrives as
+    * a table and this becomes a broadcast anti-join — same plan class
+    * as d11's span scrub); one (type) aggregate over the union of the
+    * before/after frames, map-side combined.
+    */
+  private def p21(s: SparkSession, dir: String): DataFrame = {
+    val erased = Sampling.uhash("erase_", col("user_id")) < EraseFrac
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val before = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_before"))
+    val swept = ev.filter(!erased)
+    val after = swept.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_after"),
+      sum(when(Sampling.uhash("erase_", col("user_id")) < EraseFrac, 1L).otherwise(0L))
+        .as("residual"))
+    before.join(after, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (col("n_before") - coalesce(col("n_after"), lit(0L))).as("n_erased"),
+        coalesce(col("residual"), lit(0L)).as("residual"))
+  }
+
+  private val p21Sql = {
+    val u = Sampling.uhashSql("erase_", "user_id")
+    s"""WITH ev AS (SELECT event_type, user_id, $u AS u FROM events),
+       |before AS (SELECT event_type, count(*) AS n_before FROM ev GROUP BY 1),
+       |after AS (
+       |  SELECT event_type, count(*) AS n_after,
+       |    CAST(sum(CASE WHEN u < $EraseFrac THEN 1 ELSE 0 END) AS BIGINT) AS residual
+       |  FROM ev WHERE NOT (u < $EraseFrac) GROUP BY 1)
+       |SELECT b.event_type, b.n_before,
+       |  coalesce(a.n_after, 0) AS n_after,
+       |  b.n_before - coalesce(a.n_after, 0) AS n_erased,
+       |  coalesce(a.residual, 0) AS residual
+       |FROM before b LEFT JOIN after a USING (event_type)""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p01_profile", p01, Some(p01Sql)),
     QueryDef("p02_clean_corpus_pipeline", p02, Some(p02Sql)),
@@ -700,6 +751,7 @@ object Profiling extends QueryModule {
     QueryDef("p18_incremental_agg", p18, Some(p18Sql)),
     QueryDef("p19_quality_card", p19, Some(p19Sql)),
     QueryDef("p20_quality_sweep", p20, Some(p20Sql)),
+    QueryDef("p21_erasure_sweep", p21, Some(p21Sql)),
   )
 
   /** p08: declarative ingest-validation — every constraint evaluated in

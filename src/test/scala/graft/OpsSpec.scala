@@ -1082,6 +1082,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(rows(0).getLong(1) > 0L && rows(0).getLong(2) > 0L)
   }
 
+  test("p21 erasure sweep: residuals zero, accounting conserves, cohort actually erased") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("p21_erasure_sweep")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    for ((t, before, after, erased, residual) <- rows) {
+      assert(residual === 0L, s"$t: cohort rows survived the sweep")
+      assert(before === after + erased, s"$t: accounting must conserve")
+      assert(erased >= 0L && after >= 0L)
+    }
+    assert(rows.map(_._4).sum > 0L, "the 5% cohort must actually own events at this SF")
+    assert(rows.map(_._2).sum === graft.core.Tables.events(spark, dir).count())
+  }
+
   test("es16 window top-k: ranks dense in 1..3, counts non-increasing within a bucket") {
     val rows = SparkEntry.queries("es16_window_topk")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
