@@ -466,6 +466,27 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("t17/p20: capped frames broadcast; corpus sides never sort-merge against them") {
+    // t17's top-20 boilerplate set and p20's <=10-row bucket aggregate
+    // are the LIMIT/aggregate-capped sides — each must ride a broadcast
+    // into the corpus-sized probe, not drag it through a sort-merge
+    for (q <- Seq("t17_boilerplate", "p20_quality_sweep")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: capped side must broadcast:\n${p.take(600)}")
+      assert(!p.contains("SortMergeJoin"), s"$q must not sort-merge the capped join")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("e15: the calendar-bounded day list broadcasts; distinct pairs never self-sort-merge") {
+    val p = plan("e15_dau_wau")
+    // range condition => nested-loop, but against the BROADCAST day list
+    // only — the corpus-derived distinct-pair side must stream through it
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("q47: both windows ride the ONE seeded suppkey exchange") {
     // repartition(l_suppkey) satisfies the (suppkey, partkey) window's
     // clustering too (subset rule) — a naive plan pays two exchanges
