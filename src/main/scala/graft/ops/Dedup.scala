@@ -979,7 +979,61 @@ object Dedup extends QueryModule {
     QueryDef("d14_editdist_neardup", d14, Some(d14Sql)),
     QueryDef("d15_minhash_audit", d15, Some(d15Sql)),
     QueryDef("d16_bloom_prefilter", d16, Some(d16Sql)),
+    QueryDef("d17_triangle_cohesion", d17, Some(d17Sql)),
   )
+
+  // ---- d17: triangle cohesion of the near-dup graph -------------------
+
+  /** d17: triangle count per document over the d03 near-dup pair graph —
+    * the cluster-COHESION signal CC (d07) can't see: a size-k component
+    * can be a brittle chain (0 triangles — likely transitive-similarity
+    * noise, the classic near-dup false-merge) or a dense clique
+    * (~k³ triangles — a true duplicate family safe to collapse
+    * aggressively). Node-iterator triangle counting in its id-ordered
+    * orientation: every edge is stored once as (ida < idb), and a
+    * triangle a<b<c is found exactly once by joining (a,b)⋈(b,c) and
+    * closing with (a,c).
+    *
+    * Scale shape: two self-equi-joins of the PAIR table (not the
+    * corpus) — |pairs| is linear in the corpus under d03's df-cap, and
+    * per-node fanout is degree-bounded by the same cap; the standard
+    * refinement at adversarial skew is degree-ordered orientation
+    * (orient each edge toward the higher-degree endpoint), a
+    * reorientation of the same join, not a new plan.
+    */
+  private def d17(s: SparkSession, dir: String): DataFrame = {
+    val e = d03(s, dir).select(col("ida"), col("idb"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.idb") === col("e2.ida"))
+      .join(e.as("e3"),
+        col("e1.ida") === col("e3.ida") && col("e2.idb") === col("e3.idb"))
+      .select(col("e1.ida").as("a"), col("e1.idb").as("b"), col("e2.idb").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  private val d17Sql =
+    s"""WITH $shingleCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT a.doc_id ida, b.doc_id idb, count(*) c
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT ida, idb
+       |  FROM cm JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+       |  WHERE c / (sa.n + sb.n - c) >= 0.5),
+       |tri AS (
+       |  SELECT e1.ida AS a, e1.idb AS b, e2.idb AS c
+       |  FROM pr e1
+       |  JOIN pr e2 ON e1.idb = e2.ida
+       |  JOIN pr e3 ON e1.ida = e3.ida AND e2.idb = e3.idb),
+       |nodes AS (
+       |  SELECT a AS doc_id FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri)
+       |SELECT doc_id, count(*) AS n_triangles
+       |FROM nodes GROUP BY 1""".stripMargin
 
   // ---- d16: Bloom-filter prefilter for incremental dedup --------------
 

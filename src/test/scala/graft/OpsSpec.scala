@@ -1097,6 +1097,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(rows.map(_._2).sum === graft.core.Tables.events(spark, dir).count())
   }
 
+  test("d17 triangles: matches a driver-side brute force over the d03 pair graph") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = SparkEntry.queries("d03_ngram_jaccard")(spark, dir)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val es = edges.toSeq
+    val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- es; (b2, c) <- es if b2 == b && edges((a, c))) {
+      want(a) += 1; want(b) += 1; want(c) += 1
+    }
+    val got = SparkEntry.queries("d17_triangle_cohesion")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want.toMap, "per-node triangle counts must equal brute force")
+    assert(got.nonEmpty, "the near-dup graph at sf0.001 contains at least one triangle")
+  }
+
   test("es16 window top-k: ranks dense in 1..3, counts non-increasing within a bucket") {
     val rows = SparkEntry.queries("es16_window_topk")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
