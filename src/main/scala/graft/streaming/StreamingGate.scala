@@ -448,7 +448,39 @@ object StreamingGate extends QueryModule {
     QueryDef("es16_window_topk", es16, Some(es16Sql)),
     QueryDef("es17_daily_quota", es17, Some(es17Sql)),
     QueryDef("es18_session_window", es18, Some(es18Sql)),
+    QueryDef("es19_live_denylist", es19, Some(es19Sql)),
   )
+
+  /** es19: stream-static LEFT ANTI join — live denylist enforcement at
+    * the ingest door (p21's erasure run as a STREAM): every micro-batch
+    * anti-joins the static banned-user table and only clean events pass.
+    * The third stream-static join semantic in the gate (es13 = inner
+    * enrich, es14 = stream-stream outer; anti = "must NOT match", which
+    * no inner/outer composition expresses). Stateless, so append emits
+    * exactly the filtered projection — the oracle is the NOT-IN batch
+    * query. The banned table here derives deterministically from the
+    * corpus (hash-bucketed 5% of users) standing in for a real
+    * denylist dim; the JOIN against it is what executes per batch.
+    */
+  private def es19(s: SparkSession, dir: String): DataFrame =
+    runToTable(s, "es19_sink") {
+      import org.apache.spark.sql.functions._
+      val banned = graft.core.Tables.events(s, dir)
+        .select(col("user_id")).distinct()
+        .filter(graft.ops.Sampling.hash60(
+          concat(lit("ban_"), col("user_id").cast("string"))) % 20 === 0)
+      EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None)
+        .join(banned, Seq("user_id"), "left_anti")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+    }
+
+  private val es19Sql =
+    s"""WITH banned AS (
+       |  SELECT DISTINCT user_id FROM events
+       |  WHERE (${graft.ops.OracleSql.hex60("'ban_' || user_id")}) % 20 = 0)
+       |SELECT user_id, event_id, event_type
+       |FROM events
+       |WHERE user_id NOT IN (SELECT user_id FROM banned)""".stripMargin
 
   /** es18: native session_window running as a REAL stream (append mode,
     * engine-managed session-merge state) — the e11 batch aggregation's

@@ -1112,6 +1112,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(got.nonEmpty, "the near-dup graph at sf0.001 contains at least one triangle")
   }
 
+  test("es19 live denylist: no banned user leaks; clean events pass untouched") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: the 5% hash bucket is empty over sf0.001's ~50 users, so
+    // the anti-join would be vacuous there — here it provably removes rows
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("es19_live_denylist")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap // user -> any event
+    assert(out.nonEmpty)
+    val banned = graft.core.Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .filter(graft.ops.Sampling.hash60(
+        concat(lit("ban_"), col("user_id").cast("string"))) % 20 === 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(banned.nonEmpty, "the 5% hash bucket must be non-empty at this SF")
+    assert(out.keySet.intersect(banned).isEmpty, "banned users must never pass the gate")
+    val total = graft.core.Tables.events(spark, dir).count()
+    val bannedRows = graft.core.Tables.events(spark, dir)
+      .filter(col("user_id").isInCollection(banned)).count()
+    val passed = SparkEntry.queries("es19_live_denylist")(spark, dir).count()
+    assert(passed === total - bannedRows, "every clean event passes exactly once")
+  }
+
   test("es16 window top-k: ranks dense in 1..3, counts non-increasing within a bucket") {
     val rows = SparkEntry.queries("es16_window_topk")(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
