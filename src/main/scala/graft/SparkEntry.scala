@@ -16,6 +16,7 @@ object SparkEntry {
     Relational3,
     Relational4,
     Relational5,
+    Relational6,
     EventsQueries,
     WordCount,
     graft.ops.TextAnalysis,

@@ -980,7 +980,44 @@ object Dedup extends QueryModule {
     QueryDef("d15_minhash_audit", d15, Some(d15Sql)),
     QueryDef("d16_bloom_prefilter", d16, Some(d16Sql)),
     QueryDef("d17_triangle_cohesion", d17, Some(d17Sql)),
+    QueryDef("d18_source_dup_matrix", d18, Some(d18Sql)),
   )
+
+  /** d18: cross-source duplication matrix — project the d03 near-dup
+    * pair set onto provenance: for every unordered source pair, how
+    * many near-duplicate document pairs connect them. The report behind
+    * "which scrapes re-crawl each other": a hot off-diagonal cell means
+    * two sources share pipeline-relevant overlap and one of them is
+    * redundant spend; a hot diagonal cell is a source that re-serves
+    * its own content (mirrors, pagination echoes).
+    *
+    * Composes d03 VERBATIM (same plan and oracle text as a CTE), so the
+    * matrix cannot drift from the pair set it summarizes. Scale shape:
+    * the pair table (linear in the corpus under d03's df-cap) makes two
+    * ids-only equi-joins against the (doc_id, source) projection of the
+    * corpus — filters/columns push into the scan — then one tiny
+    * ≤|sources|² aggregate on the least/greatest-canonicalized pair.
+    */
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    d03(s, dir).select(col("ida"), col("idb"))
+      .join(src.withColumnRenamed("doc_id", "ida").withColumnRenamed("source", "sa"), "ida")
+      .join(src.withColumnRenamed("doc_id", "idb").withColumnRenamed("source", "sb"), "idb")
+      .groupBy(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val d18Sql =
+    s"""WITH pairs AS ($d03Sql)
+       |SELECT least(da.source, db.source) AS source_a,
+       |  greatest(da.source, db.source) AS source_b,
+       |  count(*) AS n_pairs
+       |FROM pairs p
+       |JOIN documents da ON p.ida = da.doc_id
+       |JOIN documents db ON p.idb = db.doc_id
+       |GROUP BY 1, 2""".stripMargin
 
   // ---- d17: triangle cohesion of the near-dup graph -------------------
 

@@ -342,6 +342,7 @@ object Multimodal extends QueryModule {
     QueryDef("m06_block_dedup", m06, Some(m06Sql)),
     QueryDef("m07_perceptual_neardup", m07, Some(m07Sql)),
     QueryDef("m08_modality_align", m08, Some(m08Sql)),
+    QueryDef("m09_payload_integrity", m09, Some(m09Sql)),
   )
 
   /** m08: cross-modal alignment audit — the referential-integrity check
@@ -387,4 +388,54 @@ object Multimodal extends QueryModule {
       |FROM (SELECT doc_id, lang, source FROM documents) d
       |FULL OUTER JOIN (SELECT vec_id FROM embeddings) e ON d.doc_id = e.vec_id
       |GROUP BY 1, 2""".stripMargin
+
+  /** Bytes sliced off an injected-corrupt payload, and the residue-class
+    * fixture that selects which payloads get corrupted.
+    */
+  private val CorruptDropBytes = 7L
+  private val CorruptEvery = 97L
+
+  /** m09: payload integrity scan — verify every binary payload against
+    * its ingest-manifest byte count and report truncations per source.
+    * The scan a media pipeline runs before training: a transfer that
+    * clipped objects (partial S3 GET, a codec that bailed mid-file)
+    * must surface as rows, not as NaN losses three stages later.
+    *
+    * No real corruption exists in synthetic testdata, so the query
+    * INJECTS it deterministically (doc_id ≡ 0 mod 97 loses its last 7
+    * payload bytes) and the detector must recover exactly that set —
+    * the same injected-fixture pattern as m08's drift and e17's holes.
+    * The Spark side does the real thing: casts text → BINARY, slices
+    * bytes with substr-on-binary, measures octet lengths; the oracle
+    * computes the byte arithmetic the spec implies (DuckDB substring
+    * is char-based — the m02/m06 lesson — so it must not slice).
+    *
+    * Scale shape: row-local byte ops fused into the scan, ONE tiny
+    * (source × status) aggregate — linear at any corpus size.
+    */
+  private def m09(s: SparkSession, dir: String): DataFrame = {
+    val corrupt = col("doc_id") % CorruptEvery === 0
+    val full = col("text").cast("binary")
+    val payload = when(corrupt,
+      expr(s"substr(cast(text as binary), 1, greatest(octet_length(text) - $CorruptDropBytes, 0))"))
+      .otherwise(full)
+    graft.core.Tables.documents(s, dir)
+      .select(col("source"),
+        octet_length(col("text")).cast("long").as("exp_bytes"),
+        length(payload).cast("long").as("act_bytes"))
+      .withColumn("missing", col("exp_bytes") - col("act_bytes"))
+      .withColumn("status", when(col("missing") > 0, lit("truncated")).otherwise(lit("ok")))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("missing")).as("sum_missing"))
+  }
+
+  private val m09Sql =
+    s"""WITH m AS (
+       |  SELECT source,
+       |    CASE WHEN doc_id % $CorruptEvery = 0
+       |         THEN least($CorruptDropBytes, strlen(text)) ELSE 0 END AS missing
+       |  FROM documents)
+       |SELECT source, CASE WHEN missing > 0 THEN 'truncated' ELSE 'ok' END AS status,
+       |  count(*) AS n_docs, CAST(sum(missing) AS BIGINT) AS sum_missing
+       |FROM m GROUP BY 1, 2""".stripMargin
 }

@@ -752,7 +752,62 @@ object Profiling extends QueryModule {
     QueryDef("p19_quality_card", p19, Some(p19Sql)),
     QueryDef("p20_quality_sweep", p20, Some(p20Sql)),
     QueryDef("p21_erasure_sweep", p21, Some(p21Sql)),
+    QueryDef("p22_length_outliers", p22, Some(p22Sql)),
   )
+
+  /** p22: robust per-source length-outlier report — Tukey fences on
+    * `n_chars` with DISCRETE quartiles (the value at rank ⌈n/4⌉ / ⌈3n/4⌉
+    * in (n_chars, doc_id) order) and the 1.5×IQR rule kept in INTEGER
+    * arithmetic: `2·x < 2·q1 − 3·IQR` ⇔ `x < q1 − 1.5·IQR` with no
+    * float anywhere, so both engines flag identical docs. The
+    * truncation/concatenation detector a corpus audit runs per source:
+    * a scraper that clips pages shows up as an n_low spike, one that
+    * glues pages as n_high.
+    *
+    * Scale shape: one hash(source) exchange serves the quartile window
+    * AND its collapse to one (q1, q3) row per source (a conditional-max
+    * aggregate — no filter-per-quartile re-scan), which then joins back
+    * broadcast (≤ |sources| rows, aggregate-capped for the lint);
+    * 0.25/0.75 are exact binary fractions so the ⌈·⌉ rank arithmetic is
+    * float-error-free.
+    */
+  private def p22(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("source"), col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val g = Window.partitionBy(col("source"))
+    val quartiles = d
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(g))
+      .groupBy(col("source"))
+      .agg(
+        max(when(col("rn") === ceil(col("cnt") * 0.25), col("n_chars"))).as("q1"),
+        max(when(col("rn") === ceil(col("cnt") * 0.75), col("n_chars"))).as("q3"))
+    d.join(broadcast(quartiles), "source")
+      .groupBy(col("source"), col("q1"), col("q3"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(lit(2) * col("n_chars") < lit(2) * col("q1") - lit(3) * (col("q3") - col("q1")), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(lit(2) * col("n_chars") > lit(2) * col("q3") + lit(3) * (col("q3") - col("q1")), 1L)
+          .otherwise(0L)).as("n_high"))
+      .select(col("source"), col("n_docs"), col("q1"), col("q3"),
+        col("n_low"), col("n_high"))
+  }
+
+  private val p22Sql =
+    """WITH r AS (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents),
+      |q1 AS (SELECT source, n_chars AS q1 FROM r WHERE rn = CAST(ceil(cnt * 0.25) AS BIGINT)),
+      |q3 AS (SELECT source, n_chars AS q3 FROM r WHERE rn = CAST(ceil(cnt * 0.75) AS BIGINT))
+      |SELECT d.source, count(*) AS n_docs, q1.q1, q3.q3,
+      |  CAST(sum(CASE WHEN 2 * d.n_chars < 2 * q1.q1 - 3 * (q3.q3 - q1.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(sum(CASE WHEN 2 * d.n_chars > 2 * q3.q3 + 3 * (q3.q3 - q1.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+      |FROM documents d JOIN q1 USING (source) JOIN q3 USING (source)
+      |GROUP BY 1, 3, 4""".stripMargin
 
   /** p08: declarative ingest-validation — every constraint evaluated in
     * ONE scan (a conditional sum per rule inside a single aggregate, the

@@ -872,7 +872,39 @@ object TextAnalysis extends QueryModule {
     QueryDef("t17_boilerplate", t17, Some(t17Sql)),
     QueryDef("t18_zipf_profile", t18, Some(t18Sql)),
     QueryDef("t19_shard_stitch", t19, Some(t19Sql)),
+    QueryDef("t20_langid_confusion", t20, Some(t20Sql)),
   )
+
+  /** t20: language-ID confusion audit — cross-tabulate the declared
+    * `lang` label against t03's n-gram prediction: per (declared,
+    * predicted) cell, the doc count and its per-mille-of-a-million share
+    * of the declared language's corpus. The label-quality report a
+    * pipeline runs before trusting either column for filtering: a hot
+    * off-diagonal cell is a mislabeled source (or a classifier gap)
+    * localized to one language pair.
+    *
+    * Composes t03 VERBATIM (same plan, same oracle text as a CTE), so
+    * the audit cannot drift from the classifier it audits. Scale shape:
+    * the classifier is row-local scan work; the cross-tab is one hash
+    * aggregate on a ≤ |langs|² cell space, share arithmetic is integer
+    * floor division — bit-free on both engines.
+    */
+  private def t20(s: SparkSession, dir: String): DataFrame = {
+    val pred = t03(s, dir).select(col("lang"), col("pred_lang"))
+    val conf = pred.groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("n"))
+    val tot = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    conf.join(tot, "lang")
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
+        expr("n * 1000000 DIV n_lang").as("share_ppm"))
+  }
+
+  private val t20Sql =
+    s"""WITH t03 AS ($t03Sql),
+       |conf AS (SELECT lang, pred_lang, count(*) AS n FROM t03 GROUP BY 1, 2),
+       |tot AS (SELECT lang, count(*) AS n_lang FROM t03 GROUP BY 1)
+       |SELECT conf.lang, conf.pred_lang, conf.n, tot.n_lang,
+       |  conf.n * 1000000 // tot.n_lang AS share_ppm
+       |FROM conf JOIN tot USING (lang)""".stripMargin
 
   // ---- t19: shard-stitch (document continuation) detection ------------
 

@@ -349,6 +349,8 @@ object EventsQueries extends QueryModule {
     QueryDef("e15_dau_wau", e15, Some(e15Sql)),
     QueryDef("e16_anomaly_mad", e16, Some(e16Sql)),
     QueryDef("e17_gap_fill", e17, Some(e17Sql)),
+    QueryDef("e18_attribution", e18, Some(e18Sql)),
+    QueryDef("e19_cooccurrence", e19, Some(e19Sql)),
   )
 
   /** e12: inter-event gap profile — the think-time/arrival-rate
@@ -683,4 +685,130 @@ object EventsQueries extends QueryModule {
       |    PARTITION BY event_type ORDER BY day
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS locf
       |FROM f""".stripMargin
+
+  /** Attribution lookback window: a touch older than 7 days before the
+    * conversion gets no credit.
+    */
+  private val AttributionWindowUs = 7L * 86400L * 1000000L
+
+  /** e18: last-touch attribution — credit each purchase to the user's
+    * most recent click/view STRICTLY before it (ties broken by
+    * event_id), if that touch is within a 7-day lookback; otherwise the
+    * purchase is organic. The marketing-analytics workhorse that is
+    * neither a plain as-of join (e04 — one build row per probe key) nor
+    * a funnel (e08 — existence, not credit): here every conversion ROW
+    * resolves its own point-in-time predecessor from the SAME stream.
+    *
+    * One pass: a per-user window ordered by (ts, event_id) with an
+    * UNBOUNDED..1 PRECEDING frame and last(_, ignoreNulls) over columns
+    * that are null on non-touch rows — no self-join, no per-row probe.
+    * Scale shape: ONE hash(user_id) exchange for the window, then a
+    * 3-group aggregate; lag sums are integer µs, value sums exact
+    * decimal, so the result is bit-free deterministic.
+    */
+  private def e18(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(
+      col("user_id"), col("event_type"), col("event_id"), col("value"),
+      unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    ev
+      .withColumn("lt_ts", last(when(isTouch, col("ts_us")), ignoreNulls = true).over(w))
+      .withColumn("lt_ty", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attribution",
+        when(col("lt_ts").isNotNull &&
+          col("ts_us") - col("lt_ts") <= lit(AttributionWindowUs), col("lt_ty"))
+          .otherwise(lit("organic")))
+      .groupBy(col("attribution"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        Num.dsum(col("value")).as("sum_value"),
+        sum(when(col("attribution") =!= "organic", col("ts_us") - col("lt_ts"))
+          .otherwise(lit(0L))).as("sum_lag_us"))
+  }
+
+  private val e18Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us
+      |  FROM events),
+      |lt AS (
+      |  SELECT user_id, event_type, ts_us, value,
+      |    last_value(CASE WHEN event_type IN ('click','view') THEN ts_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts,
+      |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ty
+      |  FROM ev),
+      |p AS (
+      |  SELECT CASE WHEN lt_ts IS NOT NULL AND ts_us - lt_ts <= 604800000000
+      |              THEN lt_ty ELSE 'organic' END AS attribution,
+      |    value, ts_us, lt_ts
+      |  FROM lt WHERE event_type = 'purchase')
+      |SELECT attribution, count(*) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(sum(CASE WHEN attribution <> 'organic' THEN ts_us - lt_ts ELSE 0 END)
+      |    AS BIGINT) AS sum_lag_us
+      |FROM p GROUP BY 1""".stripMargin
+
+  /** e19: event-type co-occurrence — for every unordered type pair
+    * (a < b), in how many distinct (user, day) cells do BOTH occur, and
+    * the lift of that co-occurrence vs independence (scaled to ppm,
+    * integer floor-division so both engines compute identical bits).
+    * The feature-correlation matrix behind "users who err also churn"
+    * dashboards.
+    *
+    * Scale shape: the corpus collapses to distinct (user, day, type)
+    * FIRST (one exchange; ≤ |types| rows per cell), and the pair stage
+    * self-joins on the (user, day) cell key — per-cell fanout is
+    * bounded by |types|² (25 here), so pair work is linear in cells,
+    * never all-pairs in events. Lift arithmetic fits BIGINT while
+    * n_ab·n_days·10⁶ < 2⁶³ (n_days ≲ 3·10⁶ cells); past that a
+    * production run widens to DECIMAL(38,0) — documented, not silent.
+    */
+  private def e19(s: SparkSession, dir: String): DataFrame = {
+    val ud = events(s, dir)
+      .select(col("user_id"), epochDay(col("ts")).as("day"), col("event_type"))
+      .distinct()
+    val perType = ud.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val cells = ud.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_days"))
+    val pairs = ud.as("a")
+      .join(ud.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(perType.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n_t", "n_a"), "type_a")
+      .join(perType.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n_t", "n_b"), "type_b")
+      .crossJoin(broadcast(cells))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_days"),
+        expr("n_ab * 1000000 * n_days DIV (n_a * n_b)").as("lift_ppm"))
+  }
+
+  private val e19Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, event_type
+      |  FROM events),
+      |tot AS (SELECT count(*) AS n_days FROM (SELECT DISTINCT user_id, day FROM ud)),
+      |n AS (SELECT event_type, count(*) AS n_t FROM ud GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+      |  FROM ud a JOIN ud b
+      |    ON a.user_id = b.user_id AND a.day = b.day
+      |    AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT p.type_a, p.type_b, p.n_ab, na.n_t AS n_a, nb.n_t AS n_b, tot.n_days,
+      |  p.n_ab * 1000000 * tot.n_days // (na.n_t * nb.n_t) AS lift_ppm
+      |FROM p
+      |JOIN n na ON na.event_type = p.type_a
+      |JOIN n nb ON nb.event_type = p.type_b, tot""".stripMargin
 }

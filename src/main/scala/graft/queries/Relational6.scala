@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sixth wave of relational surface: ordered-argument aggregates
+  * (mode / max_by / min_by) expressed as single-pass struct-extrema —
+  * the one-aggregation shape that replaces a window + filter at scale.
+  */
+object Relational6 extends QueryModule {
+
+  /** q49: per-brand argmax/argmin/mode suite over `part` — the
+    * most-frequent type (mode), the priciest part, and the cheapest
+    * part, all WITHOUT a window: `max(struct(key, tiebreak))` is a
+    * single hash aggregate with map-side partials, whereas the naive
+    * `row_number() = 1` shape shuffles every row into a sorted window
+    * partition first. At 100 TB the struct-extremum is one exchange of
+    * |groups| partial rows; the window shape is one exchange of ALL
+    * rows plus a per-partition sort.
+    *
+    * Determinism: Spark's native mode()/max_by break ties arbitrarily,
+    * so every extremum here carries an explicit tiebreak inside the
+    * struct — (cnt, type): larger count then lexicographically larger
+    * type; (price, key): higher price then larger key for top, lower
+    * price then SMALLER key for cheap (min-struct order) — matching the
+    * oracle's ORDER BY ... DESC/ASC rules bit for bit.
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val mode = p.groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("p_brand"))
+      .agg(max(struct(col("cnt"), col("p_type"))).as("m"))
+      .select(col("p_brand"), col("m.p_type").as("mode_type"),
+        col("m.cnt").as("mode_n"))
+    p.groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        max(struct(col("p_retailprice"), col("p_partkey"))).as("hi"),
+        min(struct(col("p_retailprice"), col("p_partkey"))).as("lo"))
+      .select(col("p_brand"), col("n_parts"),
+        col("hi.p_partkey").as("top_partkey"),
+        col("hi.p_retailprice").as("top_price"),
+        col("lo.p_partkey").as("cheap_partkey"),
+        col("lo.p_retailprice").as("cheap_price"))
+      .join(mode, "p_brand")
+  }
+
+  private val q49Sql =
+    """WITH c AS (SELECT p_brand, p_type, count(*) AS cnt FROM part GROUP BY 1, 2),
+      |m AS (
+      |  SELECT p_brand, p_type AS mode_type, cnt AS mode_n FROM (
+      |    SELECT p_brand, p_type, cnt,
+      |      row_number() OVER (PARTITION BY p_brand ORDER BY cnt DESC, p_type DESC) AS rn
+      |    FROM c) WHERE rn = 1),
+      |hi AS (
+      |  SELECT p_brand, p_partkey AS top_partkey, p_retailprice AS top_price FROM (
+      |    SELECT p_brand, p_partkey, p_retailprice,
+      |      row_number() OVER (PARTITION BY p_brand
+      |                         ORDER BY p_retailprice DESC, p_partkey DESC) AS rn
+      |    FROM part) WHERE rn = 1),
+      |lo AS (
+      |  SELECT p_brand, p_partkey AS cheap_partkey, p_retailprice AS cheap_price FROM (
+      |    SELECT p_brand, p_partkey, p_retailprice,
+      |      row_number() OVER (PARTITION BY p_brand
+      |                         ORDER BY p_retailprice ASC, p_partkey ASC) AS rn
+      |    FROM part) WHERE rn = 1),
+      |n AS (SELECT p_brand, count(*) AS n_parts FROM part GROUP BY 1)
+      |SELECT n.p_brand, n.n_parts, m.mode_type, m.mode_n,
+      |  hi.top_partkey, hi.top_price, lo.cheap_partkey, lo.cheap_price
+      |FROM n JOIN m USING (p_brand) JOIN hi USING (p_brand) JOIN lo USING (p_brand)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q49_argmax_mode", q49, Some(q49Sql)),
+  )
+}

@@ -449,7 +449,55 @@ object StreamingGate extends QueryModule {
     QueryDef("es17_daily_quota", es17, Some(es17Sql)),
     QueryDef("es18_session_window", es18, Some(es18Sql)),
     QueryDef("es19_live_denylist", es19, Some(es19Sql)),
+    QueryDef("es20_window_matrix", es20, Some(es20Sql)),
   )
+
+  /** es20: per-closed-window event-type MATRIX — one row per finalized
+    * tumbling hour with a count column per type plus an exact decimal
+    * value total. This is the streaming PIVOT: `pivot()` is unsupported
+    * on streams (the engine can't discover pivot values incrementally),
+    * so the production rewrite pins the column set up front and folds
+    * each type with a conditional count INSIDE the one windowed
+    * aggregate — same state, same single shuffle as es02, wide output.
+    * A dashboard reads this row as-is; no second stage re-shapes it.
+    *
+    * Determinism: conditional counts are integers, the value total is
+    * an exact DECIMAL sum; the closed-window set is fixed by the final
+    * watermark exactly as es02.
+    */
+  private def es20(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    runToTable(s, "es20_sink") {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val ev = EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None)
+      val aggCols =
+        graft.core.Num.dsum(col("value")).as("sum_value") +:
+          types.map(t =>
+            sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t"))
+      ev.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_total"), aggCols: _*)
+        .select(
+          unix_micros(col("w.start")).as("bucket_us") +:
+            col("n_total") +: col("sum_value") +:
+            types.map(t => col(s"n_$t")): _*)
+    }
+  }
+
+  private val es20Sql =
+    """WITH wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000 - 7200000) * 1000 AS wm_us FROM events)
+      |SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+      |  count(*) AS n_total,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+      |FROM events, wm
+      |WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= wm.wm_us
+      |GROUP BY 1, wm.wm_us""".stripMargin
 
   /** es19: stream-static LEFT ANTI join — live denylist enforcement at
     * the ingest door (p21's erasure run as a STREAM): every micro-batch

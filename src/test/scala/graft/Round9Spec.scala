@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algorithmic-property tests for the round-9 third-continuation
+  * operators (e18/e19, q49, t20, p22, d18, m09, es20) — value-level
+  * correctness vs DuckDB is the driver's gate; these assert the
+  * invariants the oracle can't express (partitions, bounds, fixture
+  * recovery, cross-query conservation).
+  */
+class Round9Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("e18: every purchase is attributed exactly once and labels are closed") {
+    val out = SparkEntry.queries("e18_attribution")(spark, dir).collect()
+    val labels = out.map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("click", "view", "organic")))
+    val total = out.map(_.getLong(1)).sum
+    val purchases = graft.core.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(total === purchases, "attribution must partition the purchase set")
+    // organic rows carry zero lag by construction
+    out.filter(_.getString(0) == "organic").foreach(r => assert(r.getLong(3) === 0L))
+  }
+
+  test("e19: co-occurrence counts respect set bounds") {
+    val out = SparkEntry.queries("e19_cooccurrence")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (a, b, nab, na, nb, nDays) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b, "canonical pair order")
+      assert(nab <= math.min(na, nb), "intersection bounded by either side")
+      assert(na <= nDays && nb <= nDays, "per-type cells bounded by total cells")
+    }
+  }
+
+  test("q49: struct-extrema match windowed argmax recomputation") {
+    val out = SparkEntry.queries("q49_argmax_mode")(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.nonEmpty)
+    val p = graft.core.Tables.part(spark, dir)
+    // mode_n is the true max count per brand; top/cheap prices bracket
+    val counts = p.groupBy(col("p_brand"), col("p_type")).count()
+      .groupBy(col("p_brand")).agg(max("count").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (brand, r) =>
+      assert(r.getAs[Long]("mode_n") === counts(brand), s"mode_n for $brand")
+      assert(r.getAs[Double]("top_price") >= r.getAs[Double]("cheap_price"),
+        "top_price >= cheap_price")
+    }
+  }
+
+  test("t20: confusion rows partition each declared language's corpus") {
+    val out = SparkEntry.queries("t20_langid_confusion")(spark, dir).collect()
+    val byLang = out.groupBy(_.getString(0))
+    byLang.foreach { case (_, rows) =>
+      val nLang = rows.head.getLong(3)
+      assert(rows.map(_.getLong(2)).sum === nLang, "cells sum to declared-lang total")
+      assert(rows.map(_.getLong(4)).sum <= 1000000L, "floor shares never exceed 1e6")
+    }
+  }
+
+  test("p22: quartiles ordered and flag counts bounded") {
+    val out = SparkEntry.queries("p22_length_outliers")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, q1, q3, lo, hi) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(q1 <= q3, "quartile order")
+      assert(lo + hi <= n, "flags bounded by doc count")
+    }
+  }
+
+  test("d18: matrix is canonical and conserves the d03 pair mass") {
+    val out = SparkEntry.queries("d18_source_dup_matrix")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getString(0) <= r.getString(1), "canonical source order"))
+    val nPairs = SparkEntry.queries("d03_ngram_jaccard")(spark, dir).count()
+    assert(out.map(_.getLong(2)).sum === nPairs, "every near-dup pair lands in one cell")
+  }
+
+  test("m09: the integrity scan recovers exactly the injected corruption set") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val expected = docs
+      .filter(col("doc_id") % 97 === 0 && octet_length(col("text")) > 0).count()
+    val expectedMissing = docs.filter(col("doc_id") % 97 === 0)
+      .select(sum(least(lit(7L), octet_length(col("text")).cast("long"))))
+      .collect()(0).getLong(0)
+    val out = SparkEntry.queries("m09_payload_integrity")(spark, dir).collect()
+    val trunc = out.filter(_.getString(1) == "truncated")
+    assert(trunc.map(_.getLong(2)).sum === expected)
+    assert(trunc.map(_.getLong(3)).sum === expectedMissing)
+    val ok = out.filter(_.getString(1) == "ok")
+    assert(ok.map(_.getLong(2)).sum + trunc.map(_.getLong(2)).sum === docs.count())
+  }
+
+  test("es20: matrix rows are internally consistent and match es02's closed totals") {
+    val matrix = SparkEntry.queries("es20_window_matrix")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Seq(3, 4, 5, 6, 7).map(r.getLong))).toMap
+    assert(matrix.nonEmpty)
+    matrix.values.foreach { case (total, perType) =>
+      assert(perType.sum === total, "type columns are exhaustive")
+    }
+    val es02 = SparkEntry.queries("es02_tumbling_closed")(spark, "/root/testdata/sf0.001")
+      .groupBy(col("bucket_us")).agg(sum(col("n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(matrix.keySet === es02.keySet, "same closed-window set as es02")
+    matrix.foreach { case (b, (total, _)) => assert(es02(b) === total) }
+  }
+}
