@@ -744,6 +744,7 @@ object Profiling extends QueryModule {
     QueryDef("p07_histogram", p07, Some(p07Sql)),
     QueryDef("p08_constraint_check", p08, Some(p08Sql)),
     QueryDef("p11_mixing_report", p11, Some(p11Sql)),
+    QueryDef("p12_label_balance", p12, Some(p12Sql)),
     QueryDef("p13_clean_chunk_pipeline", p13, Some(p13Sql)),
     QueryDef("p14_dedup_impact", p14, Some(p14Sql)),
     QueryDef("p16_skew_report", p16, Some(p16Sql)),
@@ -808,6 +809,52 @@ object Profiling extends QueryModule {
       |  CAST(sum(CASE WHEN 2 * d.n_chars > 2 * q3.q3 + 3 * (q3.q3 - q1.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high
       |FROM documents d JOIN q1 USING (source) JOIN q3 USING (source)
       |GROUP BY 1, 3, 4""".stripMargin
+
+  /** p12: label-balance audit over the embeddings table — per label:
+    * vector count, corpus share, multiple-of-average, a rare flag
+    * (under 10% of the average — the under-represented-class signal a
+    * sampling policy like p05 reads), and the corpus-level effective
+    * class count total²/Σnᵢ² (inverse Simpson index — "how many
+    * balanced classes is this imbalanced set worth"), repeated on every
+    * row so the report stays one grain.
+    *
+    * Scale shape: ONE label-keyed exchange (map-side combined) produces
+    * the ≤|labels| frame; the totals ride a single aggregate-capped
+    * broadcast row. Overflow honesty at 10¹¹ vectors: Σnᵢ² is summed in
+    * DECIMAL(38,0) (a long would overflow at n_i ≥ 2³²), and total² is
+    * computed as double·double AFTER the exact counts are fixed — two
+    * IEEE ops in mirrored order, no order-dependent float sum anywhere;
+    * `is_rare` stays in pure integer arithmetic (n·k·10 < total).
+    */
+  private def p12(s: SparkSession, dir: String): DataFrame = {
+    val byLabel = Tables.table(s, dir, "embeddings")
+      .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val totals = byLabel.groupBy().agg(
+      sum(col("n_vecs")).as("total"),
+      sum(col("n_vecs").cast("decimal(18,0)") * col("n_vecs").cast("decimal(18,0)"))
+        .cast("double").as("sum_sq"),
+      count(lit(1)).as("n_labels"))
+    byLabel.crossJoin(broadcast(totals))
+      .select(col("label"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("total").cast("double")).as("share"),
+        ((col("n_vecs").cast("double") * col("n_labels").cast("double")) /
+          col("total").cast("double")).as("x_avg"),
+        (col("n_vecs") * col("n_labels") * lit(10L) < col("total")).as("is_rare"),
+        ((col("total").cast("double") * col("total").cast("double")) /
+          col("sum_sq")).as("effective_classes"))
+  }
+
+  private val p12Sql =
+    """WITH bl AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+      |  CAST(sum(CAST(n_vecs AS DECIMAL(18,0)) * CAST(n_vecs AS DECIMAL(18,0))) AS DOUBLE) AS sum_sq,
+      |  count(*) AS n_labels FROM bl)
+      |SELECT bl.label, bl.n_vecs,
+      |  CAST(bl.n_vecs AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+      |  (CAST(bl.n_vecs AS DOUBLE) * CAST(t.n_labels AS DOUBLE)) / CAST(t.total AS DOUBLE) AS x_avg,
+      |  bl.n_vecs * t.n_labels * 10 < t.total AS is_rare,
+      |  (CAST(t.total AS DOUBLE) * CAST(t.total AS DOUBLE)) / t.sum_sq AS effective_classes
+      |FROM bl CROSS JOIN t""".stripMargin
 
   /** p08: declarative ingest-validation — every constraint evaluated in
     * ONE scan (a conditional sum per rule inside a single aggregate, the

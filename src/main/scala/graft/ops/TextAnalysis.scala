@@ -873,6 +873,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("t18_zipf_profile", t18, Some(t18Sql)),
     QueryDef("t19_shard_stitch", t19, Some(t19Sql)),
     QueryDef("t20_langid_confusion", t20, Some(t20Sql)),
+    QueryDef("t21_readability", t21, Some(t21Sql)),
   )
 
   /** t20: language-ID confusion audit — cross-tabulate the declared
@@ -959,4 +960,63 @@ object TextAnalysis extends QueryModule {
        |FROM keys a
        |JOIN allowed ON a.suf = allowed.k
        |JOIN keys b ON a.suf = b.pre AND a.doc_id <> b.doc_id""".stripMargin
+
+  /** t21: readability profile — per (lang, source): word, sentence and
+    * syllable-proxy counts plus words/sentence, syllables/word, and the
+    * Flesch reading-ease score 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    * (Flesch 1948; the audience-level audit a corpus card publishes
+    * next to p19's quality quantiles — children's text, prose, and
+    * legal/technical scrape separate cleanly on this one number).
+    * Sentences are counted as maximal [.!?]+ runs and syllables as
+    * maximal vowel-group runs [aeiouy]+ — the standard cheap proxies;
+    * both regexes are backtracking-free character classes that Java and
+    * DuckDB's regex engines match identically (the t06 precedent).
+    *
+    * Determinism: the three counts are exact per-row integers summed as
+    * longs; the two ratios are int/int IEEE divisions (zero-guarded via
+    * greatest(·,1)); the Flesch expression is the same left-associated
+    * chain of literals in both engines — bit-equal with no rounding.
+    *
+    * Scale shape: row-local regexp counting inside whole-stage codegen
+    * (scan-speed over 100 TB), then ONE (lang, source) hash aggregate
+    * with map-side combine. No joins, no windows, no broadcast.
+    */
+  private def t21(s: SparkSession, dir: String): DataFrame = {
+    val wps = col("n_words").cast("double") /
+      greatest(col("n_sentences"), lit(1L)).cast("double")
+    val spw = col("n_syllables").cast("double") /
+      greatest(col("n_words"), lit(1L)).cast("double")
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        size(toks(col("text"))).cast("long").as("w"),
+        regexp_count(col("text"), lit("[.!?]+")).cast("long").as("sen"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("syl"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("sen")).as("n_sentences"), sum(col("syl")).as("n_syllables"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        wps.as("words_per_sentence"), spw.as("syllables_per_word"),
+        (lit(206.835) - lit(1.015) * wps - lit(84.6) * spw).as("flesch"))
+  }
+
+  private val t21Sql =
+    """WITH c AS (
+      |  SELECT lang, source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS w,
+      |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sen,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, source, count(*) AS n_docs,
+      |    CAST(sum(w) AS BIGINT) AS n_words,
+      |    CAST(sum(sen) AS BIGINT) AS n_sentences,
+      |    CAST(sum(syl) AS BIGINT) AS n_syllables
+      |  FROM c GROUP BY 1, 2)
+      |SELECT lang, source, n_docs, n_words, n_sentences, n_syllables,
+      |  CAST(n_words AS DOUBLE) / CAST(greatest(n_sentences, 1) AS DOUBLE) AS words_per_sentence,
+      |  CAST(n_syllables AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS syllables_per_word,
+      |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(greatest(n_sentences, 1) AS DOUBLE))
+      |          - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
+      |FROM g""".stripMargin
 }

@@ -351,6 +351,7 @@ object EventsQueries extends QueryModule {
     QueryDef("e17_gap_fill", e17, Some(e17Sql)),
     QueryDef("e18_attribution", e18, Some(e18Sql)),
     QueryDef("e19_cooccurrence", e19, Some(e19Sql)),
+    QueryDef("e20_activity_histogram", e20, Some(e20Sql)),
   )
 
   /** e12: inter-event gap profile — the think-time/arrival-rate
@@ -811,4 +812,56 @@ object EventsQueries extends QueryModule {
       |FROM p
       |JOIN n na ON na.event_type = p.type_a
       |JOIN n nb ON nb.event_type = p.type_b, tot""".stripMargin
+
+  /** e20: user-activity concentration histogram — users bucketed by the
+    * binary order of magnitude of their event count (bucket = bitlen(n),
+    * so bucket b covers [2^(b−1), 2^b − 1]), with per-bucket user and
+    * event totals and their corpus shares. The log2 histogram IS the
+    * Pareto/power-law report behind p16's per-key skew: read the top
+    * buckets' event_share to see what fraction of the log the heaviest
+    * users generate (bot-detection and per-user-cap sizing input).
+    *
+    * Determinism: buckets are exact integer bit-lengths (the t13
+    * `length(bin(x))` idiom — no libm log); bounds are 1-bit shifts;
+    * shares are one int/int IEEE division each, token-for-token
+    * mirrored.
+    *
+    * Scale shape: one user_id hash aggregate (map-side combined), a
+    * row-local bucket map, a ≤64-row bucket aggregate, and a 1-row
+    * aggregate-capped totals broadcast. Nothing scales with the event
+    * count but the first exchange.
+    */
+  private def e20(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val buckets = perUser
+      .select(length(bin(col("n"))).cast("long").as("bucket"), col("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+    val tot = buckets.groupBy().agg(
+      sum(col("n_users")).as("tu"), sum(col("n_events")).as("te"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        expr("shiftleft(1L, cast(bucket - 1 as int))").as("lo"),
+        expr("shiftleft(1L, cast(bucket as int)) - 1L").as("hi"),
+        col("n_users"), col("n_events"),
+        (col("n_users").cast("double") / col("tu").cast("double")).as("user_share"),
+        (col("n_events").cast("double") / col("te").cast("double")).as("event_share"))
+  }
+
+  private val e20Sql =
+    """WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(length(bin(n)) AS BIGINT) AS bucket,
+      |    count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
+      |  FROM u GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+      |             CAST(sum(n_events) AS BIGINT) AS te FROM b)
+      |SELECT b.bucket,
+      |  (CAST(1 AS BIGINT) << CAST(b.bucket - 1 AS INTEGER)) AS lo,
+      |  (CAST(1 AS BIGINT) << CAST(b.bucket AS INTEGER)) - 1 AS hi,
+      |  b.n_users, b.n_events,
+      |  CAST(b.n_users AS DOUBLE) / CAST(t.tu AS DOUBLE) AS user_share,
+      |  CAST(b.n_events AS DOUBLE) / CAST(t.te AS DOUBLE) AS event_share
+      |FROM b CROSS JOIN t""".stripMargin
 }

@@ -97,6 +97,49 @@ class Round9Spec extends AnyFunSuite {
     assert(ok.map(_.getLong(2)).sum + trunc.map(_.getLong(2)).sum === docs.count())
   }
 
+  test("p12: shares partition the corpus and effective classes are bounded") {
+    val out = SparkEntry.queries("p12_label_balance")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val nLabels = out.length.toLong
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    out.foreach { r =>
+      val eff = r.getAs[Double]("effective_classes")
+      assert(eff >= 1.0 - 1e-9 && eff <= nLabels + 1e-9,
+        "inverse Simpson lies in [1, n_labels]")
+    }
+    val total = graft.core.Tables.table(spark, dir, "embeddings").count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === total)
+  }
+
+  test("e20: buckets partition the user set and bounds bracket the counts") {
+    val out = SparkEntry.queries("e20_activity_histogram")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val users = graft.core.Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum === users)
+    out.foreach { r =>
+      assert(r.getAs[Long]("lo") <= r.getAs[Long]("hi"))
+      assert(r.getAs[Long]("n_events") >= r.getAs[Long]("n_users") * r.getAs[Long]("lo"))
+      assert(r.getAs[Long]("n_events") <= r.getAs[Long]("n_users") * r.getAs[Long]("hi"))
+    }
+    assert(math.abs(out.map(_.getAs[Double]("user_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(out.map(_.getAs[Double]("event_share")).sum - 1.0) < 1e-9)
+  }
+
+  test("t21: doc counts partition the corpus and flesch recomputes from the sums") {
+    val out = SparkEntry.queries("t21_readability")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val nDocs = graft.core.Tables.documents(spark, dir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    out.foreach { r =>
+      val w = r.getAs[Long]("n_words").toDouble
+      val sEff = math.max(r.getAs[Long]("n_sentences"), 1L).toDouble
+      val y = r.getAs[Long]("n_syllables").toDouble
+      val expected = 206.835 - 1.015 * (w / sEff) - 84.6 * (y / math.max(w, 1.0))
+      assert(r.getAs[Double]("flesch") === expected, "flesch is the declared formula")
+    }
+  }
+
   test("es20: matrix rows are internally consistent and match es02's closed totals") {
     val matrix = SparkEntry.queries("es20_window_matrix")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) ->
