@@ -343,6 +343,7 @@ object Multimodal extends QueryModule {
     QueryDef("m07_perceptual_neardup", m07, Some(m07Sql)),
     QueryDef("m08_modality_align", m08, Some(m08Sql)),
     QueryDef("m09_payload_integrity", m09, Some(m09Sql)),
+    QueryDef("m10_storage_report", m10, Some(m10Sql)),
   )
 
   /** m08: cross-modal alignment audit — the referential-integrity check
@@ -438,4 +439,73 @@ object Multimodal extends QueryModule {
        |SELECT source, CASE WHEN missing > 0 THEN 'truncated' ELSE 'ok' END AS status,
        |  count(*) AS n_docs, CAST(sum(missing) AS BIGINT) AS sum_missing
        |FROM m GROUP BY 1, 2""".stripMargin
+
+  /** m10: per-modality storage report — record count, total bytes,
+    * DISCRETE p50/p90/max payload sizes, and the byte share per
+    * modality. The capacity-planning table a multimodal lakehouse reads
+    * before sizing `spark.sql.files.maxPartitionBytes`, shard counts,
+    * and the m05 pack-file budget: image/audio/video payloads differ by
+    * orders of magnitude, and planning on the blended mean is how a
+    * video-heavy source ends up with 10 GB tasks. The modality label is
+    * a deterministic doc_id-derived stand-in (the container carries no
+    * real codecs — m01's contract); real data would read a mime column.
+    *
+    * Determinism: quantile ranks are pure integer arithmetic —
+    * r50 = ⌈n/2⌉ = (n+1) DIV 2, r90 = ⌈9n/10⌉ = (9n+9) DIV 10 — no
+    * float rank math at all (stricter than p19's exact-binary-fraction
+    * rule: works for ANY percentile); picked values survive
+    * cross-engine hashing because they are data values, not
+    * interpolations; byte shares are one int/int IEEE division each.
+    *
+    * Scale shape: ONE hash(modality) exchange carries the rank window
+    * AND the rollup (the p19 contract); the totals row rides an
+    * aggregate-capped broadcast.
+    */
+  private def m10(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = media(s, dir).toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"))
+    val w = Window.partitionBy(col("modality")).orderBy(col("n_bytes"), col("doc_id"))
+    val g = Window.partitionBy(col("modality"))
+    val per = m
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(g))
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(when(col("rn") === expr("(cnt + 1) DIV 2"), col("n_bytes"))).as("p50_bytes"),
+        max(when(col("rn") === expr("(9 * cnt + 9) DIV 10"), col("n_bytes"))).as("p90_bytes"),
+        max(col("n_bytes")).as("max_bytes"))
+    val tot = per.groupBy().agg(sum(col("total_bytes")).as("tb"))
+    per.crossJoin(broadcast(tot))
+      .select(col("modality"), col("n_records"), col("total_bytes"),
+        col("p50_bytes"), col("p90_bytes"), col("max_bytes"),
+        (col("total_bytes").cast("double") / col("tb").cast("double")).as("bytes_share"))
+  }
+
+  private val m10Sql =
+    """WITH m AS (
+      |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS modality
+      |  FROM documents),
+      |r AS (
+      |  SELECT modality, n_bytes,
+      |    CAST(row_number() OVER (PARTITION BY modality ORDER BY n_bytes, doc_id) AS BIGINT) AS rn,
+      |    count(*) OVER (PARTITION BY modality) AS cnt
+      |  FROM m),
+      |g AS (
+      |  SELECT modality, count(*) AS n_records,
+      |    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |    max(CASE WHEN rn = (cnt + 1) // 2 THEN n_bytes END) AS p50_bytes,
+      |    max(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_bytes END) AS p90_bytes,
+      |    max(n_bytes) AS max_bytes
+      |  FROM r GROUP BY 1),
+      |t AS (SELECT CAST(sum(total_bytes) AS BIGINT) AS tb FROM g)
+      |SELECT g.modality, g.n_records, g.total_bytes, g.p50_bytes, g.p90_bytes,
+      |  g.max_bytes,
+      |  CAST(g.total_bytes AS DOUBLE) / CAST(t.tb AS DOUBLE) AS bytes_share
+      |FROM g CROSS JOIN t""".stripMargin
 }

@@ -1270,6 +1270,7 @@ object Similarity extends QueryModule {
     QueryDef("s14_ivf_balance", s14, Some(s14Sql)),
     QueryDef("s15_split_leakage", s15, Some(s15Sql)),
     QueryDef("s16_kmeans_converge", s16, Some(s16Sql)),
+    QueryDef("s17_quantization_error", s17, Some(s17Sql)),
   )
 
   // ---- s16: second Lloyd iteration + migration audit ------------------
@@ -1371,4 +1372,71 @@ object Similarity extends QueryModule {
        |  CAST(sum(CASE WHEN a1.cid1 <> a2.cid2 THEN 1 ELSE 0 END) AS BIGINT) AS n_migrated
        |FROM a1 JOIN a2 USING (vec_id)
        |GROUP BY 1""".stripMargin
+
+  /** s17: quantization-error audit — per k-means cell (the s10 seed
+    * codebook): member count, mean and max SQUARED distance from member
+    * to its centroid. The distortion table an IVF/PQ index builder
+    * (s06/s08) reads next to s14's balance report: a cell with high
+    * mean residual quantizes its members badly (recall loss localized
+    * to that cell — split it or train longer); the corpus-wide mean is
+    * the k-means objective itself, so iterating s10/s16 should push it
+    * down — this op is how you SEE that.
+    *
+    * Determinism: distances are s10's three-sum expansion (bit-equal
+    * across engines by the shared fold contract), then QUANTIZED to
+    * exact integers by floor(d·2²⁰) — a power-of-two scale, so the
+    * multiply is exact and floor is integer arithmetic in both engines;
+    * sums aggregate the quantized longs in DECIMAL(38,0) (order-proof,
+    * overflow-proof at 10¹¹ members); the mean is one division of
+    * exact values (the e12 contract).
+    *
+    * Scale shape: assignment is the s10 row-local fold under ONE capped
+    * broadcast row (no corpus×K explosion); the ONLY corpus exchange is
+    * the final cid hash aggregate with map-side combine.
+    */
+  private def s17(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir)
+    val cents = base
+      .orderBy(md5(concat(lit("km_"), col("vec_id").cast("string")))).limit(KmK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val centArr = cents
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
+    def distTo(cv: Column): Column =
+      dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cv) + dot(cv, cv)
+    base.crossJoin(broadcast(centArr))
+      .withColumn("ds", transform(col("cents"), c => distTo(c.getField("cv"))))
+      .withColumn("bd", array_min(col("ds")))
+      .select(
+        element_at(filter(arrays_zip(col("cents"), col("ds")),
+          z => z.getField("ds") === col("bd")), 1)
+          .getField("cents").getField("cid").as("cid"),
+        floor(col("bd") * lit(1048576.0)).cast("long").as("q"))
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        (sum(col("q").cast(DecimalType(38, 0))).cast("double") /
+          count(lit(1))).as("mean_err_q"),
+        max(col("q")).as("max_err_q"))
+  }
+
+  private val s17Sql =
+    s"""WITH $oracleVecs,
+       |cent AS (
+       |  SELECT vec_id AS cid, v AS cv FROM n
+       |  ORDER BY md5('km_' || CAST(vec_id AS VARCHAR)) LIMIT $KmK),
+       |d AS (
+       |  SELECT n.vec_id, cent.cid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * n.v[i]))
+       |      - 2.0 * list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * cent.cv[i]))
+       |      + list_sum(list_transform(range(1, ${Dim + 1}), i -> cent.cv[i] * cent.cv[i])) AS d
+       |  FROM n CROSS JOIN cent),
+       |a AS (
+       |  SELECT vec_id, cid, CAST(floor(d * 1048576.0) AS BIGINT) AS q FROM (
+       |    SELECT vec_id, cid, d,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM d) WHERE rn = 1)
+       |SELECT cid, count(*) AS n_members,
+       |  CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS mean_err_q,
+       |  max(q) AS max_err_q
+       |FROM a GROUP BY 1""".stripMargin
 }

@@ -140,6 +140,36 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("s17: cells partition the corpus and max bounds the mean") {
+    val out = SparkEntry.queries("s17_quantization_error")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val nVecs = graft.core.Tables.table(spark, dir, "embeddings").count()
+    assert(out.map(_.getAs[Long]("n_members")).sum === nVecs)
+    out.foreach { r =>
+      assert(r.getAs[Double]("mean_err_q") <= r.getAs[Long]("max_err_q").toDouble + 1e-9)
+      assert(r.getAs[Long]("n_members") > 0L)
+    }
+  }
+
+  test("m10: modalities partition the corpus and quantiles are ordered") {
+    val out = SparkEntry.queries("m10_storage_report")(spark, dir).collect()
+    assert(out.length === 3)
+    val docs = graft.core.Tables.documents(spark, dir)
+    assert(out.map(_.getAs[Long]("n_records")).sum === docs.count())
+    assert(math.abs(out.map(_.getAs[Double]("bytes_share")).sum - 1.0) < 1e-9)
+    out.foreach { r =>
+      assert(r.getAs[Long]("p50_bytes") <= r.getAs[Long]("p90_bytes"))
+      assert(r.getAs[Long]("p90_bytes") <= r.getAs[Long]("max_bytes"))
+    }
+    val byMod = docs.groupBy((col("doc_id") % 3).as("k")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val names = Map(0L -> "image", 1L -> "audio", 2L -> "video")
+    out.foreach { r =>
+      val k = names.find(_._2 == r.getAs[String]("modality")).get._1
+      assert(r.getAs[Long]("n_records") === byMod(k), s"count for modality $k")
+    }
+  }
+
   test("es20: matrix rows are internally consistent and match es02's closed totals") {
     val matrix = SparkEntry.queries("es20_window_matrix")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) ->
