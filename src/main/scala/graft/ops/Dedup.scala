@@ -981,6 +981,7 @@ object Dedup extends QueryModule {
     QueryDef("d16_bloom_prefilter", d16, Some(d16Sql)),
     QueryDef("d17_triangle_cohesion", d17, Some(d17Sql)),
     QueryDef("d18_source_dup_matrix", d18, Some(d18Sql)),
+    QueryDef("d19_best_survivor", d19, Some(d19Sql)),
   )
 
   /** d18: cross-source duplication matrix — project the d03 near-dup
@@ -1018,6 +1019,59 @@ object Dedup extends QueryModule {
        |JOIN documents da ON p.ida = da.doc_id
        |JOIN documents db ON p.idb = db.doc_id
        |GROUP BY 1, 2""".stripMargin
+
+  /** d19: best-of-cluster survivor selection — the production dedup
+    * policy one step past d07's min-id rule: within each ≥2-member
+    * duplicate cluster, KEEP THE LONGEST member (whitespace-token
+    * count, min-doc_id tiebreak) and account for what the other members
+    * cost. Min-id keeps whatever crawled first; longest-wins keeps the
+    * superset when the cluster is a boilerplate-stripped or truncated
+    * shard family (d06/p22's finding), which is why real pipelines
+    * rank survivors by a content criterion. One row per collapsed
+    * cluster: survivor, sizes, and the token mass the deletion frees.
+    *
+    * Scale shape: rides the SHARED materialized d07 label frame (one CC
+    * labeling per ingest serves d07/d10/p14 and this — the label-once
+    * contract), adds one doc_id equi-join to the ids+tokens projection
+    * and ONE cluster_id hash aggregate in which the whole survivor row
+    * travels as a struct extremum (the q49/q50 argmax shape — no
+    * per-cluster window sort). Determinism: (n_tokens, −doc_id) max ==
+    * the oracle's ORDER BY n_tokens DESC, doc_id ASC; all-integer.
+    */
+  private def d19(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      size(filter(split(col("text"), " "), x => length(x) > 0))
+        .cast("long").as("n_tokens"))
+    docClusterLabels(s, dir).join(toks, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col("n_tokens")).as("tt"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("nid"))).as("m"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("m.nid")).as("survivor_id"),
+        col("m.n_tokens").as("survivor_tokens"),
+        (col("cluster_size") - 1).as("n_dropped"),
+        (col("tt") - col("m.n_tokens")).as("dropped_tokens"))
+  }
+
+  private val d19Sql =
+    s"""WITH RECURSIVE $d07Ctes,
+       |tk AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT l.cluster_id, l.doc_id, tk.n_tokens,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY tk.n_tokens DESC, l.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY l.cluster_id) AS cs,
+       |    CAST(sum(tk.n_tokens) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS tt
+       |  FROM labels l JOIN tk USING (doc_id))
+       |SELECT cluster_id, cs AS cluster_size, doc_id AS survivor_id,
+       |  n_tokens AS survivor_tokens, cs - 1 AS n_dropped,
+       |  tt - n_tokens AS dropped_tokens
+       |FROM r WHERE rn = 1 AND cs >= 2""".stripMargin
 
   // ---- d17: triangle cohesion of the near-dup graph -------------------
 

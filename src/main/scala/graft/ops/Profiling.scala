@@ -754,6 +754,7 @@ object Profiling extends QueryModule {
     QueryDef("p20_quality_sweep", p20, Some(p20Sql)),
     QueryDef("p21_erasure_sweep", p21, Some(p21Sql)),
     QueryDef("p22_length_outliers", p22, Some(p22Sql)),
+    QueryDef("p23_fk_integrity", p23, Some(p23Sql)),
   )
 
   /** p22: robust per-source length-outlier report — Tukey fences on
@@ -855,6 +856,58 @@ object Profiling extends QueryModule {
       |  bl.n_vecs * t.n_labels * 10 < t.total AS is_rare,
       |  (CAST(t.total AS DOUBLE) * CAST(t.total AS DOUBLE)) / t.sum_sq AS effective_classes
       |FROM bl CROSS JOIN t""".stripMargin
+
+  /** The audited FK edges: (edge name, child table, child key, parent
+    * table, parent key) — one row per edge so the Spark and oracle
+    * sides derive from the same list and cannot drift.
+    */
+  private val fkEdges: Seq[(String, String, String, String, String)] = Seq(
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+
+  /** p23: referential-integrity profile — for every declared FK edge:
+    * child row count, rows whose key matches a parent, ORPHAN rows
+    * (non-null key with no parent — the broken-join mass every
+    * downstream equi-join silently drops), and null-key rows. m08 runs
+    * this audit for the docs↔embeddings pair; this is the relational
+    * counterpart over the warehouse's own FK graph, the first report a
+    * 100 TB ingest validates before trusting any join in q03–q07.
+    *
+    * Scale shape: per edge, the child is PRE-AGGREGATED to (key, count)
+    * — the join moves |distinct keys| rows, not |child| rows — and the
+    * parent side is reduced to its distinct key set at the scan; one
+    * left join + one 1-row rollup per edge, unioned. All-integer.
+    */
+  private def p23(s: SparkSession, dir: String): DataFrame = {
+    val reports = fkEdges.map { case (name, child, ck, parent, pk) =>
+      val ch = Tables.table(s, dir, child)
+        .groupBy(col(ck).as("k")).agg(count(lit(1)).as("n"))
+      val par = Tables.table(s, dir, parent)
+        .select(col(pk).as("k")).distinct().withColumn("hit", lit(1))
+      ch.join(par, Seq("k"), "left_outer")
+        .agg(
+          sum(col("n")).as("n_child"),
+          coalesce(sum(when(col("hit").isNotNull, col("n"))), lit(0L)).as("n_matched"),
+          coalesce(sum(when(col("hit").isNull && col("k").isNotNull, col("n"))), lit(0L))
+            .as("n_orphan"),
+          coalesce(sum(when(col("k").isNull, col("n"))), lit(0L)).as("n_null_key"))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_matched"),
+          col("n_orphan"), col("n_null_key"))
+    }
+    reports.reduce(_ unionAll _)
+  }
+
+  private val p23Sql = fkEdges.map { case (name, child, ck, parent, pk) =>
+    s"""SELECT '$name' AS fk_edge,
+       |  CAST(sum(n) AS BIGINT) AS n_child,
+       |  CAST(coalesce(sum(CASE WHEN hit IS NOT NULL THEN n END), 0) AS BIGINT) AS n_matched,
+       |  CAST(coalesce(sum(CASE WHEN hit IS NULL AND k IS NOT NULL THEN n END), 0) AS BIGINT) AS n_orphan,
+       |  CAST(coalesce(sum(CASE WHEN k IS NULL THEN n END), 0) AS BIGINT) AS n_null_key
+       |FROM (SELECT $ck AS k, count(*) AS n FROM $child GROUP BY 1) c
+       |LEFT JOIN (SELECT DISTINCT $pk AS k, 1 AS hit FROM $parent) p USING (k)""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "")
 
   /** p08: declarative ingest-validation — every constraint evaluated in
     * ONE scan (a conditional sum per rule inside a single aggregate, the

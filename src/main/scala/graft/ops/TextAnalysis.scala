@@ -874,6 +874,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("t19_shard_stitch", t19, Some(t19Sql)),
     QueryDef("t20_langid_confusion", t20, Some(t20Sql)),
     QueryDef("t21_readability", t21, Some(t21Sql)),
+    QueryDef("t22_heaps_curve", t22, Some(t22Sql)),
   )
 
   /** t20: language-ID confusion audit — cross-tabulate the declared
@@ -1019,4 +1020,58 @@ object TextAnalysis extends QueryModule {
       |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(greatest(n_sentences, 1) AS DOUBLE))
       |          - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE)) AS flesch
       |FROM g""".stripMargin
+
+  /** t22: vocabulary-growth (Heaps' law) curve — cumulative token count
+    * and cumulative DISTINCT-vocabulary size at ten doc_id-ordered
+    * corpus prefixes. The "does vocab growth flatten" curve that sizes
+    * a subword tokenizer's merge budget and detects corpus-composition
+    * shifts mid-ingest (a new source bends the curve upward); read next
+    * to t18's Zipf profile — same law, other axis.
+    *
+    * Each token is attributed to its doc's decile bucket (pure integer
+    * arithmetic on doc_id against the 1-row max broadcast); a word's
+    * FIRST bucket is one min-aggregate; the ten cumulative sums come
+    * from joining the ≤10-row bucket aggregates against a literal
+    * 10-row frame (the p20 suffix-sum trick — no global window, no
+    * per-prefix re-scan). Scale shape: one token shuffle for the vocab
+    * min + one for the bucket counts, both map-side combined; empty
+    * buckets still emit (0-filled) rows.
+    */
+  private def t22(s: SparkSession, dir: String): DataFrame = {
+    val mx = Tables.documents(s, dir).groupBy().agg(max(col("doc_id")).as("mx"))
+    val tk = Tables.documents(s, dir).crossJoin(broadcast(mx))
+      .select(expr("least(9L, (doc_id * 10) DIV (mx + 1))").as("bkt"),
+        explode(toks(col("text"))).as("tok"))
+      .persist()
+    val perBkt = tk.groupBy(col("bkt")).agg(count(lit(1)).as("n_toks"))
+    val firstB = tk.groupBy(col("tok")).agg(min(col("bkt")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("n_new"))
+    val frame = s.range(0, 10).select(col("id").as("bucket"))
+    val cumT = frame.join(broadcast(perBkt), col("bkt") <= col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("n_toks")), lit(0L)).as("cum_tokens"))
+    val cumV = frame.join(broadcast(firstB), col("fb") <= col("bucket"), "left")
+      .groupBy(col("bucket"))
+      .agg(coalesce(sum(col("n_new")), lit(0L)).as("cum_vocab"))
+    cumT.join(cumV, "bucket")
+  }
+
+  private val t22Sql =
+    """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+      |tk AS (
+      |  SELECT least(9, (d.doc_id * 10) // (mx.mx + 1)) AS bkt,
+      |    unnest(list_filter(string_split(d.text, ' '), x -> len(x) > 0)) AS tok
+      |  FROM documents d CROSS JOIN mx),
+      |pb AS (SELECT bkt, count(*) AS n_toks FROM tk GROUP BY 1),
+      |fw AS (SELECT tok, min(bkt) AS fb FROM tk GROUP BY 1),
+      |nf AS (SELECT fb, count(*) AS n_new FROM fw GROUP BY 1),
+      |b AS (SELECT unnest(range(0, 10)) AS bucket),
+      |ct AS (
+      |  SELECT b.bucket, CAST(coalesce(sum(pb.n_toks), 0) AS BIGINT) AS cum_tokens
+      |  FROM b LEFT JOIN pb ON pb.bkt <= b.bucket GROUP BY 1),
+      |cv AS (
+      |  SELECT b.bucket, CAST(coalesce(sum(nf.n_new), 0) AS BIGINT) AS cum_vocab
+      |  FROM b LEFT JOIN nf ON nf.fb <= b.bucket GROUP BY 1)
+      |SELECT ct.bucket, ct.cum_tokens, cv.cum_vocab
+      |FROM ct JOIN cv USING (bucket)""".stripMargin
 }

@@ -352,6 +352,7 @@ object EventsQueries extends QueryModule {
     QueryDef("e18_attribution", e18, Some(e18Sql)),
     QueryDef("e19_cooccurrence", e19, Some(e19Sql)),
     QueryDef("e20_activity_histogram", e20, Some(e20Sql)),
+    QueryDef("e21_seasonality", e21, Some(e21Sql)),
   )
 
   /** e12: inter-event gap profile — the think-time/arrival-rate
@@ -812,6 +813,45 @@ object EventsQueries extends QueryModule {
       |FROM p
       |JOIN n na ON na.event_type = p.type_a
       |JOIN n nb ON nb.event_type = p.type_b, tot""".stripMargin
+
+  /** e21: seasonality profile — the (day-of-week × hour-of-day ×
+    * event-type) load matrix with per-cell corpus share: the traffic
+    * shape behind watermark-delay sizing (quiet hours stretch event-time
+    * progress), autoscaling schedules, and anomaly baselines (e16 flags
+    * days; this is the within-week rhythm those days deviate from).
+    *
+    * Determinism: dow/hour come from pure integer µs arithmetic on the
+    * UTC epoch — day 0 (1970-01-01) was a Thursday, so
+    * dow = (epoch_day + 4) % 7 gives 0=Sunday; no calendar library, no
+    * timezone branch, bit-identical in both engines. Shares are one
+    * int/int IEEE division under a 1-row aggregate-capped broadcast.
+    *
+    * Scale shape: row-local bucket extraction in codegen, ONE
+    * ≤7·24·|types| hash aggregate with map-side combine.
+    */
+  private def e21(s: SparkSession, dir: String): DataFrame = {
+    val cells = events(s, dir).select(
+      expr("((unix_micros(ts) DIV 86400000000) + 4) % 7").as("dow"),
+      expr("(unix_micros(ts) DIV 3600000000) % 24").as("hour"),
+      col("event_type"))
+      .groupBy(col("dow"), col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = cells.groupBy().agg(sum(col("n_events")).as("te"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("event_type"), col("n_events"),
+        (col("n_events").cast("double") / col("te").cast("double")).as("share"))
+  }
+
+  private val e21Sql =
+    """WITH c AS (
+      |  SELECT ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hour, event_type,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1, 2, 3),
+      |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS te FROM c)
+      |SELECT c.dow, c.hour, c.event_type, c.n_events,
+      |  CAST(c.n_events AS DOUBLE) / CAST(t.te AS DOUBLE) AS share
+      |FROM c CROSS JOIN t""".stripMargin
 
   /** e20: user-activity concentration histogram — users bucketed by the
     * binary order of magnitude of their event count (bucket = bitlen(n),

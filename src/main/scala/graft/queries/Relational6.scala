@@ -71,7 +71,52 @@ object Relational6 extends QueryModule {
       |  hi.top_partkey, hi.top_price, lo.cheap_partkey, lo.cheap_price
       |FROM n JOIN m USING (p_brand) JOIN hi USING (p_brand) JOIN lo USING (p_brand)""".stripMargin
 
+  /** q50: latest-record compaction — the CDC/SCD-1 "latest wins" shape:
+    * collapse each customer's order history to the single most recent
+    * row (by order date, orderkey tiebreak) plus the history length.
+    * The upsert-log → current-state step every lakehouse MERGE performs;
+    * expressed as ONE struct-extremum hash aggregate — the whole
+    * candidate row rides inside max(struct(date, key, payload…)), so
+    * compaction is one exchange of |keys| partial rows with map-side
+    * combine, not a full-log window sort (the q49 scale argument, here
+    * applied to whole-row argmax rather than per-column extrema).
+    *
+    * Determinism: (epoch-day, orderkey) is unique per customer, so the
+    * trailing struct fields never participate in comparison; the date
+    * is emitted as an epoch-day long (DETERMINISM.md rule 6).
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("od"),
+        col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(struct(col("od"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))).as("m"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("m.od").as("latest_day"),
+        col("m.o_orderkey").as("latest_orderkey"),
+        col("m.o_totalprice").as("latest_totalprice"),
+        col("m.o_orderstatus").as("latest_status"))
+
+  private val q50Sql =
+    """WITH r AS (
+      |  SELECT o_custkey,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od,
+      |    o_orderkey, o_totalprice, o_orderstatus,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) DESC,
+      |               o_orderkey DESC) AS rn,
+      |    count(*) OVER (PARTITION BY o_custkey) AS n
+      |  FROM orders)
+      |SELECT o_custkey, n AS n_orders, od AS latest_day,
+      |  o_orderkey AS latest_orderkey, o_totalprice AS latest_totalprice,
+      |  o_orderstatus AS latest_status
+      |FROM r WHERE rn = 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q49_argmax_mode", q49, Some(q49Sql)),
+    QueryDef("q50_latest_compaction", q50, Some(q50Sql)),
   )
 }

@@ -170,6 +170,75 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("q50: compaction keeps one row per customer and the true latest order") {
+    val out = SparkEntry.queries("q50_latest_compaction")(spark, dir).collect()
+    val orders = graft.core.Tables.orders(spark, dir)
+    assert(out.length === orders.select(col("o_custkey")).distinct().count())
+    assert(out.map(_.getAs[Long]("n_orders")).sum === orders.count())
+    val expect = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(unix_date(to_date(col("o_orderdate"))).cast("long"),
+        col("o_orderkey"))).as("m"))
+      .select(col("o_custkey"), col("m").getField("o_orderkey"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r =>
+      assert(r.getAs[Long]("latest_orderkey") === expect(r.getAs[Long]("o_custkey"))))
+  }
+
+  test("d19: survivors belong to their cluster and token accounting balances") {
+    val out = SparkEntry.queries("d19_best_survivor")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 2L)
+      assert(r.getAs[Long]("n_dropped") === r.getAs[Long]("cluster_size") - 1)
+      assert(r.getAs[Long]("dropped_tokens") >= 0L)
+    }
+    // every multi-member cluster from d10's histogram is accounted for
+    val hist = SparkEntry.queries("d10_cluster_sizes")(spark, dir).collect()
+      .map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
+    val expectedClusters = hist.filter(_._1 >= 2).values.sum
+    assert(out.length.toLong === expectedClusters)
+  }
+
+  test("e21: cells partition the event log and dow/hour are in range") {
+    val out = SparkEntry.queries("e21_seasonality")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val total = graft.core.Tables.events(spark, dir).count()
+    assert(out.map(_.getAs[Long]("n_events")).sum === total)
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    out.foreach { r =>
+      assert(r.getAs[Long]("dow") >= 0L && r.getAs[Long]("dow") <= 6L)
+      assert(r.getAs[Long]("hour") >= 0L && r.getAs[Long]("hour") <= 23L)
+    }
+  }
+
+  test("t22: the growth curve is monotone and its endpoints are exact") {
+    val out = SparkEntry.queries("t22_heaps_curve")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(out.length === 10)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("cum_tokens") <= b.getAs[Long]("cum_tokens"))
+      assert(a.getAs[Long]("cum_vocab") <= b.getAs[Long]("cum_vocab"))
+    }
+    val docs = graft.core.Tables.documents(spark, dir)
+    val allToks = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(length(col("t")) > 0)
+    assert(out.last.getAs[Long]("cum_tokens") === allToks.count())
+    assert(out.last.getAs[Long]("cum_vocab") === allToks.distinct().count())
+  }
+
+  test("p23: every edge's matched+orphan+null partitions the child") {
+    val out = SparkEntry.queries("p23_fk_integrity")(spark, dir).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_matched") + r.getAs[Long]("n_orphan") +
+        r.getAs[Long]("n_null_key") === r.getAs[Long]("n_child"), r.getAs[String]("fk_edge"))
+    }
+    val li = graft.core.Tables.lineitem(spark, dir).count()
+    assert(out.filter(_.getAs[String]("fk_edge").startsWith("lineitem."))
+      .forall(_.getAs[Long]("n_child") === li))
+  }
+
   test("es20: matrix rows are internally consistent and match es02's closed totals") {
     val matrix = SparkEntry.queries("es20_window_matrix")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) ->
