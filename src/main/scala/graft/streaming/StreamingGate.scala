@@ -450,6 +450,7 @@ object StreamingGate extends QueryModule {
     QueryDef("es18_session_window", es18, Some(es18Sql)),
     QueryDef("es19_live_denylist", es19, Some(es19Sql)),
     QueryDef("es20_window_matrix", es20, Some(es20Sql)),
+    QueryDef("es21_window_distinct_users", es21, Some(es21Sql)),
   )
 
   /** es20: per-closed-window event-type MATRIX — one row per finalized
@@ -631,5 +632,45 @@ object StreamingGate extends QueryModule {
       |    CAST(row_number() OVER (PARTITION BY bucket_us ORDER BY n DESC, event_type) AS BIGINT) AS rn
       |  FROM agg)
       |WHERE rn <= 3""".stripMargin
+
+  /** es21: DISTINCT USERS per closed tumbling hour — the live
+    * unique-visitors board, and the engine's CHAINED-STATEFUL-OPERATOR
+    * demonstration: stateful op 1 is a watermark-scoped
+    * `dropDuplicates` on (window, user) (dedup state evicted when the
+    * window closes), whose APPEND output feeds stateful op 2, the
+    * per-window count — the multi-stateful pipeline shape (dedup →
+    * windowed agg in ONE query) that Spark supports when every stage
+    * shares the same event-time watermark. COUNT(DISTINCT) does not
+    * decompose incrementally; this rewrite (exact dedup state + plain
+    * count) is the production-exact form — contrast e15's batch
+    * distinct-fanout rewrite of the same non-decomposability.
+    *
+    * Scale shape: dedup state is one entry per (open window, user) —
+    * bounded by watermark eviction; the count state is one long per
+    * open window. Both stages partition by the same keys the state
+    * needs, no extra exchange beyond the two stateful shuffles.
+    */
+  private def es21(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    runToTable(s, "es21_sink") {
+      EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None)
+        .withWatermark("ts", "2 hours")
+        .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+        .dropDuplicates("w", "user_id")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(unix_micros(col("w.start")).as("bucket_us"), col("n_users"))
+    }
+  }
+
+  private val es21Sql =
+    """WITH wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000 - 7200000) * 1000 AS wm_us FROM events),
+      |du AS (
+      |  SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events)
+      |SELECT epoch_us(du.h) AS bucket_us, count(*) AS n_users
+      |FROM du, wm
+      |WHERE epoch_us(du.h) + 3600000000 <= wm.wm_us
+      |GROUP BY 1, wm.wm_us""".stripMargin
 }
 

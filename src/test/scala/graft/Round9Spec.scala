@@ -239,6 +239,24 @@ class Round9Spec extends AnyFunSuite {
       .forall(_.getAs[Long]("n_child") === li))
   }
 
+  test("es21: chained-stateful distinct counts equal the batch distinct on closed windows") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("es21_window_distinct_users")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    // batch recomputation: distinct (hour, user) per window, closed set only
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val wmUs = ev.agg((floor(max(unix_micros(col("ts"))) / 1000) - 7200000L) * 1000L)
+      .collect()(0).getLong(0)
+    val batch = ev
+      .select(unix_micros(date_trunc("hour", col("ts"))).as("b"), col("user_id"))
+      .distinct()
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .filter(col("b") + 3600000000L <= wmUs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === batch)
+  }
+
   test("es20: matrix rows are internally consistent and match es02's closed totals") {
     val matrix = SparkEntry.queries("es20_window_matrix")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getLong(0) ->
