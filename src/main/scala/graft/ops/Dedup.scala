@@ -982,6 +982,7 @@ object Dedup extends QueryModule {
     QueryDef("d17_triangle_cohesion", d17, Some(d17Sql)),
     QueryDef("d18_source_dup_matrix", d18, Some(d18Sql)),
     QueryDef("d19_best_survivor", d19, Some(d19Sql)),
+    QueryDef("d20_jaccard_sweep", d20, Some(d20Sql)),
   )
 
   /** d18: cross-source duplication matrix — project the d03 near-dup
@@ -1072,6 +1073,58 @@ object Dedup extends QueryModule {
        |  n_tokens AS survivor_tokens, cs - 1 AS n_dropped,
        |  tt - n_tokens AS dropped_tokens
        |FROM r WHERE rn = 1 AND cs >= 2""".stripMargin
+
+  /** d20: Jaccard-threshold sensitivity sweep — for every cut t/10
+    * (t = 0…9): candidate pairs landing in similarity bucket
+    * [t/10, (t+1)/10) and the cumulative pairs at-or-above the cut. The
+    * curve that justifies d03's 0.5 (and would justify changing it):
+    * a cliff below the production threshold means near-misses a
+    * paraphrase-tolerant pass (d08) should catch; mass just above it
+    * means the dedup bill is threshold-sensitive and needs review.
+    *
+    * ONE pass computes every threshold: the candidate pairs (d03's
+    * exact inverted-index machinery, df-capped, shared code) bucket by
+    * floor(j·10) row-locally, and the ten cumulative counts come from
+    * the ≤10-row bucket aggregate joined against a literal frame (the
+    * p20 suffix-sum trick) — no per-threshold rescan of the corpus.
+    * Buckets are declared IN the ×10 float domain (floor(j·10), both
+    * engines the same IEEE multiply), so no t/10 rounding ambiguity
+    * exists anywhere.
+    */
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    val shdocs = shingled(Tables.documents(s, dir))
+    val sizes = shdocs.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val buckets = jaccardCandidatesFromShingled(shdocs, DfCap)
+      .join(sizes.select(col("doc_id"), col("n").as("na")), col("ida") === col("doc_id")).drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n").as("nb")), col("idb") === col("doc_id")).drop("doc_id")
+      .select(least(lit(9L), floor((col("c") / (col("na") + col("nb") - col("c"))) * 10)
+        .cast("long")).as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("n_pairs"))
+    s.range(0, 10).select(col("id").as("threshold_tenths"))
+      .join(broadcast(buckets), col("bkt") >= col("threshold_tenths"), "left")
+      .groupBy(col("threshold_tenths"))
+      .agg(
+        coalesce(sum(when(col("bkt") === col("threshold_tenths"), col("n_pairs"))), lit(0L))
+          .as("n_bucket"),
+        coalesce(sum(col("n_pairs")), lit(0L)).as("n_pairs_ge"))
+  }
+
+  private val d20Sql =
+    s"""WITH $shingleCte,
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cm AS (SELECT a.doc_id ida, b.doc_id idb, count(*) c
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |jc AS (SELECT c / (sa.n + sb.n - c) AS j
+       |       FROM cm JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id),
+       |bk AS (SELECT least(9, CAST(floor(j * 10) AS BIGINT)) AS bkt, count(*) AS n_pairs
+       |       FROM jc GROUP BY 1),
+       |f AS (SELECT unnest(range(0, 10)) AS threshold_tenths)
+       |SELECT f.threshold_tenths,
+       |  CAST(coalesce(sum(CASE WHEN bk.bkt = f.threshold_tenths THEN bk.n_pairs END), 0) AS BIGINT) AS n_bucket,
+       |  CAST(coalesce(sum(bk.n_pairs), 0) AS BIGINT) AS n_pairs_ge
+       |FROM f LEFT JOIN bk ON bk.bkt >= f.threshold_tenths
+       |GROUP BY 1""".stripMargin
 
   // ---- d17: triangle cohesion of the near-dup graph -------------------
 

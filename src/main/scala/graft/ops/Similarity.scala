@@ -1271,6 +1271,7 @@ object Similarity extends QueryModule {
     QueryDef("s15_split_leakage", s15, Some(s15Sql)),
     QueryDef("s16_kmeans_converge", s16, Some(s16Sql)),
     QueryDef("s17_quantization_error", s17, Some(s17Sql)),
+    QueryDef("s18_filtered_search", s18, Some(s18Sql)),
   )
 
   // ---- s16: second Lloyd iteration + migration audit ------------------
@@ -1439,4 +1440,72 @@ object Similarity extends QueryModule {
        |  CAST(sum(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / count(*) AS mean_err_q,
        |  max(q) AS max_err_q
        |FROM a GROUP BY 1""".stripMargin
+
+  // ---- s18: filtered (metadata-constrained) vector search -------------
+
+  private val FqQueries = 32 // fixed query batch (salted md5-order sample)
+
+  /** s18: FILTERED top-k retrieval — every production vector store's
+    * second query shape after plain ANN: "nearest neighbors WHERE
+    * metadata predicate" (here: same `label` as the query — the
+    * tenant/language/category filter). Naive post-filtering of an
+    * unfiltered top-k under-fills when the predicate is selective; the
+    * correct plan applies the predicate IN the search. Here the
+    * predicate is an equality, so it becomes the JOIN KEY: the
+    * query-batch ⋈ corpus join is an equi-join on label — the filter is
+    * pushed into the join itself and non-matching corpus rows never
+    * score. Per-query top-5 by exact cosine with vec_id tiebreak.
+    *
+    * Scale shape: the [[FqQueries]]-row batch is LIMIT-capped onto one
+    * broadcast; the corpus side streams through the label equi-join
+    * (scoring work |corpus|·batch/|labels| in expectation, not
+    * |corpus|·batch); the top-k runs through the bounded-memory
+    * TopKNeighbors Aggregator — ≤k rows per query cross the shuffle,
+    * never the scored pair set. At higher selectivity the per-label IVF
+    * refinement (s06's cells built per label) drops in without changing
+    * this operator's contract.
+    */
+  private def s18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val q = base
+      .orderBy(md5(concat(lit("fq_"), col("vec_id").cast("string")))).limit(FqQueries)
+      .select(col("vec_id").as("qid"), col("label"), col("v").as("vq"), col("nrm").as("nq"))
+    val scored = broadcast(q).join(base, "label")
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("vq"), col("v")) / (col("nq") * col("nrm"))).as("sim"))
+      .as[graft.functions.KnnRow]
+    scored
+      .groupByKey(_.qid)
+      .agg(new graft.functions.TopKNeighbors(5).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.items.iterator.zipWithIndex.map { case (r, i) => (qid, r.nid, r.sim, (i + 1).toLong) }
+      }
+      .toDF("qid", "nid", "sim", "rn")
+  }
+
+  private val s18Sql =
+    s"""WITH vl AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |nl AS (SELECT * FROM (
+       |  SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM vl)
+       |  WHERE nrm > 0),
+       |q AS (
+       |  SELECT vec_id AS qid, label, v AS vq, nrm AS nq FROM nl
+       |  ORDER BY md5('fq_' || CAST(vec_id AS VARCHAR)) LIMIT $FqQueries),
+       |p AS (
+       |  SELECT q.qid, c.vec_id AS nid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> q.vq[i] * c.v[i])) / (q.nq * c.nrm) AS sim
+       |  FROM q JOIN nl c ON q.label = c.label AND q.qid <> c.vec_id)
+       |SELECT qid, nid, sim, rn FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rn
+       |  FROM p)
+       |WHERE rn <= 5""".stripMargin
 }

@@ -875,6 +875,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("t20_langid_confusion", t20, Some(t20Sql)),
     QueryDef("t21_readability", t21, Some(t21Sql)),
     QueryDef("t22_heaps_curve", t22, Some(t22Sql)),
+    QueryDef("t23_pii_density", t23, Some(t23Sql)),
   )
 
   /** t20: language-ID confusion audit — cross-tabulate the declared
@@ -1074,4 +1075,61 @@ object TextAnalysis extends QueryModule {
       |  FROM b LEFT JOIN nf ON nf.fb <= b.bucket GROUP BY 1)
       |SELECT ct.bucket, ct.cum_tokens, cv.cum_vocab
       |FROM ct JOIN cv USING (bucket)""".stripMargin
+
+  /** t23: PII/denylist density report — per source: document and token
+    * counts, hits for each of the three t08 patterns (denylist terms,
+    * email, phone — the same [[ScrubPat]]/[[EmailPat]]/[[PhonePat]]
+    * definitions, so the audit cannot drift from the scrubber it
+    * audits), documents carrying ≥1 hit, and denylist hits per million
+    * tokens. The privacy/compliance table a release review reads BEFORE
+    * t08's scrub runs (which sources need it, how much text it will
+    * touch); emails/phones count zero on this synthetic corpus by
+    * construction — TextSpec pins those patterns on injected rows.
+    *
+    * Determinism: all counts exact integers; the ppm is exact integer
+    * division hits·10⁶ DIV tokens. Scale shape: three row-local
+    * codegen'd regexp counts + ONE source aggregate, no joins.
+    */
+  private def t23(s: SparkSession, dir: String): DataFrame = {
+    def hits(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(toks(col("text"))).cast("long").as("w"),
+        hits(ScrubPat).as("dl"), hits(EmailPat).as("em"), hits(PhonePat).as("ph"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_tokens"),
+        sum(col("dl")).as("denylist_hits"),
+        sum(col("em")).as("email_hits"),
+        sum(col("ph")).as("phone_hits"),
+        sum(when(col("dl") + col("em") + col("ph") > 0, 1L).otherwise(0L))
+          .as("docs_with_hits"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("denylist_hits"), col("email_hits"), col("phone_hits"),
+        col("docs_with_hits"),
+        expr("denylist_hits * 1000000 DIV greatest(n_tokens, 1)").as("denylist_ppm"))
+  }
+
+  private val t23Sql = {
+    // single-quoted SQL literals of the shared Java/RE2-common patterns —
+    // DuckDB string literals keep backslashes verbatim (the t08 precedent),
+    // so only quotes need escaping
+    val dl = ScrubPat.replace("'", "''")
+    val em = EmailPat.replace("'", "''")
+    val ph = PhonePat.replace("'", "''")
+    s"""WITH c AS (
+       |  SELECT source,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS w,
+       |    CAST(len(regexp_extract_all(text, '$dl')) AS BIGINT) AS dl,
+       |    CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS em,
+       |    CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS ph
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_tokens,
+       |  CAST(sum(dl) AS BIGINT) AS denylist_hits,
+       |  CAST(sum(em) AS BIGINT) AS email_hits,
+       |  CAST(sum(ph) AS BIGINT) AS phone_hits,
+       |  CAST(sum(CASE WHEN dl + em + ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_hits,
+       |  CAST(sum(dl) AS BIGINT) * 1000000 // greatest(CAST(sum(w) AS BIGINT), 1) AS denylist_ppm
+       |FROM c GROUP BY 1""".stripMargin
+  }
 }

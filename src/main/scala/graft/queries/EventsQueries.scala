@@ -353,6 +353,7 @@ object EventsQueries extends QueryModule {
     QueryDef("e19_cooccurrence", e19, Some(e19Sql)),
     QueryDef("e20_activity_histogram", e20, Some(e20Sql)),
     QueryDef("e21_seasonality", e21, Some(e21Sql)),
+    QueryDef("e22_bot_cohorts", e22, Some(e22Sql)),
   )
 
   /** e12: inter-event gap profile — the think-time/arrival-rate
@@ -813,6 +814,76 @@ object EventsQueries extends QueryModule {
       |FROM p
       |JOIN n na ON na.event_type = p.type_a
       |JOIN n nb ON nb.event_type = p.type_b, tot""".stripMargin
+
+  /** e22: bot-cohort audit — classify every user by two behavioral
+    * signals and report the cohort rollup: `heavy` (sustained rate —
+    * events per active day above 2.5), `rapid` (any sub-5-minute
+    * inter-event gap), `bot_like` (both), `normal` (neither). The
+    * pre-training event-log hygiene step: bot traffic inflates
+    * engagement labels and near-duplicates sessions, so pipelines
+    * quarantine these cohorts before e08/e10 are trusted. Thresholds
+    * are tuning parameters; the SHAPE (per-user features → row-local
+    * classification → tiny rollup) is the operator.
+    *
+    * Determinism: the rate test is the cross-multiplied integer
+    * comparison 2·n_events > 5·active_days (no division anywhere); gaps
+    * are exact integer µs; a single-event user has NULL min-gap, which
+    * falls through CASE/when identically in both engines into the
+    * non-rapid branch.
+    *
+    * Scale shape: the lag window and the per-user aggregate (count +
+    * ONE distinct day count — the single-distinct plan, no Expand)
+    * share one hash(user_id) exchange; the cohort rollup is a ≤4-row
+    * aggregate with a 1-row totals broadcast for shares.
+    */
+  private def e22(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val perUser = events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("day")).as("active_days"),
+        min(col("gap_us")).as("min_gap_us"))
+    val classed = perUser.select(col("n_events"),
+      when(lit(2) * col("n_events") > lit(5) * col("active_days"),
+        when(col("min_gap_us") < 300000000L, lit("bot_like")).otherwise(lit("heavy")))
+        .otherwise(
+          when(col("min_gap_us") < 300000000L, lit("rapid")).otherwise(lit("normal")))
+        .as("cohort"))
+    val cells = classed.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+    val tot = cells.groupBy().agg(sum(col("n_events")).as("te"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cohort"), col("n_users"), col("n_events"),
+        (col("n_events").cast("double") / col("te").cast("double")).as("event_share"))
+  }
+
+  private val e22Sql =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    count(DISTINCT day) AS active_days, min(gap_us) AS min_gap_us
+      |  FROM g GROUP BY 1),
+      |c AS (
+      |  SELECT n_events,
+      |    CASE WHEN 2 * n_events > 5 * active_days
+      |         THEN (CASE WHEN min_gap_us < 300000000 THEN 'bot_like' ELSE 'heavy' END)
+      |         ELSE (CASE WHEN min_gap_us < 300000000 THEN 'rapid' ELSE 'normal' END)
+      |    END AS cohort
+      |  FROM u),
+      |cells AS (
+      |  SELECT cohort, count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS n_events
+      |  FROM c GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS te FROM cells)
+      |SELECT cells.cohort, cells.n_users, cells.n_events,
+      |  CAST(cells.n_events AS DOUBLE) / CAST(t.te AS DOUBLE) AS event_share
+      |FROM cells CROSS JOIN t""".stripMargin
 
   /** e21: seasonality profile — the (day-of-week × hour-of-day ×
     * event-type) load matrix with per-cell corpus share: the traffic

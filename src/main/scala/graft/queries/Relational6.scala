@@ -115,8 +115,44 @@ object Relational6 extends QueryModule {
       |  o_orderstatus AS latest_status
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** q51: keyset (cursor) pagination — the page-N-of-a-100-TB-table
+    * access pattern done right: `WHERE (sort key) > cursor ORDER BY
+    * sort key LIMIT page`, which plans as a pushed-down range filter +
+    * distributed TakeOrderedAndProject (top-k per partition, k-merge on
+    * the driver) — O(page) result work no matter how deep the cursor
+    * sits. The OFFSET form a naive port would write re-scans and
+    * re-sorts everything before the page (O(offset + page) per request,
+    * unbounded for deep pages) and is exactly what this operator
+    * replaces. Cursor = (1996-01-01, key 0); the tuple comparison is
+    * decomposed as `od > c OR (od = c AND key > k)` — the equivalent
+    * sargable form both engines index/prune on.
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val cursorDay = expr("unix_date(DATE'1996-01-01')").cast("long")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("od"))
+      .filter(col("od") > cursorDay ||
+        (col("od") === cursorDay && col("o_orderkey") > 0L))
+      .orderBy(col("od"), col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val q51Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od
+      |  FROM orders),
+      |c AS (SELECT CAST(DATE '1996-01-01' - DATE '1970-01-01' AS BIGINT) AS cd)
+      |SELECT o_orderkey, o_custkey, o_totalprice, od
+      |FROM base, c
+      |WHERE od > c.cd OR (od = c.cd AND o_orderkey > 0)
+      |ORDER BY od, o_orderkey
+      |LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q49_argmax_mode", q49, Some(q49Sql)),
     QueryDef("q50_latest_compaction", q50, Some(q50Sql)),
+    QueryDef("q51_keyset_pagination", q51, Some(q51Sql)),
   )
 }

@@ -239,6 +239,81 @@ class Round9Spec extends AnyFunSuite {
       .forall(_.getAs[Long]("n_child") === li))
   }
 
+  test("s18: filtered search honors the label predicate and ranks correctly") {
+    val out = SparkEntry.queries("s18_filtered_search")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val labels = graft.core.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rows) =>
+      rows.foreach { r =>
+        assert(labels(r.getAs[Long]("nid")) === labels(qid), "neighbor shares the label")
+        assert(r.getAs[Long]("nid") !== qid, "self excluded")
+      }
+      val byRank = rows.sortBy(_.getAs[Long]("rn"))
+      assert(byRank.map(_.getAs[Long]("rn")).toSeq === (1L to rows.length).toSeq)
+      byRank.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getAs[Double]("sim") >= b.getAs[Double]("sim"))
+      }
+    }
+  }
+
+  test("e22: cohorts partition the user base and shares sum to one") {
+    val out = SparkEntry.queries("e22_bot_cohorts")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val users = graft.core.Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum === users)
+    assert(out.map(_.getAs[Long]("n_events")).sum ===
+      graft.core.Tables.events(spark, dir).count())
+    assert(math.abs(out.map(_.getAs[Double]("event_share")).sum - 1.0) < 1e-9)
+    val allowed = Set("bot_like", "heavy", "rapid", "normal")
+    out.foreach(r => assert(allowed(r.getAs[String]("cohort"))))
+  }
+
+  test("t23: density report partitions docs and digit patterns are vacuous here") {
+    val out = SparkEntry.queries("t23_pii_density")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_docs")).sum ===
+      graft.core.Tables.documents(spark, dir).count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("email_hits") === 0L, "synthetic corpus has no emails")
+      assert(r.getAs[Long]("phone_hits") === 0L, "synthetic corpus has no phones")
+      assert(r.getAs[Long]("docs_with_hits") <= r.getAs[Long]("n_docs"))
+      val expPpm = r.getAs[Long]("denylist_hits") * 1000000L /
+        math.max(r.getAs[Long]("n_tokens"), 1L)
+      assert(r.getAs[Long]("denylist_ppm") === expPpm)
+    }
+  }
+
+  test("d20: the sweep is monotone and conserves the candidate-pair mass") {
+    val out = SparkEntry.queries("d20_jaccard_sweep")(spark, dir).collect()
+      .sortBy(_.getAs[Long]("threshold_tenths"))
+    assert(out.length === 10)
+    assert(out.head.getAs[Long]("n_pairs_ge") === out.map(_.getAs[Long]("n_bucket")).sum,
+      "t=0 cumulative equals the full candidate mass")
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_pairs_ge") >= b.getAs[Long]("n_pairs_ge"))
+      assert(a.getAs[Long]("n_pairs_ge") - b.getAs[Long]("n_pairs_ge") ===
+        a.getAs[Long]("n_bucket"), "cumulative minus next = own bucket")
+    }
+  }
+
+  test("q51: the page is the true first 20 rows past the cursor") {
+    val out = SparkEntry.queries("q51_keyset_pagination")(spark, dir).collect()
+    assert(out.length === 20)
+    val cursor = java.time.LocalDate.of(1996, 1, 1).toEpochDay
+    out.foreach(r => assert(r.getAs[Long]("od") >= cursor))
+    val keys = out.map(r => (r.getAs[Long]("od"), r.getAs[Long]("o_orderkey")))
+    assert(keys.sortBy(identity).toSeq === keys.toSeq, "page is sorted by the cursor key")
+    val expect = graft.core.Tables.orders(spark, dir)
+      .select(unix_date(to_date(col("o_orderdate"))).cast("long").as("od"), col("o_orderkey"))
+      .filter(col("od") >= cursor)
+      .orderBy(col("od"), col("o_orderkey")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.toSeq === expect.toSeq)
+  }
+
   test("es21: chained-stateful distinct counts equal the batch distinct on closed windows") {
     val sfDir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("es21_window_distinct_users")(spark, sfDir)
