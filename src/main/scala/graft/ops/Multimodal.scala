@@ -344,6 +344,7 @@ object Multimodal extends QueryModule {
     QueryDef("m08_modality_align", m08, Some(m08Sql)),
     QueryDef("m09_payload_integrity", m09, Some(m09Sql)),
     QueryDef("m10_storage_report", m10, Some(m10Sql)),
+    QueryDef("m11_batch_interleave", m11, Some(m11Sql)),
   )
 
   /** m08: cross-modal alignment audit — the referential-integrity check
@@ -485,6 +486,61 @@ object Multimodal extends QueryModule {
         col("p50_bytes"), col("p90_bytes"), col("max_bytes"),
         (col("total_bytes").cast("double") / col("tb").cast("double")).as("bytes_share"))
   }
+
+  /** m11: batch modality-composition audit — p10's deterministic
+    * md5-order batch packing applied to the multimodal corpus, with
+    * per-batch counts of each modality and a balance verdict
+    * (max−min spread ≤ half the ideal per-modality share). A
+    * multimodal trainer needs every batch to carry all modalities
+    * (contrastive losses degenerate on single-modality batches); the
+    * md5 global order interleaves statistically, and THIS is the audit
+    * that proves it (or catches the skewed source that breaks it).
+    *
+    * Scale shape: the global position comes from the two-pass
+    * GlobalOrder plan (range-partitioned, no single-partition sort —
+    * the p04/p10 contract); everything after is a row-local batch-id
+    * map and one ≤|batches|-row aggregate. All-integer.
+    */
+  private def m11(s: SparkSession, dir: String): DataFrame = {
+    val m = media(s, dir).toDF()
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"))
+    val BatchSize = 64L
+    graft.plans.GlobalOrder.withGlobalRowNumber(
+      m, Seq(md5(col("doc_id").cast("string")), col("doc_id")), "pos")._1
+      .select(expr(s"(pos - 1) DIV $BatchSize").as("batch_id"), col("modality"))
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when(col("modality") === "image", 1L).otherwise(0L)).as("n_image"),
+        sum(when(col("modality") === "audio", 1L).otherwise(0L)).as("n_audio"),
+        sum(when(col("modality") === "video", 1L).otherwise(0L)).as("n_video"))
+      .select(col("batch_id"), col("n_records"),
+        col("n_image"), col("n_audio"), col("n_video"),
+        (greatest(col("n_image"), col("n_audio"), col("n_video")) -
+          least(col("n_image"), col("n_audio"), col("n_video"))).as("spread"),
+        (lit(6L) * (greatest(col("n_image"), col("n_audio"), col("n_video")) -
+          least(col("n_image"), col("n_audio"), col("n_video"))) <= col("n_records"))
+          .as("balanced"))
+  }
+
+  private val m11Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+      |    CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+      |  FROM documents),
+      |g AS (
+      |  SELECT (pos - 1) // 64 AS batch_id, count(*) AS n_records,
+      |    CAST(sum(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
+      |    CAST(sum(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+      |    CAST(sum(CASE WHEN modality = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS n_video
+      |  FROM m GROUP BY 1)
+      |SELECT batch_id, n_records, n_image, n_audio, n_video,
+      |  greatest(n_image, n_audio, n_video) - least(n_image, n_audio, n_video) AS spread,
+      |  6 * (greatest(n_image, n_audio, n_video) - least(n_image, n_audio, n_video)) <= n_records AS balanced
+      |FROM g""".stripMargin
 
   private val m10Sql =
     """WITH m AS (

@@ -1253,6 +1253,64 @@ object Similarity extends QueryModule {
        |JOIN sp sb ON v.idb = sb.vec_id
        |WHERE sa.split <> sb.split""".stripMargin
 
+  // ---- s19: tombstone-aware (deletion-filtered) search ----------------
+
+  private val TsQueries = 32   // fixed query batch (salted md5-order sample)
+  private val DelFrac   = 0.05 // deterministic tombstone cohort share
+
+  /** s19: tombstone-aware top-k — ANN under DELETIONS, the vector-store
+    * serving reality s01–s18 ignore: after an erasure sweep (p21's
+    * right-to-be-forgotten, applied here to vectors) the index still
+    * holds tombstoned entries until the next rebuild, and every query
+    * must exclude them AT SEARCH TIME or deleted content resurfaces.
+    * Top-5 exact cosine for a 32-query batch over the live corpus only;
+    * the tombstone set is a deterministic uhash cohort standing in for
+    * the deletion-request table (the p21 contract).
+    *
+    * Scale shape: exclusion is a row-local hash predicate here; with a
+    * real deletion table it becomes a broadcast ANTI-join at the scan —
+    * either way it composes BEFORE scoring, so deleted vectors never
+    * pay distance work. Query batch LIMIT-capped onto one broadcast
+    * (the s07 contract), corpus streams, TopKNeighbors keeps ≤k rows
+    * per query crossing the shuffle.
+    */
+  private def s19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val live = vecs(s, dir).filter(Sampling.uhash("del_", col("vec_id")) >= DelFrac)
+    val q = live
+      .orderBy(md5(concat(lit("tq_"), col("vec_id").cast("string")))).limit(TsQueries)
+      .select(col("vec_id").as("qid"), col("v").as("vq"), col("nrm").as("nq"))
+    val scored = broadcast(q).crossJoin(live)
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot(col("vq"), col("v")) / (col("nq") * col("nrm"))).as("sim"))
+      .as[graft.functions.KnnRow]
+    scored
+      .groupByKey(_.qid)
+      .agg(new graft.functions.TopKNeighbors(5).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.items.iterator.zipWithIndex.map { case (r, i) => (qid, r.nid, r.sim, (i + 1).toLong) }
+      }
+      .toDF("qid", "nid", "sim", "rn")
+  }
+
+  private val s19Sql =
+    s"""WITH $oracleVecs,
+       |live AS (SELECT * FROM n
+       |  WHERE ${Sampling.uhashSql("del_", "vec_id")} >= $DelFrac),
+       |q AS (
+       |  SELECT vec_id AS qid, v AS vq, nrm AS nq FROM live
+       |  ORDER BY md5('tq_' || CAST(vec_id AS VARCHAR)) LIMIT $TsQueries),
+       |p AS (
+       |  SELECT q.qid, c.vec_id AS nid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> q.vq[i] * c.v[i])) / (q.nq * c.nrm) AS sim
+       |  FROM q CROSS JOIN live c WHERE q.qid <> c.vec_id)
+       |SELECT qid, nid, sim, rn FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rn
+       |  FROM p)
+       |WHERE rn <= 5""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_knn", s01, Some(s01Sql)),
     QueryDef("s02_cosine_neardup", s02, Some(s02Sql)),
@@ -1272,6 +1330,7 @@ object Similarity extends QueryModule {
     QueryDef("s16_kmeans_converge", s16, Some(s16Sql)),
     QueryDef("s17_quantization_error", s17, Some(s17Sql)),
     QueryDef("s18_filtered_search", s18, Some(s18Sql)),
+    QueryDef("s19_tombstone_search", s19, Some(s19Sql)),
   )
 
   // ---- s16: second Lloyd iteration + migration audit ------------------

@@ -354,6 +354,7 @@ object EventsQueries extends QueryModule {
     QueryDef("e20_activity_histogram", e20, Some(e20Sql)),
     QueryDef("e21_seasonality", e21, Some(e21Sql)),
     QueryDef("e22_bot_cohorts", e22, Some(e22Sql)),
+    QueryDef("e23_session_conversion", e23, Some(e23Sql)),
   )
 
   /** e12: inter-event gap profile — the think-time/arrival-rate
@@ -814,6 +815,78 @@ object EventsQueries extends QueryModule {
       |FROM p
       |JOIN n na ON na.event_type = p.type_a
       |JOIN n nb ON nb.event_type = p.type_b, tot""".stripMargin
+
+  /** e23: session-level conversion report — e03's sessionization (same
+    * 30-minute gap rule, same lag + running-sum plan) composed with an
+    * in-session view→purchase funnel, rolled up by session LENGTH
+    * bucket (bit-length of the event count — the t13 integer-log2
+    * idiom): per bucket, sessions, converted sessions (a purchase at or
+    * after the session's first view), and exact-integer conversion ppm.
+    * The "do longer sessions convert" table — e08 measures the funnel
+    * across a user's whole history; this measures it within the
+    * session boundary e03 defines, which is what a UX/attribution
+    * review actually reads.
+    *
+    * Scale shape: the session-id windows, the per-session first-view
+    * window, and the (user, session) aggregate ALL ride the one
+    * hash(user_id) exchange (subset clustering); the bucket rollup is a
+    * ≤64-row aggregate. Determinism: all integer µs mins/flags, ppm by
+    * integer division.
+    */
+  private def e23(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val gapUs = lit(30L * 60 * 1000 * 1000)
+    val sess = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy(col("user_id"), col("session_id"))
+    val perSession = sess
+      .withColumn("fv",
+        min(when(col("event_type") === "view", col("ts_us"))).over(bySession))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase" && col("ts_us") >= col("fv"), 1L)
+          .otherwise(0L)).as("converted"))
+    perSession
+      .select(length(bin(col("n_events"))).cast("long").as("len_bucket"),
+        col("converted"))
+      .groupBy(col("len_bucket"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+      .select(col("len_bucket"), col("n_sessions"), col("n_converted"),
+        expr("n_converted * 1000000 DIV n_sessions").as("conversion_ppm"))
+  }
+
+  private val e23Sql =
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |se AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM t),
+      |fv AS (
+      |  SELECT user_id, event_id, event_type, ts_us, session_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts_us END)
+      |      OVER (PARTITION BY user_id, session_id) AS fv
+      |  FROM se),
+      |ps AS (
+      |  SELECT user_id, session_id, count(*) AS n_events,
+      |    max(CASE WHEN event_type = 'purchase' AND ts_us >= fv THEN 1 ELSE 0 END) AS converted
+      |  FROM fv GROUP BY 1, 2)
+      |SELECT CAST(length(bin(n_events)) AS BIGINT) AS len_bucket,
+      |  count(*) AS n_sessions,
+      |  CAST(sum(converted) AS BIGINT) AS n_converted,
+      |  CAST(sum(converted) AS BIGINT) * 1000000 // count(*) AS conversion_ppm
+      |FROM ps GROUP BY 1""".stripMargin
 
   /** e22: bot-cohort audit — classify every user by two behavioral
     * signals and report the cohort rollup: `heavy` (sustained rate —

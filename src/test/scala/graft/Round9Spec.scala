@@ -314,6 +314,55 @@ class Round9Spec extends AnyFunSuite {
     assert(keys.toSeq === expect.toSeq)
   }
 
+  test("s19: no tombstoned vector appears on either side of the result") {
+    val out = SparkEntry.queries("s19_tombstone_search")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // the exact uhash("del_", ·) < 0.05 cohort, rebuilt from the shared
+    // hash60 kernel so the test tracks the production rule
+    val u = graft.ops.Sampling.hash60(
+      concat(lit("del_"), col("vec_id").cast("string"))) / lit(1152921504606846976.0)
+    val dead = graft.core.Tables.table(spark, dir, "embeddings")
+      .select(col("vec_id")).filter(u < 0.05)
+      .collect().map(_.getLong(0)).toSet
+    assert(dead.nonEmpty, "the cohort must be non-trivial for this test to bite")
+    out.foreach { r =>
+      assert(!dead.contains(r.getAs[Long]("qid")), "tombstoned query excluded")
+      assert(!dead.contains(r.getAs[Long]("nid")), "tombstoned neighbor excluded")
+      assert(r.getAs[Long]("rn") >= 1L && r.getAs[Long]("rn") <= 5L)
+    }
+  }
+
+  test("e23: session accounting matches e03 and conversion is bounded") {
+    val out = SparkEntry.queries("e23_session_conversion")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val sessions = SparkEntry.queries("e03_sessionize")(spark, dir).count()
+    assert(out.map(_.getAs[Long]("n_sessions")).sum === sessions,
+      "length buckets partition the e03 session set")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_sessions"))
+      assert(r.getAs[Long]("conversion_ppm") ===
+        r.getAs[Long]("n_converted") * 1000000L / r.getAs[Long]("n_sessions"))
+    }
+  }
+
+  test("m11: batches partition the corpus and modality columns are exhaustive") {
+    val out = SparkEntry.queries("m11_batch_interleave")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val docs = graft.core.Tables.documents(spark, dir).count()
+    assert(out.map(_.getAs[Long]("n_records")).sum === docs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_image") + r.getAs[Long]("n_audio") +
+        r.getAs[Long]("n_video") === r.getAs[Long]("n_records"))
+      val counts = Seq(r.getAs[Long]("n_image"), r.getAs[Long]("n_audio"),
+        r.getAs[Long]("n_video"))
+      assert(r.getAs[Long]("spread") === counts.max - counts.min)
+      assert(r.getAs[Boolean]("balanced") ===
+        (6L * (counts.max - counts.min) <= r.getAs[Long]("n_records")))
+    }
+    // full batches are exactly 64 except possibly the last
+    assert(out.count(_.getAs[Long]("n_records") != 64L) <= 1)
+  }
+
   test("es21: chained-stateful distinct counts equal the batch distinct on closed windows") {
     val sfDir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("es21_window_distinct_users")(spark, sfDir)
