@@ -178,6 +178,84 @@ object RollingHash {
   * explode + 60-column vote aggregate (a full shuffle) with a row-local
   * loop — the fingerprint step of d05 becomes scan-speed.
   */
+/** Fused byte-4-gram SimHash: slides a 4-byte window over the input
+  * string's bytes, dedups grams in place (4 ASCII bytes pack into one
+  * int key — no per-gram string allocation, no intermediate
+  * array + array_distinct pass), and votes each DISTINCT gram's
+  * md5-derived 60-bit hash exactly like [[SimHash60]]. Semantically the
+  * m07 fingerprint — "distinct byte 4-grams vote a 60-bit SimHash" —
+  * computed in one tight loop instead of
+  * `simhash60(array_distinct(transform(sequence(...), substr(i,4))))`,
+  * which materialized (len−3) UTF8String slices per row before hashing
+  * (the measured m07 hot spot at sf0.1). On ASCII payloads (the
+  * documented m07/m02 convention, and what the stand-in media() emits)
+  * byte grams == the oracle's character substrings, so gate equality is
+  * unchanged; the byte form is the operator's DECLARED semantics for
+  * real (binary) payloads.
+  */
+case class ByteGramSimHash60(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"byte_gram_simhash60 expects string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ByteGramSimHash60.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ByteGramSimHash60.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ByteGramSimHash60 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The kernel; called from both interpreted eval and generated code. */
+  def compute(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length - 3
+    val votes = new Array[Int](60)
+    val seen = new java.util.HashSet[Integer]()
+    val md = digest.get()
+    val gram = new Array[Byte](4)
+    var i = 0
+    while (i < n) {
+      val key = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+        ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+      if (seen.add(key)) {
+        gram(0) = bytes(i); gram(1) = bytes(i + 1)
+        gram(2) = bytes(i + 2); gram(3) = bytes(i + 3)
+        md.reset()
+        val d = md.digest(gram)
+        // first 15 hex chars == first 8 bytes as unsigned big-endian >>> 4
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+        h = h >>> 4
+        var k = 0
+        while (k < 60) {
+          if (((h >> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 60) { if (votes(k) > 0) fp |= (1L << k); k += 1 }
+    fp
+  }
+}
+
 case class SimHash60(child: Expression)
     extends UnaryExpression with Serializable {
 
@@ -355,4 +433,7 @@ object TextFunctions {
 
   def minhash_signature(c: Column, as: IndexedSeq[Long], bs: IndexedSeq[Long]): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(c), as, bs))
+
+  def byte_gram_simhash60(c: Column): Column =
+    ColumnBridge.column(ByteGramSimHash60(ColumnBridge.expression(c)))
 }

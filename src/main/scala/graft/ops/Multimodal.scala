@@ -292,11 +292,13 @@ object Multimodal extends QueryModule {
     val bandBits = PercBits / PercBands
     val txt = media(s, dir).toDF()
       .select(col("doc_id"), col("payload").cast("string").as("t"))
+    // fused native kernel: slide + dedup + vote in one loop — replaces
+    // simhash60(array_distinct(transform(sequence(...), substr(i, 4)))),
+    // which materialized (len-3) string slices per row before hashing
+    // (the measured bench hot spot); same distinct-gram vote bit-for-bit
     val fp = txt.filter(length(col("t")) >= 4)
       .select(col("doc_id"),
-        graft.functions.TextFunctions.simhash60(
-          array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
-            i => col("t").substr(i, lit(4))))).as("simhash"))
+        graft.functions.TextFunctions.byte_gram_simhash60(col("t")).as("simhash"))
     val banded = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until PercBands).map(b =>
         shiftrightunsigned(col("simhash"), b * bandBits)

@@ -363,6 +363,28 @@ class Round9Spec extends AnyFunSuite {
     assert(out.count(_.getAs[Long]("n_records") != 64L) <= 1)
   }
 
+  test("byte_gram_simhash60 equals the composed distinct-substring form on the corpus") {
+    val t = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").cast("string").as("t"))
+      .filter(length(col("t")) >= 4)
+    val both = t.select(
+      graft.functions.TextFunctions.byte_gram_simhash60(col("t")).as("fused"),
+      graft.functions.TextFunctions.simhash60(
+        array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
+          i => col("t").substr(i, lit(4))))).as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() === 0L)
+    // and on crafted edge rows: repeated grams, exactly-4, non-trivial dedup
+    val edge = spark.createDataFrame(Seq(
+      (1L, "aaaaaa"), (2L, "abcd"), (3L, "abcabcabc"), (4L, "xyzw pqrs xyzw")))
+      .toDF("id", "t")
+    val e = edge.select(
+      graft.functions.TextFunctions.byte_gram_simhash60(col("t")).as("fused"),
+      graft.functions.TextFunctions.simhash60(
+        array_distinct(transform(sequence(lit(1), length(col("t")) - 3),
+          i => col("t").substr(i, lit(4))))).as("composed"))
+    assert(e.filter(col("fused") =!= col("composed")).count() === 0L)
+  }
+
   test("es21: chained-stateful distinct counts equal the batch distinct on closed windows") {
     val sfDir = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("es21_window_distinct_users")(spark, sfDir)
