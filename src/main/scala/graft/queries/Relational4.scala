@@ -138,16 +138,39 @@ object Relational4 extends QueryModule {
     * must pin placement explicitly. This query pins DESC NULLS FIRST on
     * a NULLIF-carved column and takes the per-group head, putting the
     * null rows in the OUTPUT where silent divergence would flip the hash.
+    *
+    * Plan shape: `l_linestatus` has TWO values, so the natural
+    * `row_number().over(partitionBy(status))` window sorts the entire
+    * table inside two partitions — benched at 2.9 s at sf0.1 and a
+    * non-starter at 100 TB. Instead the whole ORDER BY (null placement,
+    * DESC direction, tiebreaks) is ENCODED into an ascending long tuple
+    * — rf DESC NULLS FIRST becomes class 0/1/2 — and a bounded
+    * [[graft.functions.BottomKTuples]] Aggregator takes the per-group
+    * head through partial+final hash aggregation: each input partition
+    * ships ≤5 rows per group, no global sort exists, and the result is
+    * provably the window form's (the encoding is order-isomorphic).
     */
   private def q36(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("l_linestatus"))
-      .orderBy(col("rf").desc_nulls_first, col("l_orderkey"), col("l_linenumber"))
+    import s.implicits._
+    // rf DESC NULLS FIRST == ascending class: null(was 'N') → 0, 'R' → 1, 'A' → 2
+    val cls = when(col("l_returnflag") === "N", 0L)
+      .when(col("l_returnflag") === "R", 1L).otherwise(2L)
     Tables.lineitem(s, dir)
+      .select(col("l_linestatus"), cls.as("k1"),
+        col("l_orderkey").as("k2"), col("l_linenumber").as("k3"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.TupRow(t._2, t._3, t._4))
+      .agg(new graft.functions.BottomKTuples(5).toColumn.name("top"))
+      .flatMap { case (st, top) =>
+        top.items.iterator.zipWithIndex.map { case (t, i) =>
+          (st, t.k2, t.k3, t.k1, (i + 1).toLong)
+        }
+      }
+      .toDF("l_linestatus", "l_orderkey", "l_linenumber", "cls", "rk")
       .select(col("l_linestatus"), col("l_orderkey"), col("l_linenumber"),
-        nullif(col("l_returnflag"), lit("N")).as("rf"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
+        when(col("cls") === 1L, "R").when(col("cls") === 2L, "A").as("rf"),
+        col("rk"))
   }
 
   private val q36Sql =
