@@ -169,7 +169,13 @@ object Profiling extends QueryModule {
     * shingle posting lists → pair counts), composed from the exact t02/
     * t03/d01/d03 formulas; p02Sql and p06Sql append their back halves.
     */
-  private val funnelCtes = {
+  /** The funnel's scoring prefix alone (base + langed: quality and
+    * predicted language per doc) — split out of [[funnelCtes]] so
+    * consumers that only need the quality column (p24) can compose with
+    * OTHER CTE families (d07's sh/sz/cm would collide with the funnel's
+    * near-dup stage of the same names).
+    */
+  private val langedCtes = {
     val stop = TextAnalysis.stopwordList.map("'" + _ + "'").mkString(",")
     val counts = TextAnalysis.markerList.map { case (l, ms) =>
       s"CAST(len(list_filter(w, t -> t IN (${ms.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS c_$l"
@@ -189,7 +195,11 @@ object Profiling extends QueryModule {
        |                 WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
        |                 WHEN c_es >= c_fr THEN 'es'
        |                 ELSE 'fr' END AS pred_lang
-       |  FROM base),
+       |  FROM base)""".stripMargin
+  }
+
+  private val funnelCtes = {
+    s"""$langedCtes,
        |kept AS (
        |  SELECT doc_id, text, n_tokens, pred_lang FROM langed
        |  WHERE quality >= 0.45 AND pred_lang <> 'und'),
@@ -755,6 +765,7 @@ object Profiling extends QueryModule {
     QueryDef("p21_erasure_sweep", p21, Some(p21Sql)),
     QueryDef("p22_length_outliers", p22, Some(p22Sql)),
     QueryDef("p23_fk_integrity", p23, Some(p23Sql)),
+    QueryDef("p24_dup_quality", p24, Some(p24Sql)),
   )
 
   /** p22: robust per-source length-outlier report — Tukey fences on
@@ -908,6 +919,57 @@ object Profiling extends QueryModule {
        |FROM (SELECT $ck AS k, count(*) AS n FROM $child GROUP BY 1) c
        |LEFT JOIN (SELECT DISTINCT $pk AS k, 1 AS hit FROM $parent) p USING (k)""".stripMargin
   }.mkString("", "\nUNION ALL\n", "")
+
+  /** p24: duplication × quality interaction — per duplicate-cluster-size
+    * bucket (1 = unique, 2, 3, 4 = "4 or more"): document count and
+    * exact mean/min/max of the t02 quality score. The curation question
+    * behind every dedup budget — "is duplicated content better or worse
+    * than unique content?" (mirrors/boilerplate usually score LOWER;
+    * popular canonical text often scores higher) — answered from the
+    * operators the pipeline already runs: d07's shared materialized CC
+    * labels joined to the funnel's quality column.
+    *
+    * Determinism: the mean's sum is the s04 float→shortest-string→
+    * DECIMAL(28,12) trick — exact and order-independent where a double
+    * sum is neither; min/max are picked data values.
+    *
+    * Scale shape: labels are the label-once materialized frame (no new
+    * CC run); one cluster_id count, one doc_id equi-join, one ≤4-row
+    * rollup.
+    */
+  private def p24(s: SparkSession, dir: String): DataFrame = {
+    val (withLang, _, _) = funnelFrames(s, dir)
+    val quality = withLang.filter(col("quality").isNotNull)
+      .select(col("doc_id"), col("quality"))
+    val labels = graft.ops.Dedup.docClusterLabels(s, dir)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cs"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), least(col("cs"), lit(4L)).as("size_bucket"))
+      .join(quality, "doc_id")
+      .groupBy(col("size_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("quality").cast("string")
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("mean_quality"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+  }
+
+  private val p24Sql =
+    s"""WITH RECURSIVE ${graft.ops.Dedup.d07Ctes},
+       |$langedCtes,
+       |cs AS (SELECT cluster_id, count(*) AS cs FROM labels GROUP BY 1),
+       |sb AS (
+       |  SELECT l.doc_id, least(cs.cs, 4) AS size_bucket
+       |  FROM labels l JOIN cs USING (cluster_id)),
+       |qv AS (SELECT doc_id, quality FROM langed WHERE quality IS NOT NULL)
+       |SELECT sb.size_bucket, count(*) AS n_docs,
+       |  CAST(sum(CAST(CAST(qv.quality AS VARCHAR) AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_quality,
+       |  min(qv.quality) AS min_quality,
+       |  max(qv.quality) AS max_quality
+       |FROM sb JOIN qv USING (doc_id)
+       |GROUP BY 1""".stripMargin
 
   /** p08: declarative ingest-validation — every constraint evaluated in
     * ONE scan (a conditional sum per rule inside a single aggregate, the

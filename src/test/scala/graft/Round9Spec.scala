@@ -363,6 +363,20 @@ class Round9Spec extends AnyFunSuite {
     assert(out.count(_.getAs[Long]("n_records") != 64L) <= 1)
   }
 
+  test("p24: buckets partition the scored corpus and bounds bracket the mean") {
+    val out = SparkEntry.queries("p24_dup_quality")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("size_bucket") >= 1L && r.getAs[Long]("size_bucket") <= 4L)
+      assert(r.getAs[Double]("min_quality") <= r.getAs[Double]("mean_quality") + 1e-9)
+      assert(r.getAs[Double]("mean_quality") <= r.getAs[Double]("max_quality") + 1e-9)
+    }
+    val scored = graft.core.Tables.documents(spark, dir).count()
+    // every doc has a cluster label; only null-quality (zero-token) docs drop
+    assert(out.map(_.getAs[Long]("n_docs")).sum <= scored)
+    assert(out.map(_.getAs[Long]("n_docs")).sum > 0L)
+  }
+
   test("byte_gram_simhash60 equals the composed distinct-substring form on the corpus") {
     val t = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").cast("string").as("t"))
