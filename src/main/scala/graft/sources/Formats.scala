@@ -69,4 +69,16 @@ object Formats {
 
   def readXml(spark: SparkSession, path: String, ddl: String, rowTag: String = "row"): DataFrame =
     spark.read.option("rowTag", rowTag).schema(StructType.fromDDL(ddl)).format("xml").load(path)
+
+  /** Binary-file ingestion — how a multimodal pipeline actually reads
+    * image/audio/video objects from a lake: one row per file with
+    * (path, modificationTime, length, content BINARY), the schema the
+    * m01–m11 ops consume downstream. `pathGlobFilter` prunes at the
+    * LISTING (files that don't match are never opened — the multimodal
+    * analogue of partition pruning), and the source is splittable at
+    * file granularity so a directory of millions of objects fans out
+    * across the cluster.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
 }

@@ -85,4 +85,26 @@ class FormatsSpec extends AnyFunSuite {
     Seq("line one", "line two", "line three").toDS().write.text(path)
     assert(Formats.readTextLines(spark, path).count() === 3)
   }
+
+  test("binaryFile reads object bytes verbatim and the glob prunes at listing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-binary")
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, -1),
+      "b.img" -> Array[Byte](9), "c.wav" -> Array[Byte](4, 5))
+    payloads.foreach { case (n, bytes) =>
+      java.nio.file.Files.write(dir.resolve(n), bytes)
+    }
+    val all = Formats.readBinaryFiles(spark, dir.toString)
+      .select(col("path"), col("length"), col("content")).collect()
+    assert(all.length === 3)
+    all.foreach { r =>
+      val name = r.getString(0).split('/').last
+      assert(r.getAs[Array[Byte]]("content").toSeq === payloads(name).toSeq,
+        s"bytes verbatim for $name")
+      assert(r.getLong(1) === payloads(name).length.toLong)
+    }
+    // glob filter: only .img files are listed (never opened, not filtered after)
+    val imgs = Formats.readBinaryFiles(spark, dir.toString, "*.img").count()
+    assert(imgs === 2)
+    org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
 }
