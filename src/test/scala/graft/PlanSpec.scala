@@ -52,6 +52,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"), "no global sort shuffle for top-k")
   }
 
+  test("q36: null-ordered top-k is a bounded aggregate, not a 2-partition window sort") {
+    val p = plan("q36_null_ordering")
+    assert(!p.contains("Window"), "the |groups|=2 window sort is the scale killer q36 replaced")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "the BottomKTuples Aggregator must plan as partial+final aggregation")
+  }
+
+  test("q51: keyset page is TakeOrderedAndProject over a pushed range filter") {
+    val p = plan("q51_keyset_pagination")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"), "no global sort for a 20-row page")
+  }
+
+  test("s18/s19: search query batches broadcast; corpus sides never do") {
+    for (n <- Seq("s18_filtered_search", "s19_tombstone_search")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastExchange"), s"$n: the LIMIT-capped batch must broadcast")
+      assert(!p.contains("CartesianProduct"), s"$n: no unbounded cartesian")
+    }
+  }
+
+  test("d20: the sweep reuses d03's inverted-index shape — no cartesian, no global window") {
+    val p = plan("d20_jaccard_sweep")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "bucketing + literal-frame suffix sums replace any window")
+  }
+
   test("q45: lateral top-k decorrelates to WindowGroupLimit, never a nested loop") {
     val p = plan("q45_lateral_topk")
     assert(p.contains("WindowGroupLimit"),
