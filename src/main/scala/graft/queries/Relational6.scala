@@ -150,9 +150,54 @@ object Relational6 extends QueryModule {
       |ORDER BY od, o_orderkey
       |LIMIT 20""".stripMargin
 
+  private val SkewSalt = 8 // fact-side salt fanout (dim replicated 8×)
+
+  /** q52: SALTED skew join — the manual remedy for a hot join key, run
+    * as a declared operator so its semantics-preservation is
+    * oracle-PROVEN, not assumed: the fact side adds a row-local salt in
+    * [0, 8), the (small) dimension side replicates 8× with every salt
+    * value, and the join key becomes (key, salt) — a key carrying 30%
+    * of the fact table now spreads over 8 reducers instead of melting
+    * one. The oracle is the PLAIN join + aggregate (no salt anywhere):
+    * the gate's hash match is the proof that salting changed the
+    * partitioning and nothing else.
+    *
+    * When to reach for it (p16's report is the input): AQE's skew-join
+    * split covers sort-merge joins automatically, but salting is the
+    * remedy that also works for skewed AGGREGATION keys, for
+    * stream-stream joins (no AQE), and when the skew is known ahead of
+    * planning. The salt is derived from l_orderkey (uniform, stable
+    * across retries — never rand(), which breaks retry determinism and
+    * the oracle). Dim replication costs 8×|dim| rows — cheap exactly
+    * when the dim is broadcast-small, which is also when the plain join
+    * would NOT shuffle the fact side; the salted form targets the
+    * shuffle-join regime, so the dim side is deliberately unhinted.
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+        pmod(col("l_orderkey"), lit(SkewSalt.toLong)).as("salt"))
+    val pt = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"))
+      .crossJoin(s.range(0, SkewSalt).select(col("id").as("salt")))
+    li.join(pt, col("l_partkey") === col("p_partkey") && li("salt") === pt("salt"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        graft.core.Num.dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  private val q52Sql =
+    """SELECT p.p_brand, count(*) AS n_items,
+      |  CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q49_argmax_mode", q49, Some(q49Sql)),
     QueryDef("q50_latest_compaction", q50, Some(q50Sql)),
     QueryDef("q51_keyset_pagination", q51, Some(q51Sql)),
+    QueryDef("q52_salted_skew_join", q52, Some(q52Sql)),
   )
 }

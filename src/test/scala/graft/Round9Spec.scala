@@ -377,6 +377,19 @@ class Round9Spec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_docs")).sum > 0L)
   }
 
+  test("q52: the salted join equals the plain join bit for bit") {
+    val salted = SparkEntry.queries("q52_salted_skew_join")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val li = graft.core.Tables.lineitem(spark, dir)
+    val pt = graft.core.Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val plain = li.join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"),
+        graft.core.Num.dsum(col("l_extendedprice")).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(salted === plain)
+  }
+
   test("byte_gram_simhash60 equals the composed distinct-substring form on the corpus") {
     val t = graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").cast("string").as("t"))
