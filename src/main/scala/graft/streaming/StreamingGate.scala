@@ -451,6 +451,7 @@ object StreamingGate extends QueryModule {
     QueryDef("es19_live_denylist", es19, Some(es19Sql)),
     QueryDef("es20_window_matrix", es20, Some(es20Sql)),
     QueryDef("es21_window_distinct_users", es21, Some(es21Sql)),
+    QueryDef("es22_available_now", es22, Some(es22Sql)),
   )
 
   /** es20: per-closed-window event-type MATRIX — one row per finalized
@@ -672,5 +673,47 @@ object StreamingGate extends QueryModule {
       |FROM du, wm
       |WHERE epoch_us(du.h) + 3600000000 <= wm.wm_us
       |GROUP BY 1, wm.wm_us""".stripMargin
+
+  /** es22: Trigger.AvailableNow incremental-batch runs — the THIRD
+    * execution mode after continuous micro-batching (es02…es21) and
+    * foreachBatch sinks (p15): the query starts, drains everything
+    * available in rate-limited batches, commits the checkpoint, and
+    * STOPS — the nightly-catchup / cost-controlled shape that replaces
+    * cron-managed manual batch jobs. Run TWICE against the same
+    * checkpoint: run 1 ingests the data; run 2 finds nothing new and
+    * must emit ZERO rows (checkpoint-held progress, the idempotent
+    * re-run contract an orchestrator retries against). The gate result
+    * is the sink after both runs — equal to es02's closed-window set,
+    * with the run-2 silence asserted in code (a duplicate emission
+    * would double rows and fail the hash anyway).
+    */
+  private def es22(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft-es22")
+    val (ckpt, out) = (s"$base/ckpt", s"$base/out")
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      // a DURABLE file sink (memory sinks can't recover a checkpoint):
+      // the parquet sink's _spark_metadata manifest is what makes the
+      // re-run exactly-once — readers see only committed batches
+      def runOnce(): Unit = {
+        val q = EventStream.tumblingAgg(
+          EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination() finally q.stop()
+      }
+      runOnce()
+      val afterFirst = s.read.parquet(out).count()
+      runOnce()
+      require(s.read.parquet(out).count() == afterFirst,
+        "AvailableNow re-run against the committed checkpoint must emit nothing")
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
+    s.read.parquet(out)
+  }
+
+  private val es22Sql = es02Sql
 }
 
