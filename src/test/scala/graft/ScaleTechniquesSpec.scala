@@ -696,6 +696,71 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     * output partitions the corpus). One synthetic dir carries documents
     * AND embeddings so all three run against it.
     */
+  test("m07/d20/q36 10x scaling: planted clones recovered, wall time ~linear") {
+    def mk(n: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_c10_$n").toString
+      // every id%10==9 doc is a verbatim clone of id-9 — a planted
+      // perceptual-dup family the m07 band join must recover at both scales
+      val baseId = when(col("id") % 10 === 9, col("id") - 9).otherwise(col("id"))
+      spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 20).map(j =>
+          concat(lit("w"), pmod(hash(baseId, lit(j)), lit(500)))): _*).as("text"),
+        lit("en").as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(5))).as("source"),
+        lit(100L).as("n_chars"))
+        .coalesce(4).write.parquet(out + "/documents.parquet")
+      spark.range(n).select(
+        col("id").as("l_orderkey"),
+        (col("id") % 7).as("l_linenumber"),
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (col("id") % 3 + 1).cast("int")).as("l_returnflag"),
+        element_at(array(lit("O"), lit("F")),
+          (col("id") % 2 + 1).cast("int")).as("l_linestatus"))
+        .coalesce(4).write.parquet(out + "/lineitem.parquet")
+      out
+    }
+    def run(dir: String, n: Long): (Double, Double, Double) = {
+      def timed(q: String)(check: org.apache.spark.sql.DataFrame => Unit): Double = {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(spark, dir)
+        check(df)
+        graft.core.Sessions.sweepPersistedState(spark)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val tM = timed("m07_perceptual_neardup") { df =>
+        // every planted clone pair has hamming 0 and must be recovered
+        val clones = df.filter(col("hamming") === 0 && col("idb") - col("ida") === 9)
+          .count()
+        assert(clones >= n / 10, s"planted clone pairs missing: $clones < ${n / 10}")
+      }
+      val tD = timed("d20_jaccard_sweep") { df =>
+        val rows = df.collect().sortBy(_.getAs[Long]("threshold_tenths"))
+        assert(rows.length === 10)
+        // the clones are jaccard-1.0 candidate pairs: bucket 9 holds >= n/10
+        assert(rows.last.getAs[Long]("n_pairs_ge") >= n / 10)
+      }
+      val tQ = timed("q36_null_ordering") { df =>
+        assert(df.count() === 10, "exactly top-5 per linestatus")
+      }
+      (tM, tD, tQ)
+    }
+    val dir1 = mk(3000)
+    val dir10 = mk(30000)
+    try {
+      run(dir1, 3000) // warm codegen
+      val (a1, b1, c1) = run(dir1, 3000)
+      val (a10, b10, c10) = run(dir10, 30000)
+      info(f"m07 $a1%.1fs->$a10%.1fs  d20 $b1%.1fs->$b10%.1fs  q36 $c1%.1fs->$c10%.1fs")
+      assert(a10 <= a1 * 25 + 5.0, f"m07 wall time super-linear: $a1%.1fs -> $a10%.1fs")
+      assert(b10 <= b1 * 25 + 5.0, f"d20 wall time super-linear: $b1%.1fs -> $b10%.1fs")
+      assert(c10 <= c1 * 25 + 5.0, f"q36 wall time super-linear: $c1%.1fs -> $c10%.1fs")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir10))
+    }
+  }
+
   test("t17/d16/s16 10x scaling: exact fanout laws hold, wall time ~linear") {
     def mk(n: Int): String = {
       val out = java.nio.file.Files.createTempDirectory(s"graft_c9_$n").toString
