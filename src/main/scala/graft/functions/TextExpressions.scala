@@ -219,21 +219,38 @@ object ByteGramSimHash60 {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  // reused per-thread gram buffer: dedup via sort + adjacent-skip over
+  // packed ints — zero boxing, zero per-row set allocation (voting is
+  // order-independent, so sorted iteration changes nothing)
+  private val grams = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](1 << 12)
+  }
+
   /** The kernel; called from both interpreted eval and generated code. */
   def compute(s: UTF8String): Long = {
     val bytes = s.getBytes
     val n = bytes.length - 3
     val votes = new Array[Int](60)
-    val seen = new java.util.HashSet[Integer]()
     val md = digest.get()
     val gram = new Array[Byte](4)
+    var buf = grams.get()
+    if (n > 0 && buf.length < n) {
+      buf = new Array[Int](Integer.highestOneBit(n) << 1)
+      grams.set(buf)
+    }
     var i = 0
     while (i < n) {
-      val key = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
+      buf(i) = ((bytes(i) & 0xff) << 24) | ((bytes(i + 1) & 0xff) << 16) |
         ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
-      if (seen.add(key)) {
-        gram(0) = bytes(i); gram(1) = bytes(i + 1)
-        gram(2) = bytes(i + 2); gram(3) = bytes(i + 3)
+      i += 1
+    }
+    if (n > 0) java.util.Arrays.sort(buf, 0, n)
+    i = 0
+    while (i < n) {
+      val key = buf(i)
+      if (i == 0 || key != buf(i - 1)) {
+        gram(0) = (key >>> 24).toByte; gram(1) = (key >>> 16).toByte
+        gram(2) = (key >>> 8).toByte; gram(3) = key.toByte
         md.reset()
         val d = md.digest(gram)
         // first 15 hex chars == first 8 bytes as unsigned big-endian >>> 4

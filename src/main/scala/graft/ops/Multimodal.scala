@@ -464,12 +464,18 @@ object Multimodal extends QueryModule {
     * AND the rollup (the p19 contract); the totals row rides an
     * aggregate-capped broadcast.
     */
+  /** The deterministic doc_id-derived modality stand-in (no real codecs
+    * in the container — m01's contract) — defined ONCE for every
+    * modality-aware op so m10/m11 (and their tests) cannot drift.
+    */
+  private[graft] def modality(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (docId % 3 + 1).cast("int"))
+
   private def m10(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = media(s, dir).toDF()
-      .select(col("doc_id"), col("n_bytes"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("modality"))
+      .select(col("doc_id"), col("n_bytes"), modality(col("doc_id")).as("modality"))
     val w = Window.partitionBy(col("modality")).orderBy(col("n_bytes"), col("doc_id"))
     val g = Window.partitionBy(col("modality"))
     val per = m
@@ -505,9 +511,7 @@ object Multimodal extends QueryModule {
     */
   private def m11(s: SparkSession, dir: String): DataFrame = {
     val m = media(s, dir).toDF()
-      .select(col("doc_id"),
-        element_at(array(lit("image"), lit("audio"), lit("video")),
-          (col("doc_id") % 3 + 1).cast("int")).as("modality"))
+      .select(col("doc_id"), modality(col("doc_id")).as("modality"))
     val BatchSize = 64L
     graft.plans.GlobalOrder.withGlobalRowNumber(
       m, Seq(md5(col("doc_id").cast("string")), col("doc_id")), "pos")._1

@@ -47,11 +47,19 @@ object Similarity extends QueryModule {
     * embeddings id set, so an excluded vector surfaces as its own kept
     * singleton rather than being dropped from the corpus.
     */
-  private[graft] def vecs(s: SparkSession, dir: String): DataFrame =
+  /** [[vecs]] with the `label` column kept — the one normalization
+    * contract (double cast, nrm, nrm>0 filter) defined once so
+    * label-aware consumers (s18) cannot drift from the rest.
+    */
+  private[graft] def vecsWithLabel(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
+
+  private[graft] def vecs(s: SparkSession, dir: String): DataFrame =
+    vecsWithLabel(s, dir).drop("label")
 
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vec_dot(a, b)
@@ -1526,11 +1534,7 @@ object Similarity extends QueryModule {
     */
   private def s18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
-      .filter(col("nrm") > 0)
+    val base = vecsWithLabel(s, dir)
     val q = base
       .orderBy(md5(concat(lit("fq_"), col("vec_id").cast("string")))).limit(FqQueries)
       .select(col("vec_id").as("qid"), col("label"), col("v").as("vq"), col("nrm").as("nq"))

@@ -774,6 +774,11 @@ object EventsQueries extends QueryModule {
     * production run widens to DECIMAL(38,0) — documented, not silent.
     */
   private def e19(s: SparkSession, dir: String): DataFrame = {
+    // NOT persisted, deliberately: ud feeds four subtrees (perType, the
+    // cells count, both self-join sides) but they canonicalize to the
+    // SAME scan+distinct exchange, which ReuseExchange dedups — measured
+    // at sf0.1: unpersisted 0.6 s warm vs persisted 1.2 s (the cache
+    // write costs more than the reuse saves at this shape)
     val ud = events(s, dir)
       .select(col("user_id"), epochDay(col("ts")).as("day"), col("event_type"))
       .distinct()

@@ -152,9 +152,17 @@ object Relational4 extends QueryModule {
     */
   private def q36(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // rf DESC NULLS FIRST == ascending class: null(was 'N') → 0, 'R' → 1, 'A' → 2
+    // rf DESC NULLS FIRST == ascending class: null(was 'N') → 0, 'R' → 1,
+    // 'A' → 2. The encoding is order-isomorphic ONLY on the {A, N, R}
+    // domain (which p08's returnflag_in_domain constraint validates), so
+    // an out-of-domain value fails LOUDLY here instead of silently
+    // mis-sorting and re-emitting as 'A'.
     val cls = when(col("l_returnflag") === "N", 0L)
-      .when(col("l_returnflag") === "R", 1L).otherwise(2L)
+      .when(col("l_returnflag") === "R", 1L)
+      .when(col("l_returnflag") === "A", 2L)
+      .otherwise(raise_error(concat(
+        lit("q36: l_returnflag outside the encoded {A,N,R} domain: "),
+        col("l_returnflag"))).cast("long"))
     Tables.lineitem(s, dir)
       .select(col("l_linestatus"), cls.as("k1"),
         col("l_orderkey").as("k2"), col("l_linenumber").as("k3"))

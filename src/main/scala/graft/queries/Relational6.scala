@@ -183,13 +183,13 @@ object Relational6 extends QueryModule {
     li.join(pt, col("l_partkey") === col("p_partkey") && li("salt") === pt("salt"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity")).as("sum_qty"),
+        graft.core.Num.dsum(col("l_quantity")).as("sum_qty"),
         graft.core.Num.dsum(col("l_extendedprice")).as("sum_price"))
   }
 
   private val q52Sql =
     """SELECT p.p_brand, count(*) AS n_items,
-      |  CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY 1""".stripMargin

@@ -689,6 +689,13 @@ object StreamingGate extends QueryModule {
     */
   private def es22(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
+    // sweep PRIOR runs' litter first (the returned frame reads the new
+    // dir lazily, so in-call deletion of the current one is impossible;
+    // bounding the accumulation at one surviving dir is the next best)
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-es22"))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     val base = java.nio.file.Files.createTempDirectory("graft-es22")
     val (ckpt, out) = (s"$base/ckpt", s"$base/out")
     val before = s.conf.get("spark.sql.shuffle.partitions")
