@@ -177,9 +177,11 @@ object Dedup extends QueryModule {
     * This is the 100 TB dedup path: cost is O(docs x 128 hashes) +
     * a shuffle on (band, bucket) + exact verification only within buckets.
     */
-  private def d04(s: SparkSession, dir: String): DataFrame = {
-    // shingle sets computed once and persisted: reused for signatures and
-    // for the exact verification joins.
+  /** The d04 front half, factored: shingled docs (persisted — reused by
+    * signatures and verification joins) plus the BANDED LSH candidate
+    * pair ids, pre-verification. d21 audits exactly this stage.
+    */
+  private def lshDocsAndCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingleArr(col("text")).as("sh"))
       // docs with <3 words have no shingles: they can never be near-dups,
@@ -206,6 +208,11 @@ object Dedup extends QueryModule {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .dropDuplicates("ida", "idb")
+    (docs, pairs)
+  }
+
+  private def d04(s: SparkSession, dir: String): DataFrame = {
+    val (docs, pairs) = lshDocsAndCandidates(s, dir)
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
     pairs
       .join(docs.select(col("doc_id").as("ida"), col("sh").as("sha")), "ida")
@@ -220,10 +227,14 @@ object Dedup extends QueryModule {
     * from [[graft.Dedup31]]), band slices as '_'-joined strings, bucket-
     * collision candidates, exact-Jaccard verification of candidates only.
     */
-  private val d04Sql = {
+  /** The d04 candidate pipeline as a CTE prefix (shingles → 31-bit
+    * hashes → permutation minima → band buckets → `cand` pair ids) —
+    * shared verbatim by d04's verification tail and d21's stage audit.
+    */
+  private val d04CandCtes = {
     val prm = (0 until NumHashes)
       .map(i => s"(${i}, ${hashA(i)}, ${hashB(i)})").mkString(", ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
        |h AS (
        |  SELECT doc_id, ${OracleSql.hex60("shingle")} & 2147483647 AS h31
        |  FROM sh),
@@ -238,7 +249,11 @@ object Dedup extends QueryModule {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |  FROM banded a JOIN banded b
-       |    ON a.bd = b.bd AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |    ON a.bd = b.bd AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  private val d04Sql =
+    s"""WITH $d04CandCtes,
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |cm AS (
        |  SELECT c.ida, c.idb, count(*) AS c
@@ -247,7 +262,49 @@ object Dedup extends QueryModule {
        |SELECT ida, idb, c / (sa.n + sb.n - c) AS jaccard
        |FROM cm JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
        |WHERE c / (sa.n + sb.n - c) >= 0.5""".stripMargin
+
+  /** d21: LSH candidate-stage quality audit — the sketch-tuning report
+    * d15's per-pair estimator errors roll up to: the TRUE ≥0.5 pair set
+    * (d03's exact inverted-index derivation), the d04 banded CANDIDATE
+    * set (pre-verification), their intersection, and exact-integer ppm
+    * recall (true pairs the bands caught — misses are unfixable by the
+    * verify stage and bound d04's quality) and precision (candidates
+    * that are true — the share of exact-verification work that pays
+    * off). The bands/rows tradeoff is tuned BY this table.
+    *
+    * Scale shape: both pipelines are the shared factored stages (no new
+    * join shapes); the report is three 1-row aggregates cross-joined —
+    * aggregate-capped broadcasts, zero-guarded integer divisions.
+    */
+  private def d21(s: SparkSession, dir: String): DataFrame = {
+    val cand = lshDocsAndCandidates(s, dir)._2
+    val truth = d03(s, dir).select(col("ida"), col("idb"))
+    val nt = truth.groupBy().agg(count(lit(1)).as("n_true"))
+    val nc = cand.groupBy().agg(count(lit(1)).as("n_candidates"))
+    val nb = truth.join(cand, Seq("ida", "idb"))
+      .groupBy().agg(count(lit(1)).as("n_caught"))
+    nt.crossJoin(broadcast(nc)).crossJoin(broadcast(nb))
+      .select(col("n_true"), col("n_candidates"), col("n_caught"),
+        expr("n_caught * 1000000 DIV greatest(n_true, 1)").as("recall_ppm"),
+        expr("n_caught * 1000000 DIV greatest(n_candidates, 1)").as("precision_ppm"))
   }
+
+  private val d21Sql =
+    s"""WITH $d04CandCtes,
+       |tz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |tcm AS (SELECT a.doc_id ida, b.doc_id idb, count(*) c
+       |        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |truth AS (SELECT ida, idb
+       |          FROM tcm JOIN tz sa ON ida = sa.doc_id JOIN tz sb ON idb = sb.doc_id
+       |          WHERE c / (sa.n + sb.n - c) >= 0.5),
+       |nt AS (SELECT count(*) AS n_true FROM truth),
+       |nc AS (SELECT count(*) AS n_candidates FROM cand),
+       |nb AS (SELECT count(*) AS n_caught FROM truth JOIN cand USING (ida, idb))
+       |SELECT nt.n_true, nc.n_candidates, nb.n_caught,
+       |  nb.n_caught * 1000000 // greatest(nt.n_true, 1) AS recall_ppm,
+       |  nb.n_caught * 1000000 // greatest(nc.n_candidates, 1) AS precision_ppm
+       |FROM nt, nc, nb""".stripMargin
 
   /** d06: containment near-dup pairs — one-sided Jaccard,
     * c / min(|A|, |B|) >= 0.8. Catches the quote/extension case symmetric
@@ -983,6 +1040,7 @@ object Dedup extends QueryModule {
     QueryDef("d18_source_dup_matrix", d18, Some(d18Sql)),
     QueryDef("d19_best_survivor", d19, Some(d19Sql)),
     QueryDef("d20_jaccard_sweep", d20, Some(d20Sql)),
+    QueryDef("d21_lsh_stage_audit", d21, Some(d21Sql)),
   )
 
   /** d18: cross-source duplication matrix — project the d03 near-dup

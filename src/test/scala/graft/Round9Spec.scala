@@ -377,6 +377,22 @@ class Round9Spec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_docs")).sum > 0L)
   }
 
+  test("d21: stage audit is consistent with d03's truth and d04's verified output") {
+    val r = SparkEntry.queries("d21_lsh_stage_audit")(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nt, nc, nb) = (row.getAs[Long]("n_true"),
+      row.getAs[Long]("n_candidates"), row.getAs[Long]("n_caught"))
+    assert(nb <= math.min(nt, nc))
+    assert(row.getAs[Long]("recall_ppm") === nb * 1000000L / math.max(nt, 1L))
+    assert(row.getAs[Long]("precision_ppm") === nb * 1000000L / math.max(nc, 1L))
+    assert(nt === SparkEntry.queries("d03_ngram_jaccard")(spark, dir).count(),
+      "truth is exactly the d03 pair set")
+    // d04 = verify(candidates) at the same 0.5 threshold, so its output
+    // IS the caught set (df-cap vacuous on this data — the d03 contract)
+    assert(nb === SparkEntry.queries("d04_minhash_lsh")(spark, dir).count())
+  }
+
   test("q52: the salted join equals the plain join bit for bit") {
     val salted = SparkEntry.queries("q52_salted_skew_join")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
