@@ -393,6 +393,34 @@ class Round9Spec extends AnyFunSuite {
     assert(nb === SparkEntry.queries("d04_minhash_lsh")(spark, dir).count())
   }
 
+  test("d21: borderline j=0.5 pairs expose band misses — the audit bites") {
+    // 40 doc pairs sharing EXACTLY half their shingle union (j = 0.5, the
+    // threshold): at j=0.5 a 128-hash banded signature catches a pair with
+    // only ~6% probability, so the stage audit must report recall < 1 —
+    // the miss class the verify stage can never repair. Token namespaces
+    // are disjoint per pair, so truth is exactly the 40 planted pairs.
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-d21").toString
+    val rows = (0 until 40).flatMap { i =>
+      val shared = (0 until 14).map(j => s"p${i}w$j")
+      val a = shared ++ (14 until 20).map(j => s"p${i}y$j")
+      val b = shared ++ (14 until 20).map(j => s"p${i}x$j")
+      Seq((i.toLong, a.mkString(" "), "en", "src0", 100L),
+        ((100 + i).toLong, b.mkString(" "), "en", "src0", 100L))
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(out + "/documents.parquet")
+    try {
+      val r = SparkEntry.queries("d21_lsh_stage_audit")(spark, out).collect().head
+      assert(r.getAs[Long]("n_true") === 40L, "every planted pair is a true >=0.5 pair")
+      val caught = r.getAs[Long]("n_caught")
+      assert(caught < 40L, "some j=0.5 pair must be missed by the bands")
+      assert(r.getAs[Long]("recall_ppm") === caught * 1000000L / 40L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("q52: the salted join equals the plain join bit for bit") {
     val salted = SparkEntry.queries("q52_salted_skew_join")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
