@@ -355,6 +355,7 @@ object EventsQueries extends QueryModule {
     QueryDef("e21_seasonality", e21, Some(e21Sql)),
     QueryDef("e22_bot_cohorts", e22, Some(e22Sql)),
     QueryDef("e23_session_conversion", e23, Some(e23Sql)),
+    QueryDef("e24_recency_score", e24, Some(e24Sql)),
   )
 
   /** e12: inter-event gap profile — the think-time/arrival-rate
@@ -820,6 +821,45 @@ object EventsQueries extends QueryModule {
       |FROM p
       |JOIN n na ON na.event_type = p.type_a
       |JOIN n nb ON nb.event_type = p.type_b, tot""".stripMargin
+
+  /** e24: recency-weighted activity ranking — the top-20 most-engaged
+    * users under exponential decay, with the decay kept EXACT: an event
+    * aged d days contributes weight 1e6 >> d (integer halving per day —
+    * the geometric 2^−d kernel with no libm pow, no float accumulation,
+    * identical bits in both engines; ages ≥ 20 days shift to 0, the
+    * honest cutoff of ppm resolution). The engagement leaderboard a
+    * ranking/retention system maintains — e15 counts WHO was active,
+    * this weights HOW RECENTLY — and the integer-decay trick is the
+    * general recipe for any half-life score under DETERMINISM.md.
+    *
+    * Scale shape: age is row-local integer µs arithmetic against a
+    * 1-row aggregate-capped max-day broadcast; ONE user aggregate with
+    * map-side combine; top-20 via distributed TakeOrderedAndProject
+    * (never a global sort).
+    */
+  private def e24(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir).select(col("user_id"),
+      expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val mx = e.groupBy().agg(max(col("day")).as("mxd"))
+    e.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        expr("shiftright(1000000L, cast(least(mxd - day, 62L) as int))").as("w"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("score"))
+      .orderBy(col("score").desc, col("user_id"))
+      .limit(20)
+  }
+
+  private val e24Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |mx AS (SELECT max(day) AS mxd FROM e)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(1000000 >> CAST(least(mx.mxd - e.day, 62) AS INTEGER)) AS BIGINT) AS score
+      |FROM e CROSS JOIN mx
+      |GROUP BY 1
+      |ORDER BY score DESC, user_id
+      |LIMIT 20""".stripMargin
 
   /** e23: session-level conversion report — e03's sessionization (same
     * 30-minute gap rule, same lag + running-sum plan) composed with an

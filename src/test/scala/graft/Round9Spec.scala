@@ -421,6 +421,21 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("e24: the decayed leaderboard matches a driver-side recomputation") {
+    val out = SparkEntry.queries("e24_recency_score")(spark, dir).collect()
+    assert(out.length === 20)
+    val days = graft.core.Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mxd = days.map(_._2).max
+    val scores = days.groupBy(_._1).map { case (u, es) =>
+      u -> (es.length.toLong,
+        es.map(e => 1000000L >> math.min(mxd - e._2, 62L).toInt).sum)
+    }
+    val expect = scores.toSeq.sortBy { case (u, (_, sc)) => (-sc, u) }.take(20)
+    assert(out.map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSeq === expect)
+  }
+
   test("q52: the salted join equals the plain join bit for bit") {
     val salted = SparkEntry.queries("q52_salted_skew_join")(spark, dir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
