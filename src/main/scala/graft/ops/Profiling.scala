@@ -766,6 +766,7 @@ object Profiling extends QueryModule {
     QueryDef("p22_length_outliers", p22, Some(p22Sql)),
     QueryDef("p23_fk_integrity", p23, Some(p23Sql)),
     QueryDef("p24_dup_quality", p24, Some(p24Sql)),
+    QueryDef("p25_corpus_manifest", p25, Some(p25Sql)),
   )
 
   /** p22: robust per-source length-outlier report — Tukey fences on
@@ -970,6 +971,49 @@ object Profiling extends QueryModule {
        |  max(qv.quality) AS max_quality
        |FROM sb JOIN qv USING (doc_id)
        |GROUP BY 1""".stripMargin
+
+  /** Per-table canonical row string for [[p25]]'s content digest —
+    * (Spark column expr, DuckDB expr) pairs defined together so the two
+    * engines hash identical bytes.
+    */
+  private val manifestRows: Seq[(String, Column, String)] = Seq(
+    ("documents",
+      concat_ws("|", col("doc_id"), md5(col("text"))),
+      "CAST(doc_id AS VARCHAR) || '|' || md5(text)"),
+    ("events",
+      concat_ws("|", col("event_id"), unix_micros(col("ts")), col("event_type")),
+      "CAST(event_id AS VARCHAR) || '|' || CAST(epoch_us(ts) AS VARCHAR) || '|' || event_type"),
+    ("embeddings",
+      concat_ws("|", col("vec_id"), col("label")),
+      "CAST(vec_id AS VARCHAR) || '|' || CAST(label AS VARCHAR)"))
+
+  /** p25: corpus manifest — the reproducibility fingerprint a training
+    * run records next to its config: per table, the row count and an
+    * ORDER-INDEPENDENT content digest (the exact DECIMAL(38,0) sum of
+    * each row's 60-bit md5 fold). Re-running the manifest after any
+    * silent mutation — a regenerated shard, a late upsert, one flipped
+    * byte — changes the digest; partition order, file order and shuffle
+    * order cannot (sums commute), which is what makes the digest
+    * comparable across engines, clusters and runs. The md5 seam reuses
+    * the repo-wide hash60 kernel.
+    *
+    * Scale shape: one scan per table with an all-integer map-side
+    * combined aggregate; nothing shuffles but 1-row partials.
+    */
+  private def p25(s: SparkSession, dir: String): DataFrame =
+    manifestRows.map { case (t, rowStr, _) =>
+      Tables.table(s, dir, t)
+        .select(Sampling.hash60(rowStr).cast("decimal(38,0)").as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("content_digest"))
+        .select(lit(t).as("table_name"), col("n_rows"),
+          col("content_digest").cast("string").as("content_digest"))
+    }.reduce(_ unionAll _)
+
+  private val p25Sql = manifestRows.map { case (t, _, rowSql) =>
+    s"""SELECT '$t' AS table_name, count(*) AS n_rows,
+       |  CAST(sum(CAST(${OracleSql.hex60(s"($rowSql)")} AS DECIMAL(38,0))) AS VARCHAR) AS content_digest
+       |FROM $t""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "")
 
   /** p08: declarative ingest-validation — every constraint evaluated in
     * ONE scan (a conditional sum per rule inside a single aggregate, the
