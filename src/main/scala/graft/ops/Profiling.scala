@@ -1002,7 +1002,9 @@ object Profiling extends QueryModule {
     */
   private def p25(s: SparkSession, dir: String): DataFrame =
     manifestRows.map { case (t, rowStr, _) =>
-      Tables.table(s, dir, t)
+      // events MUST go through the normalizeEventTs seam: unix_micros
+      // rejects TIMESTAMP_NTZ, and the driver's parquet encodes ts NTZ.
+      (if (t == "events") Tables.events(s, dir) else Tables.table(s, dir, t))
         .select(Sampling.hash60(rowStr).cast("decimal(38,0)").as("h"))
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("content_digest"))
         .select(lit(t).as("table_name"), col("n_rows"),
