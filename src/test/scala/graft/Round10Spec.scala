@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 hardening tests: the d17 degree-ordered triangle
+  * orientation under adversarial skew (VERDICT r9 #3), and related
+  * invariants the DuckDB oracle can't express.
+  */
+class Round10Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Planted hot node: a 200-leaf star (0 triangles) unioned with a
+    * 5-clique. Under the old id-ordered orientation a low-id hub apexes
+    * C(200,2) = 19900 wedges; degree-ordering must direct every star
+    * edge INTO the hub (out-degree 0) so the wedge work is the clique's
+    * alone, while counts stay exact.
+    */
+  test("d17 kernel: degree-ordered orientation kills hub wedges, counts stay exact") {
+    import spark.implicits._
+    val hub = 0L
+    val star = (1L to 200L).map(l => (hub, l)) // hub id sorts LOWEST: worst case for id-order
+    val cliqueIds = Seq(1000L, 1001L, 1002L, 1003L, 1004L)
+    val clique = for {
+      a <- cliqueIds; b <- cliqueIds if a < b
+    } yield (a, b)
+    val edges = (star ++ clique).toDF("ida", "idb")
+
+    // orientation: hub receives everything, emits nothing
+    val oriented = graft.ops.Dedup.orientByDegree(edges).cache()
+    val hubOut = oriented.filter(col("src") === hub).count()
+    assert(hubOut === 0L, "hub (deg 200) must rank above all leaves (deg 1)")
+    val maxOut = oriented.groupBy(col("src")).agg(count(lit(1)).as("out"))
+      .agg(max(col("out"))).head().getLong(0)
+    assert(maxOut <= 4L, s"max out-degree must be clique-bounded, got $maxOut")
+
+    // counts: each clique node closes C(4,2)=6 triangles; star contributes none
+    val got = graft.ops.Dedup.triangleCounts(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === cliqueIds.map(_ -> 6L).toMap)
+    oriented.unpersist()
+  }
+
+  test("q52 adaptive salt: fanout tracks measured skew; planted-hot-key corpus stays exact") {
+    import graft.queries.Relational6.saltFor
+    // uniform corpus degenerates to the plain join; hot key spreads to
+    // ~average; fanout never exceeds the partition count
+    assert(saltFor(1.0, 32) === 1)
+    assert(saltFor(1.77, 32) === 2) // this testdata's actual regime
+    assert(saltFor(600.0, 32) === 32)
+    assert(saltFor(0.5, 32) === 1)
+
+    // planted 30%-on-one-key corpus: q52 must choose a salt > 2 via the
+    // p16 seam and still match the plain join bit-for-bit
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_skew").toFile
+    val n = 10000
+    val li = (0 until n).map { i =>
+      val partkey = if (i % 10 < 3) 7L else (i % 500).toLong + 100L
+      (i.toLong, partkey, 1.0 + (i % 5), 10.0 + (i % 7))
+    }.toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    li.write.parquet(new java.io.File(out, "lineitem.parquet").getAbsolutePath)
+    (0 until 700).map(i => (i.toLong, s"brand${i % 20}"))
+      .toDF("p_partkey", "p_brand")
+      .write.parquet(new java.io.File(out, "part.parquet").getAbsolutePath)
+    try {
+      val dir = out.getAbsolutePath
+      val xAvg = graft.ops.Profiling.skewReport(spark, dir)
+        .select(org.apache.spark.sql.functions.col("x_avg")).head().getDouble(0)
+      assert(saltFor(xAvg, 32) > 2, s"planted 30% key must demand real fanout, x_avg=$xAvg")
+      val got = SparkEntry.queries("q52_salted_skew_join")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      val want = graft.core.Tables.lineitem(spark, dir)
+        .join(graft.core.Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.core.Num.dsum(col("l_quantity")).as("sum_qty"),
+          graft.core.Num.dsum(col("l_extendedprice")).as("sum_price"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(got === want, "salting must change partitioning and nothing else")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(out)
+  }
+
+  test("bench delta-vs-local: movers reported with fp attribution; SF mismatch mutes") {
+    val dir = java.nio.file.Files.createTempDirectory("benchref").toFile
+    val ref = new java.io.File(dir, "ref.json")
+    java.nio.file.Files.writeString(ref.toPath,
+      """{"metric":"total","queries":{"qa":1.0,"qb":1.0,"qc":1.0},
+        |"plan_fp":{"qa":"aaa","qb":"bbb","qc":"ccc"},"sf":"/data/sf0.1"}""".stripMargin.replace("\n", ""))
+    val results = Seq(
+      "qa" -> (5.0, 5.0, Seq(5.0), 0.0, "aaa"),   // 5x slower, same plan -> env
+      "qb" -> (4.0, 4.0, Seq(4.0), 0.0, "xxx"),   // 4x slower, plan changed
+      "qc" -> (1.1, 1.1, Seq(1.1), 0.0, "ccc"))   // within noise -> absent
+    val d = Bench.deltaVsRef(results, "/elsewhere/sf0.1", ref.getAbsolutePath)
+    assert(d.contains(""""q":"qa"""") && d.contains(""""fp":"same""""), d)
+    assert(d.contains(""""q":"qb"""") && d.contains(""""fp":"diff""""), d)
+    assert(!d.contains("qc"), d)
+    // largest mover first
+    assert(d.indexOf("\"qa\"") < d.indexOf("\"qb\""), d)
+    // a reference recorded at a different SF is not comparable
+    assert(Bench.deltaVsRef(results, "/data/sf0.01", ref.getAbsolutePath) === "[]")
+    // absent reference file: muted, never throws
+    assert(Bench.deltaVsRef(results, "/data/sf0.1", "/nonexistent.json") === "[]")
+  }
+
+  test("d17 kernel: orientation-independence — counts equal brute force on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph on 40 nodes, ~25% density
+    val n = 40
+    val pairs = for {
+      a <- 0 until n; b <- (a + 1) until n
+      if ((a * 2654435761L + b * 40503L) % 97) < 24
+    } yield (a.toLong, b.toLong)
+    val edgeSet = pairs.toSet
+    val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- pairs; (b2, c) <- pairs if b2 == b && edgeSet((a, c))) {
+      want(a) += 1; want(b) += 1; want(c) += 1
+    }
+    val got = graft.ops.Dedup.triangleCounts(pairs.toDF("ida", "idb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want.toMap)
+    assert(got.nonEmpty, "the random graph at 25% density must contain triangles")
+  }
+}
