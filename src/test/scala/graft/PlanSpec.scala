@@ -293,12 +293,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!f.contains("text"), "p03 scan must prune the fat text column")
   }
 
-  test("lint sweep: every declared query optimizes ScaleLint-clean at test scale") {
-    // At this SF every condition-less join in the library has a
-    // broadcast-size side (s01/s02's corpus sides included), so the
-    // advisory rule should stay silent across the WHOLE registry — any
-    // new query that sneaks in an unpartitioned window or a big-big
-    // cartesian fails here by name.
+  test("lint sweep: every declared query optimizes ScaleLint-clean, waivers trip by name") {
+    // Any new query that sneaks in an unpartitioned window or a big-big
+    // cartesian fails here by name. The recorded waivers (s01/s02 exact
+    // O(n²) baselines) are held to the OPPOSITE contract: they MUST trip
+    // the corpus×corpus lint — if a refactor makes one bucketed, the
+    // stale waiver fails here and gets deleted.
     import graft.plans.ScaleLint
     spark.experimental.extraOptimizations = Seq(ScaleLint)
     try {
@@ -308,8 +308,15 @@ class PlanSpec extends AnyFunSuite {
         val fs = ScaleLint.findings.toArray.toSeq
         spark.sharedState.cacheManager.clearCache()
         if (fs.nonEmpty) Some(name -> fs) else None
+      }.toMap
+      val unwaived = flagged -- ScaleLint.waivers.keySet
+      assert(unwaived.isEmpty, s"lint findings without a waiver: $unwaived")
+      for ((name, why) <- ScaleLint.waivers) {
+        assert(SparkEntry.queries.contains(name), s"waiver for unknown query $name ($why)")
+        assert(flagged.contains(name) &&
+            flagged(name).exists(_.toString.contains("corpus x corpus")),
+          s"$name carries a waiver but no longer trips the corpus-cartesian lint - delete the stale waiver")
       }
-      assert(flagged.isEmpty, s"lint findings: $flagged")
     } finally {
       spark.experimental.extraOptimizations = Nil
       spark.sharedState.cacheManager.clearCache()
