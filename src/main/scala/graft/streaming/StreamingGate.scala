@@ -48,18 +48,40 @@ object StreamingGate extends QueryModule {
     * session value is restored even on failure; a production deployment
     * sizes this to cluster cores instead.
     */
-  private val StreamShufflePartitions = "8"
+  private val StreamShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+
+  /** Checkpoint root for the bounded gate runs. The gate's checkpoint is
+    * throwaway BY DESIGN (each run recreates its sink; recovery
+    * semantics are separately pinned by StreamingRecoverySpec against
+    * real on-disk checkpoints), so it goes on tmpfs when the host has
+    * one: every state-store delta commit fsyncs to the checkpoint
+    * volume, and on a disk-bound host that IO — not the join/agg work —
+    * dominates a short stream's wall time. A production deployment
+    * points this at durable storage instead.
+    */
+  private lazy val ckRoot: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+    else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
 
   private def runToTable(s: SparkSession, name: String, mode: String = "append")(
       out: => DataFrame): DataFrame = {
     try s.catalog.dropTempView(name) catch { case _: Throwable => () }
     val before = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    val ck = java.nio.file.Files.createTempDirectory(ckRoot, s"graft_ck_$name")
     try {
       val q = out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck.toString)
         .outputMode(mode).start()
       try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", before)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", before)
+      try org.apache.commons.io.FileUtils.deleteDirectory(ck.toFile)
+      catch { case _: Throwable => () }
+    }
     s.table(name)
   }
 
