@@ -487,6 +487,12 @@ object Profiling extends QueryModule {
     * capped broadcast (p11 contract); top-20 is a distributed
     * TakeOrderedAndProject. Linear in keys, constant memory.
     */
+  /** The p16 report as a library seam: q52's adaptive salting reads the
+    * top key's `x_avg` from here, so the diagnostic and the remedy
+    * compose the way a production pipeline runs them.
+    */
+  private[graft] def skewReport(s: SparkSession, dir: String): DataFrame = p16(s, dir)
+
   private def p16(s: SparkSession, dir: String): DataFrame = {
     val byKey = Tables.lineitem(s, dir)
       .groupBy(col("l_partkey"))

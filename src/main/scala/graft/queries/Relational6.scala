@@ -150,36 +150,51 @@ object Relational6 extends QueryModule {
       |ORDER BY od, o_orderkey
       |LIMIT 20""".stripMargin
 
-  private val SkewSalt = 8 // fact-side salt fanout (dim replicated 8×)
+  /** Salt fanout from the MEASURED top-key load (p16's `x_avg` — the
+    * hot key's multiple-of-average): spreading the hot key over
+    * ceil(x_avg) reducers brings its per-reducer load down to ~the
+    * average key's. Clamped to [1, shuffle partitions]: fanout beyond
+    * the partition count buys nothing, and a uniform corpus (x_avg ≈ 1)
+    * degenerates to the plain join — the adaptive behavior a constant-8
+    * salt could not express (round-9 advice #8).
+    */
+  private[graft] def saltFor(xAvg: Double, shufflePartitions: Int): Int =
+    math.min(shufflePartitions, math.max(1, math.ceil(xAvg).toInt))
 
   /** q52: SALTED skew join — the manual remedy for a hot join key, run
     * as a declared operator so its semantics-preservation is
     * oracle-PROVEN, not assumed: the fact side adds a row-local salt in
-    * [0, 8), the (small) dimension side replicates 8× with every salt
-    * value, and the join key becomes (key, salt) — a key carrying 30%
-    * of the fact table now spreads over 8 reducers instead of melting
-    * one. The oracle is the PLAIN join + aggregate (no salt anywhere):
-    * the gate's hash match is the proof that salting changed the
-    * partitioning and nothing else.
+    * [0, salt), the (small) dimension side replicates salt× with every
+    * salt value, and the join key becomes (key, salt) — a hot key
+    * spreads over `salt` reducers instead of melting one. The salt
+    * fanout is ADAPTIVE: the top key's measured multiple-of-average
+    * load from p16's skew report ([[graft.ops.Profiling.skewReport]])
+    * feeds [[saltFor]] — diagnostic and remedy composed exactly as a
+    * production pipeline runs them. The oracle is the PLAIN join +
+    * aggregate (no salt anywhere): the gate's hash match is the proof
+    * that salting changed the partitioning and nothing else.
     *
-    * When to reach for it (p16's report is the input): AQE's skew-join
-    * split covers sort-merge joins automatically, but salting is the
-    * remedy that also works for skewed AGGREGATION keys, for
-    * stream-stream joins (no AQE), and when the skew is known ahead of
-    * planning. The salt is derived from l_orderkey (uniform, stable
-    * across retries — never rand(), which breaks retry determinism and
-    * the oracle). Dim replication costs 8×|dim| rows — cheap exactly
-    * when the dim is broadcast-small, which is also when the plain join
-    * would NOT shuffle the fact side; the salted form targets the
-    * shuffle-join regime, so the dim side is deliberately unhinted.
+    * When to reach for it: AQE's skew-join split covers sort-merge
+    * joins automatically, but salting is the remedy that also works for
+    * skewed AGGREGATION keys, for stream-stream joins (no AQE), and
+    * when the skew is known ahead of planning. The salt is derived from
+    * l_orderkey (uniform, stable across retries — never rand(), which
+    * breaks retry determinism and the oracle). Dim replication costs
+    * salt×|dim| rows — cheap exactly when the dim is broadcast-small,
+    * which is also when the plain join would NOT shuffle the fact side;
+    * the salted form targets the shuffle-join regime, so the dim side
+    * is deliberately unhinted.
     */
   private def q52(s: SparkSession, dir: String): DataFrame = {
+    val topXAvg = graft.ops.Profiling.skewReport(s, dir)
+      .select(col("x_avg")).head().getDouble(0)
+    val salt = saltFor(topXAvg, s.conf.get("spark.sql.shuffle.partitions").toInt)
     val li = Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
-        pmod(col("l_orderkey"), lit(SkewSalt.toLong)).as("salt"))
+        pmod(col("l_orderkey"), lit(salt.toLong)).as("salt"))
     val pt = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_brand"))
-      .crossJoin(s.range(0, SkewSalt).select(col("id").as("salt")))
+      .crossJoin(s.range(0, salt).select(col("id").as("salt")))
     li.join(pt, col("l_partkey") === col("p_partkey") && li("salt") === pt("salt"))
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_items"),
