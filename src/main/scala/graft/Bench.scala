@@ -35,6 +35,48 @@ object Bench {
     }
   }
 
+  /** Driver-vs-local delta table (round-9 advice: make environment noise
+    * separable from plan changes at a glance). Compares this run's warm
+    * medians against a COMMITTED local reference record
+    * (bench_local_ref.json, the builder's own machine at the same SF)
+    * and reports the queries that moved by >2x and >1 s in either
+    * direction, each tagged `fp:same` (identical canonicalized-plan
+    * fingerprint — the delta is environmental) or `fp:diff` (the plan
+    * changed — the delta is code-attributable). Bounded to the 8
+    * largest movers so the compact line survives the driver's stdout
+    * tail. Returns "[]" when the reference is absent or unparsable, or
+    * was recorded at a different SF (cross-SF ratios are meaningless).
+    */
+  private[graft] def deltaVsRef(
+      results: Seq[(String, (Double, Double, Seq[Double], Double, String))],
+      sfDir: String, refPath: String): String = {
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    try {
+      val f = new java.io.File(refPath)
+      if (!f.exists()) return "[]"
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val refSf = Option(node.get("sf")).map(_.asText).getOrElse("")
+      if (new java.io.File(refSf).getName != new java.io.File(sfDir).getName) return "[]"
+      val refQ = node.get("queries")
+      val refFp = node.get("plan_fp")
+      val movers = results.flatMap { case (name, (warm, _, _, _, fp)) =>
+        val r = Option(refQ).flatMap(q => Option(q.get(name))).map(_.asDouble(-1.0)).getOrElse(-1.0)
+        if (warm <= 0 || r <= 0) None
+        else {
+          val ratio = warm / r
+          if ((ratio > 2.0 || ratio < 0.5) && math.abs(warm - r) > 1.0) {
+            val rfp = Option(refFp).flatMap(p => Option(p.get(name))).map(_.asText).getOrElse("")
+            val tag = if (rfp.nonEmpty && rfp == fp) "same" else "diff"
+            Some((name, warm, r, ratio, tag))
+          } else None
+        }
+      }.sortBy { case (_, _, _, ratio, _) => -math.abs(math.log(ratio)) }.take(8)
+      movers.map { case (n, w, r, x, tag) =>
+        s"""{"q":"$n","now":${fmt(w)},"ref":${fmt(r)},"x":${fmt(x)},"fp":"$tag"}"""
+      }.mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
+  }
+
   /** Render the (full, compact) summary JSON lines from the per-query
     * results: name -> (warm, cold, warmSamples, load, planFp). Factored
     * from main so the two loudness tripwires are unit-testable (the
@@ -51,7 +93,7 @@ object Bench {
     */
   private[graft] def renderSummary(
       results: Seq[(String, (Double, Double, Seq[Double], Double, String))],
-      sfDir: String, out: String): (String, String) = {
+      sfDir: String, out: String, deltaJson: String = "[]"): (String, String) = {
     def inverted(warm: Double, cold: Double): Boolean =
       cold > 0 && warm > cold * 1.5 && warm - cold > 1.0
     // 3-decimal times: ms resolution is below run-to-run noise, and the
@@ -77,14 +119,14 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED (-1.0 sentinel): ${failed.mkString(", ")}")
     val errList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_._1)},"first_run":${map(_._2)},"warm_samples":$samplesMap,"load":${map(_._4)},"plan_fp":$fpMap,"warm_exceeds_cold":$guard,"errors":$errList,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_._1)},"first_run":${map(_._2)},"warm_samples":$samplesMap,"load":${map(_._4)},"plan_fp":$fpMap,"warm_exceeds_cold":$guard,"errors":$errList,"delta_vs_local":$deltaJson,"sf":"$sfDir"}"""
     // The per-query maps (~5 KB at 97 queries) overflow the bounded
     // stdout tail the driver captures — all four rounds' BENCH files
     // show "parsed": null from the line being truncated mid-JSON. So the
     // full record goes to the output FILE (and to stdout first, for
     // humans), and a short self-contained summary line prints LAST so
     // the captured tail always ends in parseable JSON.
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"errors":$errList,"queries_file":"$out","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"errors":$errList,"delta_vs_local":$deltaJson,"queries_file":"$out","sf":"$sfDir"}"""
     (full, compact)
   }
 
@@ -231,7 +273,8 @@ object Bench {
       name -> (warm, cold, warmSamples, load, fp)
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val (full, compact) = renderSummary(results, sfDir, out)
+    val ref = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_local_ref.json")
+    val (full, compact) = renderSummary(results, sfDir, out, deltaVsRef(results, sfDir, ref))
     // stop BEFORE printing so no late executor/log line lands after the
     // JSON lines.
     spark.stop()

@@ -821,4 +821,72 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir10))
     }
   }
+
+  /** 10x tripwires for the STATEFUL streaming gates (round-9 advice #6):
+    * es03 (flatMapGroupsWithState sessionize), es05 (stream-stream
+    * interval join state), es17 (mapGroupsWithState quota). Synthetic
+    * corpus = k user/event-id-offset copies of the sf0.01 events table
+    * (per-user density constant, population 10x — the realistic growth
+    * axis). Pins: wall time ~linear, and peak STATE-STORE ROWS ~linear
+    * and actually ~10x (a state leak shows super-linear rows; a
+    * watermark bug that drops state early shows sub-linear).
+    */
+  test("streaming stateful 10x scaling: es03/es05/es17 wall time and state rows ~linear") {
+    import graft.streaming.EventStream
+    val base = "/root/testdata/sf0.01"
+    def mkDir(k: Int): String = {
+      val raw = graft.core.Tables.events(spark, base)
+      val out = java.nio.file.Files.createTempDirectory(s"graft_es${k}x").toFile
+      val scaled = (0 until k).map(i => raw
+          .withColumn("user_id", col("user_id") + lit(i * 1000000000L))
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L)))
+        .reduce(_.union(_))
+      val stage = new java.io.File(out, "stage")
+      scaled.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(out, "events.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      out.getAbsolutePath
+    }
+    // (elapsed, peak total state rows across micro-batches)
+    def run(name: String, stream: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val t0 = System.nanoTime()
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      val peak = q.recentProgress
+        .map(p => p.stateOperators.map(_.numRowsTotal).sum).maxOption.getOrElse(0L)
+      (dt, peak)
+    }
+    def streams(d: String): Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("es03x", () => EventStream.sessionize(spark,
+        EventStream.readEventsWith(spark, d, None)).toDF()),
+      ("es05x", () => EventStream.intervalJoin(
+        EventStream.readEventsWith(spark, d, None))),
+      ("es17x", () => EventStream.dailyQuota(spark,
+        EventStream.readEventsWith(spark, d, None)).toDF()))
+    val dir1 = mkDir(1)
+    val dir10 = mkDir(10)
+    try {
+      streams(dir1).foreach { case (n, s) => run(n, s()) } // warm codegen/JIT
+      val r1 = streams(dir1).map { case (n, s) => n -> run(n, s()) }.toMap
+      val r10 = streams(dir10).map { case (n, s) => n -> run(n, s()) }.toMap
+      for (n <- r1.keys.toSeq.sorted) {
+        val (t1, s1) = r1(n); val (t10, s10) = r10(n)
+        info(f"$n: 1x $t1%.1fs/$s1 state rows -> 10x $t10%.1fs/$s10 rows")
+        assert(t10 <= t1 * 25 + 10.0, f"$n wall time super-linear: $t1%.1fs -> $t10%.1fs")
+        assert(s10 <= s1 * 15 + 1000, s"$n state rows super-linear: $s1 -> $s10 (leak?)")
+        assert(s10 >= s1 * 5, s"$n 10x corpus must hold ~10x state: $s1 -> $s10")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir1))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir10))
+    }
+  }
 }
