@@ -200,11 +200,58 @@ object Sampling extends QueryModule {
        |      FROM documents)
        |GROUP BY 1""".stripMargin
 
+  /** p26: temperature-flattened domain mixture — the multilingual-
+    * pretraining resampling rule p_d ∝ s_d^α with α = 1/2: rare
+    * languages keep everything, dominant ones downsample toward a
+    * flatter mix. Per-language keep fraction F_d = sqrt(c_min / c_d)
+    * (the α=1/2 weights normalized so the rarest stratum's fraction is
+    * exactly 1 — downsampling only, never fabricating rows), applied as
+    * a deterministic md5-hash threshold per doc: the same doc keeps or
+    * drops identically on every run, engine, and cluster.
+    *
+    * α = 1/2 is chosen deliberately over the literature's free τ: the
+    * threshold needs only /, sqrt, *, floor — all IEEE-exactly-rounded
+    * in BOTH engines — where a general pow() is a libm call with
+    * engine-varying last ulps (DETERMINISM.md). The comparison itself
+    * runs on exact 60-bit integers.
+    *
+    * Scale shape: one count aggregate (|langs| rows) broadcast back;
+    * the keep decision is a row-local hash compare — one scan, one
+    * tiny broadcast, no second shuffle.
+    */
+  private def p26(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+    val thr = counts
+      .crossJoin(broadcast(counts.agg(min(col("c")).as("cmin"))))
+      .select(col("lang"),
+        floor(lit(Pow60) *
+          sqrt(col("cmin").cast("double") / col("c").cast("double")))
+          .cast("long").as("thr"))
+    docs.join(broadcast(thr), "lang")
+      .select(col("doc_id"), col("lang"),
+        (hash60(concat(lit("mix_"), col("doc_id").cast("string"))) < col("thr"))
+          .as("kept"))
+  }
+
+  private val p26Sql =
+    s"""WITH d AS (SELECT doc_id, lang FROM documents),
+       |c AS (SELECT lang, count(*) AS c FROM d GROUP BY 1),
+       |m AS (SELECT min(c) AS cmin FROM c),
+       |t AS (SELECT lang,
+       |  CAST(floor(1152921504606846976.0 *
+       |    sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE))) AS BIGINT) AS thr
+       |  FROM c, m)
+       |SELECT d.doc_id, d.lang,
+       |  ${OracleSql.hex60("'mix_' || CAST(doc_id AS VARCHAR)")} < t.thr AS kept
+       |FROM d JOIN t USING (lang)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p03_split_assign", p03, Some(p03Sql)),
     QueryDef("p04_shuffle_order", p04, Some(p04Sql)),
     QueryDef("p05_balanced_sample", p05, Some(p05Sql)),
     QueryDef("p09_split_drift", p09, Some(p09Sql)),
     QueryDef("p10_batch_pack", p10, Some(p10Sql)),
+    QueryDef("p26_temperature_mixture", p26, Some(p26Sql)),
   )
 }

@@ -451,6 +451,32 @@ object StreamingGate extends QueryModule {
       |  c.c_mktsegment AS mktsegment, c.c_nationkey AS nationkey
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin
 
+  /** es23: the es02 tumbling aggregation run on the ROCKSDB state store
+    * — the state backend a 100 TB deployment actually runs: the
+    * HDFS-backed default holds every state row in executor HEAP (state
+    * size is bounded by memory), while RocksDB spills to local SSD and
+    * bounds only the working set. Same query, same oracle; what the
+    * gate proves is that results are IDENTICAL under the swapped
+    * backend — the provider is a pure storage choice, not a semantics
+    * choice. The conf is session-scoped, so it is set for this start
+    * and restored after (a production job sets it once in
+    * spark-defaults).
+    */
+  private def es23(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToTable(s, "es23_sink") {
+      EventStream.tumblingAgg(EventStream.readEventsWith(s, dir, maxFilesPerTrigger = None))
+    } finally before match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  private val es23Sql = es02Sql
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("es01_rollup_snapshot", es01, Some(es01Sql)),
     QueryDef("es02_tumbling_closed", es02, Some(es02Sql)),
@@ -474,6 +500,7 @@ object StreamingGate extends QueryModule {
     QueryDef("es20_window_matrix", es20, Some(es20Sql)),
     QueryDef("es21_window_distinct_users", es21, Some(es21Sql)),
     QueryDef("es22_available_now", es22, Some(es22Sql)),
+    QueryDef("es23_rocksdb_state", es23, Some(es23Sql)),
   )
 
   /** es20: per-closed-window event-type MATRIX — one row per finalized

@@ -293,6 +293,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!f.contains("text"), "p03 scan must prune the fat text column")
   }
 
+  test("runtime bloom-filter join: Catalyst injects a bloom probe into the fact scan") {
+    // The 100 TB shuffle-reducer: a selective dim-side predicate becomes
+    // a bloom filter probed on the FACT side before the shuffle, so
+    // non-matching fact rows never cross the wire. Injection is gated on
+    // size estimates (correctly absent at test scale), so the test
+    // lowers the application-side threshold to force the decision and
+    // pins BOTH the plan shape and result equality with the filter off.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // injection only pays before a SHUFFLE: at test scale the dim side
+      // would broadcast (no shuffle to save), so force the shuffle-join
+      // regime the rule targets at 100 TB
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def q = graft.core.Tables.lineitem(spark, dir)
+        .join(graft.core.Tables.orders(spark, dir)
+          .filter(col("o_totalprice") > 400000.0), // selective creation side
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloom"),
+        s"no bloom filter injected into the fact side:\n$plan")
+      val on = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val off = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(on === off, "runtime filtering must be semantics-free")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("lint sweep: every declared query optimizes ScaleLint-clean, waivers trip by name") {
     // Any new query that sneaks in an unpartitioned window or a big-big
     // cartesian fails here by name. The recorded waivers (s01/s02 exact

@@ -81,6 +81,62 @@ class Round10Spec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(out)
   }
 
+  test("p26 temperature mixture: rarest stratum keeps all; kept share tracks sqrt(cmin/c)") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("p26_temperature_mixture")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val byLang = out.groupBy(_._2).view.mapValues { rs =>
+      (rs.length.toLong, rs.count(_._3).toLong)
+    }.toMap
+    val cmin = byLang.values.map(_._1).min
+    for ((lang, (c, kept)) <- byLang) {
+      val f = math.sqrt(cmin.toDouble / c.toDouble)
+      if (c == cmin)
+        assert(kept === c, s"$lang is the rarest stratum and must keep everything")
+      else {
+        // hash-uniform keep rate concentrates around F_d; 3-sigma binomial band
+        val sigma = math.sqrt(c * f * (1 - f))
+        assert(math.abs(kept - c * f) <= 3 * sigma + 1,
+          s"$lang kept $kept of $c, expected ~${c * f}")
+      }
+    }
+    // determinism: a second run keeps the identical doc set
+    val again = SparkEntry.queries("p26_temperature_mixture")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(again === out.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("es23: the RocksDB provider actually backs the state store and matches es02") {
+    val dir = "/root/testdata/sf0.001"
+    // gate-level equality: swapped backend, identical finalized output
+    val hdfs = SparkEntry.queries("es02_tumbling_closed")(spark, dir)
+      .collect().map(_.toString).sorted
+    val rocks = SparkEntry.queries("es23_rocksdb_state")(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(rocks === hdfs, "state backend must be a storage choice, not a semantics choice")
+    // and the provider really is RocksDB: run the same stream holding the
+    // query handle and look for rocksdb custom metrics in the progress
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      try spark.catalog.dropTempView("es23_probe") catch { case _: Throwable => () }
+      val q = graft.streaming.EventStream.tumblingAgg(
+          graft.streaming.EventStream.readEventsWith(spark, dir, None))
+        .writeStream.format("memory").queryName("es23_probe")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val metricKeys = q.recentProgress
+        .flatMap(_.stateOperators.flatMap(_.customMetrics.keySet.toArray.map(_.toString)))
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb state-store metrics in progress: ${metricKeys.distinct.mkString(",")}")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("bench delta-vs-local: movers reported with fp attribution; SF mismatch mutes") {
     val dir = java.nio.file.Files.createTempDirectory("benchref").toFile
     val ref = new java.io.File(dir, "ref.json")
