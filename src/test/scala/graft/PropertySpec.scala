@@ -223,4 +223,23 @@ class PropertySpec extends AnyFunSuite {
       assert(out === expected, s"seed=$seed")
     }
   }
+
+  test("d17 triangle kernel is invariant to edge partitioning and edge order (6 seeded cases)") {
+    import spark.implicits._
+    for (seed <- 61 to 66) {
+      val rng = new Random(seed)
+      val n = rng.nextInt(30) + 10
+      val pairs = (for {
+        a <- 0 until n; b <- (a + 1) until n if rng.nextInt(100) < 20
+      } yield (a.toLong, b.toLong))
+      val nPart = rng.nextInt(7) + 1
+      def counts(df: org.apache.spark.sql.DataFrame) =
+        graft.ops.Dedup.triangleCounts(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val base = counts(pairs.toDF("ida", "idb"))
+      val shuffled = counts(
+        new Random(seed + 1000).shuffle(pairs).toDF("ida", "idb").repartition(nPart))
+      assert(shuffled === base, s"seed=$seed nPart=$nPart")
+    }
+  }
 }
