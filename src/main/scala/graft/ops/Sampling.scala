@@ -221,7 +221,10 @@ object Sampling extends QueryModule {
     */
   private def p26(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+    // |langs| rows, consumed by both the min branch and the threshold
+    // projection — persisted so the corpus is scanned once for counts,
+    // not once per consumer (the p16 pattern)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c")).persist()
     val thr = counts
       .crossJoin(broadcast(counts.agg(min(col("c")).as("cmin"))))
       .select(col("lang"),

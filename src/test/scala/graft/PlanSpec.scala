@@ -293,6 +293,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!f.contains("text"), "p03 scan must prune the fat text column")
   }
 
+  test("p26: thresholds ride one broadcast; counts computed once and reused") {
+    val p = plan("p26_temperature_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-doc keep decision must broadcast the |langs|-row threshold table:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the counts aggregate must be persisted and reused by the min branch, not recomputed:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("runtime bloom-filter join: Catalyst injects a bloom probe into the fact scan") {
     // The 100 TB shuffle-reducer: a selective dim-side predicate becomes
     // a bloom filter probed on the FACT side before the shuffle, so
