@@ -416,4 +416,51 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(got === want,
       "post-restart append output must equal the closed batch sessions — cross-restart merges included")
   }
+
+  test("tumbling agg on ROCKSDB restarts from checkpoint: snapshot+changelog state restores") {
+    // the es23 backend under the same deleted-input restart discipline as
+    // the HDFS-backed test above: phase-1 files are gone before the
+    // restart, so only RocksDB's recovered state can complete the answer
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val splitDir = Files.createTempDirectory("graft-rocksplit").toString
+      graft.core.Tables.events(spark, dir)
+        .withColumn("ts", org.apache.spark.sql.functions.expr("unix_micros(ts) * 1000"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(splitDir)
+      val parts = new java.io.File(splitDir).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.toPath).sortBy(_.toString).toSeq
+      val streamDir = Files.createTempDirectory("graft-rockstream").toString
+      val checkpoint = Files.createTempDirectory("graft-rockckpt").toString
+      def feed(ps: Seq[Path]): Unit = ps.foreach { p =>
+        Files.copy(p, Paths.get(streamDir, s"events-${p.getFileName}"), StandardCopyOption.REPLACE_EXISTING)
+      }
+      def runOnce(name: String): Unit = {
+        val q = EventStream.tumblingAgg(EventStream.readEvents(spark, streamDir))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation", checkpoint)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      feed(parts.take(2))
+      runOnce("rocks_phase1")
+      assert(spark.table("rocks_phase1").count() > 0)
+      parts.take(2).foreach(p => Files.deleteIfExists(Paths.get(streamDir, s"events-${p.getFileName}")))
+      feed(parts.drop(2))
+      runOnce("rocks_phase2")
+      val got = spark.table("rocks_phase2")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = SparkEntry.queries("e02_tumbling_window")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === want,
+        "post-restart complete output under RocksDB must equal the full batch gold")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
