@@ -181,28 +181,39 @@ object Dedup extends QueryModule {
     * signatures and verification joins) plus the BANDED LSH candidate
     * pair ids, pre-verification. d21 audits exactly this stage.
     */
-  private def lshDocsAndCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingleArr(col("text")).as("sh"))
-      // docs with <3 words have no shingles: they can never be near-dups,
-      // and an all-MaxValue signature would bucket every such doc together
-      // (and divide by zero in the jaccard) — drop them up front
-      .filter(size(col("sh")) > 0)
-      // one 31-bit md5-derived base hash per shingle (native, one call
-      // per row); each permutation is (a*h+b)&mask
-      .withColumn("hs", graft.functions.TextFunctions.md5_hash31(col("sh")))
-      .persist()
+  /** Shingled docs with per-shingle 31-bit base hashes — the shared
+    * front of every MinHash consumer. Docs with <3 words have no
+    * shingles: they can never be near-dups, and an all-MaxValue
+    * signature would bucket every such doc together (and divide by zero
+    * in the jaccard) — dropped up front.
+    */
+  private def shingledDocs(src: DataFrame): DataFrame = src
+    .select(col("doc_id"), shingleArr(col("text")).as("sh"))
+    .filter(size(col("sh")) > 0)
+    // one 31-bit md5-derived base hash per shingle (native, one call
+    // per row); each permutation is (a*h+b)&mask
+    .withColumn("hs", graft.functions.TextFunctions.md5_hash31(col("sh")))
+
+  /** (doc_id, band, bucket) rows of a shingled frame: the banded LSH
+    * index — per-doc work, so banding delta and corpus separately costs
+    * exactly one signature pass over their union (d22's seam).
+    */
+  private def bandedOf(docs: DataFrame): DataFrame = {
     val sig = graft.functions.TextFunctions.minhash_signature(
       col("hs"), hashA, hashB)
-    // candidate pairs carry only ids through the bucket join + distinct;
-    // the (fat) shingle arrays join back afterwards, once per unique pair.
-    val banded = docs
+    docs
       .withColumn("sig", sig)
       .select(col("doc_id"),
         posexplode(array((0 until Bands).map(b =>
           concat_ws("_", slice(col("sig"), b * Rows + 1, Rows).cast("array<string>"))): _*))
           .as(Seq("band", "bucket")))
-      .persist()
+  }
+
+  private def lshDocsAndCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = shingledDocs(Tables.documents(s, dir)).persist()
+    // candidate pairs carry only ids through the bucket join + distinct;
+    // the (fat) shingle arrays join back afterwards, once per unique pair.
+    val banded = bandedOf(docs).persist()
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -231,7 +242,11 @@ object Dedup extends QueryModule {
     * hashes → permutation minima → band buckets → `cand` pair ids) —
     * shared verbatim by d04's verification tail and d21's stage audit.
     */
-  private val d04CandCtes = {
+  /** The band-index prefix alone (shingles → 31-bit hashes →
+    * permutation minima → band buckets) — shared by [[d04CandCtes]] and
+    * d22's asymmetric delta-vs-corpus candidate CTE.
+    */
+  private val d04BandCtes = {
     val prm = (0 until NumHashes)
       .map(i => s"(${i}, ${hashA(i)}, ${hashB(i)})").mkString(", ")
     s"""$shingleCte,
@@ -245,12 +260,15 @@ object Dedup extends QueryModule {
        |sigs AS (SELECT doc_id, list(s ORDER BY i) AS sig FROM ps GROUP BY 1),
        |banded AS (
        |  SELECT doc_id, bd, array_to_string(list_slice(sig, bd * $Rows + 1, bd * $Rows + $Rows), '_') AS bucket
-       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS bd)),
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(0, $Bands)) AS bd))""".stripMargin
+  }
+
+  private val d04CandCtes =
+    s"""$d04BandCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |  FROM banded a JOIN banded b
        |    ON a.bd = b.bd AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
-  }
 
   private val d04Sql =
     s"""WITH $d04CandCtes,
@@ -1020,6 +1038,81 @@ object Dedup extends QueryModule {
        |WHERE dist <= $EditK""".stripMargin
   }
 
+  // ---- d22: incremental MinHash-LSH (delta vs corpus index) ----------
+
+  /** d22: INCREMENTAL MinHash-LSH — the sketch-index variant of d13's
+    * daily-ingest near-dup check. The corpus side's (doc_id, band,
+    * bucket) rows are exactly the materialized LSH index a production
+    * pipeline keeps between ingests; the day's delta (the d13 split,
+    * `doc_id % 10 == 0`) computes signatures for ITS docs only and
+    * equi-joins the index on (band, bucket) — work ∝ |Δ| signatures +
+    * bucket-hit candidates, never corpus×corpus (settled at previous
+    * ingests) and never a re-bucketing of the corpus. Candidates verify
+    * with exact Jaccard; each delta doc reports its best match (highest
+    * Jaccard, ties to the smallest corpus id) or `new`.
+    *
+    * vs d13: d13 probes the exact shingle inverted index (recall 1 by
+    * construction, postings-bounded fanout); d22 probes the banded
+    * sketch index (recall set by the bands/rows point d21 audits,
+    * bucket-bounded fanout, 128-int signatures instead of full posting
+    * lists as the persistent index). At 100 TB the sketch index is the
+    * one that fits: O(docs) fixed-width rows, refreshed incrementally
+    * by appending the day's banded delta.
+    */
+  private def d22(s: SparkSession, dir: String): DataFrame = {
+    val all = shingledDocs(Tables.documents(s, dir)).persist()
+    val isDelta = col("doc_id") % 10 === 0
+    val cand = bandedOf(all.filter(isDelta)).as("a")
+      .join(bandedOf(all.filter(!isDelta)).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("d_id"), col("b.doc_id").as("c_id"))
+      .dropDuplicates("d_id", "c_id")
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
+    val verified = cand
+      .join(all.select(col("doc_id").as("d_id"), col("sh").as("sha")), "d_id")
+      .join(all.select(col("doc_id").as("c_id"), col("sh").as("shb")), "c_id")
+      .select(col("d_id"), col("c_id"),
+        (inter / (size(col("sha")).cast("long") + size(col("shb")).cast("long") - inter)).as("jac"))
+      .filter(col("jac") >= 0.5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d_id")).orderBy(col("jac").desc, col("c_id"))
+    val best = verified
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("d_id").as("doc_id"), col("c_id").as("dup_of"), col("jac").as("jaccard"))
+    Tables.documents(s, dir).select(col("doc_id")).filter(isDelta)
+      .join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"),
+        when(col("dup_of").isNull, "new").otherwise("near").as("verdict"))
+  }
+
+  private val d22Sql =
+    s"""WITH $d04BandCtes,
+       |cand22 AS (
+       |  SELECT DISTINCT a.doc_id AS d_id, b.doc_id AS c_id
+       |  FROM banded a JOIN banded b
+       |    ON a.bd = b.bd AND a.bucket = b.bucket
+       |   AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cm AS (
+       |  SELECT c.d_id, c.c_id, count(*) AS c
+       |  FROM cand22 c JOIN sh x ON x.doc_id = c.d_id
+       |  JOIN sh y ON y.doc_id = c.c_id AND x.shingle = y.shingle
+       |  GROUP BY 1, 2),
+       |vr AS (
+       |  SELECT d_id, c_id, c / (sa.n + sb.n - c) AS jac
+       |  FROM cm JOIN sz sa ON d_id = sa.doc_id JOIN sz sb ON c_id = sb.doc_id
+       |  WHERE c / (sa.n + sb.n - c) >= 0.5),
+       |best AS (
+       |  SELECT d_id, c_id, jac FROM (
+       |    SELECT d_id, c_id, jac,
+       |      row_number() OVER (PARTITION BY d_id ORDER BY jac DESC, c_id) AS rn
+       |    FROM vr)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, best.c_id AS dup_of, best.jac AS jaccard,
+       |  CASE WHEN best.c_id IS NULL THEN 'new' ELSE 'near' END AS verdict
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+       |LEFT JOIN best ON d.doc_id = best.d_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
     QueryDef("d02_dedup_normalized", d02, Some(d02Sql)),
@@ -1041,6 +1134,7 @@ object Dedup extends QueryModule {
     QueryDef("d19_best_survivor", d19, Some(d19Sql)),
     QueryDef("d20_jaccard_sweep", d20, Some(d20Sql)),
     QueryDef("d21_lsh_stage_audit", d21, Some(d21Sql)),
+    QueryDef("d22_incremental_lsh", d22, Some(d22Sql)),
   )
 
   /** d18: cross-source duplication matrix — project the d03 near-dup

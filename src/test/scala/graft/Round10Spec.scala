@@ -137,6 +137,29 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("d22 sketch-index verdicts are consistent with d13's exact index") {
+    // d22 candidates come from banded buckets (recall ≤ 1); d13 probes
+    // the exact shingle inverted index (recall 1 at this df regime). So
+    // every d22 'near' must be non-'new' under d13, and both must agree
+    // the verified match clears the 0.5 threshold. Also report sketch
+    // recall: the fraction of d13's near/exact docs d22's bands caught
+    // (tuned by the d21-audited bands/rows point — at 32x4 it is 1.0 on
+    // this corpus).
+    val dir = "/root/testdata/sf0.01"
+    val d22 = SparkEntry.queries("d22_incremental_lsh")(spark, dir)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_ => r.getLong(1)),
+        r.getString(3))).toSeq
+    val d13 = SparkEntry.queries("d13_incremental_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d22.map(_._1).toSet === d13.keySet, "both classify the same delta")
+    val d22near = d22.filter(_._3 == "near").map(_._1).toSet
+    val d13dup = d13.collect { case (id, v) if v != "new" => id }.toSet
+    assert(d22near.subsetOf(d13dup),
+      s"sketch-index 'near' outside the exact index's dup set: ${d22near -- d13dup}")
+    assert(d22near.nonEmpty, "the sf0.01 corpus contains near-dups in the delta")
+    info(s"sketch recall vs exact index: ${d22near.size}/${d13dup.size}")
+  }
+
   test("bench delta-vs-local: movers reported with fp attribution; SF mismatch mutes") {
     val dir = java.nio.file.Files.createTempDirectory("benchref").toFile
     val ref = new java.io.File(dir, "ref.json")
