@@ -293,6 +293,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!f.contains("text"), "p03 scan must prune the fat text column")
   }
 
+  test("d22: band-index probe is an equi-join; best-match top-1 runs as WindowGroupLimit") {
+    val p = plan("d22_incremental_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"delta-vs-index candidates must meet on the (band, bucket) equi-key:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the rn=1 best-match filter must push down as a partial group limit:\n$p")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("p26: thresholds ride one broadcast; counts computed once and reused") {
     val p = plan("p26_temperature_mixture")
     assert(p.contains("BroadcastHashJoin"),
