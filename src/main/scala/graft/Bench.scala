@@ -66,7 +66,13 @@ object Bench {
           val ratio = warm / r
           if ((ratio > 2.0 || ratio < 0.5) && math.abs(warm - r) > 1.0) {
             val rfp = Option(refFp).flatMap(p => Option(p.get(name))).map(_.asText).getOrElse("")
-            val tag = if (rfp.nonEmpty && rfp == fp) "same" else "diff"
+            // "diff" is a code-attribution claim — only make it when BOTH
+            // fingerprints exist and disagree; a reference without one
+            // gets the honest "unknown"
+            val tag =
+              if (rfp.isEmpty || fp.isEmpty) "unknown"
+              else if (rfp == fp) "same"
+              else "diff"
             Some((name, warm, r, ratio, tag))
           } else None
         }

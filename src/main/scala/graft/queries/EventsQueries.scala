@@ -166,8 +166,16 @@ object EventsQueries extends QueryModule {
     a.join(b, Seq("user_id", "bkt"), "inner")
   }
 
+  /** The ±5-minute interval-join match radius, in micros — ONE constant
+    * shared by batch e05, its oracle, and the streaming twins' bucketed
+    * equi-key ([[graft.streaming.EventStream]]): the
+    * radius-equals-bucket-width invariant that makes the ±1-bucket
+    * explode complete must not drift between the twins.
+    */
+  private[graft] val IntervalWinUs = 5L * 60 * 1000 * 1000
+
   private def e05(s: SparkSession, dir: String): DataFrame = {
-    val winUs = 5L * 60 * 1000 * 1000
+    val winUs = IntervalWinUs
     val e = events(s, dir).select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
     intervalJoinCandidates(e, winUs)
       .filter(col("eid") =!= col("oid") &&

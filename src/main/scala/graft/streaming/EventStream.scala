@@ -122,7 +122,7 @@ object EventStream {
     * length (unbounded at 100 TB: a user's total state is unbounded,
     * the bucket slice is not).
     */
-  private val IntervalBucketUs = 300000000L
+  private val IntervalBucketUs = graft.queries.EventsQueries.IntervalWinUs
 
   def intervalJoin(events: DataFrame): DataFrame = {
     val a = events.withWatermark("ts", "1 hour")

@@ -62,7 +62,15 @@ object StreamingGate extends QueryModule {
     */
   private lazy val ckRoot: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+    val usable =
+      try java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm) &&
+        // containers often cap /dev/shm at 64 MB — state-heavy gates
+        // (the interval joins hold every event in join state) would hit
+        // ENOSPC mid-stream there; require real headroom or fall back
+        // to the disk tmpdir the pre-tmpfs default used
+        java.nio.file.Files.getFileStore(shm).getUsableSpace > 2L * 1024 * 1024 * 1024
+      catch { case _: Throwable => false }
+    if (usable) shm
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 

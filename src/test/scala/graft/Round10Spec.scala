@@ -164,16 +164,20 @@ class Round10Spec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("benchref").toFile
     val ref = new java.io.File(dir, "ref.json")
     java.nio.file.Files.writeString(ref.toPath,
-      """{"metric":"total","queries":{"qa":1.0,"qb":1.0,"qc":1.0},
+      """{"metric":"total","queries":{"qa":1.0,"qb":1.0,"qc":1.0,"qd":1.0},
         |"plan_fp":{"qa":"aaa","qb":"bbb","qc":"ccc"},"sf":"/data/sf0.1"}""".stripMargin.replace("\n", ""))
     val results = Seq(
       "qa" -> (5.0, 5.0, Seq(5.0), 0.0, "aaa"),   // 5x slower, same plan -> env
       "qb" -> (4.0, 4.0, Seq(4.0), 0.0, "xxx"),   // 4x slower, plan changed
-      "qc" -> (1.1, 1.1, Seq(1.1), 0.0, "ccc"))   // within noise -> absent
+      "qc" -> (1.1, 1.1, Seq(1.1), 0.0, "ccc"),   // within noise -> absent
+      "qd" -> (3.0, 3.0, Seq(3.0), 0.0, "ddd"))   // mover, but ref has no fp
     val d = Bench.deltaVsRef(results, "/elsewhere/sf0.1", ref.getAbsolutePath)
     assert(d.contains(""""q":"qa"""") && d.contains(""""fp":"same""""), d)
     assert(d.contains(""""q":"qb"""") && d.contains(""""fp":"diff""""), d)
     assert(!d.contains("qc"), d)
+    // no reference fingerprint: never claim "diff" (a code-attribution
+    // statement) - report unknown
+    assert(d.contains(""""q":"qd"""") && d.contains(""""fp":"unknown""""), d)
     // largest mover first
     assert(d.indexOf("\"qa\"") < d.indexOf("\"qb\""), d)
     // a reference recorded at a different SF is not comparable

@@ -854,15 +854,16 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       try spark.catalog.dropTempView(name) catch { case _: Throwable => () }
       val before = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
-      val t0 = System.nanoTime()
-      val q = stream.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.conf.set("spark.sql.shuffle.partitions", before)
-      val peak = q.recentProgress
-        .map(p => p.stateOperators.map(_.numRowsTotal).sum).maxOption.getOrElse(0L)
-      (dt, peak)
+      try {
+        val t0 = System.nanoTime()
+        val q = stream.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val peak = q.recentProgress
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum).maxOption.getOrElse(0L)
+        (dt, peak)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     }
     def streams(d: String): Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       ("es03x", () => EventStream.sessionize(spark,
