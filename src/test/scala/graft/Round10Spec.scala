@@ -137,6 +137,47 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("p26 edge: a single-language corpus keeps every document (threshold = 2^60)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_p26edge").toFile
+    (1L to 50L).map(i => (i, s"text $i", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(new java.io.File(out, "documents.parquet").getAbsolutePath)
+    try {
+      val rows = SparkEntry.queries("p26_temperature_mixture")(spark, out.getAbsolutePath)
+        .collect()
+      assert(rows.length === 50)
+      assert(rows.forall(_.getBoolean(2)),
+        "cmin == c for the only stratum: F = 1 exactly, nothing may drop")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(out)
+  }
+
+  test("d22 edge: an exact duplicate in the delta reports jaccard 1.0 against the smallest corpus match") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_d22edge").toFile
+    // corpus ids 1,2,3 share one text; delta id 10 duplicates it exactly;
+    // delta id 20 is unrelated; delta id 30 is too short to shingle
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words in this one entirely"),
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (20L, "unrelated content nothing shared here at all whatsoever"),
+      (30L, "hi"))
+    docs.toDF("doc_id", "text")
+      .write.parquet(new java.io.File(out, "documents.parquet").getAbsolutePath)
+    try {
+      val rows = SparkEntry.queries("d22_incremental_lsh")(spark, out.getAbsolutePath)
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)).map(_ => r.getLong(1)), r.getString(3))).toMap
+      assert(rows.keySet === Set(10L, 20L, 30L), "every delta doc gets a verdict row")
+      assert(rows(10L) === (Some(1L), "near"),
+        "exact duplicate: jaccard 1.0, tie broken to the smallest corpus id")
+      assert(rows(20L) === (None, "new"))
+      assert(rows(30L) === (None, "new"), "shingle-less docs classify as new, not crash")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(out)
+  }
+
   test("d22 sketch-index verdicts are consistent with d13's exact index") {
     // d22 candidates come from banded buckets (recall ≤ 1); d13 probes
     // the exact shingle inverted index (recall 1 at this df regime). So
