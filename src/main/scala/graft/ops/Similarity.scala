@@ -816,8 +816,15 @@ object Similarity extends QueryModule {
     * order can't flip a bit; the mean is one IEEE division of the
     * exact-cast sum by the exact count (DETERMINISM.md rules 3/12).
     */
-  private def s10(s: SparkSession, dir: String): DataFrame = {
-    val base = vecs(s, dir).persist() // feeds seed sample + assignment
+  private def s10(s: SparkSession, dir: String): DataFrame =
+    kmeansMeans(vecs(s, dir).persist()) // persist feeds seed sample + assignment
+
+  /** The s10 Lloyd step over an arbitrary (vec_id, v, nrm) frame,
+    * factored so s20 can feed its trained means into the s06-style IVF
+    * search — the "centroids swappable, everything downstream
+    * unchanged" composition the s06 doc promises.
+    */
+  private def kmeansMeans(base: DataFrame): DataFrame = {
     val cents = base
       .orderBy(md5(concat(lit("km_"), col("vec_id").cast("string")))).limit(KmK)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -849,9 +856,12 @@ object Similarity extends QueryModule {
         (col("sx") / col("n")).as("mean_x"))
   }
 
-  private val s10Sql =
-    s"""WITH $oracleVecs,
-       |cent AS (
+  /** The s10 CTE chain (seed sample → L2 distances → argmin assignment
+    * → exploded components) — shared by s10's mean report and s20's
+    * trained-centroid search.
+    */
+  private val kmMeansCtes =
+    s"""cent AS (
        |  SELECT vec_id AS cid, v AS cv FROM n
        |  ORDER BY md5('km_' || CAST(vec_id AS VARCHAR)) LIMIT $KmK),
        |d AS (
@@ -866,12 +876,99 @@ object Similarity extends QueryModule {
        |px AS (
        |  SELECT asg.cid, unnest(range(1, len(n.v)+1)) AS pos,
        |         unnest(list_transform(n.v, x -> CAST(x AS VARCHAR))) AS xs
-       |  FROM n JOIN asg USING (vec_id))
+       |  FROM n JOIN asg USING (vec_id))""".stripMargin
+
+  private val s10Sql =
+    s"""WITH $oracleVecs,
+       |$kmMeansCtes
        |SELECT cid, CAST(pos AS BIGINT) AS pos,
        |  CAST(sum(CAST(xs AS DECIMAL(28,12))) AS DOUBLE) AS sx,
        |  count(*) AS n,
        |  CAST(sum(CAST(xs AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_x
        |FROM px GROUP BY cid, pos""".stripMargin
+
+  // ---- s20: IVF search over TRAINED centroids (s10 ∘ s06) -------------
+
+  /** s20: the composition the s06 doc promises — "centroids swappable
+    * for k-means-trained ones with everything downstream unchanged":
+    * one s10 Lloyd step produces per-cell mean vectors, and the
+    * s06-style IVF search runs against THOSE as its coarse quantizer.
+    * Cell membership and probe ranking use the k-means metric (L2, the
+    * s10 three-sum expansion); final candidate scoring stays exact
+    * cosine top-5, the search metric. Every stage is the s06/s10
+    * machinery — this query exists to PROVE the swap is a drop-in, with
+    * the oracle checking the full composed pipeline.
+    *
+    * Determinism: means are exact-decimal sums over counts (s10); the
+    * trained vectors assemble pos-ordered in both engines; L2 and
+    * cosine are the shared sequential-fold dots; ranks tie-break on
+    * (d, cid) / (sim DESC, nid).
+    *
+    * Scale shape: identical to s06 — the K trained centroids broadcast,
+    * the probe join shuffles on the cell id with occupancy-bounded
+    * fanout; training adds s10's one (cid, pos) aggregate.
+    */
+  private def s20(s: SparkSession, dir: String): DataFrame = {
+    val base = vecs(s, dir).persist()
+    val tc = kmeansMeans(base)
+      .groupBy(col("cid"))
+      .agg(collect_list(struct(col("pos"), col("mean_x"))).as("pm"))
+      .select(col("cid"),
+        transform(array_sort(col("pm")), p => p.getField("mean_x")).as("cv"))
+    val d = base.crossJoin(broadcast(tc))
+      .select(col("vec_id"), col("cid"),
+        (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))
+          + dot(col("cv"), col("cv"))).as("d"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d"), col("cid"))
+    val ranked = d.withColumn("crn", row_number().over(wAssign))
+    val assign = ranked.filter(col("crn") === 1).select(col("vec_id"), col("cid").as("cell"))
+    val probes = ranked.filter(col("crn") <= IvfProbes)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val cand = probes.join(assign.select(col("vec_id").as("nid"), col("cell")), "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    cand
+      .join(base.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb")), "nid")
+      .select(col("qid"), col("nid"), (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
+  private val s20Sql =
+    s"""WITH $oracleVecs,
+       |$kmMeansCtes,
+       |mu AS (
+       |  SELECT cid, CAST(pos AS BIGINT) AS pos,
+       |    CAST(sum(CAST(xs AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_x
+       |  FROM px GROUP BY cid, pos),
+       |tc AS (SELECT cid, list(mean_x ORDER BY pos) AS cv FROM mu GROUP BY cid),
+       |td AS (
+       |  SELECT n.vec_id, tc.cid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * n.v[i]))
+       |      - 2.0 * list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * tc.cv[i]))
+       |      + list_sum(list_transform(range(1, ${Dim + 1}), i -> tc.cv[i] * tc.cv[i])) AS d
+       |  FROM n CROSS JOIN tc),
+       |rk AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crn
+       |  FROM td),
+       |a2 AS (SELECT vec_id, cid AS cell FROM rk WHERE crn = 1),
+       |pr AS (SELECT vec_id AS qid, cid AS cell FROM rk WHERE crn <= $IvfProbes),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM pr p JOIN a2 a USING (cell)
+       |  WHERE p.qid <> a.vec_id),
+       |sc AS (
+       |  SELECT c.qid, c.nid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
+       |  FROM cand c JOIN n x ON c.qid = x.vec_id JOIN n y ON c.nid = y.vec_id)
+       |SELECT qid, nid, sim, rn FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rn
+       |  FROM sc)
+       |WHERE rn <= 5""".stripMargin
 
   // ---- s11: IVF range (radius) search ---------------------------------
 
@@ -1339,6 +1436,7 @@ object Similarity extends QueryModule {
     QueryDef("s17_quantization_error", s17, Some(s17Sql)),
     QueryDef("s18_filtered_search", s18, Some(s18Sql)),
     QueryDef("s19_tombstone_search", s19, Some(s19Sql)),
+    QueryDef("s20_trained_ivf", s20, Some(s20Sql)),
   )
 
   // ---- s16: second Lloyd iteration + migration audit ------------------
