@@ -454,6 +454,22 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("s06/s20: IVF assignment+probing is row-local — no corpus×K rows through a vec_id exchange") {
+    // the coarse-quantizer stage must rank cells inside the row (the
+    // rankCells sort-slice over one broadcast centroid array), never by
+    // materializing corpus×K (vec, cell) rows and ranking them with
+    // row_number() OVER (PARTITION BY vec_id) — that window's exchange
+    // shuffles K× the corpus and was the round-10 verdict's top finding.
+    // The only legitimate vec_id hash ops downstream are qid/nid joins
+    // on the bounded candidate set, which rename away from vec_id.
+    for (q <- Seq("s06_ann_ivf", "s20_trained_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning(vec_id"),
+        s"$q: corpus-wide vec_id exchange in cell assignment:\n${p.take(800)}")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("d12: df aggregate is single-distinct (no Expand); no cartesian; no broadcast hint") {
     // countDistinct(doc_id) grouped by seg plans as a two-phase agg, not
     // a grouping-sets Expand; the dup-segment side is corpus-derived so
