@@ -412,6 +412,22 @@ object Similarity extends QueryModule {
       .withColumn(outCol, element_at(rankedCells(key), 1).getField("cid"))
       .drop("cents")
 
+  /** The k-means rank key: squared L2 distance from the row's `v` to
+    * the centroid's `cv` in the s10 three-sum expansion (each term the
+    * shared left-to-right dot fold — bit-equal to the oracle's mirror).
+    */
+  private def l2Key(c: Column): Column =
+    dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), c.getField("cv")) +
+      dot(c.getField("cv"), c.getField("cv"))
+
+  /** The similarity rank key: NEGATED cosine of the row's (v, nrm)
+    * against the centroid's (cv, cnrm) — ascending-sorts as csim DESC
+    * with the struct's cid field breaking ties ascending, exactly the
+    * oracle's ORDER BY csim DESC, cid.
+    */
+  private def cosKey(c: Column): Column =
+    -(dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cnrm")))
+
   // ---- s06: IVF-flat ANN ---------------------------------------------
 
   private val IvfCells  = 16
@@ -438,9 +454,7 @@ object Similarity extends QueryModule {
     val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(IvfCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val centArr = centArray(cents, col("cid"), col("cv"), col("cnrm"))
-    val ranked = rankCells(base, centArr,
-      c => -(dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cnrm"))),
-      IvfProbes)
+    val ranked = rankCells(base, centArr, cosKey, IvfProbes)
     val assign = ranked.filter(col("crn") === 1).select(col("vec_id"), col("cid").as("cell"))
     val probes = ranked.filter(col("crn") <= IvfProbes)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
@@ -880,23 +894,11 @@ object Similarity extends QueryModule {
       .orderBy(md5(concat(lit("km_"), col("vec_id").cast("string")))).limit(KmK)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     // the K centroids as ONE broadcast row holding a cid-sorted array, so
-    // the argmin is a row-local fold over the array — NOT a per-(vec,cent)
-    // row explosion followed by a corpus-wide window on vec_id (that shape
-    // shuffles corpus x K rows; this one shuffles nothing before the
-    // recompute aggregate)
-    val centArr = cents
-      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
-    def distTo(cv: Column): Column =
-      dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cv) + dot(cv, cv)
-    val assign = base.crossJoin(broadcast(centArr))
-      .withColumn("ds", transform(col("cents"), c => distTo(c.getField("cv"))))
-      .withColumn("bd", array_min(col("ds")))
-      // first zip entry hitting the min — cid-sorted array makes the tie
-      // break on the smallest cid, exactly the oracle's ORDER BY d, cid
-      .withColumn("cid",
-        element_at(filter(arrays_zip(col("cents"), col("ds")),
-          z => z.getField("ds") === col("bd")), 1)
-          .getField("cents").getField("cid"))
+    // the argmin is a row-local sort over the array ([[assignCell]]) — NOT
+    // a per-(vec,cent) row explosion followed by a corpus-wide window on
+    // vec_id (that shape shuffles corpus x K rows; this one shuffles
+    // nothing before the recompute aggregate)
+    val assign = assignCell(base, centArray(cents, col("cid"), col("cv")), l2Key, "cid")
     assign
       .select(col("cid"), posexplode(col("v")).as(Seq("pos0", "x")))
       .groupBy(col("cid"), (col("pos0") + 1).cast("long").as("pos"))
@@ -1056,19 +1058,11 @@ object Similarity extends QueryModule {
     val base = vecs(s, dir).persist() // feeds centroid sample, query batch, corpus stream
     val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(RsCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val centArr = cents
-      .agg(array_sort(collect_list(struct(col("cid"), col("cv"), col("cnrm")))).as("cents"))
-    def csimTo(c: Column): Column =
-      dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cnrm"))
+    val centArr = centArray(cents, col("cid"), col("cv"), col("cnrm"))
     // row-local nearest-cell assignment, carrying the vector for the
     // exact re-score so candidates never have to re-join the corpus
-    val assign = base.crossJoin(broadcast(centArr))
-      .withColumn("ss", transform(col("cents"), c => csimTo(c)))
-      .withColumn("mx", array_max(col("ss")))
-      .select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"),
-        element_at(filter(arrays_zip(col("cents"), col("ss")),
-          z => z.getField("ss") === col("mx")), 1)
-          .getField("cents").getField("cid").as("cell"))
+    val assign = assignCell(base, centArr, cosKey, "cell")
+      .select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"), col("cell"))
     // SALTED query sample: independent of the centroid sample's md5
     // order, so the batch is not just the centroids themselves
     val qids = base.select(col("vec_id"))
@@ -1316,16 +1310,8 @@ object Similarity extends QueryModule {
     val base = vecs(s, dir).persist()
     val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(IvfCells)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val centArr = cents
-      .agg(array_sort(collect_list(struct(col("cid"), col("cv"), col("cnrm")))).as("cents"))
-    def csimTo(c: Column): Column =
-      dot(col("v"), c.getField("cv")) / (col("nrm") * c.getField("cnrm"))
-    val assign = base.crossJoin(broadcast(centArr))
-      .withColumn("ss", transform(col("cents"), c => csimTo(c)))
-      .withColumn("mx", array_max(col("ss")))
-      .select(element_at(filter(arrays_zip(col("cents"), col("ss")),
-          z => z.getField("ss") === col("mx")), 1)
-        .getField("cents").getField("cid").as("cell"))
+    val centArr = centArray(cents, col("cid"), col("cv"), col("cnrm"))
+    val assign = assignCell(base, centArr, cosKey, "cell").select(col("cell"))
     val byCell = assign.groupBy(col("cell")).agg(count(lit(1)).as("nv"))
     val full = cents.select(col("cid").as("cell"))
       .join(byCell, Seq("cell"), "left_outer")
@@ -1518,20 +1504,8 @@ object Similarity extends QueryModule {
     val cents = base
       .orderBy(md5(concat(lit("km_"), col("vec_id").cast("string")))).limit(KmK)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val centArr = cents
-      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
-    def distTo(cv: Column): Column =
-      dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cv) + dot(cv, cv)
-    def assignAgainst(in: DataFrame, arr: DataFrame, arrCol: String, outCid: String): DataFrame =
-      in.crossJoin(broadcast(arr))
-        .withColumn("ds", transform(col(arrCol), c => distTo(c.getField("cv"))))
-        .withColumn("bd", array_min(col("ds")))
-        .withColumn(outCid,
-          element_at(filter(arrays_zip(col(arrCol), col("ds")),
-            z => z.getField("ds") === col("bd")), 1)
-            .getField(arrCol).getField("cid"))
-        .drop(arrCol, "ds", "bd")
-    val assigned = assignAgainst(base, centArr, "cents", "cid1").persist()
+    val centArr = centArray(cents, col("cid"), col("cv"))
+    val assigned = assignCell(base, centArr, l2Key, "cid1").persist()
     val means = assigned
       .select(col("cid1"), posexplode(col("v")).as(Seq("pos0", "x")))
       .groupBy(col("cid1"), (col("pos0") + 1).cast("long").as("pos"))
@@ -1540,8 +1514,8 @@ object Similarity extends QueryModule {
     val cv2 = means.groupBy(col("cid1").as("cid"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
         e => e.getField("mx")).as("cv"))
-    val cv2Arr = cv2.agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents2"))
-    assignAgainst(assigned, cv2Arr, "cents2", "cid2")
+    val cv2Arr = centArray(cv2, col("cid"), col("cv"))
+    assignCell(assigned, cv2Arr, l2Key, "cid2")
       .groupBy(col("cid2").as("cid"))
       .agg(
         count(lit(1)).as("n_members"),
@@ -1615,18 +1589,13 @@ object Similarity extends QueryModule {
     val cents = base
       .orderBy(md5(concat(lit("km_"), col("vec_id").cast("string")))).limit(KmK)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val centArr = cents
-      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cents"))
-    def distTo(cv: Column): Column =
-      dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cv) + dot(cv, cv)
+    val centArr = centArray(cents, col("cid"), col("cv"))
+    // the argmin struct carries BOTH fields: the cell (cid) and its
+    // residual (k, the min squared distance) — one kernel evaluation
     base.crossJoin(broadcast(centArr))
-      .withColumn("ds", transform(col("cents"), c => distTo(c.getField("cv"))))
-      .withColumn("bd", array_min(col("ds")))
-      .select(
-        element_at(filter(arrays_zip(col("cents"), col("ds")),
-          z => z.getField("ds") === col("bd")), 1)
-          .getField("cents").getField("cid").as("cid"),
-        floor(col("bd") * lit(1048576.0)).cast("long").as("q"))
+      .withColumn("best", element_at(rankedCells(l2Key), 1))
+      .select(col("best.cid").as("cid"),
+        floor(col("best.k") * lit(1048576.0)).cast("long").as("q"))
       .groupBy(col("cid"))
       .agg(
         count(lit(1)).as("n_members"),
