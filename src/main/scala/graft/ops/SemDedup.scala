@@ -247,13 +247,13 @@ object SemDedup extends QueryModule {
   // base.count() — not FROM embeddings: with >= 1 degenerate vector the
   // two counts differ, the floor(2^60*k/n) cuts land on different hash
   // fractions, and the engines pick different centroid sets
-  private val kExpr =
+  private[graft] val kSqlExpr =
     s"greatest($MinCells, ((SELECT count(*) FROM n) + ${TargetCellRows - 1}) // $TargetCellRows)"
-  private val kcExpr = s"CAST(ceil(sqrt(CAST(($kExpr) AS DOUBLE))) AS BIGINT)"
+  private[graft] val kcSqlExpr = s"CAST(ceil(sqrt(CAST(($kSqlExpr) AS DOUBLE))) AS BIGINT)"
   // floor(2^60 * k / n) in 128-bit (HUGEINT): the BIGINT hex60 value
   // compares against it with automatic promotion — same floor division
   // and the same clamp-free semantics as the Scala BigInt twin
-  private def threshSql(kSql: String) =
+  private[graft] def threshSql(kSql: String) =
     s"""(CAST(($kSql) AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)
        |  // CAST((SELECT count(*) FROM n) AS HUGEINT))""".stripMargin
 
@@ -274,9 +274,9 @@ object SemDedup extends QueryModule {
   private val d08Sql =
     s"""WITH RECURSIVE ${Similarity.oracleVecs},
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
-       |      WHERE ${OracleSql.hex60("CAST(vec_id AS VARCHAR)")} < ${threshSql(kExpr)}),
+       |      WHERE ${OracleSql.hex60("CAST(vec_id AS VARCHAR)")} < ${threshSql(kSqlExpr)}),
        |g AS (SELECT vec_id AS gid, v AS gv, nrm AS gnrm FROM n
-       |      WHERE ${OracleSql.hex60("CAST(vec_id AS VARCHAR)")} < ${threshSql(kcExpr)}),
+       |      WHERE ${OracleSql.hex60("CAST(vec_id AS VARCHAR)")} < ${threshSql(kcSqlExpr)}),
        |ga AS (
        |  SELECT vec_id, gid FROM (
        |    SELECT n.vec_id, g.gid,

@@ -409,16 +409,19 @@ object Similarity extends QueryModule {
   private def assignCell(base: DataFrame, centArr: DataFrame,
       key: Column => Column, outCol: String): DataFrame =
     base.crossJoin(broadcast(centArr))
-      .withColumn(outCol, element_at(rankedCells(key), 1).getField("cid"))
+      .withColumn(outCol, try_element_at(rankedCells(key), lit(1)).getField("cid"))
+      .filter(col(outCol).isNotNull) // empty codebook ≡ the oracle's empty rn=1 window
       .drop("cents")
 
-  /** The k-means rank key: squared L2 distance from the row's `v` to
-    * the centroid's `cv` in the s10 three-sum expansion (each term the
-    * shared left-to-right dot fold — bit-equal to the oracle's mirror).
+  /** Squared L2 distance from the row's `v` to a centroid vector, in
+    * the s10 three-sum expansion (each term the shared left-to-right
+    * dot fold — bit-equal to the oracle's mirror).
     */
-  private def l2Key(c: Column): Column =
-    dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), c.getField("cv")) +
-      dot(c.getField("cv"), c.getField("cv"))
+  private def l2To(cv: Column): Column =
+    dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), cv) + dot(cv, cv)
+
+  /** The k-means rank key over a centroid struct. */
+  private def l2Key(c: Column): Column = l2To(c.getField("cv"))
 
   /** The similarity rank key: NEGATED cosine of the row's (v, nrm)
     * against the centroid's (cv, cnrm) — ascending-sorts as csim DESC
@@ -940,41 +943,131 @@ object Similarity extends QueryModule {
        |  CAST(sum(CAST(xs AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_x
        |FROM px GROUP BY cid, pos""".stripMargin
 
-  // ---- s20: IVF search over TRAINED centroids (s10 ∘ s06) -------------
+  // ---- s20: trained, corpus-scaled IVF search (s10 ∘ d08 ∘ s06) ------
 
-  /** s20: the composition the s06 doc promises — "centroids swappable
-    * for k-means-trained ones with everything downstream unchanged":
-    * one s10 Lloyd step produces per-cell mean vectors, and the
-    * s06-style IVF search runs against THOSE as its coarse quantizer.
-    * Cell membership and probe ranking use the k-means metric (L2, the
-    * s10 three-sum expansion); final candidate scoring stays exact
-    * cosine top-5, the search metric. Every stage is the s06/s10
-    * machinery — this query exists to PROVE the swap is a drop-in, with
-    * the oracle checking the full composed pipeline.
+  private val KmSteps        = 2 // Lloyd iterations training the codebook
+  private val KmSearchGroups = 2 // coarse groups probed per query at search
+
+  /** Exact-decimal per-(cell, pos) component means of an assigned corpus
+    * (must carry `v` plus the cell id in `cidCol`), reassembled into a
+    * codebook (cid, cv) with pos-ordered vectors — one corpus exchange
+    * on (cid, pos) with map-side combine (the s10 contract), then a
+    * K-sized rollup. Shared by s16's second pass and s20's trainer.
+    */
+  private def meansCodebook(assigned: DataFrame, cidCol: String): DataFrame =
+    assigned
+      .select(col(cidCol).as("cid"), posexplode(col("v")).as(Seq("pos0", "x")))
+      .groupBy(col("cid"), (col("pos0") + 1).cast("long").as("pos"))
+      .agg((sum(col("x").cast("string").cast(DecimalType(28, 12))).cast("double") /
+        count(lit(1))).as("mx"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        e => e.getField("mx")).as("cv"))
+
+  /** The codebook as ONE broadcast row of a TWO-LEVEL nested array:
+    * coarse groups — the codebook rows whose cid the salted hash60
+    * threshold marks coarse (d08's "coarse subset of the same hash
+    * order" rule, so no second count is ever needed; a dead coarse cell
+    * simply drops out of later steps) — each carrying the cid-sorted
+    * member array of the fine centroids L2-assigned to it. All work
+    * here is K-sized (centroids only; the corpus is never touched).
+    */
+  private def groupArray(code: DataFrame, isCoarse: Column => Column): DataFrame = {
+    val coarse = code.filter(isCoarse(col("cid")))
+    val fineG = assignCell(
+      code.select(col("cid").as("fcid"), col("cv").as("v")),
+      centArray(coarse, col("cid"), col("cv")), l2Key, "gid")
+    fineG.groupBy(col("gid"))
+      .agg(array_sort(collect_list(struct(col("fcid").as("cid"), col("v").as("cv")))).as("members"))
+      .join(coarse.select(col("cid").as("gid"), col("cv").as("gv")), "gid")
+      .agg(array_sort(collect_list(struct(col("gid"), col("gv"), col("members")))).as("groups"))
+  }
+
+  /** Row-local TWO-LEVEL cell ranking under the nested broadcast:
+    * nearest `coarseProbes` groups by (L2, gid), then those groups'
+    * members ranked by (L2, cid), exploded to (vec_id, crn, cid) with
+    * crn = 1..probes. Per-row work is O(Kc + coarseProbes·K/Kc) ≈
+    * O(√K) — what keeps a corpus-scaled codebook affordable — and
+    * still ZERO exchanges: assignment and probing never shuffle the
+    * corpus ([[rankCells]]'s contract at the next scale tier).
+    */
+  private def rankCellsTwoLevel(base: DataFrame, groupArr: DataFrame,
+      coarseProbes: Int, probes: Int): DataFrame =
+    base.crossJoin(broadcast(groupArr))
+      .withColumn("fines", flatten(transform(
+        slice(array_sort(transform(col("groups"), g =>
+          struct(l2To(g.getField("gv")).as("k"), g.getField("gid").as("gid"),
+            g.getField("members").as("members")))), 1, coarseProbes),
+        g => g.getField("members"))))
+      .select(col("vec_id"),
+        posexplode(slice(array_sort(transform(col("fines"), c =>
+          struct(l2To(c.getField("cv")).as("k"), c.getField("cid").as("cid")))),
+          1, probes)).as(Seq("p0", "kc")))
+      .select(col("vec_id"), (col("p0") + 1).as("crn"), col("kc.cid").as("cid"))
+
+  /** Append the two-level argmin cell keeping every base column — the
+    * training face (the per-step means need the row vector alongside
+    * its cell). Empty codebook ≡ the oracle's empty rn=1 window.
+    */
+  private def assignCellTwoLevel(base: DataFrame, groupArr: DataFrame,
+      outCol: String): DataFrame =
+    base.crossJoin(broadcast(groupArr))
+      .withColumn("bg", try_element_at(array_sort(transform(col("groups"), g =>
+        struct(l2To(g.getField("gv")).as("k"), g.getField("gid").as("gid"),
+          g.getField("members").as("members")))), lit(1)))
+      .withColumn(outCol, try_element_at(array_sort(transform(
+        col("bg").getField("members"), c =>
+          struct(l2To(c.getField("cv")).as("k"), c.getField("cid").as("cid")))), lit(1))
+        .getField("cid"))
+      .filter(col(outCol).isNotNull)
+      .drop("groups", "bg")
+
+  /** s20: IVF search over a TRAINED, CORPUS-SCALED quantizer — the full
+    * composition of the module's training machinery: the codebook is
+    * seeded by d08's corpus-scaled rule (K = max(16, ceil(n/64)) from
+    * ONE count(), membership by salted hash60 threshold — a map-side
+    * filter, no top-K heaps — [[SemDedup.cellCount]]/[[SemDedup.hashThreshold]],
+    * one definition), trained for [[KmSteps]] Lloyd iterations (each:
+    * two-level assignment → s10's exact-decimal means), then searched
+    * s06-style: every vector indexed under its final cell, a query
+    * probes its [[KmSearchGroups]] nearest coarse groups and its
+    * [[IvfProbes]] nearest fine cells inside them, candidates re-scored
+    * exact-cosine top-5.
     *
-    * Determinism: means are exact-decimal sums over counts (s10); the
-    * trained vectors assemble pos-ordered in both engines; L2 and
-    * cosine are the shared sequential-fold dots; ranks tie-break on
-    * (d, cid) / (sim DESC, nid).
+    * Scale shape: every assignment — training, indexing, probing — is a
+    * row-local fold under ONE nested broadcast (coarse groups → member
+    * cells), so per-row work is O(√K) and the corpus NEVER shuffles
+    * for assignment (no corpus×K rows exist anywhere — the round-10
+    * verdict's top finding, structurally excluded at corpus-scaled K
+    * too). Each training step costs the corpus one (cid, pos) map-side-
+    * combined aggregate; the search tail shuffles only the occupancy-
+    * bounded candidate set (~IvfProbes·TargetCellRows rows per query
+    * independent of corpus size, BECAUSE K scales with n).
     *
-    * Scale shape: identical to s06 — the K trained centroids broadcast,
-    * the probe join shuffles on the cell id with occupancy-bounded
-    * fanout; training adds s10's one (cid, pos) aggregate.
+    * Determinism: seed/coarse membership are hash60-threshold integer
+    * compares; distances are the s10 three-sum L2 over the shared fold;
+    * every rank ties on the struct's cid/gid field == the oracle's
+    * ORDER BY; means are exact-decimal sums divided once by counts.
     */
   private def s20(s: SparkSession, dir: String): DataFrame = {
     val base = vecs(s, dir).persist()
-    val tc = kmeansMeans(base)
-      .groupBy(col("cid"))
-      .agg(collect_list(struct(col("pos"), col("mean_x"))).as("pm"))
-      .select(col("cid"),
-        transform(array_sort(col("pm")), p => p.getField("mean_x")).as("cv"))
-    val centArr = centArray(tc, col("cid"), col("cv"))
-    def l2(c: Column): Column =
-      dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), c.getField("cv")) +
-        dot(c.getField("cv"), c.getField("cv"))
-    val ranked = rankCells(base, centArr, l2, IvfProbes)
-    val assign = ranked.filter(col("crn") === 1).select(col("vec_id"), col("cid").as("cell"))
-    val probes = ranked.filter(col("crn") <= IvfProbes)
+    // the ONE driver action: n drives K/Kc and both hash thresholds,
+    // mirrored by the oracle's (SELECT count(*) FROM n) — d08's contract
+    val n = base.count()
+    val k  = SemDedup.cellCount(n)
+    val kc = SemDedup.coarseCount(k)
+    def seedHash(c: Column): Column =
+      Sampling.hash60(concat(lit("km_"), c.cast("string")))
+    def isCoarse(cid: Column): Column = seedHash(cid) < SemDedup.hashThreshold(kc, n)
+    val seeds = base.filter(seedHash(col("vec_id")) < SemDedup.hashThreshold(k, n))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val trained = (1 to KmSteps).foldLeft(seeds) { (code, _) =>
+      meansCodebook(assignCellTwoLevel(base, groupArray(code, isCoarse), "cell"), "cell")
+    }.persist()
+    val gArr = groupArray(trained, isCoarse)
+    val assign = rankCellsTwoLevel(base, gArr, 1, 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = rankCellsTwoLevel(base, gArr, KmSearchGroups, IvfProbes)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
     val cand = probes.join(assign.select(col("vec_id").as("nid"), col("cell")), "cell")
       .filter(col("qid") =!= col("nid"))
@@ -988,39 +1081,94 @@ object Similarity extends QueryModule {
       .filter(col("rn") <= 5)
   }
 
-  private val s20Sql =
+  private def sqlL2(av: String, bv: String): String =
+    s"""(list_sum(list_transform(range(1, ${Dim + 1}), i -> $av[i] * $av[i]))
+       |      - 2.0 * list_sum(list_transform(range(1, ${Dim + 1}), i -> $av[i] * $bv[i]))
+       |      + list_sum(list_transform(range(1, ${Dim + 1}), i -> $bv[i] * $bv[i])))""".stripMargin
+
+  private def coarsePredSql(cidExpr: String): String =
+    s"${OracleSql.hex60(s"'km_' || CAST($cidExpr AS VARCHAR)")} < ${SemDedup.threshSql(SemDedup.kcSqlExpr)}"
+
+  /** One oracle Lloyd step (the mirror of [[groupArray]] +
+    * [[assignCellTwoLevel]] + [[meansCodebook]]): coarse subset g$t of
+    * the input codebook, fine→group map fa$t, row→group rg$t,
+    * two-level cell a$t, exploded components px$t, means codebook c$t.
+    */
+  private def kmStepSql(in: String, t: Int): String =
+    s"""g$t AS (SELECT cid AS gid, cv AS gv FROM $in WHERE ${coarsePredSql("cid")}),
+       |fa$t AS (SELECT cid, gid FROM (
+       |  SELECT f.cid, g.gid,
+       |    row_number() OVER (PARTITION BY f.cid ORDER BY ${sqlL2("f.cv", "g.gv")}, g.gid) AS rn
+       |  FROM $in f CROSS JOIN g$t g) WHERE rn = 1),
+       |rg$t AS (SELECT vec_id, gid FROM (
+       |  SELECT n.vec_id, g.gid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY ${sqlL2("n.v", "g.gv")}, g.gid) AS rn
+       |  FROM n CROSS JOIN g$t g) WHERE rn = 1),
+       |a$t AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT r.vec_id, f.cid,
+       |    row_number() OVER (PARTITION BY r.vec_id ORDER BY ${sqlL2("x.v", "f.cv")}, f.cid) AS rn
+       |  FROM rg$t r JOIN n x ON r.vec_id = x.vec_id
+       |    JOIN fa$t fm ON fm.gid = r.gid
+       |    JOIN $in f ON f.cid = fm.cid) WHERE rn = 1),
+       |px$t AS (SELECT a.cell, unnest(range(1, len(n.v)+1)) AS pos,
+       |    unnest(list_transform(n.v, x -> CAST(x AS VARCHAR))) AS xs
+       |  FROM n JOIN a$t a USING (vec_id)),
+       |c$t AS (SELECT cell AS cid, list(mx ORDER BY pos) AS cv FROM (
+       |  SELECT cell, pos, CAST(sum(CAST(xs AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx
+       |  FROM px$t GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+
+  /** Full structural mirror of the trained pipeline: seed threshold cut,
+    * [[KmSteps]] Lloyd step CTE blocks, then index membership (aidx),
+    * the [[KmSearchGroups]]×[[IvfProbes]] two-level probe list (pg/pr),
+    * candidates, exact re-score, top-5.
+    */
+  private val s20Sql = {
+    val steps = (1 to KmSteps).map(t => kmStepSql(if (t == 1) "c0" else s"c${t - 1}", t)).mkString(",\n")
+    val fin = s"c$KmSteps"
+    val t = KmSteps + 1
     s"""WITH $oracleVecs,
-       |$kmMeansCtes,
-       |mu AS (
-       |  SELECT cid, CAST(pos AS BIGINT) AS pos,
-       |    CAST(sum(CAST(xs AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_x
-       |  FROM px GROUP BY cid, pos),
-       |tc AS (SELECT cid, list(mean_x ORDER BY pos) AS cv FROM mu GROUP BY cid),
-       |td AS (
-       |  SELECT n.vec_id, tc.cid,
-       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * n.v[i]))
-       |      - 2.0 * list_sum(list_transform(range(1, ${Dim + 1}), i -> n.v[i] * tc.cv[i]))
-       |      + list_sum(list_transform(range(1, ${Dim + 1}), i -> tc.cv[i] * tc.cv[i])) AS d
-       |  FROM n CROSS JOIN tc),
-       |rk AS (
-       |  SELECT vec_id, cid,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crn
-       |  FROM td),
-       |a2 AS (SELECT vec_id, cid AS cell FROM rk WHERE crn = 1),
-       |pr AS (SELECT vec_id AS qid, cid AS cell FROM rk WHERE crn <= $IvfProbes),
-       |cand AS (
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM n
+       |  WHERE ${OracleSql.hex60("'km_' || CAST(vec_id AS VARCHAR)")} < ${SemDedup.threshSql(SemDedup.kSqlExpr)}),
+       |$steps,
+       |g$t AS (SELECT cid AS gid, cv AS gv FROM $fin WHERE ${coarsePredSql("cid")}),
+       |fa$t AS (SELECT cid, gid FROM (
+       |  SELECT f.cid, g.gid,
+       |    row_number() OVER (PARTITION BY f.cid ORDER BY ${sqlL2("f.cv", "g.gv")}, g.gid) AS rn
+       |  FROM $fin f CROSS JOIN g$t g) WHERE rn = 1),
+       |aidx AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT r.vec_id, f.cid,
+       |    row_number() OVER (PARTITION BY r.vec_id ORDER BY ${sqlL2("x.v", "f.cv")}, f.cid) AS rn
+       |  FROM (SELECT vec_id, gid FROM (
+       |      SELECT n.vec_id, g.gid,
+       |        row_number() OVER (PARTITION BY n.vec_id ORDER BY ${sqlL2("n.v", "g.gv")}, g.gid) AS rn
+       |      FROM n CROSS JOIN g$t g) WHERE rn = 1) r
+       |    JOIN n x ON r.vec_id = x.vec_id
+       |    JOIN fa$t fm ON fm.gid = r.gid
+       |    JOIN $fin f ON f.cid = fm.cid) WHERE rn = 1),
+       |pg AS (SELECT vec_id, gid FROM (
+       |  SELECT n.vec_id, g.gid,
+       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY ${sqlL2("n.v", "g.gv")}, g.gid) AS rn
+       |  FROM n CROSS JOIN g$t g) WHERE rn <= $KmSearchGroups),
+       |pr AS (SELECT qid, cid AS cell FROM (
+       |  SELECT r.vec_id AS qid, f.cid,
+       |    row_number() OVER (PARTITION BY r.vec_id ORDER BY ${sqlL2("x.v", "f.cv")}, f.cid) AS rn
+       |  FROM pg r JOIN n x ON r.vec_id = x.vec_id
+       |    JOIN fa$t fm ON fm.gid = r.gid
+       |    JOIN $fin f ON f.cid = fm.cid) WHERE rn <= $IvfProbes),
+       |cnd AS (
        |  SELECT p.qid, a.vec_id AS nid
-       |  FROM pr p JOIN a2 a USING (cell)
+       |  FROM pr p JOIN aidx a USING (cell)
        |  WHERE p.qid <> a.vec_id),
        |sc AS (
        |  SELECT c.qid, c.nid,
        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
-       |  FROM cand c JOIN n x ON c.qid = x.vec_id JOIN n y ON c.nid = y.vec_id)
+       |  FROM cnd c JOIN n x ON c.qid = x.vec_id JOIN n y ON c.nid = y.vec_id)
        |SELECT qid, nid, sim, rn FROM (
        |  SELECT qid, nid, sim,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rn
        |  FROM sc)
        |WHERE rn <= 5""".stripMargin
+  }
 
   // ---- s11: IVF range (radius) search ---------------------------------
 
@@ -1506,14 +1654,7 @@ object Similarity extends QueryModule {
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val centArr = centArray(cents, col("cid"), col("cv"))
     val assigned = assignCell(base, centArr, l2Key, "cid1").persist()
-    val means = assigned
-      .select(col("cid1"), posexplode(col("v")).as(Seq("pos0", "x")))
-      .groupBy(col("cid1"), (col("pos0") + 1).cast("long").as("pos"))
-      .agg((sum(col("x").cast("string").cast(DecimalType(28, 12))).cast("double") /
-        count(lit(1))).as("mx"))
-    val cv2 = means.groupBy(col("cid1").as("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
-        e => e.getField("mx")).as("cv"))
+    val cv2 = meansCodebook(assigned, "cid1")
     val cv2Arr = centArray(cv2, col("cid"), col("cv"))
     assignCell(assigned, cv2Arr, l2Key, "cid2")
       .groupBy(col("cid2").as("cid"))
