@@ -187,7 +187,7 @@ object Dedup extends QueryModule {
     * signature would bucket every such doc together (and divide by zero
     * in the jaccard) — dropped up front.
     */
-  private def shingledDocs(src: DataFrame): DataFrame = src
+  private[graft] def shingledDocs(src: DataFrame): DataFrame = src
     .select(col("doc_id"), shingleArr(col("text")).as("sh"))
     .filter(size(col("sh")) > 0)
     // one 31-bit md5-derived base hash per shingle (native, one call
@@ -198,7 +198,7 @@ object Dedup extends QueryModule {
     * index — per-doc work, so banding delta and corpus separately costs
     * exactly one signature pass over their union (d22's seam).
     */
-  private def bandedOf(docs: DataFrame): DataFrame = {
+  private[graft] def bandedOf(docs: DataFrame): DataFrame = {
     val sig = graft.functions.TextFunctions.minhash_signature(
       col("hs"), hashA, hashB)
     docs
@@ -1113,6 +1113,38 @@ object Dedup extends QueryModule {
        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
        |LEFT JOIN best ON d.doc_id = best.d_id""".stripMargin
 
+  // ---- d23: the index-append law, gated -------------------------------
+
+  /** d23: d22's INDEX-APPEND LAW as a gated query — a production
+    * pipeline never rebuilds the banded sketch index; it appends the
+    * day's banded delta to the stored corpus index. This entry computes
+    * the full index THAT way — bandedOf(corpus half) ∪ bandedOf(delta
+    * half), two independent signature passes over the d22 split — while
+    * the oracle rebuilds the index in ONE pass over all documents; the
+    * row-level hash match certifies banded(corpus ∪ Δ) ≡ banded(corpus)
+    * ∪ banded(Δ), i.e. signatures are strictly per-doc and the
+    * incremental maintenance d22 relies on is exact. The sketch-index
+    * analogue of p18's algebraic-merge law (and the engine's analogue
+    * of the reference's idempotent re-execution guarantee,
+    * master.go:39-72: re-deriving a partition yields the identical
+    * artifact). A two-ingest replay of the same law runs in ScalaTest.
+    *
+    * Scale shape: banding is per-doc (no cross-doc state — that is the
+    * law), so each half pays one |half| signature pass and the union is
+    * a zero-shuffle concatenation; no joins, no aggregates.
+    */
+  private def d23(s: SparkSession, dir: String): DataFrame = {
+    val all = shingledDocs(Tables.documents(s, dir)).persist()
+    val isDelta = col("doc_id") % 10 === 0
+    bandedOf(all.filter(!isDelta))
+      .unionByName(bandedOf(all.filter(isDelta)))
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("bucket"))
+  }
+
+  private val d23Sql =
+    s"""WITH $d04BandCtes
+       |SELECT doc_id, bd AS band, bucket FROM banded""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
     QueryDef("d02_dedup_normalized", d02, Some(d02Sql)),
@@ -1135,6 +1167,7 @@ object Dedup extends QueryModule {
     QueryDef("d20_jaccard_sweep", d20, Some(d20Sql)),
     QueryDef("d21_lsh_stage_audit", d21, Some(d21Sql)),
     QueryDef("d22_incremental_lsh", d22, Some(d22Sql)),
+    QueryDef("d23_index_append_law", d23, Some(d23Sql)),
   )
 
   /** d18: cross-source duplication matrix — project the d03 near-dup
