@@ -198,7 +198,7 @@ object Profiling extends QueryModule {
        |  FROM base)""".stripMargin
   }
 
-  private val funnelCtes = {
+  private[graft] val funnelCtes = {
     s"""$langedCtes,
        |kept AS (
        |  SELECT doc_id, text, n_tokens, pred_lang FROM langed

@@ -177,28 +177,46 @@ object Sampling extends QueryModule {
     */
   private val BatchSize = 64
 
-  private def p10(s: SparkSession, dir: String): DataFrame =
+  /** THE batch-packing kernel: p04's deterministic global order (two-
+    * pass GlobalOrder range plan — no single-partition sort) chopped
+    * into [[BatchSize]]-doc batches with per-batch composition stats.
+    * `docs` must be (doc_id, lang, vol); the volume sum is emitted as
+    * `sumName`. Defined once so p10 (raw corpus, char volume) and p27
+    * (remixed survivors, token volume) cannot drift.
+    */
+  private def batchPack(docs: DataFrame, sumName: String): DataFrame =
     GlobalOrder.withGlobalRowNumber(
-      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
-      Seq(md5(col("doc_id").cast("string")), col("doc_id")),
-      "pos")._1
+      docs, Seq(md5(col("doc_id").cast("string")), col("doc_id")), "pos")._1
       .select(expr(s"(pos - 1) DIV $BatchSize").as("batch_id"),
-        col("lang"), col("n_chars"))
+        col("lang"), col("vol"))
       .groupBy(col("batch_id"))
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
-        sum(col("n_chars")).as("sum_chars"))
+        sum(col("vol")).as(sumName))
 
-  private val p10Sql =
+  /** The [[batchPack]] oracle tail over an arbitrary (doc_id, lang,
+    * `volCol`) source — the literal text p10Sql and p27Sql share (the
+    * p13 composition law).
+    */
+  private def packSql(src: String, volCol: String, sumName: String): String =
     s"""SELECT (pos - 1) // $BatchSize AS batch_id,
        |  count(*) AS n_docs,
        |  count(DISTINCT lang) AS n_langs,
-       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-       |FROM (SELECT doc_id, lang, n_chars,
+       |  CAST(sum($volCol) AS BIGINT) AS $sumName
+       |FROM (SELECT doc_id, lang, $volCol,
        |        CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
-       |      FROM documents)
+       |      FROM $src)
        |GROUP BY 1""".stripMargin
+
+  private def p10(s: SparkSession, dir: String): DataFrame =
+    batchPack(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars").as("vol")),
+      "sum_chars")
+
+  private val p10Sql =
+    packSql("documents", "n_chars", "sum_chars")
 
   /** p26: temperature-flattened domain mixture — the multilingual-
     * pretraining resampling rule p_d ∝ s_d^α with α = 1/2: rare
@@ -219,11 +237,16 @@ object Sampling extends QueryModule {
     * the keep decision is a row-local hash compare — one scan, one
     * tiny broadcast, no second shuffle.
     */
-  private def p26(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
-    // |langs| rows, consumed by both the min branch and the threshold
-    // projection — persisted so the corpus is scanned once for counts,
-    // not once per consumer (the p16 pattern)
+  /** THE temperature gate kernel over an arbitrary frame carrying
+    * (doc_id, lang, ...): every input column plus the deterministic
+    * `kept` decision. One count aggregate (|langs| rows, consumed by
+    * both the min branch and the threshold projection — persisted so
+    * the input is scanned once for counts, the p16 pattern), one tiny
+    * broadcast back, a row-local hash compare. Defined once so p26
+    * (raw corpus mixture) and p27 (the composed pipeline's remix
+    * stage) cannot drift.
+    */
+  private def temperatureKeep(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c")).persist()
     val thr = counts
       .crossJoin(broadcast(counts.agg(min(col("c")).as("cmin"))))
@@ -232,22 +255,70 @@ object Sampling extends QueryModule {
           sqrt(col("cmin").cast("double") / col("c").cast("double")))
           .cast("long").as("thr"))
     docs.join(broadcast(thr), "lang")
-      .select(col("doc_id"), col("lang"),
+      .select(docs.columns.map(col) :+
         (hash60(concat(lit("mix_"), col("doc_id").cast("string"))) < col("thr"))
-          .as("kept"))
+          .as("kept"): _*)
   }
+
+  /** The [[temperatureKeep]] oracle block over an arbitrary
+    * (doc_id, lang, ...) CTE `src` → `remix` (src.* plus `kept`) — the
+    * literal text p26Sql and p27Sql share (the p13 composition law).
+    */
+  private def mixtureCtes(src: String): String =
+    s"""mixc AS (SELECT lang, count(*) AS c FROM $src GROUP BY 1),
+       |mixm AS (SELECT min(c) AS cmin FROM mixc),
+       |mixt AS (SELECT lang,
+       |  CAST(floor(1152921504606846976.0 *
+       |    sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE))) AS BIGINT) AS thr
+       |  FROM mixc, mixm),
+       |remix AS (
+       |  SELECT d.*,
+       |    ${OracleSql.hex60("'mix_' || CAST(doc_id AS VARCHAR)")} < mixt.thr AS kept
+       |  FROM $src d JOIN mixt USING (lang))""".stripMargin
+
+  private def p26(s: SparkSession, dir: String): DataFrame =
+    temperatureKeep(Tables.documents(s, dir).select(col("doc_id"), col("lang")))
+      .select(col("doc_id"), col("lang"), col("kept"))
 
   private val p26Sql =
     s"""WITH d AS (SELECT doc_id, lang FROM documents),
-       |c AS (SELECT lang, count(*) AS c FROM d GROUP BY 1),
-       |m AS (SELECT min(c) AS cmin FROM c),
-       |t AS (SELECT lang,
-       |  CAST(floor(1152921504606846976.0 *
-       |    sqrt(CAST(cmin AS DOUBLE) / CAST(c AS DOUBLE))) AS BIGINT) AS thr
-       |  FROM c, m)
-       |SELECT d.doc_id, d.lang,
-       |  ${OracleSql.hex60("'mix_' || CAST(doc_id AS VARCHAR)")} < t.thr AS kept
-       |FROM d JOIN t USING (lang)""".stripMargin
+       |${mixtureCtes("d")}
+       |SELECT doc_id, lang, kept FROM remix""".stripMargin
+
+  /** p27: the composed production remix pipeline — clean → dedup →
+    * remix → pack, the order a real pretraining prep job runs: the
+    * funnel's survivors (p02 stages 1–3: quality/language filter +
+    * exact dedup, [[Profiling.funnelFrames]] verbatim) flow through
+    * p26's temperature gate ON THE PREDICTED language ([[temperatureKeep]]
+    * verbatim), and the kept docs pack into p10's deterministic batches
+    * ([[batchPack]] verbatim, token volume). Per-batch composition
+    * stats are the training-readiness report: after remix, batches
+    * should mix languages far more evenly than the raw p10 packing.
+    *
+    * The oracle is the literal composition of the three constituents'
+    * CTE blocks (funnelCtes + mixtureCtes + packSql — the p13 law), so
+    * the composed entry can not drift from its parts.
+    *
+    * Scale shape: inherited wholesale — the funnel's one persisted
+    * scoring pass, the gate's tiny count-broadcast + row-local compare,
+    * GlobalOrder's two-pass range plan; no new join shapes.
+    */
+  private def p27(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, survivors) = Profiling.funnelFrames(s, dir)
+    val remixed = temperatureKeep(
+      survivors.select(col("doc_id"), col("pred_lang").as("lang"), col("n_tokens")))
+    batchPack(
+      remixed.filter(col("kept"))
+        .select(col("doc_id"), col("lang"), col("n_tokens").as("vol")),
+      "sum_tokens")
+  }
+
+  private val p27Sql =
+    s"""WITH ${Profiling.funnelCtes},
+       |sv AS (SELECT doc_id, pred_lang AS lang, n_tokens FROM survivors),
+       |${mixtureCtes("sv")},
+       |pk AS (SELECT doc_id, lang, n_tokens FROM remix WHERE kept)
+       |${packSql("pk", "n_tokens", "sum_tokens")}""".stripMargin
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p03_split_assign", p03, Some(p03Sql)),
@@ -256,5 +327,6 @@ object Sampling extends QueryModule {
     QueryDef("p09_split_drift", p09, Some(p09Sql)),
     QueryDef("p10_batch_pack", p10, Some(p10Sql)),
     QueryDef("p26_temperature_mixture", p26, Some(p26Sql)),
+    QueryDef("p27_remix_pipeline", p27, Some(p27Sql)),
   )
 }
