@@ -44,19 +44,28 @@ object Bench {
     * fingerprint — the delta is environmental) or `fp:diff` (the plan
     * changed — the delta is code-attributable). Bounded to the 8
     * largest movers so the compact line survives the driver's stdout
-    * tail. Returns "[]" when the reference is absent or unparsable, or
-    * was recorded at a different SF (cross-SF ratios are meaningless).
+    * tail. Returns ("[]", Nil) when the reference is absent or
+    * unparsable, or was recorded at a different SF (cross-SF ratios are
+    * meaningless).
+    *
+    * The second member is the REGRESSION list: every ≥2×-and-≥1 s
+    * mover whose plan fingerprint CHANGED (`fp:diff`) — code-
+    * attributable, so it must fail the run the way the gate's
+    * _ERRORS.json fails verification: named in the `regressions` field
+    * of BOTH summary lines plus a stderr shout, never just a quiet
+    * table entry (round-10 verdict #5: a plan regression must not ship
+    * silently).
     */
   private[graft] def deltaVsRef(
       results: Seq[(String, (Double, Double, Seq[Double], Double, String))],
-      sfDir: String, refPath: String): String = {
+      sfDir: String, refPath: String): (String, Seq[String]) = {
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     try {
       val f = new java.io.File(refPath)
-      if (!f.exists()) return "[]"
+      if (!f.exists()) return ("[]", Nil)
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
       val refSf = Option(node.get("sf")).map(_.asText).getOrElse("")
-      if (new java.io.File(refSf).getName != new java.io.File(sfDir).getName) return "[]"
+      if (new java.io.File(refSf).getName != new java.io.File(sfDir).getName) return ("[]", Nil)
       val refQ = node.get("queries")
       val refFp = node.get("plan_fp")
       val movers = results.flatMap { case (name, (warm, _, _, _, fp)) =>
@@ -77,10 +86,13 @@ object Bench {
           } else None
         }
       }.sortBy { case (_, _, _, ratio, _) => -math.abs(math.log(ratio)) }.take(8)
-      movers.map { case (n, w, r, x, tag) =>
+      val json = movers.map { case (n, w, r, x, tag) =>
         s"""{"q":"$n","now":${fmt(w)},"ref":${fmt(r)},"x":${fmt(x)},"fp":"$tag"}"""
       }.mkString("[", ",", "]")
-    } catch { case _: Throwable => "[]" }
+      // only SLOWDOWNS regress; an fp:diff speedup is a plan improvement
+      // awaiting a reference refresh, not a failure
+      (json, movers.collect { case (n, w, r, _, "diff") if w > r => n })
+    } catch { case _: Throwable => ("[]", Nil) }
   }
 
   /** Render the (full, compact) summary JSON lines from the per-query
@@ -99,7 +111,8 @@ object Bench {
     */
   private[graft] def renderSummary(
       results: Seq[(String, (Double, Double, Seq[Double], Double, String))],
-      sfDir: String, out: String, deltaJson: String = "[]"): (String, String) = {
+      sfDir: String, out: String, deltaJson: String = "[]",
+      regressions: Seq[String] = Nil): (String, String) = {
     def inverted(warm: Double, cold: Double): Boolean =
       cold > 0 && warm > cold * 1.5 && warm - cold > 1.0
     // 3-decimal times: ms resolution is below run-to-run noise, and the
@@ -125,14 +138,18 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED (-1.0 sentinel): ${failed.mkString(", ")}")
     val errList = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_._1)},"first_run":${map(_._2)},"warm_samples":$samplesMap,"load":${map(_._4)},"plan_fp":$fpMap,"warm_exceeds_cold":$guard,"errors":$errList,"delta_vs_local":$deltaJson,"sf":"$sfDir"}"""
+    if (regressions.nonEmpty)
+      System.err.println(
+        s"[bench] ${regressions.size} PLAN REGRESSIONS (fp:diff ≥2x slower vs local ref): ${regressions.mkString(", ")}")
+    val regList = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_._1)},"first_run":${map(_._2)},"warm_samples":$samplesMap,"load":${map(_._4)},"plan_fp":$fpMap,"warm_exceeds_cold":$guard,"errors":$errList,"regressions":$regList,"delta_vs_local":$deltaJson,"sf":"$sfDir"}"""
     // The per-query maps (~5 KB at 97 queries) overflow the bounded
     // stdout tail the driver captures — all four rounds' BENCH files
     // show "parsed": null from the line being truncated mid-JSON. So the
     // full record goes to the output FILE (and to stdout first, for
     // humans), and a short self-contained summary line prints LAST so
     // the captured tail always ends in parseable JSON.
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"errors":$errList,"delta_vs_local":$deltaJson,"queries_file":"$out","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"errors":$errList,"regressions":$regList,"delta_vs_local":$deltaJson,"queries_file":"$out","sf":"$sfDir"}"""
     (full, compact)
   }
 
@@ -280,7 +297,8 @@ object Bench {
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val ref = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_local_ref.json")
-    val (full, compact) = renderSummary(results, sfDir, out, deltaVsRef(results, sfDir, ref))
+    val (deltaJson, regressions) = deltaVsRef(results, sfDir, ref)
+    val (full, compact) = renderSummary(results, sfDir, out, deltaJson, regressions)
     // stop BEFORE printing so no late executor/log line lands after the
     // JSON lines.
     spark.stop()

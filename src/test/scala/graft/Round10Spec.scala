@@ -212,7 +212,7 @@ class Round10Spec extends AnyFunSuite {
       "qb" -> (4.0, 4.0, Seq(4.0), 0.0, "xxx"),   // 4x slower, plan changed
       "qc" -> (1.1, 1.1, Seq(1.1), 0.0, "ccc"),   // within noise -> absent
       "qd" -> (3.0, 3.0, Seq(3.0), 0.0, "ddd"))   // mover, but ref has no fp
-    val d = Bench.deltaVsRef(results, "/elsewhere/sf0.1", ref.getAbsolutePath)
+    val (d, _) = Bench.deltaVsRef(results, "/elsewhere/sf0.1", ref.getAbsolutePath)
     assert(d.contains(""""q":"qa"""") && d.contains(""""fp":"same""""), d)
     assert(d.contains(""""q":"qb"""") && d.contains(""""fp":"diff""""), d)
     assert(!d.contains("qc"), d)
@@ -222,9 +222,9 @@ class Round10Spec extends AnyFunSuite {
     // largest mover first
     assert(d.indexOf("\"qa\"") < d.indexOf("\"qb\""), d)
     // a reference recorded at a different SF is not comparable
-    assert(Bench.deltaVsRef(results, "/data/sf0.01", ref.getAbsolutePath) === "[]")
+    assert(Bench.deltaVsRef(results, "/data/sf0.01", ref.getAbsolutePath) === ("[]", Nil))
     // absent reference file: muted, never throws
-    assert(Bench.deltaVsRef(results, "/data/sf0.1", "/nonexistent.json") === "[]")
+    assert(Bench.deltaVsRef(results, "/data/sf0.1", "/nonexistent.json") === ("[]", Nil))
   }
 
   test("d17 kernel: orientation-independence — counts equal brute force on a random graph") {
