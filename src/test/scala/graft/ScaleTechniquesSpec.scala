@@ -890,4 +890,84 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir10))
     }
   }
+
+  test("d22/s20/p26 10x scaling: linear wall time, bounded candidate fanout") {
+    // the round-10 heavies get the same tripwire net as d08/p06/es03:
+    //  - d22: per-delta-doc bucket-hit candidates must stay ~constant
+    //    (clone GROUPS are fixed-size, so a 10x corpus means 10x groups,
+    //    never hotter buckets) and wall time ~linear;
+    //  - s20: K scales with the corpus (max(16, ceil(n/64))), so the
+    //    two-level row-local assignment must keep wall time ~linear —
+    //    a corpus×K stage would go ~100x here (10x rows × 10x cells);
+    //  - p26: one count aggregate + broadcast-back gate, ~linear.
+    val src = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
+    def mkDocs(originals: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_r11docs_$originals").toString
+      src.filter(col("doc_id") < originals)
+        .crossJoin(spark.range(5).select(col("id").as("clone")))
+        .select((col("doc_id") * 10 + col("clone")).as("doc_id"),
+          concat(col("text"), lit(" zqtail"), col("clone")).as("text"),
+          col("lang"), col("source"), (length(col("text")) + 8).as("n_chars"))
+        .coalesce(4).write.parquet(out + "/documents.parquet")
+      out
+    }
+    def mkEmb(n: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_r11emb_$n").toString
+      spark.range(n).select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(sequence(lit(1), lit(64)),
+          j => (pmod(hash(col("id"), j), lit(2000)) / lit(1000.0) - 1.0).cast("float"))
+          .as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+        .coalesce(4).write.parquet(out + "/embeddings.parquet")
+      out
+    }
+    def time(q: String, dir: String): Double = {
+      graft.core.Sessions.sweepPersistedState(spark)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      graft.core.Sessions.sweepPersistedState(spark)
+      (System.nanoTime() - t0) / 1e9
+    }
+    // d22's candidate stage, restated from its shared seam: distinct
+    // (delta, corpus) bucket collisions — the fanout the sketch index
+    // must keep bounded per delta doc
+    def d22Cand(dir: String): (Long, Long) = {
+      val all = graft.ops.Dedup.shingledDocs(
+        graft.core.Tables.documents(spark, dir)).persist()
+      val isDelta = col("doc_id") % 10 === 0
+      val cand = graft.ops.Dedup.bandedOf(all.filter(isDelta)).as("a")
+        .join(graft.ops.Dedup.bandedOf(all.filter(!isDelta)).as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .select(col("a.doc_id").as("d_id"), col("b.doc_id").as("c_id"))
+        .dropDuplicates("d_id", "c_id").count()
+      val nDelta = all.filter(isDelta).count()
+      graft.core.Sessions.sweepPersistedState(spark)
+      (cand, nDelta)
+    }
+    val (docs1, docs10) = (mkDocs(400), mkDocs(4000))
+    val (emb1, emb10) = (mkEmb(2000), mkEmb(20000))
+    try {
+      for (q <- Seq("d22_incremental_lsh", "p26_temperature_mixture")) {
+        val (t1, t10) = (time(q, docs1), time(q, docs10))
+        info(f"$q 1x: $t1%.1fs; 10x: $t10%.1fs")
+        assert(t10 <= t1 * 25 + 5.0, f"$q wall time must stay ~linear: $t1%.1fs -> $t10%.1fs")
+      }
+      val (cand1, nd1) = d22Cand(docs1)
+      val (cand10, nd10) = d22Cand(docs10)
+      info(f"d22 candidates/delta-doc: 1x ${cand1 * 1.0 / nd1}%.1f; 10x ${cand10 * 1.0 / nd10}%.1f")
+      assert(nd10 >= nd1 * 9, "the 10x corpus must carry ~10x delta docs")
+      assert(cand10 * 1.0 / nd10 <= cand1 * 3.0 / nd1 + 8.0,
+        s"per-delta-doc candidate fanout must stay ~constant: $cand1/$nd1 -> $cand10/$nd10")
+      val (ts1, ts10) = (time("s20_trained_ivf", emb1), time("s20_trained_ivf", emb10))
+      info(f"s20 1x: $ts1%.1fs; 10x: $ts10%.1fs")
+      assert(ts10 <= ts1 * 25 + 5.0,
+        f"s20 wall time must stay ~linear under corpus-scaled K: $ts1%.1fs -> $ts10%.1fs")
+      // top-5 cut: output bounded by 5 rows per query vector at any K
+      assert(SparkEntry.queries("s20_trained_ivf")(spark, emb10).count() <= 5L * 20000L)
+      graft.core.Sessions.sweepPersistedState(spark)
+    } finally {
+      for (d <- Seq(docs1, docs10, emb1, emb10))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    }
+  }
 }
