@@ -313,7 +313,13 @@ object Sampling extends QueryModule {
       "sum_tokens")
   }
 
-  private val p27Sql =
+  // LAZY: p27Sql is the one cross-module SQL splice that points "up"
+  // the module init order (Sampling → Profiling → Dedup → Sampling is
+  // a cycle during object initialization — an eager val here left
+  // Profiling.p13Sql reading a still-null Dedup.segScrubCte). Deferring
+  // evaluation to the defs build breaks the nesting; everything is
+  // fully initialized by then.
+  private lazy val p27Sql =
     s"""WITH ${Profiling.funnelCtes},
        |sv AS (SELECT doc_id, pred_lang AS lang, n_tokens FROM survivors),
        |${mixtureCtes("sv")},
