@@ -27,15 +27,14 @@ import org.apache.spark.sql.functions._
   * test corpora exercise multi-cell behavior. Because K grows with n,
   * assignment is TWO-LEVEL (a coarse quantizer, the IVF-IMI/FAISS
   * two-level shape): Kc = ceil(sqrt(K)) coarse centroids are the only
-  * broadcast state, every row and every fine centroid picks its coarse
-  * group map-side (zero exchanges, O(sqrt K) per-row work, PlanSpec
-  * asserts the stage is shuffle-free), then rows meet the ~sqrt(K) fine
-  * centroids of their group through a hash join ON THE GROUP ID plus a
-  * max_by argmax — both broadcast payload and per-row work are O(sqrt K)
-  * instead of the O(K) flat argmax that round 5 shipped (a single
-  * broadcast row growing linearly with the corpus, O(n²/64) total fold
-  * work). The candidate join still shuffles on the cell id and fat
-  * vectors never ride the candidate shuffle.
+  * broadcast grouping, and BOTH levels fold row-locally under the one
+  * nested broadcast array shared with s20 (Similarity.groupArray /
+  * assignCellTwoLevel since round 11): coarse group then fine cell per
+  * row with zero corpus exchanges and no window (PlanSpec asserts it) —
+  * per-row work O(sqrt K) instead of the O(K) flat argmax that round 5
+  * shipped, and no more gid-join row explosion + vec_id re-aggregate
+  * that the round-10 level 2 paid. The candidate join still shuffles on
+  * the cell id and fat vectors never ride the candidate shuffle.
   */
 object SemDedup extends QueryModule {
 
@@ -97,34 +96,6 @@ object SemDedup extends QueryModule {
   private def guardedSim(d: Column, na: Column, nb: Column): Column =
     when(na * nb > 0, d / (na * nb)).otherwise(lit(-1e308))
 
-  /** Map-side nearest-centroid assignment: centroids collapse to ONE row
-    * holding a cid-sorted array of (cid, cv, cnrm) structs, broadcast to
-    * every task; the per-row argmax is a fold over that array with the
-    * same (csim DESC, cid ASC) tiebreak as the oracle's window (strict
-    * `>` over the cid-ascending array keeps the smallest cid on ties).
-    * The stage's plan is scan → broadcast join → project: zero
-    * exchanges. Output = every `base` column plus the winning `cell`.
-    * Used ONLY with the O(sqrt K) coarse centroid set — broadcasting a
-    * corpus-scaled K here is exactly the flat-argmax scale defect the
-    * two-level split removes.
-    */
-  private[graft] def assignStage(base: DataFrame, cents: DataFrame): DataFrame = {
-    val centArr = cents
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("cid"), col("cv"), col("cnrm")))).as("cells"))
-    base.crossJoin(broadcast(centArr))
-      .withColumn("cell",
-        aggregate(col("cells"),
-          struct(lit(Double.NegativeInfinity).as("bs"), lit(Long.MaxValue).as("bc")),
-          (acc, c) => {
-            val sim = guardedSim(dot(col("v"), c.getField("cv")), col("nrm"), c.getField("cnrm"))
-            when(sim > acc.getField("bs"),
-              struct(sim.as("bs"), c.getField("cid").as("bc"))).otherwise(acc)
-          },
-          acc => acc.getField("bc")))
-      .drop("cells")
-  }
-
   /** Select-fraction threshold: rows whose 60-bit md5 prefix
     * (Sampling.hash60, the shared cross-engine fold) falls under
     * floor(2^60 * k / n) form a deterministic ~k-row sample BOTH
@@ -174,44 +145,49 @@ object SemDedup extends QueryModule {
         greatest(col("a.vec_id"), col("b.vec_id")).as("idb"))
   }
 
+  /** The NEGATED guarded cosine as an ascending rank key over a
+    * (cid, cv, cnrm) centroid struct — csim DESC with the struct's cid
+    * breaking ties ascending, the degenerate-pair sentinel flipping to
+    * +1e308 so it ranks LAST (never chosen while any real similarity
+    * exists; an all-degenerate row still resolves to the smallest cid,
+    * matching the old fold's strict-> semantics and the oracle window).
+    */
+  private[graft] def negGuardedCos(c: Column): Column =
+    -guardedSim(dot(col("v"), c.getField("cv")), col("nrm"), c.getField("cnrm"))
+
   /** The full two-level cell-assignment front half — centroid sampling,
     * coarse grouping, fine argmax — for a (vec_id, v, nrm) corpus of `n`
-    * rows. Returns the persisted (vec_id, ..., cell) frame the pair
-    * stage consumes. Factored out of [[d08]] so the 10× scaling stress
-    * test can drive assignment + candidate generation against synthetic
+    * rows. Returns the persisted (vec_id, cell) frame the pair stage
+    * consumes. Factored out of [[d08]] so the 10× scaling stress test
+    * can drive assignment + candidate generation against synthetic
     * corpora at two sizes and assert the candidate count grows linearly
     * (K scales with n, so per-cell fanout — and with it candidates per
     * row — must stay ~constant).
+    *
+    * Since round 11 this is the shared Similarity two-level kernel (one
+    * nested broadcast: coarse groups → member cells; the coarse subset
+    * rides the SAME hash order as the fine sample, so no second count):
+    * both levels fold ROW-LOCALLY, which drops the old level-2 shape —
+    * a gid equi-join exploding each row into ~√K candidates and
+    * re-aggregating on vec_id — from the plan entirely. Semantics are
+    * unchanged: same (csim DESC, cid ASC) tiebreak at both levels, and
+    * an empty coarse sample still drops every row (null argmin ≡ the
+    * oracle's empty rn=1 window; the old Long.MaxValue sentinel filter).
+    * The one unreachable divergence: a coarse group losing ALL its fine
+    * members (possible only with zero-norm vectors, which
+    * Similarity.vecs excludes at the source) would reassign its rows
+    * here where the old inner join dropped them.
     */
   private[graft] def cellAssignments(base: DataFrame, n: Long): DataFrame = {
     val cells = cellCount(n)
-    val kc = coarseCount(cells)
-    def sample(k: Int) = base
-      .filter(Sampling.hash60(col("vec_id").cast("string")) < hashThreshold(k, n))
+    val code = base
+      .filter(Sampling.hash60(col("vec_id").cast("string")) < hashThreshold(cells, n))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val cents  = sample(cells)        // fine centroids (~K rows, one consumer)
-    val coarse = sample(kc).persist() // coarse subset of the SAME hash order;
-    // persisted: both assignStage calls collapse it into their broadcast array
-    // level 1 (map-side, broadcast O(sqrt K)): rows and fine centroids
-    // each pick their coarse group. The Long.MaxValue filter covers the
-    // empty-coarse-sample edge (the argmax seed survives an empty
-    // centroid array): unassignable rows drop out, exactly as the
-    // oracle's rn=1 window over an empty cross join yields no rows.
-    val rowAssign = assignStage(base, coarse).withColumnRenamed("cell", "gid")
-      .filter(col("gid") =!= Long.MaxValue)
-    val centAssign = assignStage(
-        cents.select(col("cid").as("vec_id"), col("cv").as("v"), col("cnrm").as("nrm")), coarse)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"),
-        col("cell").as("gid"))
-      .filter(col("gid") =!= Long.MaxValue)
-    // level 2 (one hash join on the coarse group id): each row scores
-    // only its group's ~sqrt(K) fine centroids; max_by's struct ordering
-    // is the same (csim DESC, cid ASC) tiebreak as the fold
-    rowAssign.join(centAssign, "gid")
-      .select(col("vec_id"), col("cid"),
-        guardedSim(dot(col("v"), col("cv")), col("nrm"), col("cnrm")).as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cell"))
+    def isCoarse(cid: Column): Column =
+      Sampling.hash60(cid.cast("string")) < hashThreshold(coarseCount(cells), n)
+    Similarity.assignCellTwoLevel(base,
+        Similarity.groupArray(code, isCoarse, negGuardedCos), negGuardedCos, "cell")
+      .select(col("vec_id"), col("cell"))
       .persist()
   }
 

@@ -965,43 +965,61 @@ object Similarity extends QueryModule {
         e => e.getField("mx")).as("cv"))
 
   /** The codebook as ONE broadcast row of a TWO-LEVEL nested array:
-    * coarse groups — the codebook rows whose cid the salted hash60
-    * threshold marks coarse (d08's "coarse subset of the same hash
-    * order" rule, so no second count is ever needed; a dead coarse cell
-    * simply drops out of later steps) — each carrying the cid-sorted
-    * member array of the fine centroids L2-assigned to it. All work
-    * here is K-sized (centroids only; the corpus is never touched).
+    * coarse groups — the codebook rows `isCoarse` marks (d08's "coarse
+    * subset of the same hash order" rule, so no second count is ever
+    * needed; a dead coarse cell simply drops out of later steps) — each
+    * carrying the cid-sorted member array of the fine centroids
+    * assigned to it under `key` (the same rank-key contract as
+    * [[assignCell]]; each fine centroid plays the ROW during its own
+    * coarse assignment, so `key`'s col("v")/col("nrm") reads see the
+    * centroid's own cv/cnrm). Codebooks without a cnrm column are
+    * padded with 0.0 so ONE nested struct shape (cid, cv, cnrm) serves
+    * both metrics. All work here is K-sized (centroids only; the
+    * corpus is never touched).
     */
-  private def groupArray(code: DataFrame, isCoarse: Column => Column): DataFrame = {
-    val coarse = code.filter(isCoarse(col("cid")))
+  private[graft] def groupArray(code: DataFrame, isCoarse: Column => Column,
+      key: Column => Column): DataFrame = {
+    val padded =
+      if (code.columns.contains("cnrm")) code
+      else code.withColumn("cnrm", lit(0.0))
+    val coarse = padded.filter(isCoarse(col("cid")))
     val fineG = assignCell(
-      code.select(col("cid").as("fcid"), col("cv").as("v")),
-      centArray(coarse, col("cid"), col("cv")), l2Key, "gid")
+      padded.select(col("cid").as("fcid"), col("cv").as("v"), col("cnrm").as("nrm")),
+      centArray(coarse, col("cid"), col("cv"), col("cnrm")), key, "gid")
     fineG.groupBy(col("gid"))
-      .agg(array_sort(collect_list(struct(col("fcid").as("cid"), col("v").as("cv")))).as("members"))
-      .join(coarse.select(col("cid").as("gid"), col("cv").as("gv")), "gid")
-      .agg(array_sort(collect_list(struct(col("gid"), col("gv"), col("members")))).as("groups"))
+      .agg(array_sort(collect_list(struct(col("fcid").as("cid"),
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("members"))
+      .join(coarse.select(col("cid").as("gid"), col("cv").as("gv"),
+        col("cnrm").as("gnrm")), "gid")
+      .agg(array_sort(collect_list(struct(col("gid"), col("gv"), col("gnrm"),
+        col("members")))).as("groups"))
   }
 
+  /** The group-level twin of a member-level rank key: the same
+    * expression read off the group struct's (gv, gnrm) fields. */
+  private def asGroupKey(key: Column => Column)(g: Column): Column =
+    key(struct(g.getField("gid").as("cid"), g.getField("gv").as("cv"),
+      g.getField("gnrm").as("cnrm")))
+
   /** Row-local TWO-LEVEL cell ranking under the nested broadcast:
-    * nearest `coarseProbes` groups by (L2, gid), then those groups'
-    * members ranked by (L2, cid), exploded to (vec_id, crn, cid) with
+    * nearest `coarseProbes` groups by (key, gid), then those groups'
+    * members ranked by (key, cid), exploded to (vec_id, crn, cid) with
     * crn = 1..probes. Per-row work is O(Kc + coarseProbes·K/Kc) ≈
     * O(√K) — what keeps a corpus-scaled codebook affordable — and
     * still ZERO exchanges: assignment and probing never shuffle the
     * corpus ([[rankCells]]'s contract at the next scale tier).
     */
-  private def rankCellsTwoLevel(base: DataFrame, groupArr: DataFrame,
-      coarseProbes: Int, probes: Int): DataFrame =
+  private[graft] def rankCellsTwoLevel(base: DataFrame, groupArr: DataFrame,
+      key: Column => Column, coarseProbes: Int, probes: Int): DataFrame =
     base.crossJoin(broadcast(groupArr))
       .withColumn("fines", flatten(transform(
         slice(array_sort(transform(col("groups"), g =>
-          struct(l2To(g.getField("gv")).as("k"), g.getField("gid").as("gid"),
+          struct(asGroupKey(key)(g).as("k"), g.getField("gid").as("gid"),
             g.getField("members").as("members")))), 1, coarseProbes),
         g => g.getField("members"))))
       .select(col("vec_id"),
         posexplode(slice(array_sort(transform(col("fines"), c =>
-          struct(l2To(c.getField("cv")).as("k"), c.getField("cid").as("cid")))),
+          struct(key(c).as("k"), c.getField("cid").as("cid")))),
           1, probes)).as(Seq("p0", "kc")))
       .select(col("vec_id"), (col("p0") + 1).as("crn"), col("kc.cid").as("cid"))
 
@@ -1009,15 +1027,15 @@ object Similarity extends QueryModule {
     * training face (the per-step means need the row vector alongside
     * its cell). Empty codebook ≡ the oracle's empty rn=1 window.
     */
-  private def assignCellTwoLevel(base: DataFrame, groupArr: DataFrame,
-      outCol: String): DataFrame =
+  private[graft] def assignCellTwoLevel(base: DataFrame, groupArr: DataFrame,
+      key: Column => Column, outCol: String): DataFrame =
     base.crossJoin(broadcast(groupArr))
       .withColumn("bg", try_element_at(array_sort(transform(col("groups"), g =>
-        struct(l2To(g.getField("gv")).as("k"), g.getField("gid").as("gid"),
+        struct(asGroupKey(key)(g).as("k"), g.getField("gid").as("gid"),
           g.getField("members").as("members")))), lit(1)))
       .withColumn(outCol, try_element_at(array_sort(transform(
         col("bg").getField("members"), c =>
-          struct(l2To(c.getField("cv")).as("k"), c.getField("cid").as("cid")))), lit(1))
+          struct(key(c).as("k"), c.getField("cid").as("cid")))), lit(1))
         .getField("cid"))
       .filter(col(outCol).isNotNull)
       .drop("groups", "bg")
@@ -1062,12 +1080,14 @@ object Similarity extends QueryModule {
     val seeds = base.filter(seedHash(col("vec_id")) < SemDedup.hashThreshold(k, n))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val trained = (1 to KmSteps).foldLeft(seeds) { (code, _) =>
-      meansCodebook(assignCellTwoLevel(base, groupArray(code, isCoarse), "cell"), "cell")
+      meansCodebook(
+        assignCellTwoLevel(base, groupArray(code, isCoarse, l2Key), l2Key, "cell"),
+        "cell")
     }.persist()
-    val gArr = groupArray(trained, isCoarse)
-    val assign = rankCellsTwoLevel(base, gArr, 1, 1)
+    val gArr = groupArray(trained, isCoarse, l2Key)
+    val assign = rankCellsTwoLevel(base, gArr, l2Key, 1, 1)
       .select(col("vec_id"), col("cid").as("cell"))
-    val probes = rankCellsTwoLevel(base, gArr, KmSearchGroups, IvfProbes)
+    val probes = rankCellsTwoLevel(base, gArr, l2Key, KmSearchGroups, IvfProbes)
       .select(col("vec_id").as("qid"), col("cid").as("cell"))
     val cand = probes.join(assign.select(col("vec_id").as("nid"), col("cell")), "cell")
       .filter(col("qid") =!= col("nid"))

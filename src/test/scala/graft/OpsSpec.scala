@@ -407,19 +407,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(langs.subsetOf(Set("de", "en", "es", "fr", "und")))
   }
 
-  test("d08 assignStage: a zero-norm vector still lands in a cell (NaN guard)") {
+  test("d08 assignment key: a zero-norm vector still lands in a cell (NaN guard)") {
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, sqrt}
-    // vec 1 is all-zero: unguarded cosine is 0/0 = NaN, which the strict
-    // `>` argmax would never select — leaving the Long.MaxValue seed —
-    // while DuckDB's DESC sort ranks NaN highest (divergent tiebreak)
+    import org.apache.spark.sql.functions.{col, lit, sqrt}
+    // vec 1 is all-zero: an unguarded cosine is 0/0 = NaN, which a
+    // strict ordering would never rank — the guarded key flips the
+    // sentinel to +1e308 so every real similarity beats it and an
+    // all-degenerate row still resolves to the smallest cid, at BOTH
+    // levels of the shared two-level kernel
     def frame(rows: Seq[(Long, Seq[Double])]) = rows.toDF("vec_id", "v")
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
     val base = frame(Seq(
       1L -> Seq(0.0, 0.0), 2L -> Seq(1.0, 0.0), 3L -> Seq(0.0, 1.0)))
-    val cents = frame(Seq(2L -> Seq(1.0, 0.0), 3L -> Seq(0.0, 1.0)))
+    val code = frame(Seq(2L -> Seq(1.0, 0.0), 3L -> Seq(0.0, 1.0)))
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val cellOf = graft.ops.SemDedup.assignStage(base, cents)
+    val gArr = graft.ops.Similarity.groupArray(code, _ => lit(true),
+      graft.ops.SemDedup.negGuardedCos)
+    val cellOf = graft.ops.Similarity
+      .assignCellTwoLevel(base, gArr, graft.ops.SemDedup.negGuardedCos, "cell")
       .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // all sims tie at the sentinel for the degenerate vector → smallest cid
     assert(cellOf(1L) === 2L, s"zero vector must take the smallest cid, got $cellOf")

@@ -532,16 +532,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p01).size == 1, "p01 must stay a single scan")
   }
 
-  test("d08: cell assignment stage is map-side only (broadcast argmax, zero exchanges)") {
-    import org.apache.spark.sql.functions._
+  test("d08: two-level cell assignment never shuffles or windows the corpus") {
+    // centroid-side exchanges (the K-row groupBy(gid) building the
+    // nested broadcast) are fine; the CORPUS must reach its cell with
+    // zero vec_id exchanges and no window — both levels are row-local
+    // folds under one nested broadcast since the round-11 migration
     val base = graft.ops.Similarity.vecs(spark, dir)
-    val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val p = graft.ops.SemDedup.assignStage(base, cents)
+    val p = graft.ops.SemDedup.cellAssignments(base, base.count())
       .queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"assignment must not shuffle the corpus:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"assignment must not shuffle the corpus:\n${p.take(800)}")
     assert(!p.contains("Window"), "argmax must be the broadcast-array fold, not a window")
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("d08/p06: cluster-dedup pipelines contain no cartesian product") {
