@@ -255,7 +255,12 @@ object Bench {
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run for local per-query
+    // iteration; the driver never sets it, so round artifacts stay full.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       var lastDf: org.apache.spark.sql.DataFrame = null
       def once(): Double = {
         if (spark.sparkContext.isStopped) spark = newSession()

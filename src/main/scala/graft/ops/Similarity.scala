@@ -1047,9 +1047,10 @@ object Similarity extends QueryModule {
     * filter, no top-K heaps — [[SemDedup.cellCount]]/[[SemDedup.hashThreshold]],
     * one definition), trained for [[KmSteps]] Lloyd iterations (each:
     * two-level assignment → s10's exact-decimal means), then searched
-    * s06-style: every vector indexed under its final cell, a query
-    * probes its [[KmSearchGroups]] nearest coarse groups and its
-    * [[IvfProbes]] nearest fine cells inside them, candidates re-scored
+    * s06-style: ONE two-level ranking pass — [[KmSearchGroups]] nearest
+    * coarse groups, then the [[IvfProbes]] nearest fine cells inside
+    * them — serves both faces of the index (rank 1 is the membership
+    * cell, ranks 1..IvfProbes the probe list), and candidates re-score
     * exact-cosine top-5.
     *
     * Scale shape: every assignment — training, indexing, probing — is a
@@ -1079,16 +1080,26 @@ object Similarity extends QueryModule {
     def isCoarse(cid: Column): Column = seedHash(cid) < SemDedup.hashThreshold(kc, n)
     val seeds = base.filter(seedHash(col("vec_id")) < SemDedup.hashThreshold(k, n))
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // each step's codebook is persisted: a K-row frame whose lineage is a
+    // full corpus aggregate — groupArray reads it twice (coarse filter +
+    // fine grouping), and without the cache each read re-runs the
+    // corpus pass of every EARLIER step too (geometric re-evaluation)
     val trained = (1 to KmSteps).foldLeft(seeds) { (code, _) =>
       meansCodebook(
         assignCellTwoLevel(base, groupArray(code, isCoarse, l2Key), l2Key, "cell"),
-        "cell")
-    }.persist()
+        "cell").persist()
+    }
     val gArr = groupArray(trained, isCoarse, l2Key)
-    val assign = rankCellsTwoLevel(base, gArr, l2Key, 1, 1)
+    // ONE two-level ranking pass serves both faces of the index: rank 1
+    // is the membership cell (the closest cell the quantizer can see —
+    // strictly nearer the true argmin than a 1-group cut) and ranks
+    // 1..IvfProbes are the query's probe list. corpus×IvfProbes rows,
+    // persisted so membership and probing don't re-run the fold.
+    val ranked = rankCellsTwoLevel(base, gArr, l2Key, KmSearchGroups, IvfProbes)
+      .persist()
+    val assign = ranked.filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
-    val probes = rankCellsTwoLevel(base, gArr, l2Key, KmSearchGroups, IvfProbes)
-      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val probes = ranked.select(col("vec_id").as("qid"), col("cid").as("cell"))
     val cand = probes.join(assign.select(col("vec_id").as("nid"), col("cell")), "cell")
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
@@ -1155,26 +1166,18 @@ object Similarity extends QueryModule {
        |  SELECT f.cid, g.gid,
        |    row_number() OVER (PARTITION BY f.cid ORDER BY ${sqlL2("f.cv", "g.gv")}, g.gid) AS rn
        |  FROM $fin f CROSS JOIN g$t g) WHERE rn = 1),
-       |aidx AS (SELECT vec_id, cid AS cell FROM (
-       |  SELECT r.vec_id, f.cid,
-       |    row_number() OVER (PARTITION BY r.vec_id ORDER BY ${sqlL2("x.v", "f.cv")}, f.cid) AS rn
-       |  FROM (SELECT vec_id, gid FROM (
-       |      SELECT n.vec_id, g.gid,
-       |        row_number() OVER (PARTITION BY n.vec_id ORDER BY ${sqlL2("n.v", "g.gv")}, g.gid) AS rn
-       |      FROM n CROSS JOIN g$t g) WHERE rn = 1) r
-       |    JOIN n x ON r.vec_id = x.vec_id
-       |    JOIN fa$t fm ON fm.gid = r.gid
-       |    JOIN $fin f ON f.cid = fm.cid) WHERE rn = 1),
        |pg AS (SELECT vec_id, gid FROM (
        |  SELECT n.vec_id, g.gid,
        |    row_number() OVER (PARTITION BY n.vec_id ORDER BY ${sqlL2("n.v", "g.gv")}, g.gid) AS rn
        |  FROM n CROSS JOIN g$t g) WHERE rn <= $KmSearchGroups),
-       |pr AS (SELECT qid, cid AS cell FROM (
-       |  SELECT r.vec_id AS qid, f.cid,
+       |prall AS (SELECT vec_id, cid, rn FROM (
+       |  SELECT r.vec_id, f.cid,
        |    row_number() OVER (PARTITION BY r.vec_id ORDER BY ${sqlL2("x.v", "f.cv")}, f.cid) AS rn
        |  FROM pg r JOIN n x ON r.vec_id = x.vec_id
        |    JOIN fa$t fm ON fm.gid = r.gid
        |    JOIN $fin f ON f.cid = fm.cid) WHERE rn <= $IvfProbes),
+       |aidx AS (SELECT vec_id, cid AS cell FROM prall WHERE rn = 1),
+       |pr AS (SELECT vec_id AS qid, cid AS cell FROM prall),
        |cnd AS (
        |  SELECT p.qid, a.vec_id AS nid
        |  FROM pr p JOIN aidx a USING (cell)
