@@ -1068,7 +1068,12 @@ object Similarity extends QueryModule {
     * every rank ties on the struct's cid/gid field == the oracle's
     * ORDER BY; means are exact-decimal sums divided once by counts.
     */
-  private def s20(s: SparkSession, dir: String): DataFrame = {
+  /** The trained-index front half shared by s20 (search) and s21
+    * (recall audit): the persisted corpus and the persisted two-level
+    * ranking (vec_id, crn, cid) — crn 1 is membership, 1..IvfProbes
+    * the probe list.
+    */
+  private def trainedRanked(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val base = vecs(s, dir).persist()
     // the ONE driver action: n drives K/Kc and both hash thresholds,
     // mirrored by the oracle's (SELECT count(*) FROM n) — d08's contract
@@ -1097,6 +1102,11 @@ object Similarity extends QueryModule {
     // persisted so membership and probing don't re-run the fold.
     val ranked = rankCellsTwoLevel(base, gArr, l2Key, KmSearchGroups, IvfProbes)
       .persist()
+    (base, ranked)
+  }
+
+  private def s20(s: SparkSession, dir: String): DataFrame = {
+    val (base, ranked) = trainedRanked(s, dir)
     val assign = ranked.filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     val probes = ranked.select(col("vec_id").as("qid"), col("cid").as("cell"))
@@ -1153,11 +1163,15 @@ object Similarity extends QueryModule {
     * the [[KmSearchGroups]]×[[IvfProbes]] two-level probe list (pg/pr),
     * candidates, exact re-score, top-5.
     */
-  private val s20Sql = {
+  /** The full trained-pipeline CTE chain (seed cut → Lloyd steps → index
+    * membership aidx / probe list pr → candidate scores sc) — shared by
+    * s20's top-5 tail and s21's recall tail.
+    */
+  private lazy val s20Ctes = {
     val steps = (1 to KmSteps).map(t => kmStepSql(if (t == 1) "c0" else s"c${t - 1}", t)).mkString(",\n")
     val fin = s"c$KmSteps"
     val t = KmSteps + 1
-    s"""WITH $oracleVecs,
+    s"""$oracleVecs,
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM n
        |  WHERE ${OracleSql.hex60("'km_' || CAST(vec_id AS VARCHAR)")} < ${SemDedup.threshSql(SemDedup.kSqlExpr)}),
        |$steps,
@@ -1185,13 +1199,104 @@ object Similarity extends QueryModule {
        |sc AS (
        |  SELECT c.qid, c.nid,
        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
-       |  FROM cnd c JOIN n x ON c.qid = x.vec_id JOIN n y ON c.nid = y.vec_id)
+       |  FROM cnd c JOIN n x ON c.qid = x.vec_id JOIN n y ON c.nid = y.vec_id)""".stripMargin
+  }
+
+  private lazy val s20Sql =
+    s"""WITH $s20Ctes
        |SELECT qid, nid, sim, rn FROM (
        |  SELECT qid, nid, sim,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rn
        |  FROM sc)
        |WHERE rn <= 5""".stripMargin
+
+  /** s21: recall@5 audit of the TRAINED corpus-scaled index — s12's
+    * contract (fixed [[RecallQueries]]-query batch, per-query k /
+    * n_hits / recall, worst queries attributable) run against s20's
+    * quantizer instead of s03's LSH planes. This is the number an
+    * index-training loop actually watches: s16 says whether k-means
+    * converged, s17 where distortion lives, THIS says what the search
+    * quality is — rebuild/retrain decisions trade its recall against
+    * s14-style cell balance.
+    *
+    * Scale shape: the exact leg is batch × corpus through the
+    * bounded-memory TopK aggregator (64·n, linear — the s12 lesson);
+    * the ANN leg probes ONLY the batch queries against the shared
+    * persisted ranking (the s20 front half, computed once), so the
+    * audit adds a batch-bounded candidate join, never a second corpus
+    * pass. Batch salt "trc_" is independent of every other sample salt.
+    */
+  private def s21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (base, ranked) = trainedRanked(s, dir)
+    val sampled = base
+      .orderBy(md5(concat(lit("trc_"), col("vec_id").cast("string")))).limit(RecallQueries)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val exact = sampled.crossJoin(
+        base.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb")))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .as[graft.functions.KnnRow]
+      .groupByKey(_.qid)
+      .agg(new graft.functions.TopKNeighbors(5).toColumn.name("top"))
+      .flatMap { case (qid, top) => top.items.iterator.map(r => (qid, r.nid)) }
+      .toDF("qid", "nid")
+    // the trained index's own answer, probing only the batch queries
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("nid"), col("cid").as("cell"))
+    val probes = ranked.join(broadcast(sampled.select(col("qid").as("vec_id"))), "vec_id")
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val ann = probes.join(assign, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .join(base.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb")), "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("nid"))
+    val hits = exact.join(ann, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / col("k")).as("recall"))
   }
+
+  /** Oracle: the LITERAL s20 CTE chain (so a hash match re-certifies
+    * the whole trained pipeline) + s12's exact-leg and recall tail cut
+    * to the "trc_" batch.
+    */
+  private lazy val s21Sql =
+    s"""WITH $s20Ctes,
+       |smp AS (
+       |  SELECT vec_id FROM n
+       |  ORDER BY md5('trc_' || CAST(vec_id AS VARCHAR)) LIMIT $RecallQueries),
+       |ex AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, ${Dim + 1}), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) DESC,
+       |        b.vec_id) AS rn
+       |    FROM n a JOIN smp USING (vec_id) JOIN n b ON a.vec_id <> b.vec_id)
+       |  WHERE rn <= 5),
+       |ann AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |    FROM sc)
+       |  WHERE rn <= 5 AND qid IN (SELECT vec_id FROM smp)),
+       |h AS (
+       |  SELECT ex.qid, count(*) AS n_hits
+       |  FROM ex JOIN ann ON ex.qid = ann.qid AND ex.nid = ann.nid
+       |  GROUP BY 1)
+       |SELECT ex.qid, count(*) AS k,
+       |  coalesce(any_value(h.n_hits), 0) AS n_hits,
+       |  coalesce(any_value(h.n_hits), 0) / count(*) AS recall
+       |FROM ex LEFT JOIN h ON ex.qid = h.qid
+       |GROUP BY 1""".stripMargin
 
   // ---- s11: IVF range (radius) search ---------------------------------
 
@@ -1644,6 +1749,7 @@ object Similarity extends QueryModule {
     QueryDef("s18_filtered_search", s18, Some(s18Sql)),
     QueryDef("s19_tombstone_search", s19, Some(s19Sql)),
     QueryDef("s20_trained_ivf", s20, Some(s20Sql)),
+    QueryDef("s21_trained_recall", s21, Some(s21Sql)),
   )
 
   // ---- s16: second Lloyd iteration + migration audit ------------------
