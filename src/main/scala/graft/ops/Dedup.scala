@@ -1059,18 +1059,28 @@ object Dedup extends QueryModule {
     * one that fits: O(docs) fixed-width rows, refreshed incrementally
     * by appending the day's banded delta.
     */
-  private def d22(s: SparkSession, dir: String): DataFrame = {
-    val all = shingledDocs(Tables.documents(s, dir)).persist()
-    val isDelta = col("doc_id") % 10 === 0
-    val cand = bandedOf(all.filter(isDelta)).as("a")
-      .join(bandedOf(all.filter(!isDelta)).as("b"),
+  /** The d22 classify kernel, factored over an ARBITRARY delta frame and
+    * a materialized corpus index — one definition serving the batch
+    * ingest (d22) and the live one (es24's per-micro-batch call), so
+    * the two cannot drift. `deltaDocs` is a raw documents-shaped frame
+    * (its shingles compute here, row-locally); `corpusSh`/`corpusIdx`
+    * are the shingled corpus and its (doc_id, band, bucket) sketch
+    * index — the state a production pipeline keeps between ingests
+    * (refreshed by d23's append law). Work ∝ |Δ| signatures + bucket
+    * hits; the corpus is only ever probed by equi-join.
+    */
+  private[graft] def classifyDelta(deltaDocs: DataFrame, corpusSh: DataFrame,
+      corpusIdx: DataFrame): DataFrame = {
+    val dSh = shingledDocs(deltaDocs)
+    val cand = bandedOf(dSh).as("a")
+      .join(corpusIdx.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("d_id"), col("b.doc_id").as("c_id"))
       .dropDuplicates("d_id", "c_id")
     val inter = size(array_intersect(col("sha"), col("shb"))).cast("long")
     val verified = cand
-      .join(all.select(col("doc_id").as("d_id"), col("sh").as("sha")), "d_id")
-      .join(all.select(col("doc_id").as("c_id"), col("sh").as("shb")), "c_id")
+      .join(dSh.select(col("doc_id").as("d_id"), col("sh").as("sha")), "d_id")
+      .join(corpusSh.select(col("doc_id").as("c_id"), col("sh").as("shb")), "c_id")
       .select(col("d_id"), col("c_id"),
         (inter / (size(col("sha")).cast("long") + size(col("shb")).cast("long") - inter)).as("jac"))
       .filter(col("jac") >= 0.5)
@@ -1079,13 +1089,23 @@ object Dedup extends QueryModule {
     val best = verified
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("d_id").as("doc_id"), col("c_id").as("dup_of"), col("jac").as("jaccard"))
-    Tables.documents(s, dir).select(col("doc_id")).filter(isDelta)
+    deltaDocs.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("dup_of"), col("jaccard"),
         when(col("dup_of").isNull, "new").otherwise("near").as("verdict"))
   }
 
-  private val d22Sql =
+  private def d22(s: SparkSession, dir: String): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 0
+    val corpusSh = shingledDocs(Tables.documents(s, dir).filter(!isDelta)).persist()
+    classifyDelta(Tables.documents(s, dir).filter(isDelta),
+      corpusSh, bandedOf(corpusSh))
+  }
+
+  /** Shared with es24 (the same classify kernel run live — single-batch
+    * ingest against the same static index emits exactly this set).
+    */
+  private[graft] val d22Sql =
     s"""WITH $d04BandCtes,
        |cand22 AS (
        |  SELECT DISTINCT a.doc_id AS d_id, b.doc_id AS c_id

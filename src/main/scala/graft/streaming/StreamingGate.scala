@@ -509,6 +509,7 @@ object StreamingGate extends QueryModule {
     QueryDef("es21_window_distinct_users", es21, Some(es21Sql)),
     QueryDef("es22_available_now", es22, Some(es22Sql)),
     QueryDef("es23_rocksdb_state", es23, Some(es23Sql)),
+    QueryDef("es24_stream_neardup", es24, Some(es24Sql)),
   )
 
   /** es20: per-closed-window event-type MATRIX — one row per finalized
@@ -779,5 +780,87 @@ object StreamingGate extends QueryModule {
   }
 
   private val es22Sql = es02Sql
+
+  /** Streaming reader over the documents table (no event-time column —
+    * document ingest is sequence-ordered, not time-ordered, so the
+    * stateless consumers below need no watermark).
+    */
+  private[graft] def readDocuments(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val glob = "documents*.parquet"
+    val schema = s.read.option("pathGlobFilter", glob).parquet(dir).schema
+    val reader = s.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader.option("pathGlobFilter", glob).parquet(dir)
+  }
+
+  /** Run a documents stream through the d22 classify kernel against a
+    * static corpus index, landing each micro-batch's verdicts under its
+    * own `batch_id=<id>` dir (p15's idempotent-by-batch-directory
+    * recipe — a replayed batch overwrites its own output). Exposed for
+    * the multi-batch replay test; es24 is this over the gate split.
+    */
+  private[graft] def runNearDupStream(s: SparkSession, deltaStream: DataFrame,
+      corpusSh: DataFrame, corpusIdx: DataFrame, root: String, ckpt: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val classify: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (batch, id) =>
+          graft.ops.Dedup.classifyDelta(batch.toDF(), corpusSh, corpusIdx)
+            .write.mode("overwrite")
+            .parquet(new java.io.File(root, s"batch_id=$id").getAbsolutePath)
+      val q = deltaStream.writeStream
+        .foreachBatch(classify)
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
+    s.read.parquet(root)
+      .select(col("doc_id"), col("dup_of"), col("jaccard"), col("verdict"))
+  }
+
+  /** es24: STREAMING near-duplicate ingest — d22's delta-vs-corpus
+    * MinHash-LSH classification run LIVE: the day's documents arrive as
+    * a stream, and each micro-batch computes its own signatures
+    * (row-local), probes the STATIC corpus band index by (band, bucket)
+    * equi-join, exact-verifies candidates, and lands per-doc verdicts
+    * (`near` + best match, or `new`). The per-batch logic needs a
+    * per-doc best-match window, which streams can't express natively —
+    * so the production shape is foreachBatch (the documented escape
+    * hatch for per-batch batch semantics), landing each batch under its
+    * own idempotent `batch_id` dir like p15.
+    *
+    * This closes the dedup matrix: exact-incremental (d13), sketch-
+    * incremental batch (d22), exact-streaming (es11), and now sketch-
+    * streaming — the shape an at-ingest near-dup filter actually runs.
+    *
+    * Scale shape: NO stateful operator — the stream's only state is the
+    * file-source progress log. The corpus index is built once before
+    * the stream starts and only ever probed by equi-join; per-batch
+    * work is ∝ batch signatures + bucket hits. Batching cannot change
+    * the result: the index is static within the run (the day's index
+    * refresh is d23's append, between runs), verdicts are per-doc, and
+    * every doc arrives exactly once — so the emitted set equals the
+    * batch d22 classification and the oracle is d22's SQL verbatim.
+    */
+  private def es24(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val isDelta = col("doc_id") % 10 === 0
+    val corpusSh = graft.ops.Dedup.shingledDocs(
+      graft.core.Tables.documents(s, dir).filter(!isDelta)).persist()
+    val idx = graft.ops.Dedup.bandedOf(corpusSh).persist()
+    idx.count() // materialize the index before the stream starts ingesting
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-es24"))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    val base = java.nio.file.Files.createTempDirectory("graft-es24")
+    runNearDupStream(s, readDocuments(s, dir).filter(isDelta),
+      corpusSh, idx, s"$base/out", s"$base/ckpt")
+  }
+
+  private val es24Sql = graft.ops.Dedup.d22Sql
 }
 
