@@ -852,6 +852,148 @@ object TextAnalysis extends QueryModule {
        |SELECT rank, word, n, CAST(cum_n AS DOUBLE) / total AS cum_frac
        |FROM r CROSS JOIN tot""".stripMargin
 
+  // ---- t24: the BPE merge-training LOOP ------------------------------
+
+  /** Merge iterations the trainer runs. Like s20's KmSteps Lloyd
+    * loop, the step count is a config knob; three steps exercise
+    * the full recurrence (selection feeds rewrite feeds next selection)
+    * including a merged token competing in later pair statistics.
+    */
+  private[graft] val MergeSteps = 3
+
+  /** Token delimiter / merge joiner for the delimited corpus-string
+    * representation. Control characters: absent from any text the
+    * corpus can contain (tokens are whitespace-split, so they cannot
+    * contain 0x01/0x02 without the document carrying raw control bytes
+    * — which t08's scrub gate rejects upstream in a real pipeline).
+    */
+  private[graft] val Sep    = "\u0001"
+  private[graft] val Joiner = "\u0002"
+
+  /** The corpus as one delimited token string per doc: 0x01-separated
+    * lowercased whitespace tokens with leading/trailing delimiters, so
+    * every token occurrence — first, last, merged — is addressable as
+    * the exact substring `Sep tok Sep`. Zero-token docs become `SepSep`
+    * and fall out of pair statistics naturally.
+    */
+  private[graft] def delimited(c: Column): Column =
+    concat(lit(Sep), array_join(toks(lower(c)), Sep), lit(Sep))
+
+  /** Adjacent-pair counts over a delimited corpus frame (doc_id, s) —
+    * t10's statistic, but built ROW-LOCALLY (re-split the string, zip
+    * each token with its successor) instead of t10's posexplode +
+    * per-doc window: inside the training loop this runs once per merge
+    * step, so the per-step cost must be one map-side-combined pair
+    * aggregate and NOTHING else — no doc_id exchange, no window sort.
+    * Docs with <2 tokens produce NULL (explode emits no rows).
+    */
+  private[graft] def stepPairs(corpus: DataFrame): DataFrame = {
+    val a = filter(split(col("s"), Sep), t => length(t) > 0)
+    corpus
+      .select(explode(when(size(a) >= 2,
+        transform(sequence(lit(1), size(a) - 1),
+          i => struct(element_at(a, i).as("lhs"), element_at(a, i + 1).as("rhs"))))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(count(lit(1)).as("pair_n"))
+  }
+
+  /** Apply one selected merge (a 1-row (lhs, rhs) frame) to the
+    * delimited corpus: every `Sep lhs Sep rhs Sep` occurrence becomes
+    * the single token `lhs Joiner rhs`. `replace` rewrites occurrences
+    * LEFT-TO-RIGHT, NON-OVERLAPPING, resuming after each replacement —
+    * identical semantics in Spark (UTF8String.replace) and DuckDB — so
+    * back-to-back occurrences sharing a delimiter (x y x y; x x x)
+    * leave every second one untouched in one pass, and a SECOND pass
+    * catches exactly those (after pass one, two adjacent unmerged
+    * occurrences cannot remain, since pass one would have matched at
+    * the second). The two-pass composition IS the operator's defined
+    * semantics — deterministic, engine-mirrored, and equal to greedy
+    * BPE merging except on chained self-overlapping runs, where it
+    * merges the same token multiset at shifted positions.
+    */
+  private[graft] def applyMerge(corpus: DataFrame, b: DataFrame): DataFrame = {
+    val pat = concat(lit(Sep), col("lhs"), lit(Sep), col("rhs"), lit(Sep))
+    val rep = concat(lit(Sep), col("lhs"), lit(Joiner), col("rhs"), lit(Sep))
+    corpus.crossJoin(broadcast(b.select(col("lhs"), col("rhs"))))
+      .select(col("doc_id"), replace(replace(col("s"), pat, rep), pat, rep).as("s"))
+  }
+
+  /** t24: the BPE MERGE-TRAINING LOOP — the iterative trainer t10's
+    * one-shot statistic feeds: [[MergeSteps]] rounds of (count adjacent
+    * pairs → select the most frequent, ties lexicographic → merge every
+    * occurrence corpus-wide), emitting one row per round with the
+    * selected pair, its count at selection time, and the corpus token
+    * count after the rewrite — the merge table IS the trained tokenizer
+    * artifact. The text-family twin of s20's Lloyd loop: train-step
+    * machinery composed into an actual multi-step trainer.
+    *
+    * Scale shape: per step, ONE map-side-combined pair aggregate over
+    * the corpus (shuffle keys are pairs — high-cardinality, unskewed
+    * after lowercasing), a TakeOrdered top-1 persisted and FORCED (the
+    * s20 per-step-codebook discipline: the tiny artifact caches; the
+    * corpus frame stays lazy, its rewrite chain replaying row-locally
+    * under the cached 1-row broadcasts), and a row-local string
+    * rewrite. The corpus never shuffles for the rewrite and no
+    * doc-keyed window exists anywhere in the loop.
+    *
+    * Determinism: counts are integers; selection ties break (pair_n
+    * DESC, lhs, rhs) — pure-ASCII collation; the rewrite is the exact
+    * two-pass `replace` contract mirrored in [[applyMerge]]'s doc.
+    */
+  private def t24(s: SparkSession, dir: String): DataFrame = {
+    val docs0 = Tables.documents(s, dir)
+      .select(col("doc_id"), delimited(col("text")).as("s"))
+    var corpus = docs0
+    val steps = (1 to MergeSteps).map { k =>
+      val b = stepPairs(corpus)
+        .orderBy(col("pair_n").desc, col("lhs"), col("rhs")).limit(1).persist()
+      b.count() // force: the step's one corpus aggregate runs exactly here
+      corpus = applyMerge(corpus, b)
+      val tc = corpus.agg(
+        sum(size(filter(split(col("s"), Sep), t => length(t) > 0)))
+          .cast("long").as("tokens_after"))
+      b.select(lit(k.toLong).as("step"), col("lhs"), col("rhs"), col("pair_n"))
+        .crossJoin(tc)
+    }
+    steps.reduce(_ unionByName _)
+  }
+
+  /** One oracle merge round: pairs p$k from the delimited corpus
+    * s${k-1}, top-1 b$k, rewritten corpus s$k (the literal two-pass
+    * replace), post-rewrite token count tc$k.
+    */
+  private def t24StepSql(k: Int): String = {
+    val in = s"s${k - 1}"
+    val pat = s"chr(1) || b.lhs || chr(1) || b.rhs || chr(1)"
+    val rep = s"chr(1) || b.lhs || chr(2) || b.rhs || chr(1)"
+    s"""p$k AS (
+       |  SELECT d.w[x.i] AS lhs, d.w[x.i + 1] AS rhs, count(*) AS pair_n
+       |  FROM (SELECT list_filter(string_split(s, chr(1)), t -> len(t) > 0) AS w FROM $in) d,
+       |    LATERAL (SELECT unnest(range(1, coalesce(len(d.w), 0))) AS i) x
+       |  GROUP BY 1, 2),
+       |b$k AS (SELECT lhs, rhs, pair_n FROM p$k ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
+       |s$k AS (
+       |  SELECT doc_id, replace(replace(t.s, $pat, $rep), $pat, $rep) AS s
+       |  FROM $in t CROSS JOIN b$k b),
+       |tc$k AS (
+       |  SELECT CAST(sum(len(list_filter(string_split(s, chr(1)), t -> len(t) > 0))) AS BIGINT)
+       |    AS tokens_after FROM s$k)""".stripMargin
+  }
+
+  private val t24Sql = {
+    val steps = (1 to MergeSteps).map(t24StepSql).mkString(",\n")
+    val rows = (1 to MergeSteps).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, pair_n, tokens_after FROM b$k, tc$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH s0 AS (
+       |  SELECT doc_id,
+       |    chr(1) || array_to_string(list_filter(string_split(lower(text), ' '),
+       |      t -> len(t) > 0), chr(1)) || chr(1) AS s
+       |  FROM documents),
+       |$steps
+       |$rows""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("t01_token_stats", t01, Some(t01Sql)),
     QueryDef("t02_quality_score", t02, Some(t02Sql)),
@@ -876,6 +1018,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("t21_readability", t21, Some(t21Sql)),
     QueryDef("t22_heaps_curve", t22, Some(t22Sql)),
     QueryDef("t23_pii_density", t23, Some(t23Sql)),
+    QueryDef("t24_bpe_merge_loop", t24, Some(t24Sql)),
   )
 
   /** t20: language-ID confusion audit — cross-tabulate the declared
