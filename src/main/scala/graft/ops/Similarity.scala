@@ -676,8 +676,11 @@ object Similarity extends QueryModule {
     * persisted normalized corpus and the full ADC-ranked candidate frame
     * (query_id, vec_id, adc, rk) BEFORE any top-k cut.
     */
-  private def pqAdcRanked(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val base = vecs(s, dir).persist()
+  /** PQ encode, factored for reuse by the flat path (s08/s09) and the
+    * IVF-PQ composition (s22): returns (centSub, codes) — the per-
+    * subspace codebook slices and the corpus's 8-code rows.
+    */
+  private def pqParts(base: DataFrame): (DataFrame, DataFrame) = {
     val cents = base.orderBy(md5(col("vec_id").cast("string"))).limit(PqK)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
       .persist() // tiny; feeds the rank join and the subspace explode
@@ -704,14 +707,24 @@ object Similarity extends QueryModule {
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("j"), col("cidx")))).as("jc"))
       .select(col("vec_id"), transform(col("jc"), x => x.getField("cidx")).as("codes"))
-    // per-query ADC tables: contrib[j][c] = <query subvector, centroid>,
-    // flattened to a 128-slot array in (j, cidx) order. SALTED md5 order:
-    // the unsalted ordering is the codebook sample's, and PqQueries ==
-    // PqK would make every query one of its own centroids — the batch
-    // must exercise out-of-codebook queries
-    val qids = base.select(col("vec_id"))
+    (centSub, codes)
+  }
+
+  /** The PQ query batch: SALTED md5 order — the unsalted ordering is
+    * the codebook sample's, and PqQueries == PqK would make every query
+    * one of its own centroids; the batch must exercise out-of-codebook
+    * queries.
+    */
+  private def pqQids(base: DataFrame): DataFrame =
+    base.select(col("vec_id"))
       .orderBy(md5(concat(lit("pqq_"), col("vec_id").cast("string")))).limit(PqQueries)
-    val tbl = base.join(broadcast(qids), "vec_id")
+
+  /** Per-query ADC tables: contrib[j][c] = <query subvector, centroid>,
+    * flattened to a 128-slot array in (j, cidx) order — one capped-
+    * broadcast row per batch query.
+    */
+  private def adcTables(base: DataFrame, centSub: DataFrame, qids: DataFrame): DataFrame =
+    base.join(broadcast(qids), "vec_id")
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .crossJoin(broadcast(centSub))
       .select(col("query_id"), col("j"), col("cidx"),
@@ -719,14 +732,22 @@ object Similarity extends QueryModule {
       .groupBy(col("query_id"))
       .agg(array_sort(collect_list(struct(col("j"), col("cidx"), col("contrib")))).as("e"))
       .select(col("query_id"), transform(col("e"), x => x.getField("contrib")).as("tbl"))
-    // ADC score: fixed-order fold over j — sum of PqM exact lookups
+
+  /** ADC score: fixed-order fold over j — a sum of PqM exact lookups.
+    * Reads `tbl` and `codes` columns from the enclosing frame.
+    */
+  private def adcScore: Column =
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+      (acc, j) => acc + element_at(col("tbl"), j * PqK + element_at(col("codes"), j + 1) + 1))
+
+  private def pqAdcRanked(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = vecs(s, dir).persist()
+    val (centSub, codes) = pqParts(base)
+    val tbl = adcTables(base, centSub, pqQids(base))
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("vec_id"))
     val ranked = codes.crossJoin(broadcast(tbl))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-          (acc, j) => acc + element_at(col("tbl"), j * PqK + element_at(col("codes"), j + 1) + 1))
-          .as("adc"))
+      .select(col("query_id"), col("vec_id"), adcScore.as("adc"))
       .withColumn("rk", row_number().over(w).cast("long"))
     (base, ranked)
   }
@@ -784,9 +805,13 @@ object Similarity extends QueryModule {
     * through the ADC ranking is shared by the s08 and s09 oracles,
     * mirroring the Spark-side pqAdcRanked split.
     */
-  private val pqCte =
-    s"""$oracleVecs,
-       |cent AS (
+  /** The PQ encode + per-query ADC-table CTEs WITHOUT the `n` prefix or
+    * the full-corpus ranking tail — composable after any CTE chain that
+    * already defines `n` (s22 splices this after the s20 trained-IVF
+    * chain). Mirrors [[pqParts]] + [[pqQids]] + [[adcTables]].
+    */
+  private val pqCodeCtes =
+    s"""cent AS (
        |  SELECT vec_id AS cid, v AS cv FROM n
        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $PqK),
        |cx AS (
@@ -819,7 +844,11 @@ object Similarity extends QueryModule {
        |    list_sum(list_transform(range(1, ${PqSub + 1}),
        |      i -> q.v[cs.j * $PqSub + i] * cs.cs[i])) AS contrib
        |  FROM n q JOIN qids USING (vec_id) CROSS JOIN cs),
-       |tbl AS (SELECT query_id, array_agg(contrib ORDER BY j, cidx) AS tbl FROM tb GROUP BY 1),
+       |tbl AS (SELECT query_id, array_agg(contrib ORDER BY j, cidx) AS tbl FROM tb GROUP BY 1)""".stripMargin
+
+  private val pqCte =
+    s"""$oracleVecs,
+       |$pqCodeCtes,
        |sc AS (
        |  SELECT t.query_id, c.vec_id,
        |    list_sum(list_transform(range(0, $PqM),
@@ -1088,11 +1117,22 @@ object Similarity extends QueryModule {
     // each step's codebook is persisted: a K-row frame whose lineage is a
     // full corpus aggregate — groupArray reads it twice (coarse filter +
     // fine grouping), and without the cache each read re-runs the
-    // corpus pass of every EARLIER step too (geometric re-evaluation)
+    // corpus pass of every EARLIER step too (geometric re-evaluation).
+    // Each step is FORCED as soon as it is built (its corpus aggregate
+    // runs exactly once either way — forcing only moves the when), so
+    // the superseded predecessor can be released on the spot instead of
+    // pinning KmSteps codebooks for the query's whole lifetime (the
+    // Graph `release` discipline; step 1's input is the unpersisted
+    // `seeds` filter, which unpersist() no-ops on). Only the FINAL
+    // codebook, `base`, and `ranked` stay cached for the query tail —
+    // those are swept by Sessions.sweepPersistedState after the run.
     val trained = (1 to KmSteps).foldLeft(seeds) { (code, _) =>
-      meansCodebook(
+      val next = meansCodebook(
         assignCellTwoLevel(base, groupArray(code, isCoarse, l2Key), l2Key, "cell"),
         "cell").persist()
+      next.count()
+      code.unpersist()
+      next
     }
     val gArr = groupArray(trained, isCoarse, l2Key)
     // ONE two-level ranking pass serves both faces of the index: rank 1
@@ -1728,6 +1768,99 @@ object Similarity extends QueryModule {
        |  FROM p)
        |WHERE rn <= 5""".stripMargin
 
+  /** s22: IVF-PQ — the full production ANN index, composed from parts
+    * the gate already certifies one by one: the TRAINED corpus-scaled
+    * coarse quantizer (s20's [[trainedRanked]]) prunes the corpus to
+    * each query's probed cells; stage 1 ranks ONLY those candidates by
+    * asymmetric distance over the 8-byte PQ codes (s08's encode +
+    * tables, raw-vector variant — FAISS `IndexIVFPQ` with
+    * `by_residual=false`); stage 2 re-scores the top-[[PqShort]]
+    * shortlist with exact cosine (s09's refine). This is the index
+    * architecture a 100 TB deployment actually serves: the coarse
+    * index bounds WHAT is scanned, PQ bounds the BYTES per scanned
+    * candidate, the refine pass bounds the error — and each knob is
+    * audited by its own sibling entry (s14 balance, s17 distortion,
+    * s21 recall).
+    *
+    * Scale shape: assignment/probing are the s20 row-local fold (zero
+    * corpus exchanges at any K); the candidate set is occupancy-
+    * bounded (~IvfProbes · cell size per query); ADC fetches candidate
+    * codes by equi-join (the corpus-side codes stream — only the
+    * [[PqQueries]]-row table set broadcasts); the exact pass touches
+    * PqQueries × PqShort vectors, a constant. No stage ever
+    * materializes corpus×K rows or an un-broadcast product.
+    *
+    * Determinism: every float reduction is the shared left-to-right
+    * fold (encode distances, table entries, the PqM-lookup ADC sum,
+    * the refine cosine); every rank ties on the id column. The oracle
+    * splices the literal s20 CTE chain with the literal PQ CTE block —
+    * a hash match certifies the COMPOSITION, training through refine.
+    */
+  private def s22(s: SparkSession, dir: String): DataFrame = {
+    val (base, ranked) = trainedRanked(s, dir)
+    val (centSub, codes) = pqParts(base)
+    val qids = pqQids(base)
+    val tbl = adcTables(base, centSub, qids)
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = ranked.select(col("vec_id").as("query_id"), col("cid").as("cell"))
+      .join(broadcast(qids.select(col("vec_id").as("query_id"))), "query_id")
+    val cand = probes
+      .join(assign.select(col("vec_id").as("cand_id"), col("cell")), "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("cand_id"))
+    val short = cand
+      .join(codes.select(col("vec_id").as("cand_id"), col("codes")), "cand_id")
+      .join(broadcast(tbl), "query_id")
+      .select(col("query_id"), col("cand_id"), adcScore.as("adc"))
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= PqShort)
+      .select(col("query_id"), col("cand_id"))
+    val qv = base
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(qids.select(col("vec_id").as("query_id"))), "query_id")
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    short
+      .join(base.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn")), "cand_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("cand_id").as("vec_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= RerankK)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+  }
+
+  /** The composed mirror: the whole trained-IVF chain (c22 restricts
+    * its candidate CTE to the PQ query batch), the whole PQ encode
+    * block, then ADC-over-candidates → shortlist → exact refine.
+    */
+  private lazy val s22Sql =
+    s"""WITH $s20Ctes,
+       |$pqCodeCtes,
+       |c22 AS (
+       |  SELECT qid AS query_id, nid AS cand_id FROM cnd
+       |  WHERE qid IN (SELECT vec_id FROM qids)),
+       |adcs AS (
+       |  SELECT c.query_id, c.cand_id,
+       |    list_sum(list_transform(range(0, $PqM),
+       |      j -> t.tbl[j * $PqK + cd.codes[j + 1] + 1])) AS adc
+       |  FROM c22 c JOIN codes cd ON cd.vec_id = c.cand_id
+       |  JOIN tbl t ON t.query_id = c.query_id),
+       |short AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, cand_id) AS rn
+       |    FROM adcs) WHERE rn <= $PqShort),
+       |rr AS (
+       |  SELECT s.query_id, s.cand_id,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
+       |  FROM short s JOIN n x ON x.vec_id = s.query_id JOIN n y ON y.vec_id = s.cand_id)
+       |SELECT query_id, rk, vec_id, sim FROM (
+       |  SELECT query_id, cand_id AS vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS rk
+       |  FROM rr) WHERE rk <= $RerankK""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s01_cosine_knn", s01, Some(s01Sql)),
     QueryDef("s02_cosine_neardup", s02, Some(s02Sql)),
@@ -1750,6 +1883,7 @@ object Similarity extends QueryModule {
     QueryDef("s19_tombstone_search", s19, Some(s19Sql)),
     QueryDef("s20_trained_ivf", s20, Some(s20Sql)),
     QueryDef("s21_trained_recall", s21, Some(s21Sql)),
+    QueryDef("s22_ivfpq_search", s22, Some(s22Sql)),
   )
 
   // ---- s16: second Lloyd iteration + migration audit ------------------
