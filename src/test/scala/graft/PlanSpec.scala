@@ -470,6 +470,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s22: IVF-PQ never builds an un-broadcast product; capped sides broadcast") {
+    // candidates come from the cell equi-join, ADC codes by cand_id
+    // equi-join, tables/query-batch by capped broadcast — a
+    // CartesianProduct anywhere means a stage regressed to
+    // corpus×batch scoring (the s08 full-scan shape this composition
+    // exists to avoid)
+    val p = plan("s22_ivfpq_search")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastHashJoin"), "capped sides must broadcast-join")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("d12: df aggregate is single-distinct (no Expand); no cartesian; no broadcast hint") {
     // countDistinct(doc_id) grouped by seg plans as a two-phase agg, not
     // a grouping-sets Expand; the dup-segment side is corpus-derived so
@@ -590,6 +602,20 @@ class PlanSpec extends AnyFunSuite {
         s"$q: capped side must broadcast:\n${p.take(600)}")
       assert(!p.contains("SortMergeJoin"), s"$q must not sort-merge the capped join")
     }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("t24: the merge loop never windows or cartesians the corpus; selections broadcast") {
+    // per training step: one map-side-combined pair aggregate, a
+    // TakeOrdered top-1, and a row-local rewrite under a 1-row
+    // broadcast — no doc_id window anywhere (the t10 shape would pay a
+    // per-doc sort per step) and no un-broadcast product
+    val p = plan("t24_bpe_merge_loop")
+    assert(!p.contains("Window"), s"doc-keyed window in the merge loop:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("SortMergeJoin"),
+      s"1-row merge selections must broadcast:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-1 selection must be TakeOrdered")
     spark.sharedState.cacheManager.clearCache()
   }
 

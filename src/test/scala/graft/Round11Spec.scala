@@ -30,6 +30,98 @@ class Round11Spec extends AnyFunSuite {
     assert(rebuilt.count() > 0)
   }
 
+  test("t24 merge kernel: two-pass replace contract — greedy on disjoint pairs, exact on chains") {
+    import spark.implicits._
+    val T = graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "x x x"),       // self-overlapping chain: exactly ONE merge
+      (2L, "x y x y"),     // back-to-back occurrences sharing a delimiter
+      (3L, "a x y b x y"), // disjoint occurrences: both merge in pass one
+      (4L, "lone")         // no pairs at all
+    ).toDF("doc_id", "text")
+    val corpus = docs.select(col("doc_id"), T.delimited(col("text")).as("s"))
+    def merged(l: String, r: String): Map[Long, Seq[String]] = {
+      val b = Seq((l, r)).toDF("lhs", "rhs")
+      T.applyMerge(corpus, b).as[(Long, String)].collect()
+        .map { case (id, s) => id -> s.split(T.Sep).filter(_.nonEmpty).toSeq }.toMap
+    }
+    val J = T.Joiner
+    val mx = merged("x", "x")
+    assert(mx(1L) === Seq(s"x${J}x", "x"), "chain x x x must merge once, leftmost")
+    val my = merged("x", "y")
+    assert(my(2L) === Seq(s"x${J}y", s"x${J}y"), "second pass must catch the delimiter-sharing occurrence")
+    assert(my(3L) === Seq("a", s"x${J}y", "b", s"x${J}y"))
+    assert(my(4L) === Seq("lone"))
+    // and the pair statistic the selection reads: adjacent multiset
+    // counts, overlaps included ((x,x) counts twice in x x x)
+    val pairs = T.stepPairs(corpus).as[(String, String, Long)].collect()
+      .map { case (l, r, n) => (l, r) -> n }.toMap
+    assert(pairs(("x", "x")) === 2L)
+    assert(pairs(("x", "y")) === 4L)
+    assert(pairs(("y", "x")) === 1L)
+    assert(!pairs.contains(("lone", "lone")))
+  }
+
+  test("t24 end-to-end: step 1 equals t10's argmax count; token mass strictly decreases") {
+    val T = graft.ops.TextAnalysis
+    val out = SparkEntry.queries("t24_bpe_merge_loop")(spark, dir)
+      .orderBy("step").collect()
+    assert(out.length === T.MergeSteps)
+    // the loop's first selection must agree with the independent t10
+    // statistic (same tokenization, same count) — a drifted pair counter
+    // would diverge here before the oracle ever sees it
+    val maxN = T.bigramPairs(spark, dir).agg(max(col("n"))).head.getLong(0)
+    assert(out(0).getAs[Long]("pair_n") === maxN)
+    // every step merges at least one occurrence: token mass strictly falls
+    val masses = out.map(_.getAs[Long]("tokens_after"))
+    val total = graft.core.Tables.documents(spark, dir)
+      .agg(sum(size(filter(split(lower(col("text")), " "), t => length(t) > 0))))
+      .head.getLong(0)
+    assert(masses(0) < total, s"step 1 must shrink the corpus: $total -> ${masses.toSeq}")
+    assert(masses.sliding(2).forall(p => p(1) < p(0)), s"non-decreasing: ${masses.toSeq}")
+    graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  test("es24 replay: a two-file micro-batched stream equals the one-shot batch classification") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val isDelta = col("doc_id") % 10 === 0
+    val corpusSh = graft.ops.Dedup.shingledDocs(docs.filter(!isDelta)).persist()
+    val idx = graft.ops.Dedup.bandedOf(corpusSh).persist()
+    idx.count()
+    // the delta split across two FILES → two micro-batches under
+    // maxFilesPerTrigger=1: the stream must emit the same verdicts as
+    // one batch pass, because the index is static and verdicts per-doc
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_es24spec").toFile
+    val runBase = java.nio.file.Files.createTempDirectory("graft_es24run").toFile
+    def writeOne(part: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(streamDir, s"stage_$name")
+      part.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val f = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(streamDir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    writeOne(docs.filter(isDelta && col("doc_id") % 20 === 0), "documents_a")
+    writeOne(docs.filter(isDelta && col("doc_id") % 20 =!= 0), "documents_b")
+    try {
+      val streamed = graft.streaming.StreamingGate.runNearDupStream(spark,
+        graft.streaming.StreamingGate.readDocuments(spark, streamDir.getAbsolutePath, Some(1)),
+        corpusSh, idx,
+        new java.io.File(runBase, "out").getAbsolutePath,
+        new java.io.File(runBase, "ckpt").getAbsolutePath)
+      val batchDirs = new java.io.File(runBase, "out").listFiles()
+        .filter(_.getName.startsWith("batch_id="))
+      assert(batchDirs.length >= 2, s"expected ≥2 micro-batches, got ${batchDirs.length}")
+      val batch = graft.ops.Dedup.classifyDelta(docs.filter(isDelta), corpusSh, idx)
+      assert(streamed.exceptAll(batch).isEmpty, "stream emitted rows the batch pass lacks")
+      assert(batch.exceptAll(streamed).isEmpty, "batch pass has rows the stream missed")
+      assert(batch.count() > 0)
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(runBase)
+    }
+  }
+
   test("bench regression tripwire: an fp:diff slowdown fails LOUD in both summary lines") {
     // synthetic fixture (VERDICT r10 #5's "done" bar): a committed local
     // reference where one query is ≥2x-and-≥1 s slower AND its plan

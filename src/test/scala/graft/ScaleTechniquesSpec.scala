@@ -947,11 +947,15 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val (docs1, docs10) = (mkDocs(400), mkDocs(4000))
     val (emb1, emb10) = (mkEmb(2000), mkEmb(20000))
     try {
-      for (q <- Seq("d22_incremental_lsh", "p26_temperature_mixture")) {
+      for (q <- Seq("d22_incremental_lsh", "p26_temperature_mixture", "t24_bpe_merge_loop")) {
         val (t1, t10) = (time(q, docs1), time(q, docs10))
         info(f"$q 1x: $t1%.1fs; 10x: $t10%.1fs")
         assert(t10 <= t1 * 25 + 5.0, f"$q wall time must stay ~linear: $t1%.1fs -> $t10%.1fs")
       }
+      // t24's artifact is corpus-size-independent: MergeSteps rows
+      assert(SparkEntry.queries("t24_bpe_merge_loop")(spark, docs10).count()
+        === graft.ops.TextAnalysis.MergeSteps.toLong)
+      graft.core.Sessions.sweepPersistedState(spark)
       val (cand1, nd1) = d22Cand(docs1)
       val (cand10, nd10) = d22Cand(docs10)
       info(f"d22 candidates/delta-doc: 1x ${cand1 * 1.0 / nd1}%.1f; 10x ${cand10 * 1.0 / nd10}%.1f")
