@@ -915,7 +915,8 @@ object TextAnalysis extends QueryModule {
     val pat = concat(lit(Sep), col("lhs"), lit(Sep), col("rhs"), lit(Sep))
     val rep = concat(lit(Sep), col("lhs"), lit(Joiner), col("rhs"), lit(Sep))
     corpus.crossJoin(broadcast(b.select(col("lhs"), col("rhs"))))
-      .select(col("doc_id"), replace(replace(col("s"), pat, rep), pat, rep).as("s"))
+      .withColumn("s", replace(replace(col("s"), pat, rep), pat, rep))
+      .drop("lhs", "rhs")
   }
 
   /** t24: the BPE MERGE-TRAINING LOOP — the iterative trainer t10's
@@ -940,22 +941,33 @@ object TextAnalysis extends QueryModule {
     * DESC, lhs, rhs) — pure-ASCII collation; the rewrite is the exact
     * two-pass `replace` contract mirrored in [[applyMerge]]'s doc.
     */
-  private def t24(s: SparkSession, dir: String): DataFrame = {
-    val docs0 = Tables.documents(s, dir)
-      .select(col("doc_id"), delimited(col("text")).as("s"))
+  /** The training recurrence, factored for t24 (reports the merge
+    * table) and t25 (freezes it and encodes held-out text): per step,
+    * the forced 1-row selection and the lazily-rewritten corpus.
+    */
+  private[graft] def mergeChain(docs0: DataFrame): Seq[(DataFrame, DataFrame)] = {
     var corpus = docs0
-    val steps = (1 to MergeSteps).map { k =>
+    (1 to MergeSteps).map { _ =>
       val b = stepPairs(corpus)
         .orderBy(col("pair_n").desc, col("lhs"), col("rhs")).limit(1).persist()
       b.count() // force: the step's one corpus aggregate runs exactly here
       corpus = applyMerge(corpus, b)
-      val tc = corpus.agg(
-        sum(size(filter(split(col("s"), Sep), t => length(t) > 0)))
-          .cast("long").as("tokens_after"))
-      b.select(lit(k.toLong).as("step"), col("lhs"), col("rhs"), col("pair_n"))
-        .crossJoin(tc)
+      (b, corpus)
     }
-    steps.reduce(_ unionByName _)
+  }
+
+  /** Delimited token count per row of a (doc_id, s) frame. */
+  private def tokenCount(c: Column): Column =
+    size(filter(split(c, Sep), t => length(t) > 0)).cast("long")
+
+  private def t24(s: SparkSession, dir: String): DataFrame = {
+    val docs0 = Tables.documents(s, dir)
+      .select(col("doc_id"), delimited(col("text")).as("s"))
+    mergeChain(docs0).zipWithIndex.map { case ((b, corpus), k0) =>
+      val tc = corpus.agg(sum(tokenCount(col("s"))).as("tokens_after"))
+      b.select(lit((k0 + 1).toLong).as("step"), col("lhs"), col("rhs"), col("pair_n"))
+        .crossJoin(tc)
+    }.reduce(_ unionByName _)
   }
 
   /** One oracle merge round: pairs p$k from the delimited corpus
@@ -980,18 +992,82 @@ object TextAnalysis extends QueryModule {
        |    AS tokens_after FROM s$k)""".stripMargin
   }
 
+  /** The delimited-corpus-string projection in DuckDB, optionally
+    * filtered — t24 trains on the whole table, t25 on the non-delta
+    * split only.
+    */
+  private def delimitedSql(where: String): String =
+    s"""SELECT doc_id,
+       |    chr(1) || array_to_string(list_filter(string_split(lower(text), ' '),
+       |      t -> len(t) > 0), chr(1)) || chr(1) AS s
+       |  FROM documents$where""".stripMargin
+
   private val t24Sql = {
     val steps = (1 to MergeSteps).map(t24StepSql).mkString(",\n")
     val rows = (1 to MergeSteps).map(k =>
       s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, pair_n, tokens_after FROM b$k, tc$k")
       .mkString("\nUNION ALL\n")
     s"""WITH s0 AS (
-       |  SELECT doc_id,
-       |    chr(1) || array_to_string(list_filter(string_split(lower(text), ' '),
-       |      t -> len(t) > 0), chr(1)) || chr(1) AS s
-       |  FROM documents),
+       |  ${delimitedSql("")}),
        |$steps
        |$rows""".stripMargin
+  }
+
+  /** t25: ENCODE with a FROZEN merge table — the serving leg of t24's
+    * training loop, split the d22 way: the tokenizer trains on the
+    * corpus side (doc_id % 10 <> 0) and the day's delta docs are
+    * encoded with those merges AS TRAINED, never re-fit (the
+    * train/serve contract a production tokenizer keeps — re-fitting on
+    * the delta would drift the vocabulary shard by shard). One row per
+    * delta doc: raw and encoded token counts, occurrences merged, and
+    * the compression ratio a capacity planner reads.
+    *
+    * Scale shape: training is t24's loop over the corpus split; the
+    * encode itself is a PURE ROW-LOCAL fold — MergeSteps chained
+    * replace() rewrites under the cached 1-row broadcasts — so the
+    * delta never shuffles at all (both token counts project from the
+    * same row). Work ∝ corpus (train, amortized across ingests in
+    * production) + |Δ| (encode).
+    *
+    * Determinism: counts are integers; ratio is one long/long IEEE
+    * division, NULL-guarded for zero-token docs (rule 15 covers the
+    * rewrite; DETERMINISM.md rule 3 the division).
+    */
+  private def t25(s: SparkSession, dir: String): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 0
+    val train = Tables.documents(s, dir).filter(!isDelta)
+      .select(col("doc_id"), delimited(col("text")).as("s"))
+    val merges = mergeChain(train).map(_._1)
+    val delta = Tables.documents(s, dir).filter(isDelta)
+      .select(col("doc_id"), delimited(col("text")).as("s"))
+      .withColumn("n_raw", tokenCount(col("s")))
+    val enc = merges.foldLeft(delta)(applyMerge)
+    enc.select(col("doc_id"), col("n_raw"), tokenCount(col("s")).as("n_enc"))
+      .select(col("doc_id"), col("n_raw"), col("n_enc"),
+        (col("n_raw") - col("n_enc")).as("n_merged"),
+        when(col("n_raw") > 0, col("n_enc") / col("n_raw")).as("ratio"))
+  }
+
+  private val t25Sql = {
+    val steps = (1 to MergeSteps).map(t24StepSql).mkString(",\n")
+    val encs = (1 to MergeSteps).map { k =>
+      val pat = s"chr(1) || b.lhs || chr(1) || b.rhs || chr(1)"
+      val rep = s"chr(1) || b.lhs || chr(2) || b.rhs || chr(1)"
+      s"""e$k AS (
+         |  SELECT doc_id, n_raw, replace(replace(t.s, $pat, $rep), $pat, $rep) AS s
+         |  FROM e${k - 1} t CROSS JOIN b$k b)""".stripMargin
+    }.mkString(",\n")
+    val nEnc = "CAST(len(list_filter(string_split(s, chr(1)), t -> len(t) > 0)) AS BIGINT)"
+    s"""WITH s0 AS (
+       |  ${delimitedSql(" WHERE doc_id % 10 <> 0")}),
+       |$steps,
+       |e0 AS (
+       |  SELECT doc_id, $nEnc AS n_raw, s FROM (
+       |  ${delimitedSql(" WHERE doc_id % 10 = 0")})),
+       |$encs
+       |SELECT doc_id, n_raw, $nEnc AS n_enc, n_raw - $nEnc AS n_merged,
+       |  CASE WHEN n_raw > 0 THEN $nEnc / n_raw END AS ratio
+       |FROM e$MergeSteps""".stripMargin
   }
 
   override def defs: Seq[QueryDef] = Seq(
@@ -1019,6 +1095,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("t22_heaps_curve", t22, Some(t22Sql)),
     QueryDef("t23_pii_density", t23, Some(t23Sql)),
     QueryDef("t24_bpe_merge_loop", t24, Some(t24Sql)),
+    QueryDef("t25_merge_encode", t25, Some(t25Sql)),
   )
 
   /** t20: language-ID confusion audit — cross-tabulate the declared

@@ -82,6 +82,24 @@ class Round11Spec extends AnyFunSuite {
     graft.core.Sessions.sweepPersistedState(spark)
   }
 
+  test("t25 freeze contract: delta-only pairs never merge; trained pairs do") {
+    import spark.implicits._
+    val T = graft.ops.TextAnalysis
+    val train = Seq((1L, "a b a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+      .select(col("doc_id"), T.delimited(col("text")).as("s"))
+    val merges = T.mergeChain(train).map(_._1)
+    // (z,z) dominates the delta but is absent from training — the frozen
+    // table must leave it alone while the trained (a,b) merge applies
+    val delta = Seq((10L, "z z z z a b")).toDF("doc_id", "text")
+      .select(col("doc_id"), T.delimited(col("text")).as("s"))
+    val enc = merges.foldLeft(delta)(T.applyMerge)
+      .as[(Long, String)].collect().head._2
+    val toks = enc.split(T.Sep).filter(_.nonEmpty).toSeq
+    assert(toks.contains(s"a${T.Joiner}b"), s"trained merge must apply: $toks")
+    assert(toks.count(_ == "z") === 4, s"delta-only pair must stay unmerged: $toks")
+    graft.core.Sessions.sweepPersistedState(spark)
+  }
+
   test("es24 replay: a two-file micro-batched stream equals the one-shot batch classification") {
     val docs = graft.core.Tables.documents(spark, dir)
     val isDelta = col("doc_id") % 10 === 0
