@@ -1272,6 +1272,11 @@ object Similarity extends QueryModule {
     val sampled = base
       .orderBy(md5(concat(lit("trc_"), col("vec_id").cast("string")))).limit(RecallQueries)
       .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    // persisted: the recall tail reads the exact leg TWICE (hit join +
+    // per-query k), and unlike s12's cheap LSH sibling the recompute
+    // here is the batch × corpus object-aggregation pass — the 320-row
+    // top-5 result caches instead (bench: the double evaluation was
+    // the query's whole variance budget)
     val exact = sampled.crossJoin(
         base.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb")))
       .filter(col("qid") =!= col("nid"))
@@ -1282,6 +1287,7 @@ object Similarity extends QueryModule {
       .agg(new graft.functions.TopKNeighbors(5).toColumn.name("top"))
       .flatMap { case (qid, top) => top.items.iterator.map(r => (qid, r.nid)) }
       .toDF("qid", "nid")
+      .persist()
     // the trained index's own answer, probing only the batch queries
     val assign = ranked.filter(col("crn") === 1)
       .select(col("vec_id").as("nid"), col("cid").as("cell"))

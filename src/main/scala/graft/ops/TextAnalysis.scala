@@ -886,14 +886,26 @@ object TextAnalysis extends QueryModule {
     * step, so the per-step cost must be one map-side-combined pair
     * aggregate and NOTHING else — no doc_id exchange, no window sort.
     * Docs with <2 tokens produce NULL (explode emits no rows).
+    *
+    * The token array materializes in its OWN projection before the
+    * zip: higher-order functions evaluate interpreted, so an array
+    * expression referenced inside a lambda body is RE-EVALUATED per
+    * element — the first cut built pairs as `transform(sequence(...),
+    * i -> (element_at(a, i), element_at(a, i+1)))` with `a` the
+    * split+filter expression, re-tokenizing the document once per
+    * token position: O(len²) per doc, measured 14 s at sf0.1 for what
+    * is a 6-scan query. The two-slice zip references the materialized
+    * column O(1) times per row (CollapseProject keeps the boundary —
+    * split is not "cheap" and is referenced more than once).
     */
   private[graft] def stepPairs(corpus: DataFrame): DataFrame = {
-    val a = filter(split(col("s"), Sep), t => length(t) > 0)
+    val w = col("w")
     corpus
-      .select(explode(when(size(a) >= 2,
-        transform(sequence(lit(1), size(a) - 1),
-          i => struct(element_at(a, i).as("lhs"), element_at(a, i + 1).as("rhs"))))).as("p"))
-      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .select(filter(split(col("s"), Sep), t => length(t) > 0).as("w"))
+      .select(explode(when(size(w) >= 2,
+        arrays_zip(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1)))).as("p"))
+      .select(col("p.0").as("lhs"), col("p.1").as("rhs"))
+      .groupBy(col("lhs"), col("rhs"))
       .agg(count(lit(1)).as("pair_n"))
   }
 

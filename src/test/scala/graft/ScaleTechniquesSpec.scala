@@ -891,8 +891,8 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
-  test("d22/s20/p26 10x scaling: linear wall time, bounded candidate fanout") {
-    // the round-10 heavies get the same tripwire net as d08/p06/es03:
+  test("d22/s20/p26/t24/s22/es24 10x scaling: linear wall time, bounded fanout") {
+    // the round-10/11 heavies get the same tripwire net as d08/p06/es03:
     //  - d22: per-delta-doc bucket-hit candidates must stay ~constant
     //    (clone GROUPS are fixed-size, so a 10x corpus means 10x groups,
     //    never hotter buckets) and wall time ~linear;
@@ -903,12 +903,20 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val src = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
     def mkDocs(originals: Int): String = {
       val out = java.nio.file.Files.createTempDirectory(s"graft_r11docs_$originals").toString
+      // single-FILE layout (stage + move), not a part-file directory:
+      // es24's streaming reader glob-filters on the documents*.parquet
+      // FILE name, exactly like the real sf dirs
+      val stage = new java.io.File(out, "stage")
       src.filter(col("doc_id") < originals)
         .crossJoin(spark.range(5).select(col("id").as("clone")))
         .select((col("doc_id") * 10 + col("clone")).as("doc_id"),
           concat(col("text"), lit(" zqtail"), col("clone")).as("text"),
           col("lang"), col("source"), (length(col("text")) + 8).as("n_chars"))
-        .coalesce(4).write.parquet(out + "/documents.parquet")
+        .coalesce(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(out, "documents.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
       out
     }
     def mkEmb(n: Int): String = {
@@ -962,13 +970,35 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       assert(nd10 >= nd1 * 9, "the 10x corpus must carry ~10x delta docs")
       assert(cand10 * 1.0 / nd10 <= cand1 * 3.0 / nd1 + 8.0,
         s"per-delta-doc candidate fanout must stay ~constant: $cand1/$nd1 -> $cand10/$nd10")
-      val (ts1, ts10) = (time("s20_trained_ivf", emb1), time("s20_trained_ivf", emb10))
-      info(f"s20 1x: $ts1%.1fs; 10x: $ts10%.1fs")
-      assert(ts10 <= ts1 * 25 + 5.0,
-        f"s20 wall time must stay ~linear under corpus-scaled K: $ts1%.1fs -> $ts10%.1fs")
+      for (q <- Seq("s20_trained_ivf", "s22_ivfpq_search")) {
+        val (ts1, ts10) = (time(q, emb1), time(q, emb10))
+        info(f"$q 1x: $ts1%.1fs; 10x: $ts10%.1fs")
+        assert(ts10 <= ts1 * 25 + 5.0,
+          f"$q wall time must stay ~linear under corpus-scaled K: $ts1%.1fs -> $ts10%.1fs")
+      }
       // top-5 cut: output bounded by 5 rows per query vector at any K
       assert(SparkEntry.queries("s20_trained_ivf")(spark, emb10).count() <= 5L * 20000L)
+      // s22's output is bounded by the capped query batch, not the corpus
+      assert(SparkEntry.queries("s22_ivfpq_search")(spark, emb10).count() <= 5L * 16L)
       graft.core.Sessions.sweepPersistedState(spark)
+      // es24: the stateless streaming ingest must scale with the corpus
+      // like its batch twin — same docs dirs, wall ~linear, and the
+      // emitted verdict set is exactly one row per delta doc
+      locally {
+        def streamTime(d: String): (Double, Long) = {
+          graft.core.Sessions.sweepPersistedState(spark)
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries("es24_stream_neardup")(spark, d).count()
+          graft.core.Sessions.sweepPersistedState(spark)
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        streamTime(docs1) // warm the streaming/foreachBatch paths
+        val (e1, n1) = streamTime(docs1)
+        val (e10, n10) = streamTime(docs10)
+        info(f"es24 1x: $e1%.1fs/$n1 rows; 10x: $e10%.1fs/$n10 rows")
+        assert(n10 >= n1 * 9 && n10 <= n1 * 11, s"verdicts must track delta size: $n1 -> $n10")
+        assert(e10 <= e1 * 25 + 10.0, f"es24 wall time must stay ~linear: $e1%.1fs -> $e10%.1fs")
+      }
     } finally {
       for (d <- Seq(docs1, docs10, emb1, emb10))
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
