@@ -327,6 +327,82 @@ object Profiling extends QueryModule {
        |FROM lineitem CROSS JOIN mm
        |GROUP BY 1""".stripMargin
 
+  // ---- p28: z-order (Morton curve) layout planning --------------------
+
+  /** Bits per dimension (a 256×256 grid) and the z→file cut: the
+    * 16-bit Morton code's top 10 bits name the planned file (1024
+    * files).
+    */
+  private val ZBits      = 8
+  private val ZGrid      = 1L << ZBits
+  private val ZFileShift = 6
+
+  /** p28: Z-ORDER layout planning — assign every fact row a Morton
+    * (bit-interleaved) code over two filter columns and report the
+    * planned file layout: per z-file, the row count and each
+    * dimension's min/max — exactly the per-file column statistics a
+    * data-skipping reader prunes on. Interleaving makes BOTH columns'
+    * ranges narrow within every file (a single-column sort makes one
+    * column's range narrow and leaves the other full-width), which is
+    * why multi-dimensional layout clustering (the OPTIMIZE ZORDER
+    * technique of the public Delta/Iceberg engines; Morton 1966) is
+    * the standard pre-compaction step for 100 TB fact tables queried
+    * on more than one predicate column.
+    *
+    * Scale shape: pass 1 is one tiny min/max aggregate (1-row
+    * broadcast, the p07 two-pass contract); pass 2 is pure row-local
+    * integer bit arithmetic; the only corpus-fed exchange is the
+    * 1024-group hash aggregate on the file id. In production the same
+    * z column feeds a repartitionByRange write instead of the report.
+    *
+    * Determinism: everything is exact integer arithmetic — integral
+    * division (DIV vs //, truncating, non-negative operands), shifts,
+    * masks, and literal power-of-two multipliers generated from ONE
+    * Scala sequence for both engines.
+    */
+  private def p28(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
+    val mm = li.agg(min(col("a")).as("mna"), max(col("a")).as("mxa"),
+      min(col("b")).as("mnb"), max(col("b")).as("mxb"))
+    val binned = li.crossJoin(broadcast(mm)).selectExpr(
+      "a", "b",
+      s"CASE WHEN mxa > mna THEN ((a - mna) * $ZGrid) DIV (mxa - mna + 1) ELSE CAST(0 AS BIGINT) END AS ba",
+      s"CASE WHEN mxb > mnb THEN ((b - mnb) * $ZGrid) DIV (mxb - mnb + 1) ELSE CAST(0 AS BIGINT) END AS bb")
+    val z = (0 until ZBits).map { i =>
+      shiftright(col("ba"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(col("bb"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+    binned
+      .select(col("a"), col("b"), shiftright(z, ZFileShift).as("zfile"))
+      .groupBy(col("zfile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("a")).as("min_part"), max(col("a")).as("max_part"),
+        min(col("b")).as("min_supp"), max(col("b")).as("max_supp"))
+  }
+
+  private val p28Sql = {
+    val terms = (0 until ZBits).map { i =>
+      s"((ba >> $i) & 1) * ${1L << (2 * i + 1)} + ((bb >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    s"""WITH mm AS (
+       |  SELECT min(l_partkey) AS mna, max(l_partkey) AS mxa,
+       |         min(l_suppkey) AS mnb, max(l_suppkey) AS mxb
+       |  FROM lineitem),
+       |bins AS (
+       |  SELECT l_partkey AS a, l_suppkey AS b,
+       |    CASE WHEN mxa > mna THEN ((l_partkey - mna) * $ZGrid) // (mxa - mna + 1)
+       |         ELSE CAST(0 AS BIGINT) END AS ba,
+       |    CASE WHEN mxb > mnb THEN ((l_suppkey - mnb) * $ZGrid) // (mxb - mnb + 1)
+       |         ELSE CAST(0 AS BIGINT) END AS bb
+       |  FROM lineitem CROSS JOIN mm),
+       |zc AS (SELECT a, b, ($terms) >> $ZFileShift AS zfile FROM bins)
+       |SELECT zfile, count(*) AS n,
+       |  min(a) AS min_part, max(a) AS max_part,
+       |  min(b) AS min_supp, max(b) AS max_supp
+       |FROM zc GROUP BY 1""".stripMargin
+  }
+
   /** p11: source-mixing report — per source: doc/token counts, corpus
     * shares, and the temperature-0.5 upsample factor sqrt(total/n) (the
     * inverse-frequency reweighting multilingual/multi-source training
@@ -773,6 +849,7 @@ object Profiling extends QueryModule {
     QueryDef("p23_fk_integrity", p23, Some(p23Sql)),
     QueryDef("p24_dup_quality", p24, Some(p24Sql)),
     QueryDef("p25_corpus_manifest", p25, Some(p25Sql)),
+    QueryDef("p28_zorder_layout", p28, Some(p28Sql)),
   )
 
   /** p22: robust per-source length-outlier report — Tukey fences on

@@ -1045,22 +1045,37 @@ object TextAnalysis extends QueryModule {
     * division, NULL-guarded for zero-token docs (rule 15 covers the
     * rewrite; DETERMINISM.md rule 3 the division).
     */
-  private def t25(s: SparkSession, dir: String): DataFrame = {
-    val isDelta = col("doc_id") % 10 === 0
-    val train = Tables.documents(s, dir).filter(!isDelta)
-      .select(col("doc_id"), delimited(col("text")).as("s"))
-    val merges = mergeChain(train).map(_._1)
-    val delta = Tables.documents(s, dir).filter(isDelta)
-      .select(col("doc_id"), delimited(col("text")).as("s"))
+  /** Frozen-merge training over a raw documents-shaped frame: the
+    * forced 1-row merge selections, in training order. Shared by t25
+    * and es25 (the streaming encode trains once, before the stream).
+    */
+  private[graft] def trainMergesOn(docs: DataFrame): Seq[DataFrame] =
+    mergeChain(docs.select(col("doc_id"), delimited(col("text")).as("s"))).map(_._1)
+
+  /** Per-doc encode report of a raw documents-shaped frame under a
+    * FROZEN merge table — a pure row-local fold (t25's serving kernel,
+    * also es25's per-micro-batch body; one definition, no drift).
+    */
+  private[graft] def encodeReport(delta: DataFrame, merges: Seq[DataFrame]): DataFrame = {
+    val d0 = delta.select(col("doc_id"), delimited(col("text")).as("s"))
       .withColumn("n_raw", tokenCount(col("s")))
-    val enc = merges.foldLeft(delta)(applyMerge)
+    val enc = merges.foldLeft(d0)(applyMerge)
     enc.select(col("doc_id"), col("n_raw"), tokenCount(col("s")).as("n_enc"))
       .select(col("doc_id"), col("n_raw"), col("n_enc"),
         (col("n_raw") - col("n_enc")).as("n_merged"),
         when(col("n_raw") > 0, col("n_enc") / col("n_raw")).as("ratio"))
   }
 
-  private val t25Sql = {
+  private def t25(s: SparkSession, dir: String): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 0
+    val merges = trainMergesOn(Tables.documents(s, dir).filter(!isDelta))
+    encodeReport(Tables.documents(s, dir).filter(isDelta), merges)
+  }
+
+  /** Shared with es25 (the same frozen-merge encode run live — the
+    * stateless stream emits exactly the batch report).
+    */
+  private[graft] val t25Sql = {
     val steps = (1 to MergeSteps).map(t24StepSql).mkString(",\n")
     val encs = (1 to MergeSteps).map { k =>
       val pat = s"chr(1) || b.lhs || chr(1) || b.rhs || chr(1)"

@@ -510,6 +510,7 @@ object StreamingGate extends QueryModule {
     QueryDef("es22_available_now", es22, Some(es22Sql)),
     QueryDef("es23_rocksdb_state", es23, Some(es23Sql)),
     QueryDef("es24_stream_neardup", es24, Some(es24Sql)),
+    QueryDef("es25_stream_encode", es25, Some(es25Sql)),
   )
 
   /** es20: per-closed-window event-type MATRIX — one row per finalized
@@ -794,32 +795,40 @@ object StreamingGate extends QueryModule {
     reader.option("pathGlobFilter", glob).parquet(dir)
   }
 
-  /** Run a documents stream through the d22 classify kernel against a
-    * static corpus index, landing each micro-batch's verdicts under its
-    * own `batch_id=<id>` dir (p15's idempotent-by-batch-directory
-    * recipe — a replayed batch overwrites its own output). Exposed for
-    * the multi-batch replay test; es24 is this over the gate split.
+  /** Run a documents stream through an arbitrary per-batch transform,
+    * landing each micro-batch's output under its own `batch_id=<id>`
+    * dir (p15's idempotent-by-batch-directory recipe — a replayed
+    * batch overwrites its own output) and reading the shard set back
+    * with the given projection. The shared plumbing of the stateless
+    * ingest gates (es24 near-dup classify, es25 frozen-merge encode);
+    * exposed for the multi-batch replay tests.
     */
-  private[graft] def runNearDupStream(s: SparkSession, deltaStream: DataFrame,
-      corpusSh: DataFrame, corpusIdx: DataFrame, root: String, ckpt: String): DataFrame = {
+  private[graft] def runDocBatchStream(s: SparkSession, deltaStream: DataFrame,
+      root: String, ckpt: String, outCols: Seq[String])(
+      perBatch: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     val before = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
     try {
-      val classify: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      val writeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
         (batch, id) =>
-          graft.ops.Dedup.classifyDelta(batch.toDF(), corpusSh, corpusIdx)
+          perBatch(batch.toDF())
             .write.mode("overwrite")
             .parquet(new java.io.File(root, s"batch_id=$id").getAbsolutePath)
       val q = deltaStream.writeStream
-        .foreachBatch(classify)
+        .foreachBatch(writeBatch)
         .option("checkpointLocation", ckpt)
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", before)
-    s.read.parquet(root)
-      .select(col("doc_id"), col("dup_of"), col("jaccard"), col("verdict"))
+    s.read.parquet(root).select(outCols.map(col): _*)
   }
+
+  private[graft] def runNearDupStream(s: SparkSession, deltaStream: DataFrame,
+      corpusSh: DataFrame, corpusIdx: DataFrame, root: String, ckpt: String): DataFrame =
+    runDocBatchStream(s, deltaStream, root, ckpt,
+      Seq("doc_id", "dup_of", "jaccard", "verdict"))(
+      batch => graft.ops.Dedup.classifyDelta(batch, corpusSh, corpusIdx))
 
   /** es24: STREAMING near-duplicate ingest — d22's delta-vs-corpus
     * MinHash-LSH classification run LIVE: the day's documents arrive as
@@ -862,5 +871,41 @@ object StreamingGate extends QueryModule {
   }
 
   private val es24Sql = graft.ops.Dedup.d22Sql
+
+  /** es25: TOKENIZE AT INGEST — t25's frozen-merge encode run live:
+    * the merge table trains ONCE on the corpus split before the stream
+    * starts (the forced 1-row selections broadcast), then every
+    * micro-batch of arriving documents is encoded by the shared
+    * [[graft.ops.TextAnalysis.encodeReport]] kernel — a pure row-local
+    * fold of replace() rewrites, so the per-batch plan has NO shuffle
+    * at all — and lands its per-doc compression report under an
+    * idempotent `batch_id` dir. The production tokenizer-at-the-door
+    * shape: the vocabulary is fixed by training, ingest only applies
+    * it; re-fitting per batch would drift the vocabulary shard by
+    * shard (t25's freeze contract, live).
+    *
+    * Scale shape: stateless (file-source progress log is the only
+    * state); work ∝ batch tokens; the trained merge table is
+    * MergeSteps 1-row broadcasts however large the corpus. Batching
+    * cannot change the result — the table is frozen and the encode is
+    * per-doc — so the oracle is t25's SQL verbatim.
+    */
+  private def es25(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val isDelta = col("doc_id") % 10 === 0
+    val merges = graft.ops.TextAnalysis.trainMergesOn(
+      graft.core.Tables.documents(s, dir).filter(!isDelta))
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft-es25"))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    val base = java.nio.file.Files.createTempDirectory("graft-es25")
+    runDocBatchStream(s, readDocuments(s, dir).filter(isDelta),
+      s"$base/out", s"$base/ckpt",
+      Seq("doc_id", "n_raw", "n_enc", "n_merged", "ratio"))(
+      batch => graft.ops.TextAnalysis.encodeReport(batch, merges))
+  }
+
+  private lazy val es25Sql = graft.ops.TextAnalysis.t25Sql
 }
 

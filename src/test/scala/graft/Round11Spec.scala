@@ -140,6 +140,60 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("es25 replay: micro-batched frozen-merge encode equals the batch t25 report") {
+    val docs = graft.core.Tables.documents(spark, dir)
+    val isDelta = col("doc_id") % 10 === 0
+    val merges = graft.ops.TextAnalysis.trainMergesOn(docs.filter(!isDelta))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_es25spec").toFile
+    val runBase = java.nio.file.Files.createTempDirectory("graft_es25run").toFile
+    def writeOne(part: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(streamDir, s"stage_$name")
+      part.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val f = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(streamDir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    writeOne(docs.filter(isDelta && col("doc_id") % 20 === 0), "documents_a")
+    writeOne(docs.filter(isDelta && col("doc_id") % 20 =!= 0), "documents_b")
+    try {
+      val streamed = graft.streaming.StreamingGate.runDocBatchStream(spark,
+        graft.streaming.StreamingGate.readDocuments(spark, streamDir.getAbsolutePath, Some(1)),
+        new java.io.File(runBase, "out").getAbsolutePath,
+        new java.io.File(runBase, "ckpt").getAbsolutePath,
+        Seq("doc_id", "n_raw", "n_enc", "n_merged", "ratio"))(
+        batch => graft.ops.TextAnalysis.encodeReport(batch, merges))
+      val batch = graft.ops.TextAnalysis.encodeReport(docs.filter(isDelta), merges)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      assert(batch.count() > 0)
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(runBase)
+    }
+  }
+
+  test("p28 locality: every planned z-file covers a narrow range of BOTH dimensions") {
+    // the property data skipping buys: a z-file fixes the top 5 bits of
+    // each dimension's 8-bit bin, so each file spans ≤ 8 bins ≈ 1/32 of
+    // either column's range (a single-column sort would leave the other
+    // column full-width in every file)
+    val out = SparkEntry.queries("p28_zorder_layout")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val li = graft.core.Tables.lineitem(spark, dir)
+      .agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head
+    val (ra, rb) = (li.getLong(1) - li.getLong(0) + 1, li.getLong(3) - li.getLong(2) + 1)
+    for (r <- out) {
+      val spanA = r.getAs[Long]("max_part") - r.getAs[Long]("min_part")
+      val spanB = r.getAs[Long]("max_supp") - r.getAs[Long]("min_supp")
+      // 8 bins of width ceil(range/256) each, plus one bin of slack
+      assert(spanA <= ra * 9 / 256 + 2, s"zfile ${r.getAs[Long]("zfile")} part span $spanA of $ra")
+      assert(spanB <= rb * 9 / 256 + 2, s"zfile ${r.getAs[Long]("zfile")} supp span $spanB of $rb")
+    }
+    // and the layout is total: file populations sum to the table
+    assert(out.map(_.getAs[Long]("n")).sum === graft.core.Tables.lineitem(spark, dir).count())
+  }
+
   test("bench regression tripwire: an fp:diff slowdown fails LOUD in both summary lines") {
     // synthetic fixture (VERDICT r10 #5's "done" bar): a committed local
     // reference where one query is ≥2x-and-≥1 s slower AND its plan
