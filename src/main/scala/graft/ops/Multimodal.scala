@@ -313,8 +313,12 @@ object Multimodal extends QueryModule {
       .dropDuplicates("ida", "idb")
   }
 
-  private val m07Sql =
-    s"""WITH g AS (
+  /** The perceptual-fingerprint CTE prefix (grams → 60-bit hashes →
+    * bit votes → per-doc simhash) — shared by m07's pair report and
+    * m12's cluster rollup so the fingerprint definition lives once.
+    */
+  private val m07FpCtes =
+    s"""g AS (
        |  SELECT doc_id,
        |    unnest(list_distinct(list_transform(range(1, len(text) - 2),
        |      i -> substr(text, i, 4)))) AS gram
@@ -329,11 +333,70 @@ object Multimodal extends QueryModule {
        |  FROM h CROSS JOIN (SELECT unnest(range(0, $PercBits)) AS b)
        |  GROUP BY 1, 2),
        |fp AS (SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
-       |       FROM bits GROUP BY 1)
+       |       FROM bits GROUP BY 1)""".stripMargin
+
+  private val m07Sql =
+    s"""WITH $m07FpCtes
        |SELECT a.doc_id AS ida, b.doc_id AS idb,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
+  /** m12: perceptual-duplicate CLUSTERS + survivor selection — the
+    * media twin of the text side's d07+d19: m07's hamming≤3 pair graph
+    * closes into components (min-label propagation, the shared
+    * [[Graph.connectedComponents]]), and within every ≥2-member family
+    * the LARGEST payload survives (n_bytes DESC, doc_id ASC — re-
+    * encodes and thumbnails are smaller than their master, so
+    * largest-wins keeps the best source copy) with the bytes the
+    * deletion frees accounted. This is the storage-reclaim report a
+    * media pipeline runs after m07 flags its near-dups: m06 estimates
+    * block-level savings, THIS names the files to drop.
+    *
+    * Scale shape: rides m07's banded pair generation (never all-pairs),
+    * CC is O(log diameter) barriers, and the survivor is a struct
+    * extremum inside ONE cluster_id hash aggregate (the d19/q49 argmax
+    * shape — no per-cluster window sort). Determinism: (n_bytes,
+    * −doc_id) max == the oracle's ORDER BY n_bytes DESC, doc_id ASC;
+    * all-integer.
+    */
+  private def m12(s: SparkSession, dir: String): DataFrame = {
+    val pairs = m07(s, dir).select(col("ida"), col("idb"))
+    val bytes = media(s, dir).toDF().select(col("doc_id"), col("n_bytes"))
+    val labels = graft.ops.Graph.connectedComponents(
+        bytes.select(col("doc_id")), pairs)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    labels.join(bytes, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        sum(col("n_bytes")).as("tb"),
+        max(struct(col("n_bytes"), (-col("doc_id")).as("nid"))).as("m"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("m.nid")).as("survivor_id"),
+        col("m.n_bytes").as("survivor_bytes"),
+        (col("cluster_size") - 1).as("n_dropped"),
+        (col("tb") - col("m.n_bytes")).as("bytes_freed"))
+  }
+
+  private val m12Sql =
+    s"""WITH RECURSIVE $m07FpCtes,
+       |mpr AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |${graft.ops.Graph.ccSqlCtes("mpr", "SELECT doc_id, doc_id FROM documents")},
+       |labels AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id),
+       |r AS (
+       |  SELECT l.cluster_id, l.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY strlen(d.text) DESC, l.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY l.cluster_id) AS cs,
+       |    CAST(sum(strlen(d.text)) OVER (PARTITION BY l.cluster_id) AS BIGINT) AS tb
+       |  FROM labels l JOIN documents d USING (doc_id))
+       |SELECT cluster_id, cs AS cluster_size, doc_id AS survivor_id,
+       |  n_bytes AS survivor_bytes, cs - 1 AS n_dropped, tb - n_bytes AS bytes_freed
+       |FROM r WHERE rn = 1 AND cs >= 2""".stripMargin
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_features", m01, Some(m01Sql)),
@@ -347,6 +410,7 @@ object Multimodal extends QueryModule {
     QueryDef("m09_payload_integrity", m09, Some(m09Sql)),
     QueryDef("m10_storage_report", m10, Some(m10Sql)),
     QueryDef("m11_batch_interleave", m11, Some(m11Sql)),
+    QueryDef("m12_perceptual_clusters", m12, Some(m12Sql)),
   )
 
   /** m08: cross-modal alignment audit — the referential-integrity check
