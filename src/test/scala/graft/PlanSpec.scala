@@ -482,6 +482,18 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("m12: survivor selection is a struct-extremum aggregate, never a per-cluster window") {
+    // the rollup AFTER the CC labels must be the d19/q49 argmax shape:
+    // one cluster_id hash aggregate carrying the survivor as a struct
+    // max — a row_number window here would re-sort every cluster.
+    // (The plan is the post-labeling consumer over the CC LogicalRDD,
+    // so a Window anywhere in it is the survivor stage's.)
+    val p = plan("m12_perceptual_clusters")
+    assert(!p.contains("Window"), s"per-cluster window in the survivor rollup:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("d12: df aggregate is single-distinct (no Expand); no cartesian; no broadcast hint") {
     // countDistinct(doc_id) grouped by seg plans as a two-phase agg, not
     // a grouping-sets Expand; the dup-segment side is corpus-derived so
