@@ -186,7 +186,7 @@ object SemDedup extends QueryModule {
     def isCoarse(cid: Column): Column =
       Sampling.hash60(cid.cast("string")) < hashThreshold(coarseCount(cells), n)
     Similarity.assignCellTwoLevel(base,
-        Similarity.groupArray(code, isCoarse, negGuardedCos), negGuardedCos, "cell")
+        Similarity.groupArray(code, isCoarse, negGuardedCos), "negcos", "cell")
       .select(col("vec_id"), col("cell"))
       .persist()
   }

@@ -1024,12 +1024,6 @@ object Similarity extends QueryModule {
         col("members")))).as("groups"))
   }
 
-  /** The group-level twin of a member-level rank key: the same
-    * expression read off the group struct's (gv, gnrm) fields. */
-  private def asGroupKey(key: Column => Column)(g: Column): Column =
-    key(struct(g.getField("gid").as("cid"), g.getField("gv").as("cv"),
-      g.getField("gnrm").as("cnrm")))
-
   /** Row-local TWO-LEVEL cell ranking under the nested broadcast:
     * nearest `coarseProbes` groups by (key, gid), then those groups'
     * members ranked by (key, cid), exploded to (vec_id, crn, cid) with
@@ -1037,37 +1031,39 @@ object Similarity extends QueryModule {
     * O(√K) — what keeps a corpus-scaled codebook affordable — and
     * still ZERO exchanges: assignment and probing never shuffle the
     * corpus ([[rankCells]]'s contract at the next scale tier).
+    *
+    * Since round 11 the per-row selection runs in the NATIVE
+    * [[graft.functions.TwoLevelRankCells]] kernel: the HOF composition
+    * (array_sort over transform-built structs, twice) paid an
+    * interpreted lambda dispatch + struct allocation per centroid per
+    * row, which at corpus-scaled K dominated the s20-family bench; the
+    * kernel runs the identical (key, id) selection — same arithmetic,
+    * same SQL double comparison, same tiebreaks, oracle hash-matched —
+    * as primitive loops. `metric` is "l2" (l2Key) or "negcos"
+    * (SemDedup.negGuardedCos).
     */
   private[graft] def rankCellsTwoLevel(base: DataFrame, groupArr: DataFrame,
-      key: Column => Column, coarseProbes: Int, probes: Int): DataFrame =
+      metric: String, coarseProbes: Int, probes: Int): DataFrame =
     base.crossJoin(broadcast(groupArr))
-      .withColumn("fines", flatten(transform(
-        slice(array_sort(transform(col("groups"), g =>
-          struct(asGroupKey(key)(g).as("k"), g.getField("gid").as("gid"),
-            g.getField("members").as("members")))), 1, coarseProbes),
-        g => g.getField("members"))))
       .select(col("vec_id"),
-        posexplode(slice(array_sort(transform(col("fines"), c =>
-          struct(key(c).as("k"), c.getField("cid").as("cid")))),
-          1, probes)).as(Seq("p0", "kc")))
-      .select(col("vec_id"), (col("p0") + 1).as("crn"), col("kc.cid").as("cid"))
+        posexplode(graft.functions.RankFunctions.rank_cells_two_level(
+          col("v"), col("nrm"), col("groups"), metric, coarseProbes, probes))
+          .as(Seq("p0", "cid")))
+      .select(col("vec_id"), (col("p0") + 1).as("crn"), col("cid"))
 
   /** Append the two-level argmin cell keeping every base column — the
     * training face (the per-step means need the row vector alongside
-    * its cell). Empty codebook ≡ the oracle's empty rn=1 window.
+    * its cell). Empty codebook ≡ the oracle's empty rn=1 window (the
+    * kernel's empty array → try_element_at null → filtered).
     */
   private[graft] def assignCellTwoLevel(base: DataFrame, groupArr: DataFrame,
-      key: Column => Column, outCol: String): DataFrame =
+      metric: String, outCol: String): DataFrame =
     base.crossJoin(broadcast(groupArr))
-      .withColumn("bg", try_element_at(array_sort(transform(col("groups"), g =>
-        struct(asGroupKey(key)(g).as("k"), g.getField("gid").as("gid"),
-          g.getField("members").as("members")))), lit(1)))
-      .withColumn(outCol, try_element_at(array_sort(transform(
-        col("bg").getField("members"), c =>
-          struct(key(c).as("k"), c.getField("cid").as("cid")))), lit(1))
-        .getField("cid"))
+      .withColumn(outCol, try_element_at(
+        graft.functions.RankFunctions.rank_cells_two_level(
+          col("v"), col("nrm"), col("groups"), metric, 1, 1), lit(1)))
       .filter(col(outCol).isNotNull)
-      .drop("groups", "bg")
+      .drop("groups")
 
   /** s20: IVF search over a TRAINED, CORPUS-SCALED quantizer — the full
     * composition of the module's training machinery: the codebook is
@@ -1128,7 +1124,7 @@ object Similarity extends QueryModule {
     // those are swept by Sessions.sweepPersistedState after the run.
     val trained = (1 to KmSteps).foldLeft(seeds) { (code, _) =>
       val next = meansCodebook(
-        assignCellTwoLevel(base, groupArray(code, isCoarse, l2Key), l2Key, "cell"),
+        assignCellTwoLevel(base, groupArray(code, isCoarse, l2Key), "l2", "cell"),
         "cell").persist()
       next.count()
       code.unpersist()
@@ -1140,7 +1136,7 @@ object Similarity extends QueryModule {
     // strictly nearer the true argmin than a 1-group cut) and ranks
     // 1..IvfProbes are the query's probe list. corpus×IvfProbes rows,
     // persisted so membership and probing don't re-run the fold.
-    val ranked = rankCellsTwoLevel(base, gArr, l2Key, KmSearchGroups, IvfProbes)
+    val ranked = rankCellsTwoLevel(base, gArr, "l2", KmSearchGroups, IvfProbes)
       .persist()
     (base, ranked)
   }

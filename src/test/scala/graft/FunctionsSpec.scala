@@ -68,6 +68,50 @@ class FunctionsSpec extends AnyFunSuite {
     assert(m31.length === 2 && m31.forall(h => h >= 0L && h <= 0x7fffffffL))
   }
 
+  test("rank_cells_two_level: group cut before cell rank, id tiebreaks, guards, edges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two groups: g10 = cells {10 at (1,0), 11 at (0.8,0.2)}; g20 = {20 at (0,1)}
+    def cell(cid: Long, x: Double, y: Double) = (cid, Seq(x, y), math.sqrt(x * x + y * y))
+    val groups = Seq((
+      Seq((10L, Seq(1.0, 0.0), 1.0, Seq(cell(10, 1.0, 0.0), cell(11, 0.8, 0.2))),
+        (20L, Seq(0.0, 1.0), 1.0, Seq(cell(20, 0.0, 1.0))))
+    )).toDF("groups")
+      .select(col("groups").cast(
+        "array<struct<gid:bigint,gv:array<double>,gnrm:double," +
+          "members:array<struct<cid:bigint,cv:array<double>,cnrm:double>>>>").as("groups"))
+    def rank(v: Seq[Double], metric: String, cp: Int, p: Int): Seq[Long] = {
+      val row = Seq((v, math.sqrt(v.map(x => x * x).sum))).toDF("v", "nrm")
+      row.crossJoin(groups)
+        .select(graft.functions.RankFunctions.rank_cells_two_level(
+          col("v"), col("nrm"), col("groups"), metric, cp, p).as("r"))
+        .as[Seq[Long]].head()
+    }
+    // the group CUT precedes cell ranking: a (1,0)-ish query with one
+    // probe group never sees g20's cell even though probes allow 3
+    assert(rank(Seq(1.0, 0.1), "negcos", 1, 3) === Seq(10L, 11L))
+    // two probe groups expose all cells, ranked by similarity then cid
+    assert(rank(Seq(1.0, 0.1), "negcos", 2, 3) === Seq(10L, 11L, 20L))
+    // l2 metric: nearest by distance; equidistant ties break on cid
+    assert(rank(Seq(0.95, 0.0), "l2", 2, 2) === Seq(10L, 11L))
+    // d(11)=0.68 nearest; cells 10 and 20 tie at d=1 exactly -> cid order
+    assert(rank(Seq(1.0, 1.0), "l2", 2, 3) === Seq(11L, 10L, 20L))
+    // degenerate (zero-norm) query under negcos: every sim guards to the
+    // +1e308 sentinel, ties collapse to ascending cid
+    assert(rank(Seq(0.0, 0.0), "negcos", 2, 3) === Seq(10L, 11L, 20L))
+    // empty codebook: empty result (the assign face's null argmin)
+    val empty = Seq(Tuple1(Seq.empty[(Long, Seq[Double], Double, Seq[(Long, Seq[Double], Double)])]))
+      .toDF("groups")
+      .select(col("groups").cast(
+        "array<struct<gid:bigint,gv:array<double>,gnrm:double," +
+          "members:array<struct<cid:bigint,cv:array<double>,cnrm:double>>>>").as("groups"))
+    val r = Seq((Seq(1.0, 0.0), 1.0)).toDF("v", "nrm").crossJoin(empty)
+      .select(graft.functions.RankFunctions.rank_cells_two_level(
+        col("v"), col("nrm"), col("groups"), "l2", 1, 1).as("r"))
+      .as[Seq[Long]].head()
+    assert(r === Seq.empty[Long])
+  }
+
   test("text expressions generate code (no CodegenFallback stage break)") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     import graft.functions._

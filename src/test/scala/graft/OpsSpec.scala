@@ -424,7 +424,7 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterEach {
     val gArr = graft.ops.Similarity.groupArray(code, _ => lit(true),
       graft.ops.SemDedup.negGuardedCos)
     val cellOf = graft.ops.Similarity
-      .assignCellTwoLevel(base, gArr, graft.ops.SemDedup.negGuardedCos, "cell")
+      .assignCellTwoLevel(base, gArr, "negcos", "cell")
       .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // all sims tie at the sentinel for the degenerate vector → smallest cid
     assert(cellOf(1L) === 2L, s"zero vector must take the smallest cid, got $cellOf")
