@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -43,7 +44,7 @@ import org.apache.spark.sql.types._
   */
 case class TwoLevelRankCells(v: Expression, nrm: Expression, groups: Expression,
     metric: String, coarseProbes: Int, probes: Int)
-    extends Expression with CodegenFallback with Serializable {
+    extends Expression with Serializable {
 
   override def children: Seq[Expression] = Seq(v, nrm, groups)
 
@@ -77,11 +78,19 @@ case class TwoLevelRankCells(v: Expression, nrm: Expression, groups: Expression,
   }
 
   /** SQL double comparison: -0.0 == 0.0 (SQLOrderingUtil's contract).
-    * Keys are never NaN here — the negcos guard maps degenerate norms
-    * to +1e308 and l2 sums of finite products stay finite.
+    * Keys are never NaN on the sanctioned inputs (the negcos guard maps
+    * degenerate norms to +1e308 and l2 sums of finite products stay
+    * finite), but the comparator is TOTAL anyway: a NaN produced by an
+    * Inf/NaN corpus vector falls through to `java.lang.Double.compare`,
+    * which sorts NaN largest — exactly SQLOrderingUtil / `array_sort` /
+    * the oracle's ORDER BY, so selection can never become
+    * comparator-order-dependent.
     */
   private def cmp(x: Double, y: Double): Int =
-    if (x == y) 0 else if (x < y) -1 else 1
+    if (x == y) 0 else if (x < y) -1 else if (x > y) 1
+    else java.lang.Double.compare(x, y)
+
+  private val isL2 = metric == "l2"
 
   private def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
@@ -92,7 +101,7 @@ case class TwoLevelRankCells(v: Expression, nrm: Expression, groups: Expression,
   }
 
   private def key(varr: ArrayData, nv: Double, cv: ArrayData, cnrm: Double): Double =
-    if (metric == "l2") (dot(varr, varr) - 2.0 * dot(varr, cv)) + dot(cv, cv)
+    if (isL2) (dot(varr, varr) - 2.0 * dot(varr, cv)) + dot(cv, cv)
     else {
       val p = nv * cnrm
       if (p > 0) -(dot(varr, cv) / p) else 1e308
@@ -125,8 +134,14 @@ case class TwoLevelRankCells(v: Expression, nrm: Expression, groups: Expression,
     if (vAny == null || gAny == null) return null
     val nrmAny = nrm.eval(input)
     val nv = if (nrmAny == null) 0.0 else nrmAny.asInstanceOf[Double]
-    val varr = vAny.asInstanceOf[ArrayData]
-    val garr = gAny.asInstanceOf[ArrayData]
+    rank(vAny.asInstanceOf[ArrayData], nv, gAny.asInstanceOf[ArrayData])
+  }
+
+  /** The compiled kernel — shared verbatim by interpreted eval and the
+    * generated code (which invokes it through a codegen reference
+    * object). Inputs are non-null; never returns null.
+    */
+  def rank(varr: ArrayData, nv: Double, garr: ArrayData): ArrayData = {
     val ng = garr.numElements()
     if (ng == 0) return new GenericArrayData(Array.empty[Any])
     // level 1: rank the coarse groups
@@ -169,6 +184,35 @@ case class TwoLevelRankCells(v: Expression, nrm: Expression, groups: Expression,
     i = 0
     while (i < cTake) { out(i) = cids(cidx(i)); i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Real codegen (no CodegenFallback): the containing stage stays inside
+    * whole-stage codegen — s20/s21/s22/d08's corpus scans keep their
+    * filter/project/scan fused — and the kernel itself runs as the
+    * compiled [[rank]] method through a reference object, the same
+    * technique Spark's own regexp/json expressions use for loops too
+    * structured to inline as Java strings.
+    */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("twoLevelRankKernel", this, classOf[TwoLevelRankCells].getName)
+    val vG = v.genCode(ctx)
+    val nG = nrm.genCode(ctx)
+    val gG = groups.genCode(ctx)
+    val nv = ctx.freshName("nv")
+    val arrayCls = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+        ${vG.code}
+        ${gG.code}
+        boolean ${ev.isNull} = true;
+        $arrayCls ${ev.value} = null;
+        if (!${vG.isNull} && !${gG.isNull}) {
+          ${nG.code}
+          double $nv = ${nG.isNull} ? 0.0 : ${nG.value};
+          ${ev.value} = $kernel.rank(${vG.value}, $nv, ${gG.value});
+          ${ev.isNull} = false;
+        }
+      """)
   }
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =

@@ -112,6 +112,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r === Seq.empty[Long])
   }
 
+  test("rank_cells_two_level generates code and its comparator is NaN-total") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.functions.TwoLevelRankCells(
+      Literal(null), Literal(null), Literal(null), "l2", 1, 1)
+    assert(!e.isInstanceOf[CodegenFallback],
+      "the trained-IVF kernel must participate in whole-stage codegen")
+    // one group; cell 11 carries a NaN component -> its l2 key is NaN and
+    // must rank LAST (SQLOrderingUtil semantics), deterministically from
+    // either comparison side
+    val groups = typedLit(Seq(
+      (1L, Seq(1.0, 0.0), 1.0, Seq(
+        (11L, Seq(Double.NaN, 0.0), Double.NaN),
+        (10L, Seq(1.0, 0.0), 1.0),
+        (12L, Seq(0.0, 1.0), 1.0)))))
+    val df = spark.range(3).select(
+      graft.functions.RankFunctions.rank_cells_two_level(
+        array(col("id").cast("double"), lit(0.25)), lit(1.0), groups,
+        "l2", 1, 3).as("r"))
+    // the projection stays inside whole-stage codegen (a fallback
+    // expression would leave a bare unstarred Project)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    val rows = df.as[Seq[Long]].collect()
+    assert(rows.length === 3)
+    // every query ranks the NaN-keyed cell last regardless of scan order
+    assert(rows.forall(_.last === 11L), rows.toSeq.toString)
+    assert(rows(1) === Seq(10L, 12L, 11L)) // query (1.0, 0.25): 10 nearest
+  }
+
   test("text expressions generate code (no CodegenFallback stage break)") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     import graft.functions._

@@ -639,6 +639,46 @@ class PlanSpec extends AnyFunSuite {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("s20/s21/s22/d08: the two-level rank kernel never breaks whole-stage codegen") {
+    // TwoLevelRankCells was CodegenFallback in round 11, which ejected the
+    // entire corpus-scan stage from whole-stage codegen for the four
+    // consumers. Now it has a real doGenCode: walk the EXECUTED plan
+    // (descending adaptive stages, reused exchanges, and materialized
+    // cached plans) and require every kernel-bearing node to live inside
+    // a WholeStageCodegenExec subtree.
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def walk(p: SparkPlan, inWscg: Boolean, q: String): Int = p match {
+      case a: AdaptiveSparkPlanExec  => walk(a.executedPlan, false, q)
+      case s: QueryStageExec         => walk(s.plan, false, q)
+      case r: ReusedExchangeExec     => walk(r.child, false, q)
+      case im: InMemoryTableScanExec => walk(im.relation.cachedPlan, false, q)
+      case w: WholeStageCodegenExec  => w.children.map(walk(_, true, q)).sum
+      case i: InputAdapter           => walk(i.child, false, q)
+      case other =>
+        val has = other.expressions.exists(
+          _.exists(_.isInstanceOf[graft.functions.TwoLevelRankCells]))
+        if (has) assert(inWscg,
+          s"$q: kernel node outside whole-stage codegen: ${other.nodeName}\n${other.toString.take(600)}")
+        (if (has) 1 else 0) + other.children.map(walk(_, inWscg, q)).sum
+    }
+    // d08's assignment runs before the CC loop's checkpoint truncates
+    // lineage, so its kernel nodes can vanish from the FINAL plan — the
+    // walk still proves no out-of-WSCG node; presence is asserted where
+    // the kernel survives to the executed tree (the search family).
+    for (q <- Seq("s20_trained_ivf", "s21_trained_recall", "s22_ivfpq_search",
+        "d08_semantic_dedup")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect() // materialize: finalizes adaptive plans and cache builds
+      val n = walk(df.queryExecution.executedPlan, inWscg = false, q)
+      if (q.startsWith("s2"))
+        assert(n > 0, s"$q: expected the native kernel somewhere in the executed plan")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("q47: both windows ride the ONE seeded suppkey exchange") {
     // repartition(l_suppkey) satisfies the (suppkey, partkey) window's
     // clustering too (subset rule) — a naive plan pays two exchanges
