@@ -1388,8 +1388,13 @@ object Dedup extends QueryModule {
     // the pair set is tiny relative to the corpus but expensive to
     // DERIVE (d03's whole candidate pipeline); it is consumed by the
     // degree aggregate plus three join legs — persist so the pipeline
-    // runs once, not five times (Bench/Verify sweep persisted state
-    // between runs)
+    // runs once, not five times. Lifecycle is OWNED HERE: the final
+    // aggregate is tiny (one row per in-triangle node), so it is
+    // materialized eagerly via localCheckpoint and both scratch frames
+    // are released before returning, instead of leaving the edge/
+    // orientation blocks for a caller-side sweep to chase (the round-11
+    // warm>cold flag: three join legs racing to populate a cache whose
+    // blocks then sat in storage memory for the rest of the sweep).
     val edges = edges0.persist()
     val d = orientByDegree(edges).persist() // three join legs below
     val rankLt = // rank(e1.dst) < rank(e2.dst) in (deg, id) lex order
@@ -1400,9 +1405,14 @@ object Dedup extends QueryModule {
       .join(d.as("e3"),
         col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+    val out = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint() // eager: runs the join now, while d is cached
+    d.unpersist(blocking = false)
+    edges.unpersist(blocking = false)
+    out
   }
 
   private val d17Sql =
