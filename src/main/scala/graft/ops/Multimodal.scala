@@ -25,6 +25,13 @@ object Multimodal extends QueryModule {
 
   /** Build the binary-media view: text bytes standing in for an encoded
     * image payload.
+    *
+    * `n_bytes` is UTF-8 BYTE length on both engines, not characters:
+    * Spark's `octet_length` counts encoded bytes, and DuckDB's `strlen`
+    * (used by every mirrored oracle here) is ALSO bytes — DuckDB's
+    * character count is `length()`, which the oracles deliberately do
+    * not use. So m01/m10/m12 sizing agrees byte-for-byte on non-ASCII
+    * text too; no ASCII-only invariant is being leaned on.
     */
   private[ops] def media(s: SparkSession, dir: String) = {
     import s.implicits._

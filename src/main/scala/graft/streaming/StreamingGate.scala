@@ -807,6 +807,8 @@ object StreamingGate extends QueryModule {
       root: String, ckpt: String, outCols: Seq[String])(
       perBatch: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val rootDir = new java.io.File(root)
+    rootDir.mkdirs() // read-back below must not throw on a no-op stream
     val before = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
     try {
@@ -821,7 +823,16 @@ object StreamingGate extends QueryModule {
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", before)
-    s.read.parquet(root).select(outCols.map(col): _*)
+    // A delta that matched ZERO files/rows never fires foreachBatch, so
+    // no batch_id dir exists and a bare parquet read can't infer a
+    // schema. Shape the empty result the same way the batches would
+    // have been shaped: perBatch over an empty delta-schema frame.
+    val wroteAny = Option(rootDir.listFiles()).getOrElse(Array.empty)
+      .exists(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    if (wroteAny) s.read.parquet(root).select(outCols.map(col): _*)
+    else perBatch(s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], deltaStream.schema))
+      .select(outCols.map(col): _*).limit(0)
   }
 
   private[graft] def runNearDupStream(s: SparkSession, deltaStream: DataFrame,
@@ -861,13 +872,16 @@ object StreamingGate extends QueryModule {
       graft.core.Tables.documents(s, dir).filter(!isDelta)).persist()
     val idx = graft.ops.Dedup.bandedOf(corpusSh).persist()
     idx.count() // materialize the index before the stream starts ingesting
-    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
-    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("graft-es24"))
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     val base = java.nio.file.Files.createTempDirectory("graft-es24")
-    runNearDupStream(s, readDocuments(s, dir).filter(isDelta),
-      corpusSh, idx, s"$base/out", s"$base/ckpt")
+    // Cleanup is scoped to THIS invocation's directory: the result is
+    // pinned into block storage (localCheckpoint) so the scratch run
+    // dir can be deleted before returning — sweeping tmpdir by prefix
+    // would race a concurrent run of the same query and delete its live
+    // checkpoint mid-stream.
+    try runNearDupStream(s, readDocuments(s, dir).filter(isDelta),
+        corpusSh, idx, s"$base/out", s"$base/ckpt")
+      .localCheckpoint()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }
 
   private val es24Sql = graft.ops.Dedup.d22Sql
@@ -895,15 +909,15 @@ object StreamingGate extends QueryModule {
     val isDelta = col("doc_id") % 10 === 0
     val merges = graft.ops.TextAnalysis.trainMergesOn(
       graft.core.Tables.documents(s, dir).filter(!isDelta))
-    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
-    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("graft-es25"))
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     val base = java.nio.file.Files.createTempDirectory("graft-es25")
-    runDocBatchStream(s, readDocuments(s, dir).filter(isDelta),
-      s"$base/out", s"$base/ckpt",
-      Seq("doc_id", "n_raw", "n_enc", "n_merged", "ratio"))(
-      batch => graft.ops.TextAnalysis.encodeReport(batch, merges))
+    // per-invocation cleanup, same contract as es24: materialize, then
+    // delete only the directory this run created
+    try runDocBatchStream(s, readDocuments(s, dir).filter(isDelta),
+        s"$base/out", s"$base/ckpt",
+        Seq("doc_id", "n_raw", "n_enc", "n_merged", "ratio"))(
+        batch => graft.ops.TextAnalysis.encodeReport(batch, merges))
+      .localCheckpoint()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }
 
   private lazy val es25Sql = graft.ops.TextAnalysis.t25Sql
