@@ -329,12 +329,12 @@ object Profiling extends QueryModule {
 
   // ---- p28: z-order (Morton curve) layout planning --------------------
 
-  /** Bits per dimension (a 256×256 grid) and the z→file cut: the
-    * 16-bit Morton code's top 10 bits name the planned file (1024
-    * files).
+  /** Bits per dimension (a 256×256 grid — [[Zorder.ZBits]], which owns
+    * the binning + interleave machinery) and the z→file cut: the 16-bit
+    * Morton code's top 10 bits name the planned file (1024 files).
     */
-  private val ZBits      = 8
-  private val ZGrid      = 1L << ZBits
+  private val ZBits      = Zorder.ZBits
+  private val ZGrid      = Zorder.ZGrid
   private val ZFileShift = 6
 
   /** p28: Z-ORDER layout planning — assign every fact row a Morton
@@ -361,20 +361,13 @@ object Profiling extends QueryModule {
     * Scala sequence for both engines.
     */
   private def p28(s: SparkSession, dir: String): DataFrame = {
+    // binning + interleave shared with the PHYSICAL writer
+    // ([[graft.ops.Zorder.write]]) so the plan's manifest and the real
+    // layout can never drift — same bins, same curve, same cut
     val li = Tables.lineitem(s, dir)
       .select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
-    val mm = li.agg(min(col("a")).as("mna"), max(col("a")).as("mxa"),
-      min(col("b")).as("mnb"), max(col("b")).as("mxb"))
-    val binned = li.crossJoin(broadcast(mm)).selectExpr(
-      "a", "b",
-      s"CASE WHEN mxa > mna THEN ((a - mna) * $ZGrid) DIV (mxa - mna + 1) ELSE CAST(0 AS BIGINT) END AS ba",
-      s"CASE WHEN mxb > mnb THEN ((b - mnb) * $ZGrid) DIV (mxb - mnb + 1) ELSE CAST(0 AS BIGINT) END AS bb")
-    val z = (0 until ZBits).map { i =>
-      shiftright(col("ba"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
-        shiftright(col("bb"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
-    }.reduce(_ + _)
-    binned
-      .select(col("a"), col("b"), shiftright(z, ZFileShift).as("zfile"))
+    Zorder.withZ(li, col("a"), col("b"))
+      .select(col("a"), col("b"), shiftright(col("z"), ZFileShift).as("zfile"))
       .groupBy(col("zfile"))
       .agg(count(lit(1)).as("n"),
         min(col("a")).as("min_part"), max(col("a")).as("max_part"),

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Morton (z-order) clustering — the multi-dimensional layout technique
+  * behind the OPTIMIZE ZORDER step of the public Delta/Iceberg engines
+  * (Morton 1966): bit-interleaving two columns' bin indices makes BOTH
+  * columns' value ranges narrow within any contiguous slice of the
+  * curve, so per-file min/max statistics prune a two-predicate scan to
+  * a handful of files where a single-column sort leaves one predicate
+  * full-width in every file.
+  *
+  * Shared by p28 (the layout-planning report over the would-be file
+  * manifest) and [[Zorder.write]] (the physical clustered write through
+  * [[graft.sources.ShardWriter.writeClustered]]).
+  *
+  * Scale shape: pass 1 is ONE min/max row broadcast (the p07 two-pass
+  * contract); pass 2 is row-local integer bit arithmetic — no corpus
+  * exchange beyond the final range repartition the write needs anyway.
+  * All arithmetic is exact-integer (truncating DIV, shifts, masks) so
+  * the planning report and the DuckDB oracle agree bit-for-bit.
+  */
+object Zorder {
+
+  /** Bits per dimension: a 256×256 grid, 16-bit Morton codes. */
+  private[ops] val ZBits = 8
+  private[ops] val ZGrid = 1L << ZBits
+
+  /** Add 8-bit bins `ba`/`bb` and the 16-bit Morton code `z` for two
+    * integral columns, keeping every input column. Bin = `(v - min) *
+    * 256 DIV (range + 1)` — monotone, exact-integer, constant-bin on a
+    * degenerate (single-value) dimension. Column names `ba`, `bb`, `z`
+    * (and the `__z*` scratch prefix) are reserved on the input.
+    */
+  private[graft] def withZ(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val in = df
+      .withColumn("__zva", aCol.cast("long"))
+      .withColumn("__zvb", bCol.cast("long"))
+    val mm = in.agg(
+      min(col("__zva")).as("__mna"), max(col("__zva")).as("__mxa"),
+      min(col("__zvb")).as("__mnb"), max(col("__zvb")).as("__mxb"))
+    val binned = in.crossJoin(broadcast(mm))
+      .withColumn("ba", expr(
+        s"CASE WHEN __mxa > __mna THEN ((__zva - __mna) * $ZGrid) DIV (__mxa - __mna + 1) ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("bb", expr(
+        s"CASE WHEN __mxb > __mnb THEN ((__zvb - __mnb) * $ZGrid) DIV (__mxb - __mnb + 1) ELSE CAST(0 AS BIGINT) END"))
+    val z = (0 until ZBits).map { i =>
+      shiftright(col("ba"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(col("bb"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+    binned
+      .withColumn("z", z)
+      .drop("__zva", "__zvb", "__mna", "__mxa", "__mnb", "__mxb")
+  }
+
+  /** Physically z-order `df` on `(aCol, bCol)` into `shards` range-
+    * clustered parquet files under `path`. Every output file holds a
+    * contiguous slice of the Morton curve (range bounds sampled by
+    * RangePartitioner, rows sorted by `z` inside each file), so each
+    * file's parquet min/max footer covers ≤ a curve-slice-narrow box of
+    * BOTH clustered columns — the property the read-back pruning test
+    * asserts and the p28 manifest plans for. The `ba`/`bb`/`z` columns
+    * ride along in the output: `z` documents the layout and gives a
+    * reader a directly range-prunable 1-D key for 2-D boxes.
+    */
+  def write(df: DataFrame, path: String, aCol: Column, bCol: Column,
+            shards: Int, maxRecordsPerFile: Long = 1000000L): Unit =
+    graft.sources.ShardWriter.writeClustered(
+      withZ(df, aCol, bCol), path, Seq(col("z")), shards, maxRecordsPerFile)
+}

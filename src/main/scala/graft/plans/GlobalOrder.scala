@@ -24,6 +24,24 @@ object GlobalOrder {
 
   private val Pid = "__graft_pid"
 
+  /** The two-pass helpers collect ONE (pid, count|sum) row per partition
+    * to the driver — O(partitions) driver memory, not O(rows). That is
+    * ~12 bytes/partition: even a petabyte-scale job at one million
+    * partitions collects ~12 MB, the same order as what
+    * RangePartitioner's own bound sampling already moves. The ceiling
+    * below turns the one way this goes wrong — a caller exploding
+    * `spark.sql.shuffle.partitions` to tens of millions — into a loud
+    * error instead of silent driver-heap pressure.
+    */
+  private[graft] val MaxDriverPartitions = 1 << 21
+
+  private def checkDriverBound(nParts: Int, who: String): Unit =
+    require(nParts <= MaxDriverPartitions,
+      s"$who collected $nParts per-partition metadata rows to the driver " +
+        s"(ceiling $MaxDriverPartitions); lower spark.sql.shuffle.partitions " +
+        "or pre-coalesce the input - the two-pass order is O(partitions) " +
+        "on the driver by design (see Scaladoc)")
+
   /** df + a global 1-based `rnCol` in `order` without any single-partition
     * exchange or window. Also returns the total row count (free — it is
     * the sum of the partition counts).
@@ -39,6 +57,7 @@ object GlobalOrder {
       .persist()
     val counts = ranged.groupBy(col(Pid)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    checkDriverBound(counts.length, "withGlobalRowNumber")
     val total = counts.map(_._2).sum
     val offsets: Map[Int, Long] =
       counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
@@ -67,6 +86,7 @@ object GlobalOrder {
       .persist()
     val partials = ranged.groupBy(col(Pid)).agg(sum(col(v)).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    checkDriverBound(partials.length, "withGlobalRunningSum")
     val offsets: Map[Int, Long] =
       partials.map(_._1).zip(partials.map(_._2).scanLeft(0L)(_ + _)).toMap
     val w = Window.partitionBy(col(Pid)).orderBy(order: _*)

@@ -36,4 +36,24 @@ object ShardWriter {
       .partitionBy(partCol)
       .mode("overwrite")
       .parquet(path)
+
+  /** Range-clustered write without split dirs: `shards` ordered slices
+    * of the `order` keyspace, rows sorted inside each file, so parquet
+    * per-file min/max footers on the order columns (and anything
+    * correlated with them — the z-order case) prune read-back scans.
+    * Same scale mechanics as [[writeSharded]]: sampled range bounds,
+    * no global-sort exchange, `maxRecordsPerFile` bounding skew.
+    */
+  def writeClustered(
+      df: DataFrame,
+      path: String,
+      order: Seq[Column],
+      shards: Int,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    df.repartitionByRange(shards, order: _*)
+      .sortWithinPartitions(order: _*)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
 }

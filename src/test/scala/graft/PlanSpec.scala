@@ -373,6 +373,12 @@ class PlanSpec extends AnyFunSuite {
         if (excused.nonEmpty) Some(name -> excused) else None
       }
       assert(unwaived.isEmpty, s"lint findings without a waiver: $unwaived")
+      // The sanctioned corpus-cartesian inventory is EXACTLY the two
+      // declared exact baselines. Growing this set requires editing this
+      // pin — a new waiver quietly added next to a new query cannot
+      // launder an accidental cartesian through the sweep.
+      assert(ScaleLint.waivers.keySet === Set("s01_cosine_knn", "s02_cosine_neardup"),
+        s"sanctioned kind-5 inventory changed: ${ScaleLint.waivers.keySet}")
       for ((name, why) <- ScaleLint.waivers) {
         assert(SparkEntry.queries.contains(name), s"waiver for unknown query $name ($why)")
         assert(flagged.contains(name) &&

@@ -1004,4 +1004,68 @@ class ScaleTechniquesSpec extends AnyFunSuite {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
     }
   }
+
+  test("physical z-order write: an aligned 2-D box touches a curve-slice of files; 1-D sort touches an order more") {
+    // The locality property Round11Spec pins on p28's MANIFEST, now
+    // exercised on real parquet files: Zorder.write lays rows on the
+    // Morton curve, so an axis-aligned 16×16-bin box (1/16 of each
+    // dimension, top-4 bits fixed) is ONE contiguous 256-code z-run =
+    // 1/256 of the curve. With 256 range-clustered files the run spans
+    // ~1 file plus sampling-boundary slack, while a (a, b)-sorted
+    // layout leaves b full-width per file and touches every file
+    // overlapping the a-slab (~16 of 256). "Touched" = the per-file
+    // min/max footer stats overlap the box — exactly the file-skipping
+    // criterion a stats-based reader applies.
+    val sfDir = "/root/testdata/sf0.01" // b spans all 256 bins here (100 suppkeys)
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("a"), col("l_suppkey").as("b"))
+    val zroot = java.nio.file.Files.createTempDirectory("graft-zwrite").toFile
+    val sroot = java.nio.file.Files.createTempDirectory("graft-swrite").toFile
+    try {
+      graft.ops.Zorder.write(li, zroot.getAbsolutePath, col("a"), col("b"), shards = 256)
+      graft.sources.ShardWriter.writeClustered(
+        li, sroot.getAbsolutePath, Seq(col("a"), col("b")), 256)
+
+      val mm = li.agg(min("a"), max("a"), min("b"), max("b")).head
+      def lv(i: Int) = mm.getAs[Number](i).longValue
+      val (mna, mxa, mnb, mxb) = (lv(0), lv(1), lv(2), lv(3))
+      // the layout's own bin formula — monotone, so a file's raw
+      // min/max maps straight to its bin span
+      def binA(v: Long) = if (mxa > mna) (v - mna) * 256L / (mxa - mna + 1) else 0L
+      def binB(v: Long) = if (mxb > mnb) (v - mnb) * 256L / (mxb - mnb + 1) else 0L
+      val (lo, hi) = (96L, 111L) // bins 0110xxxx: aligned 1/16 × 1/16 box
+
+      def stats(root: java.io.File): Array[(Long, Long, Long, Long)] =
+        spark.read.parquet(root.getAbsolutePath)
+          .withColumn("f", input_file_name())
+          .groupBy(col("f"))
+          .agg(min("a").as("fa0"), max("a").as("fa1"),
+            min("b").as("fb0"), max("b").as("fb1"))
+          .collect()
+          .map(r => (binA(r.getAs[Number]("fa0").longValue),
+            binA(r.getAs[Number]("fa1").longValue),
+            binB(r.getAs[Number]("fb0").longValue),
+            binB(r.getAs[Number]("fb1").longValue)))
+      def touched(fs: Array[(Long, Long, Long, Long)]): Int =
+        fs.count { case (a0, a1, b0, b1) => a1 >= lo && a0 <= hi && b1 >= lo && b0 <= hi }
+
+      val (zf, sf) = (stats(zroot), stats(sroot))
+      assert(zf.length >= 200 && sf.length >= 200,
+        s"expected ~256 files per layout, got ${zf.length} z / ${sf.length} sorted")
+      // the box is non-empty, so "few files" isn't "no data"
+      val inBox = li.filter(
+        col("a").geq(lit(mna)) && // recompute membership by bin
+          expr(s"((a - $mna) * 256) DIV (${mxa - mna + 1}) BETWEEN $lo AND $hi") &&
+          expr(s"((b - $mnb) * 256) DIV (${mxb - mnb + 1}) BETWEEN $lo AND $hi")).count()
+      assert(inBox > 0, "degenerate box: no rows to find")
+      val (zt, st) = (touched(zf), touched(sf))
+      info(s"z-order touches $zt/${zf.length} files; (a,b)-sort touches $st/${sf.length}")
+      assert(zt <= 8, s"z-order layout should confine the box to ~1 curve slice, touched $zt")
+      assert(st >= 10, s"1-D sort should leave the box smeared over the a-slab, touched $st")
+      assert(zt < st, s"z-order must beat the 1-D sort: $zt vs $st")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(zroot)
+      org.apache.commons.io.FileUtils.deleteDirectory(sroot)
+    }
+  }
 }

@@ -946,4 +946,62 @@ class StreamingSpec extends AnyFunSuite {
         "every real (user, day) must emit with its full cross-batch count")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
+
+  test("RocksDB state-store matrix: sessions/retention/quota twins are backend-independent") {
+    // The state backend a beyond-heap deployment runs: RocksDB keeps
+    // state on local disk with only the working set in memory, where
+    // the default (HDFS-backed) provider holds every state row in
+    // executor heap. The heavy stateful twins — es03's
+    // flatMapGroupsWithState sessionizer, es07's watermark-buffered
+    // retention, es17's mapGroupsWithState quota — must emit IDENTICAL
+    // sets under the swapped provider: the watermark-buffered harness
+    // may not depend on heap-resident state. Each twin runs on BOTH
+    // providers over the same input; retention and quota additionally
+    // re-check their batch golds under RocksDB.
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(s: org.apache.spark.sql.SparkSession, name: String,
+            df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] = {
+      val q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).collect().map(_.toSeq.toList: Seq[Any]).toSet
+    }
+    // es03 sessions: single-source replay, provider swap only
+    val sessDefault = run(spark, "rx_sess_d",
+      EventStream.sessionize(spark, EventStream.readEvents(spark, dir)).toDF())
+    val sessRocks = run(rocks, "rx_sess_r",
+      EventStream.sessionize(rocks, EventStream.readEvents(rocks, dir)).toDF())
+    assert(sessDefault.nonEmpty)
+    assert(sessRocks === sessDefault, "sessionizer output changed under RocksDB")
+
+    val tmp = twoHalfReplay("graft_rocksdb_matrix", shuffled = true, across = true)
+    try {
+      // es07 retention: shuffled-across replay, gold = batch cohorts
+      // RetOut rows are (user_id, cohort_day, day_offset), one per
+      // (user, offset) — e07's final aggregate is a count over them
+      def retKey(rows: Set[Seq[Any]]): Set[(Long, Long, Long)] = rows
+        .groupBy(r => (r(1).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+        .map { case ((c, o), g) => (c, o, g.size.toLong) }.toSet
+      val retRocks = run(rocks, "rx_ret_r", EventStream.retention(
+        rocks, EventStream.readEvents(rocks, tmp.getAbsolutePath), None, "35 days").toDF())
+      val retWant = SparkEntry.queries("e07_retention_cohorts")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(retWant.nonEmpty)
+      assert(retKey(retRocks) === retWant, "retention diverged from batch gold under RocksDB")
+
+      // es17 quota: shuffled-across replay, gold = batch (user, day) counts
+      val quotaRocks = run(rocks, "rx_quota_r", EventStream.dailyQuota(rocks,
+        EventStream.readEvents(rocks, tmp.getAbsolutePath), delay = "45 days").toDF())
+      val quotaGot = quotaRocks.filter(_(0).asInstanceOf[Long] != -1L)
+        .map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+      val quotaWant = graft.core.Tables.events(spark, dir)
+        .groupBy(col("user_id"),
+          graft.queries.EventsQueries.epochDay(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(quotaGot.size === quotaGot.toSet.size, "duplicate (user, day) rows under RocksDB")
+      assert(quotaGot.toSet === quotaWant, "quota counts diverged from batch gold under RocksDB")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
 }
