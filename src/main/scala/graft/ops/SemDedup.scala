@@ -66,11 +66,21 @@ object SemDedup extends QueryModule {
     * distinct clusters hashes their members across chunks, and two
     * cluster-mates in non-adjacent chunks pair only if intermediate
     * chunks carry linking members — bounded fanout necessarily trades
-    * some cross-chunk recall there. That shape also implies the cell is
-    * semantically heterogeneous, i.e. the quantizer (K scaling, two-level
-    * refinement) is the right fix, not a bigger pair stage.
+    * some cross-chunk recall there. Since round 12 that shape is handled
+    * BEFORE the chunk guard sees it: [[refineHotCells]] recurses the
+    * quantizer one level inside every oversized cell, so interleaved
+    * clusters separate into their own sub-cells (cluster-mates share an
+    * argmax, hash ranks don't) and the chunk chain is only the backstop
+    * for a sub-cell that is still hot AND still mixed.
     */
   private[graft] val CellCap = 8 * TargetCellRows
+
+  /** Split factor ceiling for the one-level hot-cell recursion: an
+    * oversized cell re-quantizes into at most this many sub-cells, so
+    * the refinement argmax adds ≤ SubCellMax similarity evaluations per
+    * hot-cell member — bounded however degenerate the cell.
+    */
+  private[graft] val SubCellMax = 64L
 
   private def dot(a: Column, b: Column) =
     graft.functions.VectorFunctions.vec_dot(a, b)
@@ -191,26 +201,97 @@ object SemDedup extends QueryModule {
       .persist()
   }
 
+  /** One-level quantizer recursion inside oversized cells — the round-11
+    * documented recall gap, closed: when a cell exceeds `cap`, its
+    * members are re-quantized against sub-centroids sampled FROM THE
+    * CELL (salted hash threshold, ceil(cnt/TargetCellRows) capped at
+    * [[SubCellMax]]), and the refined cell id becomes
+    * `"cell/subcentroid"`; honest cells keep `"cell"`. Interleaved
+    * distinct clusters separate because cluster-mates share a nearest
+    * sub-centroid (the argmax is a function of CONTENT) while the chunk
+    * guard's hash rank scatters them; a sub-cell that is still hot and
+    * still mixed falls back to the chunk chain downstream, unchanged.
+    *
+    * Scale shape: `sizes` is a cell-grain aggregate; every other stage
+    * is filtered to oversized cells (EMPTY on an honest corpus — the
+    * test SFs hash-match round 11 byte-for-byte); the refinement join
+    * fans each hot member out ≤ SubCellMax sub-centroids on the (cell)
+    * equi-key — a hot cell's probe rows spread across partitions, never
+    * one reducer; the argmax window partitions by vec_id (≤ SubCellMax
+    * rows per group). No broadcast anywhere: sub-centroids are corpus-
+    * proportional in the adversarial case and ride the equi-join.
+    *
+    * Determinism: the sub-sample uses the `r:`-salted hash60 fold (both
+    * engines rebuild it), the per-cell threshold is exact integer
+    * `floor(2^60·kSub/cnt)` (DECIMAL(38,0)·2^60 DIV on the Spark side,
+    * HUGEINT on DuckDB), and the argmax is the same (sim DESC, scid ASC)
+    * row_number both engines already agree on in the pair stage.
+    */
+  private[graft] def refineHotCells(assign: DataFrame, base: DataFrame,
+                                    cap: Int = CellCap): DataFrame = {
+    val sizes = assign.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+    val hot = assign.join(sizes.filter(col("cnt") > cap), "cell")
+    val subThresh = expr(
+      s"""CAST(least($SubCellMax, (cnt + ${TargetCellRows - 1}) DIV $TargetCellRows)
+         |  AS DECIMAL(38,0)) * 1152921504606846976 DIV cnt""".stripMargin)
+    val subc = hot
+      .filter(Sampling.hash60(concat(lit("r:"), col("vec_id").cast("string"))) < subThresh)
+      .join(base.select(col("vec_id"), col("v").as("scv"), col("nrm").as("scnrm")), "vec_id")
+      .select(col("cell"), col("vec_id").as("scid"), col("scv"), col("scnrm"))
+    val cand = hot.select(col("vec_id"), col("cell"))
+      .join(base.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(subc, "cell")
+      .select(col("vec_id"),
+        guardedSim(dot(col("v"), col("scv")), col("nrm"), col("scnrm")).as("sim"),
+        col("scid"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("scid"))
+    val best = cand.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1).select(col("vec_id"), col("scid"))
+    assign.join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("scid").isNull, col("cell").cast("string"))
+          .otherwise(concat(col("cell").cast("string"), lit("/"),
+            col("scid").cast("string"))).as("cell"))
+      // persisted for the same reason cellAssignments is: the pair
+      // stage's probe and build legs both read it, and recomputing
+      // means re-running the sizes aggregate and refinement joins
+      .persist()
+  }
+
   private def d08(s: SparkSession, dir: String): DataFrame = {
     val base = Similarity.vecs(s, dir).persist()
     // one count() drives K — the only driver action; deterministic, so
     // the oracle can rebuild the same K from its own count(*)
     val n = base.count()
     val assign = cellAssignments(base, n)
-    // narrow in-cell candidate pairs (ids only, skew-capped), vectors
-    // joined back once
-    val cand = inCellPairs(assign)
+    // narrow in-cell candidate pairs (ids only, skew-capped) over the
+    // hot-cell-refined assignment, vectors joined back once
+    val refined = refineHotCells(assign, base)
+    val cand = inCellPairs(refined)
     // guardedSim here is defense in depth: Similarity.vecs excludes
     // zero-norm vectors at the source, so na*nb > 0 for every pair this
     // stage can currently see — but the guard keeps the stage safe (and
     // oracle-aligned: DuckDB's 0/0 = NaN passes >= Threshold) if that
     // source contract ever loosens
+    // The pair set is materialized ONCE (localCheckpoint) before CC
+    // consumes it: CC's hop loop plans ~37 driver-side jobs, and each
+    // re-analysis of a plan carrying the whole assignment + refinement
+    // lineage costs real driver time even with every frame cached
+    // (measured: identical stage/task totals, +5 s of wall at sf0.1
+    // purely from planning the 6x-larger tree). With the tiny pair
+    // table checkpointed, the scratch caches are released immediately —
+    // the d17 lifecycle-ownership discipline.
     val pairs = cand
       .join(base.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na")), "ida")
       .join(base.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb")), "idb")
       .select(col("ida"), col("idb"),
         guardedSim(dot(col("va"), col("vb")), col("na"), col("nb")).as("sim"))
       .filter(col("sim") >= Threshold)
+      .localCheckpoint()
+    refined.unpersist(blocking = false)
+    assign.unpersist(blocking = false)
+    base.unpersist(blocking = false)
     Graph.connectedComponents(
         Tables.embeddings(s, dir).select(col("vec_id")),
         pairs.select(col("ida"), col("idb")))
@@ -243,9 +324,13 @@ object SemDedup extends QueryModule {
     * zero-norm sentinel and (csim DESC, cid ASC) tiebreak at BOTH
     * assignment levels AND the in-cell pair stage (an unguarded DuckDB
     * 0/0 is NaN, which >= threshold admits — divergent from the ANSI
-    * Spark side, which would throw), the same rank-chained [[CellCap]]
-    * chunking of pair participation (within-chunk plus adjacent-chunk,
-    * (least, greatest)-normalized), transitive closure via recursive CTE.
+    * Spark side, which would throw), the same hot-cell refinement
+    * (sizes/subc/best/ref CTEs: salted-hash sub-sampling under the
+    * HUGEINT twin of the Spark side's DECIMAL(38,0) threshold, the same
+    * (sim DESC, scid ASC) argmax, the same "cell/scid" string ids), the
+    * same rank-chained [[CellCap]] chunking of pair participation
+    * (within-chunk plus adjacent-chunk, (least, greatest)-normalized),
+    * transitive closure via recursive CTE.
     */
   private val d08Sql =
     s"""WITH RECURSIVE ${Similarity.oracleVecs},
@@ -276,11 +361,34 @@ object SemDedup extends QueryModule {
        |      JOIN ca ON ca.gid = r.gid
        |      JOIN c ON c.cid = ca.cid)
        |  WHERE rn = 1),
+       |sizes AS (SELECT cell, count(*) AS cnt FROM assign GROUP BY 1),
+       |subc AS (
+       |  SELECT a.cell, a.vec_id AS scid, x.v AS scv, x.nrm AS scnrm
+       |  FROM assign a JOIN sizes s USING (cell) JOIN n x ON a.vec_id = x.vec_id
+       |  WHERE s.cnt > $CellCap
+       |    AND ${OracleSql.hex60("'r:' || CAST(a.vec_id AS VARCHAR)")} <
+       |      (CAST(least($SubCellMax, (s.cnt + ${TargetCellRows - 1}) // $TargetCellRows) AS HUGEINT)
+       |        * CAST(1152921504606846976 AS HUGEINT) // CAST(s.cnt AS HUGEINT))),
+       |best AS (
+       |  SELECT vec_id, scid FROM (
+       |    SELECT m.vec_id, sc.scid,
+       |      row_number() OVER (PARTITION BY m.vec_id ORDER BY
+       |        ${sqlSim("x.v", "sc.scv", "x.nrm", "sc.scnrm")} DESC, sc.scid) AS rn
+       |    FROM assign m JOIN sizes s USING (cell)
+       |      JOIN subc sc ON sc.cell = m.cell
+       |      JOIN n x ON m.vec_id = x.vec_id
+       |    WHERE s.cnt > $CellCap)
+       |  WHERE rn = 1),
+       |ref AS (
+       |  SELECT a.vec_id,
+       |    CASE WHEN b.scid IS NULL THEN CAST(a.cell AS VARCHAR)
+       |         ELSE CAST(a.cell AS VARCHAR) || '/' || CAST(b.scid AS VARCHAR) END AS cell
+       |  FROM assign a LEFT JOIN best b USING (vec_id)),
        |chunked AS (
        |  SELECT vec_id, cell, (rk - 1) // $CellCap AS chunk FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
        |      ORDER BY ${OracleSql.hex60("CAST(vec_id AS VARCHAR)")}, vec_id) AS rk
-       |    FROM assign)),
+       |    FROM ref)),
        |pr AS (
        |  SELECT ida, idb FROM (
        |    SELECT least(a.vec_id, b.vec_id) AS ida, greatest(a.vec_id, b.vec_id) AS idb,

@@ -253,6 +253,71 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"chunking must not bind on balanced 30-row cells, got $balancedPairs")
   }
 
+  test("d08 hot-cell recursion: interleaved clusters keep cross-cluster recall the chunk chain loses") {
+    // The round-11 documented recall gap: a hot cell interleaving many
+    // distinct near-dup families scatters each family across hash-rank
+    // chunks, and family-mates in non-adjacent chunks never pair. The
+    // planted shape: ONE cell holding 6 dense families (30 identical
+    // vectors each) plus 24 two-member families — the most common real
+    // dedup shape — under cap=60 (4 chunks). The chunk chain provably
+    // loses some two-member families (members land >= 2 chunks apart);
+    // refineHotCells re-quantizes the cell so family-mates (identical
+    // content => identical argmax) colocate in a sub-cell, where <= 2
+    // chunks means EXACT all-pairs.
+    import graft.functions.VectorFunctions.vec_dot
+    val D = 256
+    val dense = spark.range(6L * 30)
+      .select(col("id").as("vec_id"), expr("id DIV 30").as("cluster"))
+    val prs = spark.range(48L)
+      .select((col("id") + 180L).as("vec_id"), expr("6 + id DIV 2").as("cluster"))
+    val members = dense.unionAll(prs) // 228 rows, 30 planted families
+    // deterministic high-entropy family directions: pairwise |cos| ~
+    // 1/sqrt(D) << 0.4, members of a family exactly identical
+    val base = members.select(col("vec_id"), col("cluster"),
+        org.apache.spark.sql.functions.transform(sequence(lit(1), lit(D)),
+          j => pmod(hash(col("cluster"), j), lit(2000)) / lit(1000.0) - 1.0).as("v"))
+      .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+      .persist()
+    val assign = members.select(col("vec_id"), lit(0L).as("cell"))
+    val cap = 60
+    def simPairs(a: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.ops.SemDedup.inCellPairs(a, cap)
+        .join(base.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na")), "ida")
+        .join(base.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb")), "idb")
+        .filter(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.4)
+        .select(col("ida"), col("idb"))
+    def componentsOf(p: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val lab = graft.ops.Graph.connectedComponents(
+          members.select(col("vec_id").as("id")), p)
+        .join(members.select(col("vec_id").as("id"), col("cluster")), "id")
+      (lab.select(col("comp")).distinct().count(),
+        lab.select(col("cluster"), col("comp")).distinct().count())
+    }
+    try {
+      val refined = graft.ops.SemDedup.refineHotCells(assign, base, cap)
+      assert(refined.select(col("cell")).distinct().count() > 1,
+        "the 228-row cell must actually split under cap=60")
+      val (nComp, nClusterComp) = componentsOf(simPairs(refined))
+      // 30 components, one per planted family: nComp == families proves
+      // no family split; (cluster, comp) distinct == families proves no
+      // false merge (the sim filter, not colocation, decides pairs)
+      assert(nComp === 30L, s"refined recall must keep every family whole, got $nComp components")
+      assert(nClusterComp === 30L, s"components must map 1:1 onto families, got $nClusterComp")
+      val (nCompOld, _) = componentsOf(simPairs(assign))
+      assert(nCompOld > 30L,
+        s"the chunk chain alone was expected to lose two-member families ($nCompOld components); " +
+          "if this starts passing, the planted shape no longer demonstrates the gap")
+      // the no-op contract honest corpora rely on: under a cap the cell
+      // never exceeds, refinement is pure stringification
+      val idle = graft.ops.SemDedup.refineHotCells(assign, base, cap = 1000)
+      assert(idle.filter(col("cell") =!= "0").count() === 0L &&
+        idle.count() === 228L, "refinement must be a no-op below the cap")
+    } finally {
+      base.unpersist()
+      graft.core.Sessions.sweepPersistedState(spark)
+    }
+  }
+
   /** Synthetic-corpus scaling tripwires for the two flagship pipelines
     * (testdata stops at sf0.1, so a super-linear term above that would
     * ship silently — exactly how round 5's CC regression escaped). Both
