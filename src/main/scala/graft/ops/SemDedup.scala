@@ -304,15 +304,22 @@ object SemDedup extends QueryModule {
   // base.count() — not FROM embeddings: with >= 1 degenerate vector the
   // two counts differ, the floor(2^60*k/n) cuts land on different hash
   // fractions, and the engines pick different centroid sets
-  private[graft] val kSqlExpr =
-    s"greatest($MinCells, ((SELECT count(*) FROM n) + ${TargetCellRows - 1}) // $TargetCellRows)"
-  private[graft] val kcSqlExpr = s"CAST(ceil(sqrt(CAST(($kSqlExpr) AS DOUBLE))) AS BIGINT)"
+  // Parameterized by the population CTE name so s23 can run the SAME
+  // K / threshold arithmetic against a subset population (nc); the
+  // default "n" forms are byte-identical to what every existing oracle
+  // splices.
+  private[graft] def kSqlExprOn(nName: String) =
+    s"greatest($MinCells, ((SELECT count(*) FROM $nName) + ${TargetCellRows - 1}) // $TargetCellRows)"
+  private[graft] val kSqlExpr = kSqlExprOn("n")
+  private[graft] def kcSqlExprOn(nName: String) =
+    s"CAST(ceil(sqrt(CAST((${kSqlExprOn(nName)}) AS DOUBLE))) AS BIGINT)"
+  private[graft] val kcSqlExpr = kcSqlExprOn("n")
   // floor(2^60 * k / n) in 128-bit (HUGEINT): the BIGINT hex60 value
   // compares against it with automatic promotion — same floor division
   // and the same clamp-free semantics as the Scala BigInt twin
-  private[graft] def threshSql(kSql: String) =
+  private[graft] def threshSql(kSql: String, nName: String = "n") =
     s"""(CAST(($kSql) AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT)
-       |  // CAST((SELECT count(*) FROM n) AS HUGEINT))""".stripMargin
+       |  // CAST((SELECT count(*) FROM $nName) AS HUGEINT))""".stripMargin
 
   private def sqlSim(av: String, bv: String, an: String, bn: String) =
     s"""CASE WHEN $an * $bn > 0

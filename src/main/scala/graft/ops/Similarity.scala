@@ -1098,8 +1098,16 @@ object Similarity extends QueryModule {
     * ranking (vec_id, crn, cid) — crn 1 is membership, 1..IvfProbes
     * the probe list.
     */
-  private def trainedRanked(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val base = vecs(s, dir).persist()
+  private def trainedRanked(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    trainedRankedOf(vecs(s, dir), IvfProbes)
+
+  /** [[trainedRanked]] over an arbitrary (vec_id, v, nrm) population
+    * with an injectable probe depth — s23 trains the SAME pipeline on
+    * the corpus subset and on corpus+Δ, and only needs rank 1
+    * (membership) from each, so it passes probes = 1.
+    */
+  private def trainedRankedOf(base0: DataFrame, probes: Int): (DataFrame, DataFrame) = {
+    val base = base0.persist()
     // the ONE driver action: n drives K/Kc and both hash thresholds,
     // mirrored by the oracle's (SELECT count(*) FROM n) — d08's contract
     val n = base.count()
@@ -1136,7 +1144,7 @@ object Similarity extends QueryModule {
     // strictly nearer the true argmin than a 1-group cut) and ranks
     // 1..IvfProbes are the query's probe list. corpus×IvfProbes rows,
     // persisted so membership and probing don't re-run the fold.
-    val ranked = rankCellsTwoLevel(base, gArr, "l2", KmSearchGroups, IvfProbes)
+    val ranked = rankCellsTwoLevel(base, gArr, "l2", KmSearchGroups, probes)
       .persist()
     (base, ranked)
   }
@@ -1163,36 +1171,38 @@ object Similarity extends QueryModule {
        |      - 2.0 * list_sum(list_transform(range(1, ${Dim + 1}), i -> $av[i] * $bv[i]))
        |      + list_sum(list_transform(range(1, ${Dim + 1}), i -> $bv[i] * $bv[i])))""".stripMargin
 
-  private def coarsePredSql(cidExpr: String): String =
-    s"${OracleSql.hex60(s"'km_' || CAST($cidExpr AS VARCHAR)")} < ${SemDedup.threshSql(SemDedup.kcSqlExpr)}"
+  private def coarsePredSql(cidExpr: String, nn: String = "n"): String =
+    s"${OracleSql.hex60(s"'km_' || CAST($cidExpr AS VARCHAR)")} < ${SemDedup.threshSql(SemDedup.kcSqlExprOn(nn), nn)}"
 
   /** One oracle Lloyd step (the mirror of [[groupArray]] +
     * [[assignCellTwoLevel]] + [[meansCodebook]]): coarse subset g$t of
     * the input codebook, fine→group map fa$t, row→group rg$t,
     * two-level cell a$t, exploded components px$t, means codebook c$t.
+    * `nn` is the population CTE (s23 trains a second chain on a subset)
+    * and `x` suffixes every CTE name so two chains can coexist.
     */
-  private def kmStepSql(in: String, t: Int): String =
-    s"""g$t AS (SELECT cid AS gid, cv AS gv FROM $in WHERE ${coarsePredSql("cid")}),
-       |fa$t AS (SELECT cid, gid FROM (
+  private def kmStepSql(in: String, t: Int, nn: String = "n", x: String = ""): String =
+    s"""g$t$x AS (SELECT cid AS gid, cv AS gv FROM $in WHERE ${coarsePredSql("cid", nn)}),
+       |fa$t$x AS (SELECT cid, gid FROM (
        |  SELECT f.cid, g.gid,
        |    row_number() OVER (PARTITION BY f.cid ORDER BY ${sqlL2("f.cv", "g.gv")}, g.gid) AS rn
-       |  FROM $in f CROSS JOIN g$t g) WHERE rn = 1),
-       |rg$t AS (SELECT vec_id, gid FROM (
-       |  SELECT n.vec_id, g.gid,
-       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY ${sqlL2("n.v", "g.gv")}, g.gid) AS rn
-       |  FROM n CROSS JOIN g$t g) WHERE rn = 1),
-       |a$t AS (SELECT vec_id, cid AS cell FROM (
+       |  FROM $in f CROSS JOIN g$t$x g) WHERE rn = 1),
+       |rg$t$x AS (SELECT vec_id, gid FROM (
+       |  SELECT $nn.vec_id, g.gid,
+       |    row_number() OVER (PARTITION BY $nn.vec_id ORDER BY ${sqlL2(s"$nn.v", "g.gv")}, g.gid) AS rn
+       |  FROM $nn CROSS JOIN g$t$x g) WHERE rn = 1),
+       |a$t$x AS (SELECT vec_id, cid AS cell FROM (
        |  SELECT r.vec_id, f.cid,
        |    row_number() OVER (PARTITION BY r.vec_id ORDER BY ${sqlL2("x.v", "f.cv")}, f.cid) AS rn
-       |  FROM rg$t r JOIN n x ON r.vec_id = x.vec_id
-       |    JOIN fa$t fm ON fm.gid = r.gid
+       |  FROM rg$t$x r JOIN $nn x ON r.vec_id = x.vec_id
+       |    JOIN fa$t$x fm ON fm.gid = r.gid
        |    JOIN $in f ON f.cid = fm.cid) WHERE rn = 1),
-       |px$t AS (SELECT a.cell, unnest(range(1, len(n.v)+1)) AS pos,
-       |    unnest(list_transform(n.v, x -> CAST(x AS VARCHAR))) AS xs
-       |  FROM n JOIN a$t a USING (vec_id)),
-       |c$t AS (SELECT cell AS cid, list(mx ORDER BY pos) AS cv FROM (
+       |px$t$x AS (SELECT a.cell, unnest(range(1, len($nn.v)+1)) AS pos,
+       |    unnest(list_transform($nn.v, x -> CAST(x AS VARCHAR))) AS xs
+       |  FROM $nn JOIN a$t$x a USING (vec_id)),
+       |c$t$x AS (SELECT cell AS cid, list(mx ORDER BY pos) AS cv FROM (
        |  SELECT cell, pos, CAST(sum(CAST(xs AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mx
-       |  FROM px$t GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+       |  FROM px$t$x GROUP BY 1, 2) GROUP BY 1)""".stripMargin
 
   /** Full structural mirror of the trained pipeline: seed threshold cut,
     * [[KmSteps]] Lloyd step CTE blocks, then index membership (aidx),
@@ -1203,40 +1213,42 @@ object Similarity extends QueryModule {
     * membership aidx / probe list pr → candidate scores sc) — shared by
     * s20's top-5 tail and s21's recall tail.
     */
-  private lazy val s20Ctes = {
-    val steps = (1 to KmSteps).map(t => kmStepSql(if (t == 1) "c0" else s"c${t - 1}", t)).mkString(",\n")
-    val fin = s"c$KmSteps"
+  private def s20CtesOn(nn: String, x: String): String = {
+    val steps = (1 to KmSteps)
+      .map(t => kmStepSql(if (t == 1) s"c0$x" else s"c${t - 1}$x", t, nn, x)).mkString(",\n")
+    val fin = s"c$KmSteps$x"
     val t = KmSteps + 1
-    s"""$oracleVecs,
-       |c0 AS (SELECT vec_id AS cid, v AS cv FROM n
-       |  WHERE ${OracleSql.hex60("'km_' || CAST(vec_id AS VARCHAR)")} < ${SemDedup.threshSql(SemDedup.kSqlExpr)}),
+    s"""c0$x AS (SELECT vec_id AS cid, v AS cv FROM $nn
+       |  WHERE ${OracleSql.hex60("'km_' || CAST(vec_id AS VARCHAR)")} < ${SemDedup.threshSql(SemDedup.kSqlExprOn(nn), nn)}),
        |$steps,
-       |g$t AS (SELECT cid AS gid, cv AS gv FROM $fin WHERE ${coarsePredSql("cid")}),
-       |fa$t AS (SELECT cid, gid FROM (
+       |g$t$x AS (SELECT cid AS gid, cv AS gv FROM $fin WHERE ${coarsePredSql("cid", nn)}),
+       |fa$t$x AS (SELECT cid, gid FROM (
        |  SELECT f.cid, g.gid,
        |    row_number() OVER (PARTITION BY f.cid ORDER BY ${sqlL2("f.cv", "g.gv")}, g.gid) AS rn
-       |  FROM $fin f CROSS JOIN g$t g) WHERE rn = 1),
-       |pg AS (SELECT vec_id, gid FROM (
-       |  SELECT n.vec_id, g.gid,
-       |    row_number() OVER (PARTITION BY n.vec_id ORDER BY ${sqlL2("n.v", "g.gv")}, g.gid) AS rn
-       |  FROM n CROSS JOIN g$t g) WHERE rn <= $KmSearchGroups),
-       |prall AS (SELECT vec_id, cid, rn FROM (
+       |  FROM $fin f CROSS JOIN g$t$x g) WHERE rn = 1),
+       |pg$x AS (SELECT vec_id, gid FROM (
+       |  SELECT $nn.vec_id, g.gid,
+       |    row_number() OVER (PARTITION BY $nn.vec_id ORDER BY ${sqlL2(s"$nn.v", "g.gv")}, g.gid) AS rn
+       |  FROM $nn CROSS JOIN g$t$x g) WHERE rn <= $KmSearchGroups),
+       |prall$x AS (SELECT vec_id, cid, rn FROM (
        |  SELECT r.vec_id, f.cid,
        |    row_number() OVER (PARTITION BY r.vec_id ORDER BY ${sqlL2("x.v", "f.cv")}, f.cid) AS rn
-       |  FROM pg r JOIN n x ON r.vec_id = x.vec_id
-       |    JOIN fa$t fm ON fm.gid = r.gid
+       |  FROM pg$x r JOIN $nn x ON r.vec_id = x.vec_id
+       |    JOIN fa$t$x fm ON fm.gid = r.gid
        |    JOIN $fin f ON f.cid = fm.cid) WHERE rn <= $IvfProbes),
-       |aidx AS (SELECT vec_id, cid AS cell FROM prall WHERE rn = 1),
-       |pr AS (SELECT vec_id AS qid, cid AS cell FROM prall),
-       |cnd AS (
+       |aidx$x AS (SELECT vec_id, cid AS cell FROM prall$x WHERE rn = 1),
+       |pr$x AS (SELECT vec_id AS qid, cid AS cell FROM prall$x),
+       |cnd$x AS (
        |  SELECT p.qid, a.vec_id AS nid
-       |  FROM pr p JOIN aidx a USING (cell)
+       |  FROM pr$x p JOIN aidx$x a USING (cell)
        |  WHERE p.qid <> a.vec_id),
-       |sc AS (
+       |sc$x AS (
        |  SELECT c.qid, c.nid,
        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
-       |  FROM cnd c JOIN n x ON c.qid = x.vec_id JOIN n y ON c.nid = y.vec_id)""".stripMargin
+       |  FROM cnd$x c JOIN $nn x ON c.qid = x.vec_id JOIN $nn y ON c.nid = y.vec_id)""".stripMargin
   }
+
+  private lazy val s20Ctes = s"$oracleVecs,\n" + s20CtesOn("n", "")
 
   private lazy val s20Sql =
     s"""WITH $s20Ctes
@@ -1886,7 +1898,56 @@ object Similarity extends QueryModule {
     QueryDef("s20_trained_ivf", s20, Some(s20Sql)),
     QueryDef("s21_trained_recall", s21, Some(s21Sql)),
     QueryDef("s22_ivfpq_search", s22, Some(s22Sql)),
+    QueryDef("s23_index_maintenance", s23, Some(s23Sql)),
   )
+
+  // ---- s23: trained-index maintenance (retrain drift report) ----------
+
+  /** s23: the TRAINED-index answer to d23's append law. The banded
+    * sketch index obeys an exact append law (banded(C ∪ Δ) ≡ banded(C)
+    * ∪ banded(Δ) — d23 certifies it row-for-row); a trained quantizer
+    * does NOT: re-training on corpus+Δ moves centroids and rows migrate
+    * cells. What a production index pipeline needs instead of a law is
+    * the DRIFT REPORT that triggers retraining: train the s20 pipeline
+    * on the corpus split, train it again on corpus+Δ (the d22/es24
+    * `vec_id % 10` split convention), and emit the cell-flow matrix —
+    * one row per (old_cell, new_cell) with the member count, old_cell
+    * NULL for Δ arrivals. The off-diagonal mass is the migration rate
+    * an index maintainer alerts on; the NULL row mass is the arrival
+    * load the frozen index absorbed.
+    *
+    * Scale shape: two trained-assignment passes (each the s20 front
+    * half — row-local two-level folds under one nested broadcast, zero
+    * corpus exchanges, probes=1 so no probe-list blowup), one vec_id
+    * equi-join of two (vec_id, cell) frames, one sparse K×K-bounded
+    * aggregate. Nothing here exceeds what s20 already pays twice.
+    *
+    * Determinism: both chains are the LITERAL s20 machinery (same seed
+    * hash cut rebuilt per population, same Lloyd steps, same two-level
+    * rank); the oracle splices the s20 CTE chain twice — once on `n`,
+    * once on the `nc` subset — so a hash match re-certifies the full
+    * training pipeline on BOTH populations.
+    */
+  private def s23(s: SparkSession, dir: String): DataFrame = {
+    val isDelta = col("vec_id") % 10 === 0
+    val (baseC, rankedC) = trainedRankedOf(vecs(s, dir).filter(!isDelta), probes = 1)
+    val oldA = rankedC.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("old_cell"))
+    val (baseF, rankedF) = trainedRankedOf(vecs(s, dir), probes = 1)
+    val newA = rankedF.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("new_cell"))
+    newA.join(oldA, Seq("vec_id"), "left")
+      .groupBy(col("old_cell"), col("new_cell"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
+  private lazy val s23Sql =
+    s"""WITH $s20Ctes,
+       |nc AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+       |${s20CtesOn("nc", "_c")}
+       |SELECT c.cell AS old_cell, f.cell AS new_cell, count(*) AS n_rows
+       |FROM aidx f LEFT JOIN aidx_c c USING (vec_id)
+       |GROUP BY 1, 2""".stripMargin
 
   // ---- s16: second Lloyd iteration + migration audit ------------------
 
