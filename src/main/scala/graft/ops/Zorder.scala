@@ -68,4 +68,63 @@ object Zorder {
             shards: Int, maxRecordsPerFile: Long = 1000000L): Unit =
     graft.sources.ShardWriter.writeClustered(
       withZ(df, aCol, bCol), path, Seq(col("z")), shards, maxRecordsPerFile)
+
+  /** The Morton code of one (binA, binB) cell — the Scala twin of the
+    * column-expression interleave in [[withZ]].
+    */
+  private[graft] def interleave(ba: Long, bb: Long): Long =
+    (0 until ZBits).foldLeft(0L) { (acc, i) =>
+      acc + (((ba >> i) & 1L) << (2 * i + 1)) + (((bb >> i) & 1L) << (2 * i))
+    }
+
+  /** READ path: the inclusive z ranges covering the bin box
+    * [a0..a1]×[b0..b1] — what a 2-D predicate becomes on the 1-D sort
+    * key the files are clustered by. Exact by construction (every box
+    * cell's code enumerated, consecutive runs merged); when the merged
+    * run count exceeds `maxRanges` the nearest gaps are coalesced, so
+    * the result is a SUPERSET of the box — callers must AND the exact
+    * column predicates on top (the ranges only exist to prune I/O).
+    * An axis-aligned power-of-two box (the common grid-quantized case)
+    * merges to ONE range. Driver-side work is O(box cells) over a
+    * 256×256 grid — bounded, never corpus-dependent.
+    */
+  private[graft] def zRanges(a0: Long, a1: Long, b0: Long, b1: Long,
+                             maxRanges: Int = 64): Seq[(Long, Long)] = {
+    require(a0 <= a1 && b0 <= b1 && a0 >= 0 && b0 >= 0 &&
+      a1 < ZGrid && b1 < ZGrid, s"bin box out of the ${ZGrid}x$ZGrid grid")
+    val codes = for (ba <- a0 to a1; bb <- b0 to b1) yield interleave(ba, bb)
+    val sorted = codes.sorted
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (z <- sorted) runs.lastOption match {
+      case Some((lo, hi)) if z == hi + 1 => runs(runs.length - 1) = (lo, z)
+      case _                             => runs += ((z, z))
+    }
+    var merged = runs.toVector
+    while (merged.length > maxRanges) {
+      // coalesce the smallest gap: stays a superset, shrinks the list
+      val gaps = merged.sliding(2).map { case Vector((_, h), (l, _)) => l - h }.toVector
+      val i = gaps.indexOf(gaps.min)
+      merged = (merged.take(i) :+ (merged(i)._1, merged(i + 1)._2)) ++ merged.drop(i + 2)
+    }
+    merged
+  }
+
+  /** The pruning predicate for a raw-value box over z-written files:
+    * bins the box corners with the SAME two-pass min/max the writer
+    * used (pass the writer corpus's min/max), translates to z ranges,
+    * and ORs `z BETWEEN` terms — sargable, so the parquet reader skips
+    * every file/row-group whose z footer stats miss all ranges. AND the
+    * exact a/b predicates on top; this predicate alone may be a
+    * superset (range coalescing, bin granularity).
+    */
+  def boxPruningPredicate(zCol: Column,
+                          mna: Long, mxa: Long, mnb: Long, mxb: Long,
+                          aLo: Long, aHi: Long, bLo: Long, bHi: Long): Column = {
+    def bin(v: Long, mn: Long, mx: Long): Long =
+      if (mx > mn) (v - mn) * ZGrid / (mx - mn + 1) else 0L
+    val ranges = zRanges(
+      bin(aLo.max(mna), mna, mxa), bin(aHi.min(mxa), mna, mxa),
+      bin(bLo.max(mnb), mnb, mxb), bin(bHi.min(mxb), mnb, mxb))
+    ranges.map { case (lo, hi) => zCol.between(lit(lo), lit(hi)) }.reduce(_ || _)
+  }
 }

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 regression pins: the stream scratch-dir/empty-delta
+  * contracts and the refinement no-op boundary.
+  */
+class Round12Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("runDocBatchStream: a delta matching ZERO rows returns an empty, correctly-shaped frame") {
+    // the es24/es25 harness must not throw when nothing arrives (a real
+    // ingest gate idles through empty polling windows): foreachBatch
+    // never fires, no batch_id dir exists, and the read-back used to
+    // fail on schema inference over an absent path
+    val docs = graft.core.Tables.documents(spark, dir)
+    val merges = graft.ops.TextAnalysis.trainMergesOn(docs)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_r12_empty").toFile
+    val runBase = java.nio.file.Files.createTempDirectory("graft_r12_run").toFile
+    try {
+      // a parquet file whose rows are ALL filtered out downstream —
+      // the stream source sees a file, the transform sees zero rows
+      val stage = new java.io.File(streamDir, "stage")
+      docs.limit(1).coalesce(1).write.parquet(stage.getAbsolutePath)
+      val f = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(streamDir, "documents_a.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+
+      // glob matches ZERO files: the stream plans no batch at all, so
+      // foreachBatch never fires — the exact no-output-dir case (a
+      // zero-ROW delta still fires an empty batch and always worked)
+      val noFiles = spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "nothing-here-*.parquet")
+        .parquet(streamDir.getAbsolutePath)
+      val out = graft.streaming.StreamingGate.runDocBatchStream(spark, noFiles,
+        new java.io.File(runBase, "out").getAbsolutePath,
+        new java.io.File(runBase, "ckpt").getAbsolutePath,
+        Seq("doc_id", "n_raw", "n_enc", "n_merged", "ratio"))(
+        batch => graft.ops.TextAnalysis.encodeReport(batch, merges))
+      assert(out.columns.toSeq === Seq("doc_id", "n_raw", "n_enc", "n_merged", "ratio"))
+      assert(out.count() === 0L)
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(runBase)
+    }
+  }
+
+  test("z-order read path: a 2-D box becomes sargable z ranges that push down to the scan") {
+    // grid-exhaustive synthetic (one row per 256x256 cell, value == bin)
+    // so the geometry is exact and assertions aren't data-dependent
+    val df = spark.range(256L * 256).selectExpr("id DIV 256 AS a", "id % 256 AS b")
+    val root = java.nio.file.Files.createTempDirectory("graft_zread").toFile
+    try {
+      graft.ops.Zorder.write(df, root.getAbsolutePath, col("a"), col("b"), shards = 32)
+      // aligned 16x16 box: ONE contiguous curve run of exactly 256 codes
+      val aligned = graft.ops.Zorder.zRanges(96, 111, 96, 111)
+      assert(aligned === Seq((aligned.head._1, aligned.head._1 + 255)),
+        s"aligned power-of-two box must be one z run, got $aligned")
+      // unaligned box: exact cover (no slack) when ranges are unbounded
+      val exact = graft.ops.Zorder.zRanges(3, 9, 250, 255, maxRanges = Int.MaxValue)
+      assert(exact.map { case (lo, hi) => hi - lo + 1 }.sum === 7L * 6)
+      // coalescing keeps a SUPERSET within the range budget
+      val coarse = graft.ops.Zorder.zRanges(3, 9, 250, 255, maxRanges = 4)
+      assert(coarse.length <= 4)
+      for (ba <- 3L to 9; bb <- 250L to 255) {
+        val z = graft.ops.Zorder.interleave(ba, bb)
+        assert(coarse.exists { case (lo, hi) => z >= lo && z <= hi },
+          s"coalesced ranges dropped box cell ($ba,$bb)")
+      }
+      // read-back: pruning predicate + exact residual == the plain box
+      val back = spark.read.parquet(root.getAbsolutePath)
+      val pruned = back.filter(
+        graft.ops.Zorder.boxPruningPredicate(col("z"), 0, 255, 0, 255, 96, 111, 96, 111) &&
+          col("a").between(96, 111) && col("b").between(96, 111))
+      assert(pruned.count() === 256L)
+      // and the z ranges reach the parquet scan as pushed filters — the
+      // row-group/file skipping hook (file skipping itself is asserted
+      // geometrically in ScaleTechniquesSpec's layout test)
+      val formatted = pruned.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pushed = formatted.linesIterator.filter(_.contains("PushedFilters")).mkString
+      assert(pushed.contains("z"), s"z ranges must push down to the scan:\n$pushed")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
+
+  test("es24/es25 clean up their own scratch dirs and never touch a sibling's") {
+    // the round-11 advisory: the old prefix sweep of the GLOBAL tmpdir
+    // could delete a concurrent run's live checkpoint. Now: a planted
+    // sibling directory with the same prefix must survive the query,
+    // and the query's own scratch must be gone when it returns.
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def dirsWithPrefix(p: String): Set[String] =
+      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(p)).map(_.getName).toSet
+    for ((q, prefix) <- Seq(("es24_stream_neardup", "graft-es24"),
+                            ("es25_stream_encode", "graft-es25"))) {
+      val sibling = java.nio.file.Files.createTempDirectory(prefix).toFile
+      val canary = new java.io.File(sibling, "ckpt-canary")
+      assert(canary.mkdir())
+      val before = dirsWithPrefix(prefix)
+      try {
+        val n = SparkEntry.queries(q)(spark, dir).count()
+        assert(n > 0)
+        assert(canary.isDirectory, s"$q deleted a sibling run's scratch dir")
+        assert(dirsWithPrefix(prefix) === before,
+          s"$q must remove exactly the scratch dir it created")
+      } finally {
+        graft.core.Sessions.sweepPersistedState(spark)
+        org.apache.commons.io.FileUtils.deleteDirectory(sibling)
+      }
+    }
+  }
+}
