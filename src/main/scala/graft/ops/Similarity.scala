@@ -58,6 +58,15 @@ object Similarity extends QueryModule {
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
 
+  /** The embeddings→(vec_id, v, nrm) normalization applied to an
+    * arbitrary raw frame — the per-micro-batch form es26 runs at
+    * ingest (row-local: cast, dot, zero-norm filter; no shuffle).
+    */
+  private[graft] def vecsOf(raw: DataFrame): DataFrame =
+    raw.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+
   private[graft] def vecs(s: SparkSession, dir: String): DataFrame =
     vecsWithLabel(s, dir).drop("label")
 
@@ -1107,6 +1116,24 @@ object Similarity extends QueryModule {
     * (membership) from each, so it passes probes = 1.
     */
   private def trainedRankedOf(base0: DataFrame, probes: Int): (DataFrame, DataFrame) = {
+    val (base, gArr) = trainedGroupArray(base0)
+    // ONE two-level ranking pass serves both faces of the index: rank 1
+    // is the membership cell (the closest cell the quantizer can see —
+    // strictly nearer the true argmin than a 1-group cut) and ranks
+    // 1..IvfProbes are the query's probe list. corpus×probes rows,
+    // persisted so membership and probing don't re-run the fold.
+    val ranked = rankCellsTwoLevel(base, gArr, "l2", KmSearchGroups, probes)
+      .persist()
+    (base, ranked)
+  }
+
+  /** The training half alone: persist the population, run the seed cut
+    * + [[KmSteps]] Lloyd steps, and return (population, nested group
+    * array of the TRAINED codebook). Factored from [[trainedRankedOf]]
+    * so s24/es26 can train on the corpus and assign a DIFFERENT
+    * population (the frozen-index ingest path).
+    */
+  private[graft] def trainedGroupArray(base0: DataFrame): (DataFrame, DataFrame) = {
     val base = base0.persist()
     // the ONE driver action: n drives K/Kc and both hash thresholds,
     // mirrored by the oracle's (SELECT count(*) FROM n) — d08's contract
@@ -1138,16 +1165,18 @@ object Similarity extends QueryModule {
       code.unpersist()
       next
     }
-    val gArr = groupArray(trained, isCoarse, l2Key)
-    // ONE two-level ranking pass serves both faces of the index: rank 1
-    // is the membership cell (the closest cell the quantizer can see —
-    // strictly nearer the true argmin than a 1-group cut) and ranks
-    // 1..IvfProbes are the query's probe list. corpus×IvfProbes rows,
-    // persisted so membership and probing don't re-run the fold.
-    val ranked = rankCellsTwoLevel(base, gArr, "l2", KmSearchGroups, probes)
-      .persist()
-    (base, ranked)
+    (base, groupArray(trained, isCoarse, l2Key))
   }
+
+  /** Assign `rows` to the frozen trained index (membership only): the
+    * same two-level rank-1 fold every trained-family query uses, so a
+    * delta batch costs |Δ| row-local folds under one nested broadcast —
+    * the cheap ingest path whose drift s23 monitors.
+    */
+  private[graft] def frozenAssign(rows: DataFrame, gArr: DataFrame): DataFrame =
+    rankCellsTwoLevel(rows, gArr, "l2", KmSearchGroups, 1)
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
 
   private def s20(s: SparkSession, dir: String): DataFrame = {
     val (base, ranked) = trainedRanked(s, dir)
@@ -1213,7 +1242,11 @@ object Similarity extends QueryModule {
     * membership aidx / probe list pr → candidate scores sc) — shared by
     * s20's top-5 tail and s21's recall tail.
     */
-  private def s20CtesOn(nn: String, x: String): String = {
+  private def s20CtesOn(nn: String, x: String, assignPop: String = null): String = {
+    // `nn` trains the codebook; `ap` (defaults to nn) is the population
+    // the pg/prall/aidx/sc stanzas rank against it — s24/es26 train on
+    // the corpus and assign the delta
+    val ap = Option(assignPop).getOrElse(nn)
     val steps = (1 to KmSteps)
       .map(t => kmStepSql(if (t == 1) s"c0$x" else s"c${t - 1}$x", t, nn, x)).mkString(",\n")
     val fin = s"c$KmSteps$x"
@@ -1227,13 +1260,13 @@ object Similarity extends QueryModule {
        |    row_number() OVER (PARTITION BY f.cid ORDER BY ${sqlL2("f.cv", "g.gv")}, g.gid) AS rn
        |  FROM $fin f CROSS JOIN g$t$x g) WHERE rn = 1),
        |pg$x AS (SELECT vec_id, gid FROM (
-       |  SELECT $nn.vec_id, g.gid,
-       |    row_number() OVER (PARTITION BY $nn.vec_id ORDER BY ${sqlL2(s"$nn.v", "g.gv")}, g.gid) AS rn
-       |  FROM $nn CROSS JOIN g$t$x g) WHERE rn <= $KmSearchGroups),
+       |  SELECT $ap.vec_id, g.gid,
+       |    row_number() OVER (PARTITION BY $ap.vec_id ORDER BY ${sqlL2(s"$ap.v", "g.gv")}, g.gid) AS rn
+       |  FROM $ap CROSS JOIN g$t$x g) WHERE rn <= $KmSearchGroups),
        |prall$x AS (SELECT vec_id, cid, rn FROM (
        |  SELECT r.vec_id, f.cid,
        |    row_number() OVER (PARTITION BY r.vec_id ORDER BY ${sqlL2("x.v", "f.cv")}, f.cid) AS rn
-       |  FROM pg$x r JOIN $nn x ON r.vec_id = x.vec_id
+       |  FROM pg$x r JOIN $ap x ON r.vec_id = x.vec_id
        |    JOIN fa$t$x fm ON fm.gid = r.gid
        |    JOIN $fin f ON f.cid = fm.cid) WHERE rn <= $IvfProbes),
        |aidx$x AS (SELECT vec_id, cid AS cell FROM prall$x WHERE rn = 1),
@@ -1245,7 +1278,7 @@ object Similarity extends QueryModule {
        |sc$x AS (
        |  SELECT c.qid, c.nid,
        |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
-       |  FROM cnd$x c JOIN $nn x ON c.qid = x.vec_id JOIN $nn y ON c.nid = y.vec_id)""".stripMargin
+       |  FROM cnd$x c JOIN $ap x ON c.qid = x.vec_id JOIN $ap y ON c.nid = y.vec_id)""".stripMargin
   }
 
   private lazy val s20Ctes = s"$oracleVecs,\n" + s20CtesOn("n", "")
@@ -1899,7 +1932,39 @@ object Similarity extends QueryModule {
     QueryDef("s21_trained_recall", s21, Some(s21Sql)),
     QueryDef("s22_ivfpq_search", s22, Some(s22Sql)),
     QueryDef("s23_index_maintenance", s23, Some(s23Sql)),
+    QueryDef("s24_frozen_assign", s24, Some(s24Sql)),
   )
+
+  // ---- s24: frozen-index delta assignment (the cheap ingest path) -----
+
+  /** s24: the day's arrivals assigned to the FROZEN corpus-trained
+    * index — the production ingest path between retrains (d13/d22's
+    * analogue for the trained index): the codebook trains on the corpus
+    * split, then every delta row takes ONE two-level rank-1 fold under
+    * the nested broadcast — per-arrival work O(√K), no corpus
+    * exchange, no retraining. s23 is the monitor that decides when this
+    * path's drift justifies a retrain; THIS is the path it protects.
+    * (A deployment trains the codebook once and stores it; the gate
+    * retrains per run only because it is stateless — the Δ-proportional
+    * claim is about the ASSIGNMENT stage.)
+    *
+    * Oracle: the parameterized s20 chain — codebook CTEs on the corpus
+    * subset, assignment stanzas over the delta subset — so the hash
+    * match certifies training and frozen assignment end to end. The
+    * live twin is es26 (same oracle, micro-batched arrivals).
+    */
+  private def s24(s: SparkSession, dir: String): DataFrame = {
+    val isDelta = col("vec_id") % 10 === 0
+    val (_, gArr) = trainedGroupArray(vecs(s, dir).filter(!isDelta))
+    frozenAssign(vecs(s, dir).filter(isDelta), gArr)
+  }
+
+  private[graft] lazy val s24Sql =
+    s"""WITH $oracleVecs,
+       |nc AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+       |nd AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+       |${s20CtesOn("nc", "_c", "nd")}
+       |SELECT vec_id, cell FROM aidx_c""".stripMargin
 
   // ---- s23: trained-index maintenance (retrain drift report) ----------
 

@@ -511,6 +511,7 @@ object StreamingGate extends QueryModule {
     QueryDef("es23_rocksdb_state", es23, Some(es23Sql)),
     QueryDef("es24_stream_neardup", es24, Some(es24Sql)),
     QueryDef("es25_stream_encode", es25, Some(es25Sql)),
+    QueryDef("es26_stream_assign", es26, Some(es26Sql)),
   )
 
   /** es20: per-closed-window event-type MATRIX — one row per finalized
@@ -787,8 +788,18 @@ object StreamingGate extends QueryModule {
     * stateless consumers below need no watermark).
     */
   private[graft] def readDocuments(s: SparkSession, dir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val glob = "documents*.parquet"
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    readGlobStream(s, dir, "documents*.parquet", maxFilesPerTrigger)
+
+  /** Streaming reader over the embeddings table (es26's arrival feed —
+    * sequence-ordered like documents, no watermark needed).
+    */
+  private[graft] def readEmbeddings(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    readGlobStream(s, dir, "embeddings*.parquet", maxFilesPerTrigger)
+
+  private def readGlobStream(s: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     val schema = s.read.option("pathGlobFilter", glob).parquet(dir).schema
     val reader = s.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
@@ -921,5 +932,37 @@ object StreamingGate extends QueryModule {
   }
 
   private lazy val es25Sql = graft.ops.TextAnalysis.t25Sql
+
+  /** es26: FROZEN-INDEX ASSIGN AT INGEST — s24's cheap ingest path run
+    * live: the quantizer trains ONCE on the corpus split before the
+    * stream starts (the trained codebook is the one nested broadcast),
+    * then every micro-batch of arriving embeddings normalizes
+    * (row-local cast/dot/zero-norm filter) and takes the two-level
+    * rank-1 fold to its membership cell — per-batch plan has NO
+    * shuffle, work ∝ batch rows × O(√K). The index-side twin of es25's
+    * tokenizer-at-the-door: the vocabulary there, the codebook here,
+    * both frozen by training with ingest only applying them; s23 is
+    * the drift monitor that decides when to retrain.
+    *
+    * Scale shape: stateless (file-source progress log only); batching
+    * cannot change the result — the codebook is frozen and assignment
+    * is per-row — so the oracle is s24's SQL verbatim.
+    */
+  private def es26(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val isDelta = col("vec_id") % 10 === 0
+    val (corpus, gArr) = graft.ops.Similarity.trainedGroupArray(
+      graft.ops.Similarity.vecs(s, dir).filter(!isDelta))
+    gArr.count() // freeze the codebook before the stream starts
+    val base = java.nio.file.Files.createTempDirectory("graft-es26")
+    try runDocBatchStream(s, readEmbeddings(s, dir).filter(isDelta),
+        s"$base/out", s"$base/ckpt", Seq("vec_id", "cell"))(
+        batch => graft.ops.Similarity.frozenAssign(
+          graft.ops.Similarity.vecsOf(batch), gArr))
+      .localCheckpoint()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
+  private lazy val es26Sql = graft.ops.Similarity.s24Sql
 }
 
