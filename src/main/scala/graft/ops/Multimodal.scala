@@ -368,7 +368,10 @@ object Multimodal extends QueryModule {
     * all-integer.
     */
   private def m12(s: SparkSession, dir: String): DataFrame = {
-    val pairs = m07(s, dir).select(col("ida"), col("idb"))
+    // materialize the pair table once before CC: the hop loop's driver
+    // jobs would otherwise re-plan (and the sym legs re-run) the whole
+    // m07 banded-simhash pipeline — the d08/d17 lifecycle discipline
+    val pairs = m07(s, dir).select(col("ida"), col("idb")).localCheckpoint()
     val bytes = media(s, dir).toDF().select(col("doc_id"), col("n_bytes"))
     val labels = graft.ops.Graph.connectedComponents(
         bytes.select(col("doc_id")), pairs)

@@ -675,7 +675,7 @@ class PlanSpec extends AnyFunSuite {
     // walk still proves no out-of-WSCG node; presence is asserted where
     // the kernel survives to the executed tree (the search family).
     for (q <- Seq("s20_trained_ivf", "s21_trained_recall", "s22_ivfpq_search",
-        "d08_semantic_dedup")) {
+        "d08_semantic_dedup", "s23_index_maintenance", "s24_frozen_assign")) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect() // materialize: finalizes adaptive plans and cache builds
       val n = walk(df.queryExecution.executedPlan, inWscg = false, q)

@@ -87,6 +87,48 @@ class Round12Spec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
   }
 
+  test("es26 replay: a two-file micro-batched stream equals the one-shot frozen assignment") {
+    // batching must be invisible: the codebook is frozen before the
+    // stream starts and the fold is per-row, so two micro-batches must
+    // emit exactly the batch s24 assignment
+    import graft.ops.Similarity
+    val isDelta = col("vec_id") % 10 === 0
+    val (corpus, gArr) = Similarity.trainedGroupArray(
+      Similarity.vecs(spark, dir).filter(!isDelta))
+    gArr.count()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_es26spec").toFile
+    val runBase = java.nio.file.Files.createTempDirectory("graft_es26run").toFile
+    def writeOne(part: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(streamDir, s"stage_$name")
+      part.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val f = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(streamDir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    writeOne(emb.filter(isDelta && col("vec_id") % 20 === 0), "embeddings_a")
+    writeOne(emb.filter(isDelta && col("vec_id") % 20 =!= 0), "embeddings_b")
+    try {
+      val streamed = graft.streaming.StreamingGate.runDocBatchStream(spark,
+        graft.streaming.StreamingGate.readEmbeddings(spark, streamDir.getAbsolutePath, Some(1)),
+        new java.io.File(runBase, "out").getAbsolutePath,
+        new java.io.File(runBase, "ckpt").getAbsolutePath,
+        Seq("vec_id", "cell"))(
+        b => Similarity.frozenAssign(Similarity.vecsOf(b), gArr))
+      val batchDirs = new java.io.File(runBase, "out").listFiles()
+        .filter(_.getName.startsWith("batch_id="))
+      assert(batchDirs.length >= 2, s"expected >= 2 micro-batches, got ${batchDirs.length}")
+      val batch = Similarity.frozenAssign(Similarity.vecs(spark, dir).filter(isDelta), gArr)
+      assert(batch.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "micro-batched assignment must equal the one-shot batch assignment")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(runBase)
+    }
+  }
+
   test("es24/es25 clean up their own scratch dirs and never touch a sibling's") {
     // the round-11 advisory: the old prefix sweep of the GLOBAL tmpdir
     // could delete a concurrent run's live checkpoint. Now: a planted
