@@ -1035,7 +1035,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       assert(nd10 >= nd1 * 9, "the 10x corpus must carry ~10x delta docs")
       assert(cand10 * 1.0 / nd10 <= cand1 * 3.0 / nd1 + 8.0,
         s"per-delta-doc candidate fanout must stay ~constant: $cand1/$nd1 -> $cand10/$nd10")
-      for (q <- Seq("s20_trained_ivf", "s22_ivfpq_search")) {
+      for (q <- Seq("s20_trained_ivf", "s22_ivfpq_search", "s24_frozen_assign")) {
         val (ts1, ts10) = (time(q, emb1), time(q, emb10))
         info(f"$q 1x: $ts1%.1fs; 10x: $ts10%.1fs")
         assert(ts10 <= ts1 * 25 + 5.0,
