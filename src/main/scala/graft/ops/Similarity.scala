@@ -1933,6 +1933,7 @@ object Similarity extends QueryModule {
     QueryDef("s22_ivfpq_search", s22, Some(s22Sql)),
     QueryDef("s23_index_maintenance", s23, Some(s23Sql)),
     QueryDef("s24_frozen_assign", s24, Some(s24Sql)),
+    QueryDef("s25_hybrid_rrf", s25, Some(s25Sql)),
   )
 
   // ---- s24: frozen-index delta assignment (the cheap ingest path) -----
@@ -2220,4 +2221,175 @@ object Similarity extends QueryModule {
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rn
        |  FROM p)
        |WHERE rn <= 5""".stripMargin
+
+  // ---- s25: hybrid retrieval — BM25 + cosine, reciprocal-rank fused ----
+
+  private val HybQueries = 8   // fixed query-doc batch (md5-order sample)
+  private val HybTerms   = 8   // query terms per query doc (top-tf, len >= 5)
+  private val HybDfCap   = 100L // posting-list bound per term (the d03 cap)
+  private val HybListK   = 20  // per-list depth feeding the fusion
+  private val HybK       = 10  // fused results per query
+  private val HybRrfK    = 60  // the standard RRF dampening constant
+
+  /** s25: HYBRID retrieval — the query-by-document shape RAG curation
+    * and retrieval-based decontamination actually run: each query doc's
+    * lexical neighbors (per-doc BM25 — t15's exact formula via the
+    * shared [[TextAnalysis.bm25Sc]], query = the doc's top-[[HybTerms]]
+    * informative terms) and semantic neighbors (exact cosine over the
+    * embedding, vec_id == doc_id by m04's record-assembly contract) are
+    * FUSED by reciprocal-rank fusion: rrf = Σ_lists 1/([[HybRrfK]] +
+    * rank). RRF needs no score calibration between BM25 and cosine —
+    * only ranks cross the fusion — which is why it is the production
+    * default for sparse+dense ensembles.
+    *
+    * Scale shape: the query batch is a constant-size md5-order sample
+    * (the pqq_/fq_ rule), so BOTH query frames ride capped broadcasts.
+    * Lexical candidates are an inverted-index equi-join on word with
+    * the per-term posting list bounded by df <= [[HybDfCap]] (the d03
+    * cap — never all-pairs) and the per-query term set bounded by
+    * [[HybTerms]], so the candidate set is <= HybTerms·HybDfCap rows
+    * per query INDEPENDENT of corpus size; its rank window sorts only
+    * that bounded set. Semantic candidates run the corpus ONCE against
+    * the broadcast query batch and keep top-[[HybListK]] through the
+    * bounded-memory TopKNeighbors Aggregator (<= k rows per query
+    * cross the shuffle — the s01 contract; swap in the s20 trained
+    * probe for sub-linear scan at 100 TB). The fusion full-outer join
+    * touches <= 2·HybListK rows per query. No stage is corpus×corpus.
+    *
+    * Determinism: BM25 is t15's quantized-idf formula (defined once);
+    * per-pair totals fold over term-SORTED matches (the q41/s08 rule);
+    * cosine is the shared vec_dot fold; rrf terms are exact double
+    * divisions 1/(60+rank) summed in fixed lexical-then-semantic
+    * order; every rank ties on the id column.
+    */
+  private def s25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val base = vecs(s, dir)
+    // query batch: md5-order sample of ids live on BOTH sides (text +
+    // usable embedding), so each query has a lexical AND a semantic face
+    val qids = base.select(col("vec_id").as("query_id"))
+      .join(docs.select(col("doc_id").as("query_id")), "query_id")
+      .orderBy(md5(concat(lit("hyb_"), col("query_id").cast("string"))))
+      .limit(HybQueries)
+
+    // lexical list: per-query-doc BM25 over the shared-term equi-join
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qtf").desc, col("word"))
+    val qterms = tf.join(broadcast(qids), tf("doc_id") === qids("query_id"))
+      .filter(length(col("word")) >= 5)
+      .join(dfreq, "word")
+      .filter(col("df") <= HybDfCap)
+      .select(col("query_id"), col("word"), col("tf").as("qtf"), col("df"))
+      .withColumn("trn", row_number().over(wq))
+      .filter(col("trn") <= HybTerms)
+      .select(col("query_id"), col("word"), col("df"))
+    val matched = tf.join(broadcast(qterms), "word")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("query_id"), col("doc_id").as("cand_id"), col("word"),
+        TextAnalysis.bm25Sc.as("sc"))
+    // the rank window sorts <= HybTerms*HybDfCap rows per query — cap-
+    // bounded by construction, not corpus-sized (the t16 window rule)
+    val wl = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cand_id"))
+    val lexTop = matched.groupBy(col("query_id"), col("cand_id"))
+      .agg(array_sort(collect_list(struct(col("word"), col("sc")))).as("ts"))
+      .select(col("query_id"), col("cand_id"),
+        expr("aggregate(ts, CAST(0.0 AS DOUBLE), (a, x) -> a + x.sc)").as("score"))
+      .withColumn("lrank", row_number().over(wl).cast("long"))
+      .filter(col("lrank") <= HybListK)
+      .select(col("query_id"), col("cand_id"), col("lrank"))
+
+    // semantic list: corpus vs broadcast query batch, bounded top-k agg
+    val qv = base.join(broadcast(qids), base("vec_id") === qids("query_id"))
+      .select(col("query_id"), col("v").as("qvv"), col("nrm").as("qn"))
+    val semTop = base.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id").as("qid"), col("vec_id").as("nid"),
+        (dot(col("qvv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .as[graft.functions.KnnRow]
+      .groupByKey(_.qid)
+      .agg(new graft.functions.TopKNeighbors(HybListK).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.items.iterator.zipWithIndex.map { case (r, i) => (qid, r.nid, (i + 1).toLong) }
+      }
+      .toDF("query_id", "cand_id", "srank")
+
+    // reciprocal-rank fusion over the two capped lists
+    val wf = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("cand_id"))
+    lexTop.join(semTop, Seq("query_id", "cand_id"), "full_outer")
+      .select(col("query_id"), col("cand_id"),
+        (coalesce(lit(1.0) / (lit(HybRrfK).cast("double") + col("lrank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(HybRrfK).cast("double") + col("srank").cast("double")), lit(0.0)))
+          .as("rrf"))
+      .withColumn("rk", row_number().over(wf).cast("long"))
+      .filter(col("rk") <= HybK)
+      .select(col("query_id"), col("rk"), col("cand_id"), col("rrf"))
+  }
+
+  private lazy val s25Sql =
+    s"""WITH $oracleVecs,
+       |tk AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_docs, sum(dl) AS tot_tokens FROM dl),
+       |q AS (
+       |  SELECT n.vec_id AS query_id FROM n JOIN documents d ON d.doc_id = n.vec_id
+       |  ORDER BY md5('hyb_' || CAST(n.vec_id AS VARCHAR)) LIMIT $HybQueries),
+       |qt AS (
+       |  SELECT query_id, word, df FROM (
+       |    SELECT q.query_id, tf.word, dfq.df,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY tf.tf DESC, tf.word) AS trn
+       |    FROM tf JOIN q ON tf.doc_id = q.query_id
+       |    JOIN dfq USING (word)
+       |    WHERE len(tf.word) >= 5 AND dfq.df <= $HybDfCap)
+       |  WHERE trn <= $HybTerms),
+       |m AS (
+       |  SELECT qt.query_id, tf.doc_id AS cand_id, tf.word,
+       |    ${TextAnalysis.bm25ScDuck("tf.tf", "qt.df", "dl.dl")} AS sc
+       |  FROM tf JOIN qt USING (word) JOIN dl USING (doc_id) CROSS JOIN tot
+       |  WHERE tf.doc_id <> qt.query_id),
+       |lx AS (
+       |  SELECT query_id, cand_id,
+       |    list_sum(list_transform(list_sort(list(struct_pack(word := word, sc := sc))),
+       |                            x -> x.sc)) AS score
+       |  FROM m GROUP BY 1, 2),
+       |lt AS (
+       |  SELECT query_id, cand_id, lrank FROM (
+       |    SELECT query_id, cand_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS BIGINT) AS lrank
+       |    FROM lx)
+       |  WHERE lrank <= $HybListK),
+       |sp AS (
+       |  SELECT q.query_id, b.vec_id AS cand_id,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS sim
+       |  FROM q JOIN n a ON a.vec_id = q.query_id
+       |  JOIN n b ON b.vec_id <> q.query_id),
+       |st AS (
+       |  SELECT query_id, cand_id, srank FROM (
+       |    SELECT query_id, cand_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS srank
+       |    FROM sp)
+       |  WHERE srank <= $HybListK),
+       |f AS (
+       |  SELECT query_id, cand_id,
+       |    coalesce(1.0 / ($HybRrfK.0 + CAST(lrank AS DOUBLE)), 0.0)
+       |      + coalesce(1.0 / ($HybRrfK.0 + CAST(srank AS DOUBLE)), 0.0) AS rrf
+       |  FROM lt FULL JOIN st USING (query_id, cand_id))
+       |SELECT query_id, rk, cand_id, rrf FROM (
+       |  SELECT query_id, cand_id, rrf,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS BIGINT) AS rk
+       |  FROM f)
+       |WHERE rk <= $HybK""".stripMargin
 }

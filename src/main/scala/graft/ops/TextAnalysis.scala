@@ -17,8 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryModule {
 
-  /** Whitespace tokens, empties dropped. */
-  private def toks(c: Column): Column = filter(split(c, " "), w => length(w) > 0)
+  /** Whitespace tokens, empties dropped. Shared with the hybrid
+    * retrieval entry (s25) so both engines' token rule is defined once.
+    */
+  private[graft] def toks(c: Column): Column = filter(split(c, " "), w => length(w) > 0)
+
+  /** The Okapi BM25 per-(doc, term) score — t15's arithmetic factored
+    * out so s25 (hybrid fusion) scores with the SAME formula t15's
+    * oracle hash-certifies (the p13 shared-declaration rule). The
+    * frame it is selected from must carry columns `tf`, `df`, `dl`,
+    * `n_docs`, `tot_tokens`. idf is the integer-quantized bit-length of
+    * the floored Robertson ratio (pure integer arithmetic — ulp-exact
+    * in any engine); the tf-saturation factor stays in IEEE doubles
+    * with no transcendentals (docs/DETERMINISM.md).
+    */
+  private[graft] def bm25Sc: Column = expr(
+    """CAST(length(bin(greatest((2 * n_docs - 2 * df + 1) div (2 * df + 1),
+      |                         CAST(1 AS BIGINT)))) AS DOUBLE)
+      |  * ((CAST(tf AS DOUBLE) * 2.2) /
+      |     (CAST(tf AS DOUBLE) + 1.2 *
+      |      (0.25 + 0.75 * (CAST(dl AS DOUBLE) /
+      |        (CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin)
+
+  /** The DuckDB mirror of [[bm25Sc]], parameterized by the caller's
+    * qualified column references; `tot` must be the totals CTE in scope.
+    */
+  private[graft] def bm25ScDuck(tf: String, df: String, dl: String): String =
+    s"""CAST(length(bin(greatest((2 * tot.n_docs - 2 * $df + 1) // (2 * $df + 1),
+       |                             CAST(1 AS BIGINT)))) AS DOUBLE)
+       |      * ((CAST($tf AS DOUBLE) * 2.2) /
+       |         (CAST($tf AS DOUBLE) + 1.2 *
+       |          (0.25 + 0.75 * (CAST($dl AS DOUBLE) /
+       |            (CAST(tot.tot_tokens AS DOUBLE) / CAST(tot.n_docs AS DOUBLE))))))""".stripMargin
 
   /** t01: token/char counting — the cheapest quality signal. */
   private def t01(s: SparkSession, dir: String): DataFrame =
@@ -635,16 +665,7 @@ object TextAnalysis extends QueryModule {
     val matched = tf.join(broadcast(qterms), "word")
       .join(dl, "doc_id")
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("word"),
-        (length(bin(greatest(
-          expr("(2 * n_docs - 2 * df + 1) div (2 * df + 1)"), lit(1L))))
-          .cast("double") *
-          ((col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                (col("dl").cast("double") /
-                  (col("tot_tokens").cast("double") / col("n_docs").cast("double")))))))
-          .as("sc"))
+      .select(col("doc_id"), col("word"), bm25Sc.as("sc"))
     matched.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("word"), col("sc")))).as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("n_terms"),
@@ -656,8 +677,8 @@ object TextAnalysis extends QueryModule {
   private def t15(s: SparkSession, dir: String): DataFrame =
     bm25Retrieval(Tables.documents(s, dir).select(col("doc_id"), col("text")))
 
-  private val t15Sql =
-    """WITH tk AS (
+  private lazy val t15Sql =
+    s"""WITH tk AS (
       |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS word
       |  FROM documents),
       |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk GROUP BY 1, 2),
@@ -668,12 +689,7 @@ object TextAnalysis extends QueryModule {
       |tot AS (SELECT count(*) AS n_docs, sum(dl) AS tot_tokens FROM dl),
       |m AS (
       |  SELECT tf.doc_id, tf.word,
-      |    CAST(length(bin(greatest((2 * tot.n_docs - 2 * qt.df + 1) // (2 * qt.df + 1),
-      |                             CAST(1 AS BIGINT)))) AS DOUBLE)
-      |      * ((CAST(tf.tf AS DOUBLE) * 2.2) /
-      |         (CAST(tf.tf AS DOUBLE) + 1.2 *
-      |          (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) /
-      |            (CAST(tot.tot_tokens AS DOUBLE) / CAST(tot.n_docs AS DOUBLE)))))) AS sc
+      |    ${bm25ScDuck("tf.tf", "qt.df", "dl.dl")} AS sc
       |  FROM tf JOIN qt USING (word) JOIN dl USING (doc_id) CROSS JOIN tot),
       |g AS (
       |  SELECT doc_id, list_sort(list(struct_pack(word := word, sc := sc))) AS ts

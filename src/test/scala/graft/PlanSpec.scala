@@ -248,6 +248,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), "no interpreted HOF fold in the hot path")
   }
 
+  test("s25: hybrid fusion — query frames broadcast, semantic top-k aggregated not windowed") {
+    val p = plan("s25_hybrid_rrf")
+    // the corpus meets the constant-size query batch only through
+    // broadcasts: a plain CartesianProduct would be corpus x corpus
+    assert(!p.contains("CartesianProduct"), "hybrid stages must broadcast the query side")
+    assert(p.toLowerCase.contains("dotproduct"), "cosine must run the native kernel")
+    // the semantic per-query top-k is the bounded TopKNeighbors partial+
+    // final aggregate (<= k rows per query cross the shuffle) — a window
+    // ordered by sim would sort the whole scored corpus per query
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.forall(!_.contains("sim#")),
+      s"no window may sort the raw scored corpus:\n${windowLines.mkString("\n")}")
+    assert(p.contains("ObjectHashAggregate"), "semantic top-k must be the typed Aggregator")
+  }
+
   test("q32: lateral positional explode is a codegen Generate with no shuffle") {
     val p = plan("q32_lateral_explode")
     assert(p.contains("Generate"))

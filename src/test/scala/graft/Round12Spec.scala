@@ -49,6 +49,36 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("s25: RRF fusion laws — dense ranks, bounded scores, monotone within query") {
+    val out = graft.SparkEntry.queries("s25_hybrid_rrf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    try {
+      val byQ = out.groupBy(_._1)
+      assert(byQ.size === 8, s"fixed query batch: ${byQ.size}")
+      for ((q, rows) <- byQ) {
+        val sorted = rows.sortBy(_._2)
+        // rk dense from 1, capped at 10
+        assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq, s"q=$q ranks not dense")
+        assert(sorted.length <= 10)
+        // a fused doc carries 1 or 2 reciprocal terms over ranks 1..20:
+        // rrf in (0, 2/61]; monotone non-increasing along rk
+        for ((_, _, _, rrf) <- sorted)
+          assert(rrf > 0.0 && rrf <= 2.0 / 61.0 + 1e-15, s"q=$q rrf=$rrf out of range")
+        assert(sorted.sliding(2).forall {
+          case Array(a, b) => a._4 >= b._4
+          case _           => true
+        }, s"q=$q rrf not monotone along rk")
+        // every rrf is a sum of at most two terms 1/(60+r), r in 1..20 —
+        // membership in the closed set of representable values pins the
+        // fusion arithmetic itself (not just its ordering)
+        val terms = (1 to 20).map(r => 1.0 / (60.0 + r))
+        val legal = (terms ++ (for (a <- terms; b <- terms) yield a + b)).toSet
+        for ((_, _, _, rrf) <- sorted)
+          assert(legal.contains(rrf), s"q=$q rrf=$rrf is not a 1- or 2-term RRF sum")
+      }
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
   test("z-order read path: a 2-D box becomes sargable z ranges that push down to the scan") {
     // grid-exhaustive synthetic (one row per 256x256 cell, value == bin)
     // so the geometry is exact and assertions aren't data-dependent
