@@ -1934,6 +1934,8 @@ object Similarity extends QueryModule {
     QueryDef("s23_index_maintenance", s23, Some(s23Sql)),
     QueryDef("s24_frozen_assign", s24, Some(s24Sql)),
     QueryDef("s25_hybrid_rrf", s25, Some(s25Sql)),
+    QueryDef("s26_cluster_cards", s26, Some(s26Sql)),
+    QueryDef("s27_mined_pairs", s27, Some(s27Sql)),
   )
 
   // ---- s24: frozen-index delta assignment (the cheap ingest path) -----
@@ -2039,8 +2041,14 @@ object Similarity extends QueryModule {
     * the cid-sorted array == ORDER BY d, cid, means from exact
     * float→string→DECIMAL(28,12) sums divided once in IEEE doubles.
     */
-  private def s16(s: SparkSession, dir: String): DataFrame = {
-    val base = vecs(s, dir)
+  /** The one-Lloyd-step assignment shared by s16 (convergence audit)
+    * and s26 (cluster cards): seed codebook (md5-order KmK sample) →
+    * assign (cid1) → exact-decimal means → re-assign (cid2). Returns
+    * the corpus with BOTH generations' cell ids; the intermediate
+    * `assigned` is persisted because the means aggregate and the final
+    * assignment both read it.
+    */
+  private def oneStepAssigned(base: DataFrame): DataFrame = {
     val cents = base
       .orderBy(md5(concat(lit("km_"), col("vec_id").cast("string")))).limit(KmK)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -2049,15 +2057,14 @@ object Similarity extends QueryModule {
     val cv2 = meansCodebook(assigned, "cid1")
     val cv2Arr = centArray(cv2, col("cid"), col("cv"))
     assignCell(assigned, cv2Arr, l2Key, "cid2")
-      .groupBy(col("cid2").as("cid"))
-      .agg(
-        count(lit(1)).as("n_members"),
-        sum(when(col("cid1") =!= col("cid2"), 1L).otherwise(0L)).as("n_migrated"))
   }
 
-  private val s16Sql =
-    s"""WITH $oracleVecs,
-       |cent AS (
+  /** The matching oracle CTE chain (cent → … → a2), spliced by s16Sql
+    * and s26Sql so the two entries' training text cannot drift (the
+    * p13 shared-declaration rule). Expects `n` in scope.
+    */
+  private lazy val oneStepCtes =
+    s"""cent AS (
        |  SELECT vec_id AS cid, v AS cv FROM n
        |  ORDER BY md5('km_' || CAST(vec_id AS VARCHAR)) LIMIT $KmK),
        |d1 AS (
@@ -2090,7 +2097,18 @@ object Similarity extends QueryModule {
        |  FROM n CROSS JOIN cv2),
        |a2 AS (SELECT vec_id, cid AS cid2 FROM (
        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-       |  FROM d2) WHERE rn = 1)
+       |  FROM d2) WHERE rn = 1)""".stripMargin
+
+  private def s16(s: SparkSession, dir: String): DataFrame =
+    oneStepAssigned(vecs(s, dir))
+      .groupBy(col("cid2").as("cid"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("cid1") =!= col("cid2"), 1L).otherwise(0L)).as("n_migrated"))
+
+  private lazy val s16Sql =
+    s"""WITH $oracleVecs,
+       |$oneStepCtes
        |SELECT a2.cid2 AS cid, count(*) AS n_members,
        |  CAST(sum(CASE WHEN a1.cid1 <> a2.cid2 THEN 1 ELSE 0 END) AS BIGINT) AS n_migrated
        |FROM a1 JOIN a2 USING (vec_id)
@@ -2226,7 +2244,7 @@ object Similarity extends QueryModule {
 
   private val HybQueries = 8   // fixed query-doc batch (md5-order sample)
   private val HybTerms   = 8   // query terms per query doc (top-tf, len >= 5)
-  private val HybDfCap   = 100L // posting-list bound per term (the d03 cap)
+  private val HybDfPct   = 90  // ubiquity cap: query terms in <= 90% of docs
   private val HybListK   = 20  // per-list depth feeding the fusion
   private val HybK       = 10  // fused results per query
   private val HybRrfK    = 60  // the standard RRF dampening constant
@@ -2244,12 +2262,15 @@ object Similarity extends QueryModule {
     *
     * Scale shape: the query batch is a constant-size md5-order sample
     * (the pqq_/fq_ rule), so BOTH query frames ride capped broadcasts.
-    * Lexical candidates are an inverted-index equi-join on word with
-    * the per-term posting list bounded by df <= [[HybDfCap]] (the d03
-    * cap — never all-pairs) and the per-query term set bounded by
-    * [[HybTerms]], so the candidate set is <= HybTerms·HybDfCap rows
-    * per query INDEPENDENT of corpus size; its rank window sorts only
-    * that bounded set. Semantic candidates run the corpus ONCE against
+    * Lexical candidates are an inverted-index equi-join on word — the
+    * classic sparse-retrieval shape, never all-pairs: the per-query
+    * term set is bounded by [[HybTerms]] and terms in > [[HybDfPct]]%
+    * of documents are dropped (a RELATIVE ubiquity cap — absolute df
+    * caps are vacuous on small vocabularies and over-eager on
+    * web-scale ones). Posting-list fanout for the surviving terms is
+    * the inherent cost of sparse retrieval; at index scale the
+    * standard refinement is impact-ordered/WAND pruning, which slots
+    * into the same join without changing the contract. Semantic candidates run the corpus ONCE against
     * the broadcast query batch and keep top-[[HybListK]] through the
     * bounded-memory TopKNeighbors Aggregator (<= k rows per query
     * cross the shuffle — the s01 contract; swap in the s20 trained
@@ -2262,7 +2283,11 @@ object Similarity extends QueryModule {
     * divisions 1/(60+rank) summed in fixed lexical-then-semantic
     * order; every rank ties on the id column.
     */
-  private def s25(s: SparkSession, dir: String): DataFrame = {
+  /** The two ranked neighbor lists (lexical, semantic) shared by s25
+    * (fusion) and s27 (training-pair mining): each (query_id, cand_id,
+    * lrank/srank) with rank <= [[HybListK]].
+    */
+  private def hybridLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val base = vecs(s, dir)
@@ -2286,7 +2311,11 @@ object Similarity extends QueryModule {
     val qterms = tf.join(broadcast(qids), tf("doc_id") === qids("query_id"))
       .filter(length(col("word")) >= 5)
       .join(dfreq, "word")
-      .filter(col("df") <= HybDfCap)
+      .crossJoin(broadcast(tot))
+      // exact integer ubiquity cap: df <= HybDfPct% of docs (a RELATIVE
+      // cap — an absolute one is vacuous on a small-vocab corpus and
+      // over-eager on a web-scale one)
+      .filter(col("df") * 100 <= col("n_docs") * HybDfPct)
       .select(col("query_id"), col("word"), col("tf").as("qtf"), col("df"))
       .withColumn("trn", row_number().over(wq))
       .filter(col("trn") <= HybTerms)
@@ -2297,8 +2326,8 @@ object Similarity extends QueryModule {
       .crossJoin(broadcast(tot))
       .select(col("query_id"), col("doc_id").as("cand_id"), col("word"),
         TextAnalysis.bm25Sc.as("sc"))
-    // the rank window sorts <= HybTerms*HybDfCap rows per query — cap-
-    // bounded by construction, not corpus-sized (the t16 window rule)
+    // the rank window sorts the per-query candidate set (<= HybTerms
+    // posting lists), never the corpus (the t16 window rule)
     val wl = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("cand_id"))
     val lexTop = matched.groupBy(col("query_id"), col("cand_id"))
       .agg(array_sort(collect_list(struct(col("word"), col("sc")))).as("ts"))
@@ -2322,7 +2351,11 @@ object Similarity extends QueryModule {
         top.items.iterator.zipWithIndex.map { case (r, i) => (qid, r.nid, (i + 1).toLong) }
       }
       .toDF("query_id", "cand_id", "srank")
+    (lexTop, semTop)
+  }
 
+  private def s25(s: SparkSession, dir: String): DataFrame = {
+    val (lexTop, semTop) = hybridLists(s, dir)
     // reciprocal-rank fusion over the two capped lists
     val wf = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("cand_id"))
     lexTop.join(semTop, Seq("query_id", "cand_id"), "full_outer")
@@ -2335,9 +2368,13 @@ object Similarity extends QueryModule {
       .select(col("query_id"), col("rk"), col("cand_id"), col("rrf"))
   }
 
-  private lazy val s25Sql =
-    s"""WITH $oracleVecs,
-       |tk AS (
+  /** The oracle CTE chain producing the two ranked lists `lt`
+    * (lexical) and `st` (semantic) — spliced by s25Sql and s27Sql so
+    * the mined pairs and the fused ranking certify the SAME lists.
+    * Expects `n` (the normalized embeddings) in scope.
+    */
+  private lazy val hybridListCtes =
+    s"""tk AS (
        |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS word
        |  FROM documents),
        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk GROUP BY 1, 2),
@@ -2352,8 +2389,8 @@ object Similarity extends QueryModule {
        |    SELECT q.query_id, tf.word, dfq.df,
        |      row_number() OVER (PARTITION BY q.query_id ORDER BY tf.tf DESC, tf.word) AS trn
        |    FROM tf JOIN q ON tf.doc_id = q.query_id
-       |    JOIN dfq USING (word)
-       |    WHERE len(tf.word) >= 5 AND dfq.df <= $HybDfCap)
+       |    JOIN dfq USING (word) CROSS JOIN tot
+       |    WHERE len(tf.word) >= 5 AND dfq.df * 100 <= tot.n_docs * $HybDfPct)
        |  WHERE trn <= $HybTerms),
        |m AS (
        |  SELECT qt.query_id, tf.doc_id AS cand_id, tf.word,
@@ -2381,7 +2418,11 @@ object Similarity extends QueryModule {
        |    SELECT query_id, cand_id,
        |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, cand_id) AS BIGINT) AS srank
        |    FROM sp)
-       |  WHERE srank <= $HybListK),
+       |  WHERE srank <= $HybListK)""".stripMargin
+
+  private lazy val s25Sql =
+    s"""WITH $oracleVecs,
+       |$hybridListCtes,
        |f AS (
        |  SELECT query_id, cand_id,
        |    coalesce(1.0 / ($HybRrfK.0 + CAST(lrank AS DOUBLE)), 0.0)
@@ -2392,4 +2433,167 @@ object Similarity extends QueryModule {
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS BIGINT) AS rk
        |  FROM f)
        |WHERE rk <= $HybK""".stripMargin
+
+  // ---- s26: cluster cards — the corpus map ----------------------------
+
+  private val CardTerms = 5 // distinctive terms shown per cluster card
+
+  /** s26: CLUSTER CARDS — the corpus-map deliverable a curation team
+    * reads before deciding mixtures: each embedding-space cluster (the
+    * s16 one-Lloyd-step assignment, shared via [[oneStepAssigned]])
+    * summarized as member count, total characters, and its
+    * [[CardTerms]] most DISTINCTIVE terms. Distinctiveness is
+    * cluster-tf × t15's integer-quantized idf-bits — an all-integer
+    * weight (exact in any engine) — over terms of length ≥ 5 (the
+    * idf factor, not a hard df cap, demotes ubiquitous terms: the
+    * term side joins on doc_id, so there is no posting-list fanout
+    * for a cap to bound). This is the op that joins the engine's two
+    * worlds: WHERE documents sit in embedding space and WHAT words
+    * put them there.
+    *
+    * Scale shape: assignment is s16's (seed/means broadcast as one
+    * array row, corpus never shuffles for it); the term side is one
+    * (doc, word) tf shuffle + an id equi-join to the assignment; the
+    * (cid, word) aggregate map-side combines; the per-cluster top-5
+    * window sorts the ALREADY-AGGREGATED term table (≤ K·vocab rows —
+    * t18's global-vocab ranking precedent, not a corpus-sized sort). Cards assemble with one
+    * K-row join. At 100 TB: two linear scans, two hash shuffles, and
+    * a K-row output.
+    *
+    * Determinism: the training chain is s16's (shared CTE text); term
+    * weights are pure integers; the top-5 ties on word; the card
+    * string is the rank-ordered array_join (q33's ordered-string-agg
+    * rule); sum_chars is an exact long sum.
+    */
+  private def s26(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val asg = oneStepAssigned(vecs(s, dir)).select(col("vec_id"), col("cid2").as("cid"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val tot = tf.select(col("doc_id")).distinct().agg(count(lit(1)).as("n_docs"))
+    // integer distinctiveness: cluster-tf x idf-bits (t15's quantized idf)
+    val ct = tf.join(asg, tf("doc_id") === asg("vec_id"))
+      .filter(length(col("word")) >= 5)
+      .groupBy(col("cid"), col("word"))
+      .agg(sum(col("tf")).as("ctf"))
+      .join(dfreq, "word")
+      .crossJoin(broadcast(tot))
+      .select(col("cid"), col("word"),
+        (length(bin(greatest(expr("(2 * n_docs - 2 * df + 1) div (2 * df + 1)"), lit(1L))))
+          .cast("long") * col("ctf")).as("w"))
+    val wt = Window.partitionBy(col("cid")).orderBy(col("w").desc, col("word"))
+    val terms = ct.withColumn("trn", row_number().over(wt))
+      .filter(col("trn") <= CardTerms)
+      .groupBy(col("cid"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("trn"), col("word")))),
+          e => e.getField("word")), ",").as("top_terms"))
+    val mem = asg.join(docs.select(col("doc_id"), col("n_chars")),
+        asg("vec_id") === docs("doc_id"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("n_chars")).as("sum_chars"))
+    mem.join(terms, Seq("cid"), "left_outer")
+      .select(col("cid"), col("n_members"), col("sum_chars"),
+        coalesce(col("top_terms"), lit("")).as("top_terms"))
+  }
+
+  private lazy val s26Sql =
+    s"""WITH $oracleVecs,
+       |$oneStepCtes,
+       |tk AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(text,' '), x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+       |tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+       |ct AS (
+       |  SELECT a2.cid2 AS cid, tf.word, sum(tf.tf) AS ctf
+       |  FROM tf JOIN a2 ON tf.doc_id = a2.vec_id
+       |  WHERE len(tf.word) >= 5
+       |  GROUP BY 1, 2),
+       |cw AS (
+       |  SELECT ct.cid, ct.word,
+       |    CAST(length(bin(greatest((2 * tot.n_docs - 2 * dfq.df + 1) // (2 * dfq.df + 1),
+       |                             CAST(1 AS BIGINT)))) AS BIGINT) * ct.ctf AS w
+       |  FROM ct JOIN dfq USING (word) CROSS JOIN tot),
+       |tp AS (
+       |  SELECT cid, word, trn FROM (
+       |    SELECT cid, word, row_number() OVER (PARTITION BY cid ORDER BY w DESC, word) AS trn
+       |    FROM cw)
+       |  WHERE trn <= $CardTerms),
+       |tj AS (
+       |  SELECT cid,
+       |    array_to_string(list_transform(list_sort(list(struct_pack(trn := trn, word := word))),
+       |                                   x -> x.word), ',') AS top_terms
+       |  FROM tp GROUP BY 1),
+       |mem AS (
+       |  SELECT a2.cid2 AS cid, count(*) AS n_members,
+       |    CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+       |  FROM a2 JOIN documents d ON d.doc_id = a2.vec_id
+       |  GROUP BY 1)
+       |SELECT mem.cid, mem.n_members, mem.sum_chars,
+       |  coalesce(tj.top_terms, '') AS top_terms
+       |FROM mem LEFT JOIN tj USING (cid)""".stripMargin
+
+  // ---- s27: contrastive training-pair mining ---------------------------
+
+  private val HybNegK = 4 // hard negatives mined per anchor
+
+  /** s27: CONTRASTIVE PAIR MINING — the training-data product built
+    * from s25's two lists (shared via [[hybridLists]], so the pairs
+    * and the fused ranking certify the SAME lists): per anchor (query
+    * doc), ONE positive — the semantic top-1, the standard
+    * unsupervised proxy when no relevance labels exist — and
+    * [[HybNegK]] HARD negatives: the BM25-closest candidates that do
+    * NOT appear in the semantic top-[[HybListK]]. Lexically plausible
+    * but embedding-distant is exactly the negative a dense retriever
+    * must learn to push away (the DPR/BM25-negatives recipe); random
+    * negatives are too easy and teach nothing.
+    *
+    * Scale shape: inherited wholesale from s25 — both lists are
+    * already <= [[HybListK]] rows per anchor, so the anti-join and the
+    * per-anchor re-rank touch a constant set; the mining stage adds
+    * ZERO corpus passes. At 100 TB the anchor batch scales to millions
+    * of rows and everything stays list-local per anchor.
+    *
+    * Determinism: the lists are s25's (one definition); the negative
+    * re-rank orders by (lrank, cand_id) — lrank is already unique per
+    * anchor; roles are string literals; union order is pinned by the
+    * gate's multiset hash.
+    */
+  private def s27(s: SparkSession, dir: String): DataFrame = {
+    val (lexTop, semTop) = hybridLists(s, dir)
+    val pos = semTop.filter(col("srank") === 1)
+      .select(col("query_id"), lit("positive").as("role"),
+        lit(1L).as("rnk"), col("cand_id"))
+    val wn = Window.partitionBy(col("query_id")).orderBy(col("lrank"))
+    val negs = lexTop.join(semTop, Seq("query_id", "cand_id"), "left_anti")
+      .withColumn("rnk", row_number().over(wn).cast("long"))
+      .filter(col("rnk") <= HybNegK)
+      .select(col("query_id"), lit("hard_negative").as("role"),
+        col("rnk"), col("cand_id"))
+    pos.unionByName(negs)
+  }
+
+  private lazy val s27Sql =
+    s"""WITH $oracleVecs,
+       |$hybridListCtes,
+       |pos AS (
+       |  SELECT query_id, 'positive' AS role, CAST(1 AS BIGINT) AS rnk, cand_id
+       |  FROM st WHERE srank = 1),
+       |hn AS (
+       |  SELECT query_id, 'hard_negative' AS role,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY lrank) AS BIGINT) AS rnk,
+       |    cand_id
+       |  FROM lt
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM st
+       |    WHERE st.query_id = lt.query_id AND st.cand_id = lt.cand_id))
+       |SELECT query_id, role, rnk, cand_id FROM pos
+       |UNION ALL
+       |SELECT query_id, role, rnk, cand_id FROM hn WHERE rnk <= $HybNegK""".stripMargin
 }

@@ -79,6 +79,44 @@ class Round12Spec extends AnyFunSuite {
     } finally graft.core.Sessions.sweepPersistedState(spark)
   }
 
+  test("s27: every anchor mines one positive and disjoint dense-ranked hard negatives") {
+    val out = graft.SparkEntry.queries("s27_mined_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    try {
+      val byQ = out.groupBy(_._1)
+      assert(byQ.size === 8)
+      for ((q, rows) <- byQ) {
+        val pos = rows.filter(_._2 == "positive")
+        val negs = rows.filter(_._2 == "hard_negative").sortBy(_._3)
+        assert(pos.length === 1 && pos.head._3 === 1L, s"q=$q needs exactly one positive")
+        assert(negs.length <= 4, s"q=$q too many negatives")
+        assert(negs.map(_._3).toSeq === (1L to negs.length).toSeq, s"q=$q negative ranks not dense")
+        // the positive (semantic top-1) can never be mined as a negative
+        // (negatives are anti-joined against the whole semantic list)
+        assert(!negs.map(_._4).contains(pos.head._4), s"q=$q positive leaked into negatives")
+        assert(rows.map(_._4).distinct.length === rows.length, s"q=$q duplicate candidates")
+      }
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  test("s26: cluster cards partition the corpus and headline only qualifying terms") {
+    val out = graft.SparkEntry.queries("s26_cluster_cards")(spark, dir).collect()
+    try {
+      // the cards PARTITION the embedded corpus: member counts sum to
+      // the number of usable (nrm > 0, doc-joined) vectors
+      val total = out.map(_.getLong(1)).sum
+      val corpus = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      assert(total <= corpus && total > 0, s"member total $total vs corpus $corpus")
+      for (r <- out) {
+        val terms = r.getString(3).split(",").filter(_.nonEmpty)
+        assert(terms.length <= 5, s"cid=${r.getLong(0)} more than 5 terms")
+        assert(terms.distinct.length === terms.length, s"cid=${r.getLong(0)} duplicate terms")
+        assert(terms.forall(_.length >= 5), s"cid=${r.getLong(0)} short term leaked: ${terms.mkString(",")}")
+        assert(r.getLong(2) > 0, "sum_chars must be positive for a non-empty cluster")
+      }
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
   test("z-order read path: a 2-D box becomes sargable z ranges that push down to the scan") {
     // grid-exhaustive synthetic (one row per 256x256 cell, value == bin)
     // so the geometry is exact and assertions aren't data-dependent
