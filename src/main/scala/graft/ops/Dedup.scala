@@ -1165,6 +1165,97 @@ object Dedup extends QueryModule {
     s"""WITH $d04BandCtes
        |SELECT doc_id, bd AS band, bucket FROM banded""".stripMargin
 
+  // ---- d24: shard-merged source sketches + estimated overlap matrix ----
+
+  /** d24: the SET-level MinHash MERGE LAW put to work — d23 certifies
+    * per-doc banding commutes with union; d24 certifies the
+    * AGGREGATION-level law a sharded deployment leans on: the corpus
+    * signature of a source, minhash(∪ docs) = elementwise-min of the
+    * docs' signatures, can be built per SHARD and merged by another
+    * elementwise min — no shard ever sees another's raw text. The
+    * Spark side computes each source's 128-component signature
+    * explicitly that way (per-shard partial min → cross-shard merge
+    * min); the oracle builds it in ONE pass per source — the hash
+    * match IS the merge law. The signatures then pay off as the
+    * source×source ESTIMATED-Jaccard matrix (matching components /
+    * [[NumHashes]], the classic MinHash estimator) — d18's exact
+    * overlap matrix at a 128-long-per-source cost instead of a
+    * shingle-level join, the version that is affordable weekly at
+    * 100 TB.
+    *
+    * Scale shape: one shingle pass, one (source, shard, i) partial
+    * aggregate with map-side combine, a (source, i) merge aggregate
+    * (≤ sources·shards·128 rows), and an S×S broadcast self-join on
+    * 128-long arrays — S is the source count, never the corpus. The
+    * estimator's error (±1/√128 ≈ 0.09) is the documented trade
+    * against d18's exact join.
+    *
+    * Determinism: signatures are integer min-folds of the shared
+    * md5-derived permutations (d04's machinery, one definition);
+    * n_match is an integer sum; est_jaccard is one exact division by
+    * 128; pairs order ties on the source strings.
+    */
+  /** Per-source merged MinHash sketch, built the SHARDED way: each of
+    * `shards` id-hash shards aggregates its partial elementwise-min
+    * independently, then the shards merge by the same min. The law the
+    * spec replay pins: the result is invariant to `shards`.
+    */
+  private[graft] def sourceSketches(s: SparkSession, dir: String, shards: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    shingledDocs(docs)
+      .withColumn("sig",
+        graft.functions.TextFunctions.minhash_signature(col("hs"), hashA, hashB))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      // shard split (the d22/d23 seam): each shard's partial sketch is
+      // computed independently...
+      .select(col("source"), (col("doc_id") % shards).as("shard"),
+        posexplode(col("sig")).as(Seq("i", "v")))
+      .groupBy(col("source"), col("shard"), col("i"))
+      .agg(min(col("v")).as("v"))
+      // ...and merged by the same elementwise min — the LAW
+      .groupBy(col("source"), col("i"))
+      .agg(min(col("v")).as("v"))
+      .groupBy(col("source"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, v))), e -> e.v)").as("sig"))
+  }
+
+  private def d24(s: SparkSession, dir: String): DataFrame = {
+    val perSource = sourceSketches(s, dir, 2)
+    val a = perSource.select(col("source").as("src_a"), col("sig").as("sa"))
+    val b = perSource.select(col("source").as("src_b"), col("sig").as("sb"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr("aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END)," +
+          " 0L, (acc, e) -> acc + e)").as("n_match"))
+      .select(col("src_a"), col("src_b"), col("n_match"),
+        (col("n_match").cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
+  }
+
+  private val d24Sql = {
+    val prm = (0 until NumHashes)
+      .map(i => s"(${i}, ${hashA(i)}, ${hashB(i)})").mkString(", ")
+    s"""WITH $shingleCte,
+       |h AS (
+       |  SELECT doc_id, ${OracleSql.hex60("shingle")} & 2147483647 AS h31
+       |  FROM sh),
+       |prm(i, a, b) AS (VALUES $prm),
+       |ps AS (
+       |  SELECT doc_id, prm.i, min((prm.a * h.h31 + prm.b) & 2147483647) AS s
+       |  FROM h CROSS JOIN prm GROUP BY 1, 2),
+       |ssig AS (
+       |  SELECT d.source, ps.i, min(ps.s) AS v
+       |  FROM ps JOIN documents d USING (doc_id)
+       |  GROUP BY 1, 2),
+       |nm AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM ssig a JOIN ssig b ON a.i = b.i AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_match,
+       |  CAST(n_match AS DOUBLE) / $NumHashes.0 AS est_jaccard
+       |FROM nm""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
     QueryDef("d02_dedup_normalized", d02, Some(d02Sql)),
@@ -1188,6 +1279,7 @@ object Dedup extends QueryModule {
     QueryDef("d21_lsh_stage_audit", d21, Some(d21Sql)),
     QueryDef("d22_incremental_lsh", d22, Some(d22Sql)),
     QueryDef("d23_index_append_law", d23, Some(d23Sql)),
+    QueryDef("d24_shard_sketch_merge", d24, Some(d24Sql)),
   )
 
   /** d18: cross-source duplication matrix — project the d03 near-dup

@@ -99,6 +99,19 @@ class Round12Spec extends AnyFunSuite {
     } finally graft.core.Sessions.sweepPersistedState(spark)
   }
 
+  test("d24: source sketches are invariant to shard count (the merge law)") {
+    // minhash(∪ shards) == elementwise-min of shard sketches, whatever
+    // the sharding — 1 (one-pass), 2 (the query's split), 5 (re-shard)
+    def sk(n: Int) = graft.ops.Dedup.sourceSketches(spark, dir, n)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toVector).toMap
+    try {
+      val (one, two, five) = (sk(1), sk(2), sk(5))
+      assert(one === two, "2-shard merge diverged from the one-pass sketch")
+      assert(one === five, "5-shard merge diverged from the one-pass sketch")
+      assert(one.nonEmpty && one.values.forall(_.length === 128))
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
   test("s26: cluster cards partition the corpus and headline only qualifying terms") {
     val out = graft.SparkEntry.queries("s26_cluster_cards")(spark, dir).collect()
     try {
