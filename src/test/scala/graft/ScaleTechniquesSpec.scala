@@ -523,6 +523,58 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
+  test("s25/s26/s27/d24 10x scaling: corpus-linear wall for the hybrid/card/sketch family") {
+    // a dir carrying BOTH tables with matching ids (m04's contract):
+    // clone-heavy documents + hash-synthesized embeddings per doc
+    val src = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
+    def mk(originals: Int): String = {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_r12hyb_$originals").toString
+      val docs = src.filter(col("doc_id") < originals)
+        .crossJoin(spark.range(5).select(col("id").as("clone")))
+        .select((col("doc_id") * 10 + col("clone")).as("doc_id"),
+          concat(col("text"), lit(" zqtail"), col("clone")).as("text"),
+          col("lang"), col("source"), (length(col("text")) + 8).as("n_chars"))
+      docs.coalesce(4).write.parquet(out + "/documents.parquet")
+      docs.select(col("doc_id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(sequence(lit(1), lit(64)),
+          j => (pmod(hash(col("doc_id"), j), lit(2000)) / lit(1000.0) - 1.0).cast("float"))
+          .as("embedding"),
+        (col("doc_id") % 10).cast("int").as("label"))
+        .coalesce(4).write.parquet(out + "/embeddings.parquet")
+      out
+    }
+    def time(q: String, dir: String): Double = {
+      graft.core.Sessions.sweepPersistedState(spark)
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+      graft.core.Sessions.sweepPersistedState(spark)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (c1, c10) = (mk(400), mk(4000))
+    try {
+      for (q <- Seq("s25_hybrid_rrf", "s26_cluster_cards", "s27_mined_pairs",
+          "d24_shard_sketch_merge")) {
+        val (t1, t10) = (time(q, c1), time(q, c10))
+        info(f"$q 1x: $t1%.1fs; 10x: $t10%.1fs")
+        assert(t10 <= t1 * 25 + 5.0, f"$q wall time must stay ~linear: $t1%.1fs -> $t10%.1fs")
+      }
+      // fixed-size outputs at 10x: the query batch, the card deck, and
+      // the source matrix are all corpus-INDEPENDENT row counts
+      assert(SparkEntry.queries("s25_hybrid_rrf")(spark, c10)
+        .select(col("query_id")).distinct().count() === 8L)
+      val cards = SparkEntry.queries("s26_cluster_cards")(spark, c10).count()
+      assert(cards >= 1L && cards <= 16L, s"cards=$cards must stay <= KmK")
+      val nSrc = graft.core.Tables.documents(spark, c10)
+        .select(col("source")).distinct().count()
+      assert(SparkEntry.queries("d24_shard_sketch_merge")(spark, c10).count()
+        === nSrc * (nSrc - 1) / 2)
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      for (d <- Seq(c1, c10))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    }
+  }
+
   test("p06 10x scaling: candidates obey the df-cap bound, wall time ~linear") {
     val src = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
     def mkDocs(originals: Int): String = {
