@@ -1200,27 +1200,33 @@ object Dedup extends QueryModule {
     * independently, then the shards merge by the same min. The law the
     * spec replay pins: the result is invariant to `shards`.
     */
-  private[graft] def sourceSketches(s: SparkSession, dir: String, shards: Int): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** A document frame's PARTIAL sketch rows (source, i, v): per-source
+    * per-permutation min over just this frame — what one shard (d24) or
+    * one micro-batch (es27) contributes before the merge.
+    */
+  private[graft] def partialSketchRows(docs: DataFrame): DataFrame =
     shingledDocs(docs)
       .withColumn("sig",
         graft.functions.TextFunctions.minhash_signature(col("hs"), hashA, hashB))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      // shard split (the d22/d23 seam): each shard's partial sketch is
-      // computed independently...
-      .select(col("source"), (col("doc_id") % shards).as("shard"),
-        posexplode(col("sig")).as(Seq("i", "v")))
-      .groupBy(col("source"), col("shard"), col("i"))
-      .agg(min(col("v")).as("v"))
-      // ...and merged by the same elementwise min — the LAW
+      .select(col("source"), posexplode(col("sig")).as(Seq("i", "v")))
       .groupBy(col("source"), col("i"))
+      .agg(min(col("v")).as("v"))
+
+  /** Merge partial sketch rows (possibly several per (source, i)) by
+    * the same elementwise min — the LAW — and assemble per-source
+    * signature arrays.
+    */
+  private[graft] def sketchArrays(rows: DataFrame): DataFrame =
+    rows.groupBy(col("source"), col("i"))
       .agg(min(col("v")).as("v"))
       .groupBy(col("source"))
       .agg(expr("transform(array_sort(collect_list(struct(i, v))), e -> e.v)").as("sig"))
-  }
 
-  private def d24(s: SparkSession, dir: String): DataFrame = {
-    val perSource = sourceSketches(s, dir, 2)
+  /** The pairwise payoff: (src_a, src_b, n_match, est_jaccard) over the
+    * S-row sketch table (S×S broadcast self-join; S = source count).
+    */
+  private[graft] def sketchMatrix(perSource: DataFrame): DataFrame = {
     val a = perSource.select(col("source").as("src_a"), col("sig").as("sa"))
     val b = perSource.select(col("source").as("src_b"), col("sig").as("sb"))
     a.join(broadcast(b), col("src_a") < col("src_b"))
@@ -1231,7 +1237,19 @@ object Dedup extends QueryModule {
         (col("n_match").cast("double") / lit(NumHashes.toDouble)).as("est_jaccard"))
   }
 
-  private val d24Sql = {
+  private[graft] def sourceSketches(s: SparkSession, dir: String, shards: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // shard split (the d22/d23 seam): each shard's partial sketch is
+    // computed independently, then merged by the same elementwise min
+    sketchArrays((0 until shards)
+      .map(sh => partialSketchRows(docs.filter(col("doc_id") % shards === sh)))
+      .reduce(_ unionByName _))
+  }
+
+  private def d24(s: SparkSession, dir: String): DataFrame =
+    sketchMatrix(sourceSketches(s, dir, 2))
+
+  private[graft] val d24Sql = {
     val prm = (0 until NumHashes)
       .map(i => s"(${i}, ${hashA(i)}, ${hashB(i)})").mkString(", ")
     s"""WITH $shingleCte,

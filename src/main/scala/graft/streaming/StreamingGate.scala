@@ -512,6 +512,7 @@ object StreamingGate extends QueryModule {
     QueryDef("es24_stream_neardup", es24, Some(es24Sql)),
     QueryDef("es25_stream_encode", es25, Some(es25Sql)),
     QueryDef("es26_stream_assign", es26, Some(es26Sql)),
+    QueryDef("es27_stream_sketch", es27, Some(es27Sql)),
   )
 
   /** es20: per-closed-window event-type MATRIX — one row per finalized
@@ -964,5 +965,37 @@ object StreamingGate extends QueryModule {
   }
 
   private lazy val es26Sql = graft.ops.Similarity.s24Sql
+
+  /** es27: SOURCE SKETCHES AT INGEST — d24's shard-merge law run live:
+    * each micro-batch of arriving documents computes its own partial
+    * per-source sketch rows (shingle → signature → per-(source, perm)
+    * min — all batch-local) and lands them under an idempotent
+    * `batch_id` dir; after the stream drains, the landed partials
+    * merge by the same elementwise min and pay off as the
+    * source×source estimated-Jaccard matrix. The micro-batches ARE
+    * d24's shards: the merge law is exactly why an at-ingest sketch
+    * maintainer never needs to revisit yesterday's text — each batch
+    * contributes 128 longs per source it touches, and the stored
+    * partials compact by min at read time (or any time — min is
+    * idempotent, so replayed batches change nothing).
+    *
+    * Scale shape: stateless stream (file-source progress log only);
+    * per-batch work ∝ batch shingles, per-batch OUTPUT ≤ sources×128
+    * rows however large the batch; the read-back merge aggregates
+    * (source, i) rows — batches×sources×128, never the corpus. The
+    * oracle is d24's SQL verbatim: batching cannot change an
+    * elementwise-min.
+    */
+  private def es27(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-es27")
+    try graft.ops.Dedup.sketchMatrix(graft.ops.Dedup.sketchArrays(
+        runDocBatchStream(s, readDocuments(s, dir),
+          s"$base/out", s"$base/ckpt", Seq("source", "i", "v"))(
+          batch => graft.ops.Dedup.partialSketchRows(batch))))
+      .localCheckpoint()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
+  private lazy val es27Sql = graft.ops.Dedup.d24Sql
 }
 

@@ -210,6 +210,43 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("es27 replay: two micro-batched shards' sketches merge to the one-shot matrix") {
+    // the merge law live: batch boundaries are shards, so a two-file
+    // stream's landed partials must compact to exactly d24's matrix
+    import graft.ops.Dedup
+    val docs = graft.core.Tables.documents(spark, dir)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_es27spec").toFile
+    val runBase = java.nio.file.Files.createTempDirectory("graft_es27run").toFile
+    def writeOne(part: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(streamDir, s"stage_$name")
+      part.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val f = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(streamDir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    writeOne(docs.filter(col("doc_id") % 2 === 0), "documents_a")
+    writeOne(docs.filter(col("doc_id") % 2 =!= 0), "documents_b")
+    try {
+      val streamed = Dedup.sketchMatrix(Dedup.sketchArrays(
+        graft.streaming.StreamingGate.runDocBatchStream(spark,
+          graft.streaming.StreamingGate.readDocuments(spark, streamDir.getAbsolutePath, Some(1)),
+          new java.io.File(runBase, "out").getAbsolutePath,
+          new java.io.File(runBase, "ckpt").getAbsolutePath,
+          Seq("source", "i", "v"))(Dedup.partialSketchRows)))
+      val batchDirs = new java.io.File(runBase, "out").listFiles()
+        .filter(_.getName.startsWith("batch_id="))
+      assert(batchDirs.length >= 2, s"expected >= 2 micro-batches, got ${batchDirs.length}")
+      val oneShot = Dedup.sketchMatrix(Dedup.sourceSketches(spark, dir, 1))
+      assert(oneShot.count() > 0)
+      assert(streamed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamed).isEmpty,
+        "micro-batched sketch matrix must equal the one-shot matrix")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(runBase)
+    }
+  }
+
   test("es24/es25 clean up their own scratch dirs and never touch a sibling's") {
     // the round-11 advisory: the old prefix sweep of the GLOBAL tmpdir
     // could delete a concurrent run's live checkpoint. Now: a planted
