@@ -1274,6 +1274,90 @@ object Dedup extends QueryModule {
        |FROM nm""".stripMargin
   }
 
+  // ---- d25: cross-doc duplicated SPANS (exact-substring dedup) --------
+
+  private val SpanGram = 8 // tokens per overlapping gram
+
+  /** d25: span-level exact-substring duplication — the published
+    * "dedup training data" granularity d12's fixed non-overlapping
+    * segments can't see (a 40-token verbatim quote straddling two
+    * segment boundaries marks neither segment; here it marks 33
+    * overlapping grams): every OVERLAPPING [[SpanGram]]-token gram of
+    * every document, grams verbatim-shared by ≥ 2 DISTINCT documents,
+    * and per document the MAXIMAL consecutive runs of duplicated grams
+    * (the gaps-and-islands trick on gram positions — e13's machinery)
+    * reported as spans: span_tokens = gram run + [[SpanGram]] − 1.
+    * Output per doc: duplicated-span count and the longest span — the
+    * two numbers a span-scrub policy thresholds on.
+    *
+    * Scale shape: the gram stream is corpus tokens × 1 (each position
+    * opens one gram — row-local generate, no shuffle); the dup-gram
+    * set is one (gram) hash aggregate with map-side combine (at 100 TB
+    * the gram key would be its [[OracleSql.hex60]] hash — the string
+    * itself here keeps the oracle byte-transparent); marking is an
+    * equi-join on gram; the island windows partition BY DOC (bounded
+    * by document length, never corpus-sized). No all-pairs stage
+    * exists — this is d12's linear shape at overlapping granularity.
+    *
+    * Determinism: grams are exact strings; positions/run arithmetic is
+    * all-integer; per-doc zero-fill via left join mirrored in SQL.
+    */
+  private def d25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"),
+      filter(split(col("text"), " "), w => length(w) > 0).as("w"))
+    val grams = words.filter(size(col("w")) >= SpanGram)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("w")) - (SpanGram - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(SpanGram))))).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("gpos"), col("gram"))
+      .persist()
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    val marked = grams.join(dup, Seq("gram"), "left_semi")
+    val wrn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("gpos"))
+    val spans = marked
+      .withColumn("grp", col("gpos") - row_number().over(wrn))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg((max(col("gpos")) - min(col("gpos")) + SpanGram).as("span_tokens"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("span_tokens")).as("max_span"))
+    docs.select(col("doc_id")).join(spans, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+  }
+
+  private val d25Sql =
+    s"""WITH wd AS (
+       |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(w) - ${SpanGram - 2})) AS gpos,
+       |    unnest(list_transform(range(1, len(w) - ${SpanGram - 2}),
+       |      i -> array_to_string(w[i:i+${SpanGram - 1}], ' '))) AS gram
+       |  FROM wd WHERE len(w) >= $SpanGram),
+       |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |mk AS (SELECT g.doc_id, g.gpos FROM g JOIN dup USING (gram)),
+       |isl AS (
+       |  SELECT doc_id, gpos,
+       |    gpos - row_number() OVER (PARTITION BY doc_id ORDER BY gpos) AS grp
+       |  FROM mk),
+       |sp AS (
+       |  SELECT doc_id, grp, max(gpos) - min(gpos) + $SpanGram AS span_tokens
+       |  FROM isl GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_spans, max(span_tokens) AS max_span
+       |  FROM sp GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(agg.n_spans, 0) AS n_spans,
+       |  coalesce(agg.max_span, 0) AS max_span
+       |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
     QueryDef("d02_dedup_normalized", d02, Some(d02Sql)),
@@ -1298,6 +1382,7 @@ object Dedup extends QueryModule {
     QueryDef("d22_incremental_lsh", d22, Some(d22Sql)),
     QueryDef("d23_index_append_law", d23, Some(d23Sql)),
     QueryDef("d24_shard_sketch_merge", d24, Some(d24Sql)),
+    QueryDef("d25_dup_spans", d25, Some(d25Sql)),
   )
 
   /** d18: cross-source duplication matrix — project the d03 near-dup

@@ -99,6 +99,31 @@ class Round12Spec extends AnyFunSuite {
     } finally graft.core.Sessions.sweepPersistedState(spark)
   }
 
+  test("d25: a planted 20-token verbatim quote is recovered as exactly one 20-token span") {
+    // the span-granularity case d12's non-overlapping segments miss: the
+    // shared run sits at arbitrary offsets in both docs
+    val a = (0 until 30).map(i => s"wa$i").mkString(" ")
+    val shared = (10 until 30).map(i => s"wa$i").mkString(" ")
+    val b = (0 until 10).map(i => s"xb$i").mkString(" ") + " " + shared
+    val planted = java.nio.file.Files.createTempDirectory("graft_d25spec").toString
+    try {
+      spark.createDataFrame(Seq(
+        (1L, a, "en", "s1", a.length.toLong),
+        (2L, b, "en", "s2", b.length.toLong),
+        (3L, (0 until 30).map(i => s"zc$i").mkString(" "), "en", "s3", 100L)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(planted + "/documents.parquet")
+      val out = graft.SparkEntry.queries("d25_dup_spans")(spark, planted)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out(1L) === ((1L, 20L)), s"doc 1: ${out(1L)}")
+      assert(out(2L) === ((1L, 20L)), s"doc 2: ${out(2L)}")
+      assert(out(3L) === ((0L, 0L)), s"doc 3 must be clean: ${out(3L)}")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(planted))
+    }
+  }
+
   test("d24: source sketches are invariant to shard count (the merge law)") {
     // minhash(∪ shards) == elementwise-min of shard sketches, whatever
     // the sharding — 1 (one-pass), 2 (the query's split), 5 (re-shard)
