@@ -263,6 +263,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), "semantic top-k must be the typed Aggregator")
   }
 
+  test("round-12 family plans: no cartesian, gram generate row-local, sketch joins broadcast") {
+    // d25: the overlapping-gram stream must be a row-local Generate (an
+    // Exchange before it would shuffle corpus tokens twice), and the
+    // dup marking a semi-join
+    val p25 = plan("d25_dup_spans")
+    assert(p25.contains("Generate"), "gram stream must be a generator")
+    assert(p25.contains("LeftSemi"), "dup marking must be a semi-join")
+    assert(!p25.contains("CartesianProduct"))
+    // d24/s26/s27: the only corpus meetings are hash/broadcast joins
+    for (q <- Seq("d24_shard_sketch_merge", "s26_cluster_cards", "s27_mined_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian")
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q should broadcast its small side")
+    }
+  }
+
   test("q32: lateral positional explode is a codegen Generate with no shuffle") {
     val p = plan("q32_lateral_explode")
     assert(p.contains("Generate"))
