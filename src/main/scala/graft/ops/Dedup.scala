@@ -1302,37 +1302,61 @@ object Dedup extends QueryModule {
     * Determinism: grams are exact strings; positions/run arithmetic is
     * all-integer; per-doc zero-fill via left join mirrored in SQL.
     */
-  private def d25(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val words = docs.select(col("doc_id"),
-      filter(split(col("text"), " "), w => length(w) > 0).as("w"))
-    val grams = words.filter(size(col("w")) >= SpanGram)
+  /** The overlapping [[SpanGram]]-token gram stream of a (doc_id,
+    * text) frame: (doc_id, gpos, gram) — a row-local generate, no
+    * shuffle. Shared by d25 (corpus-wide), d26 (delta-vs-corpus), and
+    * es28 (per micro-batch at ingest).
+    */
+  private[graft] def gramStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("w"))
+      .filter(size(col("w")) >= SpanGram)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(1), size(col("w")) - (SpanGram - 1)),
           i => concat_ws(" ", slice(col("w"), i, lit(SpanGram))))).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).as("gpos"), col("gram"))
-      .persist()
-    val dup = grams.groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("gram"))
-    val marked = grams.join(dup, Seq("gram"), "left_semi")
+
+  /** Maximal consecutive runs of marked gram positions per doc — the
+    * gaps-and-islands window (partitioned BY DOC, bounded by document
+    * length) — reported as (doc_id, n_spans, max_span).
+    */
+  private[graft] def islandSpans(marked: DataFrame): DataFrame = {
     val wrn = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("gpos"))
-    val spans = marked
+    marked
       .withColumn("grp", col("gpos") - row_number().over(wrn))
       .groupBy(col("doc_id"), col("grp"))
       .agg((max(col("gpos")) - min(col("gpos")) + SpanGram).as("span_tokens"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), max(col("span_tokens")).as("max_span"))
-    docs.select(col("doc_id")).join(spans, Seq("doc_id"), "left_outer")
+  }
+
+  /** Zero-fill the span report over the full id frame (docs with no
+    * duplicated span still get a row — the scrub policy reads 0s).
+    */
+  private[graft] def spanReport(ids: DataFrame, spans: DataFrame): DataFrame =
+    ids.join(spans, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("max_span"), lit(0L)).as("max_span"))
+
+  private def d25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = gramStream(docs).persist()
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    spanReport(docs.select(col("doc_id")),
+      islandSpans(grams.join(dup, Seq("gram"), "left_semi")))
   }
 
-  private val d25Sql =
-    s"""WITH wd AS (
+  /** The gram-stream CTEs (wd, g) and the islands→report tail (isl,
+    * sp, agg) shared by d25's and d26/es28's oracles; the `mk` CTE
+    * between them is each entry's marking rule.
+    */
+  private val spanGramCtes =
+    s"""wd AS (
        |  SELECT doc_id, list_filter(string_split(text,' '), x -> len(x) > 0) AS w
        |  FROM documents),
        |g AS (
@@ -1340,10 +1364,10 @@ object Dedup extends QueryModule {
        |    unnest(range(1, len(w) - ${SpanGram - 2})) AS gpos,
        |    unnest(list_transform(range(1, len(w) - ${SpanGram - 2}),
        |      i -> array_to_string(w[i:i+${SpanGram - 1}], ' '))) AS gram
-       |  FROM wd WHERE len(w) >= $SpanGram),
-       |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
-       |mk AS (SELECT g.doc_id, g.gpos FROM g JOIN dup USING (gram)),
-       |isl AS (
+       |  FROM wd WHERE len(w) >= $SpanGram)""".stripMargin
+
+  private val spanTailCtes =
+    s"""isl AS (
        |  SELECT doc_id, gpos,
        |    gpos - row_number() OVER (PARTITION BY doc_id ORDER BY gpos) AS grp
        |  FROM mk),
@@ -1352,11 +1376,48 @@ object Dedup extends QueryModule {
        |  FROM isl GROUP BY 1, 2),
        |agg AS (
        |  SELECT doc_id, count(*) AS n_spans, max(span_tokens) AS max_span
-       |  FROM sp GROUP BY 1)
+       |  FROM sp GROUP BY 1)""".stripMargin
+
+  private val d25Sql =
+    s"""WITH $spanGramCtes,
+       |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |mk AS (SELECT g.doc_id, g.gpos FROM g JOIN dup USING (gram)),
+       |$spanTailCtes
        |SELECT d.doc_id,
        |  coalesce(agg.n_spans, 0) AS n_spans,
        |  coalesce(agg.max_span, 0) AS max_span
        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin
+
+  /** d26: spans AT THE SEAM — the day's arrivals (the d13/d22 delta
+    * split) checked for verbatim spans copied FROM THE CORPUS: corpus
+    * grams form a static distinct set, each delta doc's grams mark by
+    * semi-join against it, islands as d25. The quote/contamination
+    * check an ingest gate actually runs — "how much of this new doc is
+    * already in my corpus, and in how long a run" — d11's n-gram
+    * decontamination generalized from eval sets to the corpus itself,
+    * at span granularity. Work ∝ |Δ| grams + one static index build
+    * (refreshed between runs by appending the delta's grams — a
+    * distinct-union, the d23 seam). es28 is the live twin.
+    */
+  private def d26(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isDelta = col("doc_id") % 10 === 0
+    val corpusGrams = gramStream(docs.filter(!isDelta)).select(col("gram")).distinct()
+    spanReport(docs.filter(isDelta).select(col("doc_id")),
+      islandSpans(gramStream(docs.filter(isDelta))
+        .join(corpusGrams, Seq("gram"), "left_semi")))
+  }
+
+  private[graft] val d26Sql =
+    s"""WITH $spanGramCtes,
+       |cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 0),
+       |mk AS (SELECT g.doc_id, g.gpos FROM g JOIN cg USING (gram) WHERE g.doc_id % 10 = 0),
+       |$spanTailCtes
+       |SELECT d.doc_id,
+       |  coalesce(agg.n_spans, 0) AS n_spans,
+       |  coalesce(agg.max_span, 0) AS max_span
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |WHERE d.doc_id % 10 = 0""".stripMargin
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
@@ -1383,6 +1444,7 @@ object Dedup extends QueryModule {
     QueryDef("d23_index_append_law", d23, Some(d23Sql)),
     QueryDef("d24_shard_sketch_merge", d24, Some(d24Sql)),
     QueryDef("d25_dup_spans", d25, Some(d25Sql)),
+    QueryDef("d26_span_ingest", d26, Some(d26Sql)),
   )
 
   /** d18: cross-source duplication matrix — project the d03 near-dup

@@ -513,6 +513,7 @@ object StreamingGate extends QueryModule {
     QueryDef("es25_stream_encode", es25, Some(es25Sql)),
     QueryDef("es26_stream_assign", es26, Some(es26Sql)),
     QueryDef("es27_stream_sketch", es27, Some(es27Sql)),
+    QueryDef("es28_stream_spans", es28, Some(es28Sql)),
   )
 
   /** es20: per-closed-window event-type MATRIX — one row per finalized
@@ -997,5 +998,40 @@ object StreamingGate extends QueryModule {
   }
 
   private lazy val es27Sql = graft.ops.Dedup.d24Sql
+
+  /** es28: SPAN CHECK AT INGEST — d26 run live: the corpus gram set
+    * builds ONCE before the stream starts (distinct grams, persisted),
+    * then each micro-batch of arriving documents streams its
+    * overlapping grams (row-local generate), marks them by semi-join
+    * against the static set, and lands each doc's span report under an
+    * idempotent `batch_id` dir. A document arrives whole in one row,
+    * so its islands are complete within its own batch — batching
+    * cannot change the result, and the oracle is d26's SQL verbatim.
+    * The quote/contamination gate at the door: "how much of this
+    * arrival is already in my corpus, in how long a run".
+    *
+    * Scale shape: stateless stream; per-batch work ∝ batch grams; the
+    * gram index is probed by equi-join only (at 100 TB the join key
+    * becomes the shared 60-bit hash — d25's note); index refresh
+    * between runs is a distinct-union append (the d23 seam).
+    */
+  private def es28(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val isDelta = col("doc_id") % 10 === 0
+    val corpusGrams = graft.ops.Dedup.gramStream(
+      graft.core.Tables.documents(s, dir).filter(!isDelta))
+      .select(col("gram")).distinct().persist()
+    corpusGrams.count() // materialize the gram index before ingest starts
+    val base = java.nio.file.Files.createTempDirectory("graft-es28")
+    try runDocBatchStream(s, readDocuments(s, dir).filter(isDelta),
+        s"$base/out", s"$base/ckpt", Seq("doc_id", "n_spans", "max_span"))(
+        batch => graft.ops.Dedup.spanReport(batch.select(col("doc_id")),
+          graft.ops.Dedup.islandSpans(graft.ops.Dedup.gramStream(batch)
+            .join(corpusGrams, Seq("gram"), "left_semi"))))
+      .localCheckpoint()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
+  private lazy val es28Sql = graft.ops.Dedup.d26Sql
 }
 
