@@ -553,7 +553,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val (c1, c10) = (mk(400), mk(4000))
     try {
       for (q <- Seq("s25_hybrid_rrf", "s26_cluster_cards", "s27_mined_pairs",
-          "d24_shard_sketch_merge")) {
+          "d24_shard_sketch_merge", "d25_dup_spans")) {
         val (t1, t10) = (time(q, c1), time(q, c10))
         info(f"$q 1x: $t1%.1fs; 10x: $t10%.1fs")
         assert(t10 <= t1 * 25 + 5.0, f"$q wall time must stay ~linear: $t1%.1fs -> $t10%.1fs")
