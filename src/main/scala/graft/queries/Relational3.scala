@@ -227,6 +227,59 @@ object Relational3 extends QueryModule {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q53: the DISTINCT-COUNT merge law, q25's contract style — the
+    * sketch-algebra counterpart to d24's integer-exact MinHash law:
+    * per-shard Datasketches HLL sketches (`hll_sketch_agg`, lgK 12)
+    * union into the corpus estimate (`hll_union_agg`) without any
+    * shard re-reading another's rows. Unlike MinHash min-merge, HLL
+    * union is NOT value-exact: the union re-materializes registers in
+    * the target HLL mode, so the merged estimate drifts from the
+    * one-pass estimate WITHIN the sketch's own error (measured here:
+    * 1991 vs 1999 on exact 2000). The emitted contract therefore has
+    * three booleans the oracle pins TRUE: one-pass within 3% of exact,
+    * merged within 3% of exact, and |merged − one-pass| ≤ 1% of exact
+    * (the mode-conversion drift bound). At 100 TB the exact column
+    * drops away and the merged sketch IS the nightly distinct count —
+    * each shard ships ~2^12 registers, the union is register-wise.
+    *
+    * Scale shape: each shard's sketch is one partial+final aggregate
+    * over its split; the union aggregates S sketch blobs; no stage
+    * touches another shard's rows. Same probabilistic-bound triage
+    * note as q25: a data refresh can legitimately move an estimate —
+    * re-widen, don't debug.
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+    val shardSketches = (0 until 4).map(i =>
+        li.filter(col("l_orderkey") % 4 === i)
+          .groupBy(col("l_returnflag"))
+          .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk")))
+      .reduce(_ unionByName _)
+    val merged = shardSketches.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_m"))
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12))).as("est_1"))
+      .join(broadcast(merged), "l_returnflag")
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("est_1") - col("exact_parts")) <= col("exact_parts") * 0.03)
+          .as("onepass_within_bound"),
+        (abs(col("est_m") - col("exact_parts")) <= col("exact_parts") * 0.03)
+          .as("merged_within_bound"),
+        (abs(col("est_m") - col("est_1")) <= col("exact_parts") * 0.01)
+          .as("merge_drift_small"))
+  }
+
+  private val q53Sql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS onepass_within_bound,
+      |  TRUE AS merged_within_bound,
+      |  TRUE AS merge_drift_small
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
   /** q26: EXACT percentiles (nearest-rank p25/p50/p75) at scale — the
     * exact counterpart to q25's sketches, built on the same two-pass
     * range-partitioned global order as q20 (plans/GlobalOrder): no
@@ -416,5 +469,6 @@ object Relational3 extends QueryModule {
     QueryDef("q29_multiset_ops", q29, Some(q29Sql)),
     QueryDef("q30_outer_join", q30, Some(q30Sql)),
     QueryDef("q31_regex_funcs", q31, Some(q31Sql)),
+    QueryDef("q53_hll_merge", q53, Some(q53Sql)),
   )
 }
