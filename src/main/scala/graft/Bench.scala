@@ -18,22 +18,60 @@ package graft
   */
 object Bench {
 
-  /** The reported warm time from the three samples: median of the valid
-    * three; MIDPOINT of two when one run failed (neither lone sample
-    * deserves full trust — a spike can point either way); the lone
-    * survivor as-is; -1 when every run failed. Factored out so the
-    * selection rule is unit-testable (CoreSpec) — the round-7 artifact
-    * taught that the sample-selection rule IS the bench's credibility.
+  /** One query's measured record: reported warm median, cold (first)
+    * run, every warm sample (3, or 6 after a load escalation), the
+    * worst /proc/loadavg stamp observed while measuring, the
+    * canonicalized-plan fingerprint, and the `suspect` verdict — true
+    * when the harness itself distrusts the stamps (see [[isSuspect]]).
+    */
+  private[graft] case class QRec(warm: Double, cold: Double,
+      samples: Seq[Double], load: Double, fp: String, suspect: Boolean)
+
+  /** The reported warm time: MEDIAN of the valid samples (midpoint of
+    * the two middles on an even count — neither lone sample deserves
+    * full trust, a spike can point either way); -1 when every run
+    * failed. Generalized from exactly-3 so a load escalation can feed 6
+    * samples through the same rule. Factored out so the selection rule
+    * is unit-testable (CoreSpec) — the round-7 artifact taught that the
+    * sample-selection rule IS the bench's credibility.
     */
   private[graft] def combineWarm(samples: Seq[Double]): Double = {
     val valid = samples.filter(_ >= 0).sorted
-    valid.size match {
-      case 3 => valid(1)
-      case 2 => (valid(0) + valid(1)) / 2.0
-      case 1 => valid.head
-      case _ => -1.0
-    }
+    val n = valid.size
+    if (n == 0) -1.0
+    else if (n % 2 == 1) valid(n / 2)
+    else (valid(n / 2 - 1) + valid(n / 2)) / 2.0
   }
+
+  /** Max/min ratio of the valid samples (floored at 50 ms so micro-query
+    * jitter can't register as spread). 1.0 when fewer than two valid
+    * samples exist — a failure is the `errors` tripwire's job, not this
+    * one's.
+    */
+  private[graft] def spreadOf(samples: Seq[Double]): Double = {
+    val valid = samples.filter(_ >= 0)
+    if (valid.size < 2) 1.0
+    else valid.max / math.max(valid.min, 0.05)
+  }
+
+  /** Warm-sample spread above this after escalation ⇒ the median is
+    * polluted by something the harness can't control (round-12's p01:
+    * 24.2/9.8/2.4 s on an UNCHANGED plan — pure machine load).
+    */
+  private[graft] val SpreadMax = 3.0
+
+  /** The harness distrusts a query's record when the samples disagree
+    * by more than [[SpreadMax]] or the machine's 1-min loadavg reached
+    * the physical core count while measuring: either way, the number
+    * measures the MACHINE, not the plan. Suspect queries are still
+    * reported (their medians are the best available estimate) but are
+    * named in `load_suspect` and excluded from the delta/regression/
+    * leak tripwires — round 12's verdict: a harness whose headline
+    * flags need a human to adjudicate "probably noise" will eventually
+    * hide a real regression behind that habit.
+    */
+  private[graft] def isSuspect(samples: Seq[Double], load: Double, cores: Int): Boolean =
+    spreadOf(samples) > SpreadMax || (load >= 0 && load >= cores.toDouble)
 
   /** Driver-vs-local delta table (round-9 advice: make environment noise
     * separable from plan changes at a glance). Compares this run's warm
@@ -57,7 +95,7 @@ object Bench {
     * silently).
     */
   private[graft] def deltaVsRef(
-      results: Seq[(String, (Double, Double, Seq[Double], Double, String))],
+      results: Seq[(String, QRec)],
       sfDir: String, refPath: String): (String, Seq[String]) = {
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     try {
@@ -68,9 +106,13 @@ object Bench {
       if (new java.io.File(refSf).getName != new java.io.File(sfDir).getName) return ("[]", Nil)
       val refQ = node.get("queries")
       val refFp = node.get("plan_fp")
-      val movers = results.flatMap { case (name, (warm, _, _, _, fp)) =>
+      // load-suspect records never enter the table: their medians carry
+      // stamps the harness itself distrusts, and a delta built on them
+      // is exactly the round-12 pollution this field exists to prevent —
+      // they are named in `load_suspect` instead
+      val movers = results.flatMap { case (name, QRec(warm, _, _, _, fp, suspect)) =>
         val r = Option(refQ).flatMap(q => Option(q.get(name))).map(_.asDouble(-1.0)).getOrElse(-1.0)
-        if (warm <= 0 || r <= 0) None
+        if (suspect || warm <= 0 || r <= 0) None
         else {
           val ratio = warm / r
           if ((ratio > 2.0 || ratio < 0.5) && math.abs(warm - r) > 1.0) {
@@ -110,7 +152,7 @@ object Bench {
     *    queries contributed ~0 s in round 8 and nothing flagged them).
     */
   private[graft] def renderSummary(
-      results: Seq[(String, (Double, Double, Seq[Double], Double, String))],
+      results: Seq[(String, QRec)],
       sfDir: String, out: String, deltaJson: String = "[]",
       regressions: Seq[String] = Nil): (String, String) = {
     def inverted(warm: Double, cold: Double): Boolean =
@@ -118,22 +160,34 @@ object Bench {
     // 3-decimal times: ms resolution is below run-to-run noise, and the
     // shorter line matters — the driver captures a bounded tail of stdout.
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def map(sel: ((Double, Double, Seq[Double], Double, String)) => Double) = results
+    def map(sel: QRec => Double) = results
       .map { case (k, v) => "\"" + k + "\":" + fmt(sel(v)) }.mkString("{", ",", "}")
     val samplesMap = results
-      .map { case (k, v) => "\"" + k + "\":" + v._3.map(fmt).mkString("[", ",", "]") }
+      .map { case (k, v) => "\"" + k + "\":" + v.samples.map(fmt).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val fpMap = results
-      .map { case (k, v) => "\"" + k + "\":\"" + v._5 + "\"" }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
+      .map { case (k, v) => "\"" + k + "\":\"" + v.fp + "\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2.warm).filter(_ >= 0).sum
+    // the harness's own distrust list: escalated to 6 samples and STILL
+    // spread-polluted, or measured at core-saturating loadavg — these
+    // medians are reported but no tripwire (delta, regression, leak) is
+    // allowed to fire on them
+    val loadSuspect = results.collect { case (name, r) if r.suspect => name }
+    if (loadSuspect.nonEmpty)
+      System.err.println(s"[bench] ${loadSuspect.size} LOAD-SUSPECT records " +
+        s"(spread/loadavg beyond trust after escalation): ${loadSuspect.mkString(", ")}")
+    val suspectList = loadSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val warmExceedsCold = results.collect {
-      case (name, (warm, cold, _, _, _)) if inverted(warm, cold) => name
+      // a suspect's warm median is untrusted by definition — its
+      // warm>cold inversion is unattributable, so it lands in
+      // load_suspect, never in the leak list
+      case (name, QRec(warm, cold, _, _, _, false)) if inverted(warm, cold) => name
     }
     if (warmExceedsCold.nonEmpty)
       System.err.println(s"[bench] WARM>COLD LEAK SUSPECTS: ${warmExceedsCold.mkString(", ")}")
     val guard = warmExceedsCold.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = results.collect {
-      case (name, (warm, cold, _, _, _)) if warm < 0 || cold < 0 => name
+      case (name, r) if r.warm < 0 || r.cold < 0 => name
     }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED (-1.0 sentinel): ${failed.mkString(", ")}")
@@ -142,14 +196,14 @@ object Bench {
       System.err.println(
         s"[bench] ${regressions.size} PLAN REGRESSIONS (fp:diff ≥2x slower vs local ref): ${regressions.mkString(", ")}")
     val regList = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_._1)},"first_run":${map(_._2)},"warm_samples":$samplesMap,"load":${map(_._4)},"plan_fp":$fpMap,"warm_exceeds_cold":$guard,"errors":$errList,"regressions":$regList,"delta_vs_local":$deltaJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_.warm)},"first_run":${map(_.cold)},"warm_samples":$samplesMap,"load":${map(_.load)},"plan_fp":$fpMap,"warm_exceeds_cold":$guard,"errors":$errList,"regressions":$regList,"load_suspect":$suspectList,"delta_vs_local":$deltaJson,"sf":"$sfDir"}"""
     // The per-query maps (~5 KB at 97 queries) overflow the bounded
     // stdout tail the driver captures — all four rounds' BENCH files
     // show "parsed": null from the line being truncated mid-JSON. So the
     // full record goes to the output FILE (and to stdout first, for
     // humans), and a short self-contained summary line prints LAST so
     // the captured tail always ends in parseable JSON.
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"errors":$errList,"regressions":$regList,"delta_vs_local":$deltaJson,"queries_file":"$out","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"errors":$errList,"regressions":$regList,"load_suspect":$suspectList,"delta_vs_local":$deltaJson,"queries_file":"$out","sf":"$sfDir"}"""
     (full, compact)
   }
 
@@ -289,16 +343,31 @@ object Bench {
       // isolation), and retry-only-when-noisy still let one clean-looking
       // spike through as the number of record. Median of three tolerates
       // one spike in either direction; min would bias downward. When a
-      // sample FAILS (-1) it is excluded: median of the valid three,
-      // midpoint of two (neither lone sample deserves full trust), the
-      // lone survivor as-is, -1 if none.
-      val warmSamples = Seq(once(), once(), once())
+      // sample FAILS (-1) it is excluded from the median; -1 if none
+      // survive.
+      val first3 = Seq(once(), once(), once())
+      val load3 = loadAvg()
+      // ESCALATION (round-12 verdict #1): when the three samples spread
+      // beyond SpreadMax or the loadavg stamp reached the core count,
+      // the median is a coin flip — take three MORE samples and report
+      // the median of all six (a 6-sample median survives two spikes).
+      // If the full set is STILL spread-polluted, or load stayed
+      // saturated, the record is marked load-suspect: reported, but
+      // barred from every tripwire. Only measured work escalates —
+      // failures go to `errors`, not to more retries of a broken query.
+      val cores = Runtime.getRuntime.availableProcessors()
+      val escalate = first3.exists(_ >= 0) && isSuspect(first3, load3, cores)
+      val warmSamples = if (escalate) first3 ++ Seq(once(), once(), once()) else first3
+      val load = if (escalate) math.max(load3, loadAvg()) else load3
+      val suspect = escalate && isSuspect(warmSamples, load, cores)
+      if (suspect)
+        System.err.println(s"[bench] $name LOAD-SUSPECT after escalation: " +
+          s"samples=${warmSamples.map(v => f"$v%.2f").mkString(",")} load=$load")
       val warm = combineWarm(warmSamples)
-      val load = loadAvg()
       val fp =
         try { if (lastDf != null) planFp(lastDf) else "" }
         catch { case _: Throwable => "" }
-      name -> (warm, cold, warmSamples, load, fp)
+      name -> QRec(warm, cold, warmSamples, load, fp, suspect)
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val ref = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_local_ref.json")

@@ -121,29 +121,56 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(Bench.combineWarm(Seq(-1.0, 5.0, -1.0)) === 5.0)
     // all failed: report failure, never a fast-looking number
     assert(Bench.combineWarm(Seq(-1.0, -1.0, -1.0)) === -1.0)
+    // escalated 6-sample set: median of six (two spikes tolerated)
+    assert(Bench.combineWarm(Seq(1.0, 9.0, 1.2, 1.1, 24.0, 1.3)) === 1.25)
   }
 
-  test("bench summary: a planted failing query reddens BOTH JSON lines; leak guard flags") {
+  test("bench load escalation: spread/loadavg decide suspicion; failures don't register as spread") {
+    // the round-12 p01 artifact: 24.2/9.8/2.4 s on an unchanged plan —
+    // a 10x spread the harness must classify itself instead of leaving
+    // a human to adjudicate "probably noise"
+    assert(Bench.spreadOf(Seq(24.2, 9.8, 2.4)) > Bench.SpreadMax)
+    assert(Bench.spreadOf(Seq(1.0, 1.2, 1.1)) < Bench.SpreadMax)
+    // sub-50ms jitter never registers as spread (micro-query floor)
+    assert(Bench.spreadOf(Seq(0.001, 0.04)) === Bench.spreadOf(Seq(0.05, 0.04)))
+    // a failed sample is the errors tripwire's business, not spread's
+    assert(Bench.spreadOf(Seq(-1.0, 2.0)) === 1.0)
+    assert(Bench.isSuspect(Seq(24.2, 9.8, 2.4), 1.0, 32))
+    assert(!Bench.isSuspect(Seq(1.0, 1.2, 1.1), 1.0, 32))
+    // core-saturating loadavg is suspect even with tight samples
+    assert(Bench.isSuspect(Seq(1.0, 1.1, 1.2), 32.0, 32))
+    // a missing load stamp (-1) never triggers
+    assert(!Bench.isSuspect(Seq(1.0, 1.1, 1.2), -1.0, 32))
+  }
+
+  test("bench summary: a planted failing query reddens BOTH JSON lines; leak guard flags; suspects quarantined") {
     // the round-8 "done" bar: a -1.0 sentinel must never hide inside a
     // green-looking total — it is named in the full artifact AND the
     // compact tail line the driver captures
     val results = Seq(
-      "ok_query"   -> ((1.2, 2.0, Seq(1.1, 1.2, 1.3), 0.5, "aa")),
-      "boom_query" -> ((-1.0, -1.0, Seq(-1.0, -1.0, -1.0), 0.5, "")),
-      "leak_query" -> ((9.0, 2.0, Seq(9.0, 9.1, 8.9), 0.5, "bb")))
+      "ok_query"   -> Bench.QRec(1.2, 2.0, Seq(1.1, 1.2, 1.3), 0.5, "aa", suspect = false),
+      "boom_query" -> Bench.QRec(-1.0, -1.0, Seq(-1.0, -1.0, -1.0), 0.5, "", suspect = false),
+      "leak_query" -> Bench.QRec(9.0, 2.0, Seq(9.0, 9.1, 8.9), 0.5, "bb", suspect = false),
+      // warm>cold AND load-suspect: the inversion is unattributable —
+      // it must land in load_suspect, NOT in the leak list (round-12's
+      // es28/s25/s27 flags were exactly this shape)
+      "busy_query" -> Bench.QRec(9.0, 2.0, Seq(2.1, 9.0, 24.0, 9.0, 8.0, 30.0), 8.3, "cc",
+        suspect = true))
     val (full, compact) = Bench.renderSummary(results, "/sf", "out.json")
     for (line <- Seq(full, compact)) {
       assert(line.contains("\"errors\":[\"boom_query\"]"), line)
       assert(line.contains("\"warm_exceeds_cold\":[\"leak_query\"]"), line)
+      assert(line.contains("\"load_suspect\":[\"busy_query\"]"), line)
     }
     // failed queries contribute nothing to the total (never a negative)
-    assert(full.contains("\"value\":10.200"), full)
+    assert(full.contains("\"value\":19.200"), full)
     // clean results render empty tripwire lists, not absent fields
     val (cleanFull, cleanCompact) =
       Bench.renderSummary(results.take(1), "/sf", "out.json")
     for (line <- Seq(cleanFull, cleanCompact)) {
       assert(line.contains("\"errors\":[]"), line)
       assert(line.contains("\"warm_exceeds_cold\":[]"), line)
+      assert(line.contains("\"load_suspect\":[]"), line)
     }
   }
 }

@@ -205,17 +205,26 @@ class Round10Spec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("benchref").toFile
     val ref = new java.io.File(dir, "ref.json")
     java.nio.file.Files.writeString(ref.toPath,
-      """{"metric":"total","queries":{"qa":1.0,"qb":1.0,"qc":1.0,"qd":1.0},
-        |"plan_fp":{"qa":"aaa","qb":"bbb","qc":"ccc"},"sf":"/data/sf0.1"}""".stripMargin.replace("\n", ""))
+      """{"metric":"total","queries":{"qa":1.0,"qb":1.0,"qc":1.0,"qd":1.0,"qe":1.0},
+        |"plan_fp":{"qa":"aaa","qb":"bbb","qc":"ccc","qe":"eee"},"sf":"/data/sf0.1"}""".stripMargin.replace("\n", ""))
+    def rec(w: Double, fp: String, suspect: Boolean = false) =
+      Bench.QRec(w, w, Seq(w), 0.0, fp, suspect)
     val results = Seq(
-      "qa" -> (5.0, 5.0, Seq(5.0), 0.0, "aaa"),   // 5x slower, same plan -> env
-      "qb" -> (4.0, 4.0, Seq(4.0), 0.0, "xxx"),   // 4x slower, plan changed
-      "qc" -> (1.1, 1.1, Seq(1.1), 0.0, "ccc"),   // within noise -> absent
-      "qd" -> (3.0, 3.0, Seq(3.0), 0.0, "ddd"))   // mover, but ref has no fp
-    val (d, _) = Bench.deltaVsRef(results, "/elsewhere/sf0.1", ref.getAbsolutePath)
+      "qa" -> rec(5.0, "aaa"),   // 5x slower, same plan -> env
+      "qb" -> rec(4.0, "xxx"),   // 4x slower, plan changed
+      "qc" -> rec(1.1, "ccc"),   // within noise -> absent
+      "qd" -> rec(3.0, "ddd"),   // mover, but ref has no fp
+      // 9x mover whose record is LOAD-SUSPECT: the harness distrusts
+      // its own stamp, so the delta table must not carry it (round-12
+      // verdict #1: delta_vs_local never polluted by distrusted stamps)
+      "qe" -> rec(9.0, "xxx", suspect = true))
+    val (d, regs) = Bench.deltaVsRef(results, "/elsewhere/sf0.1", ref.getAbsolutePath)
     assert(d.contains(""""q":"qa"""") && d.contains(""""fp":"same""""), d)
     assert(d.contains(""""q":"qb"""") && d.contains(""""fp":"diff""""), d)
     assert(!d.contains("qc"), d)
+    // the suspect 9x fp-diff mover: neither a delta row nor a regression
+    assert(!d.contains("qe"), d)
+    assert(!regs.contains("qe"), regs.toString)
     // no reference fingerprint: never claim "diff" (a code-attribution
     // statement) - report unknown
     assert(d.contains(""""q":"qd"""") && d.contains(""""fp":"unknown""""), d)

@@ -207,9 +207,9 @@ class Round11Spec extends AnyFunSuite {
       """{"metric":"total","queries":{"qa":1.0,"qb":1.0,"qc":8.0},
         |"plan_fp":{"qa":"aaa","qb":"bbb","qc":"ccc"},"sf":"/data/sf0.1"}""".stripMargin.replace("\n", ""))
     val results = Seq(
-      "qa" -> (5.0, 5.0, Seq(5.0), 0.0, "zzz"), // 5x slower, plan CHANGED -> regression
-      "qb" -> (4.0, 4.0, Seq(4.0), 0.0, "bbb"), // 4x slower, same plan -> environmental
-      "qc" -> (2.0, 2.0, Seq(2.0), 0.0, "yyy")) // 4x FASTER, plan changed -> improvement
+      "qa" -> Bench.QRec(5.0, 5.0, Seq(5.0), 0.0, "zzz", suspect = false), // 5x slower, plan CHANGED -> regression
+      "qb" -> Bench.QRec(4.0, 4.0, Seq(4.0), 0.0, "bbb", suspect = false), // 4x slower, same plan -> environmental
+      "qc" -> Bench.QRec(2.0, 2.0, Seq(2.0), 0.0, "yyy", suspect = false)) // 4x FASTER, plan changed -> improvement
     val (deltaJson, regs) = Bench.deltaVsRef(results, "/x/sf0.1", ref.getAbsolutePath)
     assert(regs === Seq("qa"), s"regressions: $regs\n$deltaJson")
     val (full, compact) = Bench.renderSummary(results, "/x/sf0.1", "out.json", deltaJson, regs)
