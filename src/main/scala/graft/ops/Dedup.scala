@@ -1292,15 +1292,24 @@ object Dedup extends QueryModule {
     *
     * Scale shape: the gram stream is corpus tokens × 1 (each position
     * opens one gram — row-local generate, no shuffle); the dup-gram
-    * set is one (gram) hash aggregate with map-side combine (at 100 TB
-    * the gram key would be its [[OracleSql.hex60]] hash — the string
-    * itself here keeps the oracle byte-transparent); marking is an
-    * equi-join on gram; the island windows partition BY DOC (bounded
-    * by document length, never corpus-sized). No all-pairs stage
-    * exists — this is d12's linear shape at overlapping granularity.
+    * set is one hash aggregate with map-side combine over the gram's
+    * 60-BIT HASH (the shared md5 fold, [[Sampling.hash60]] /
+    * [[OracleSql.hex60]]): every downstream consumer — the ≥2-docs
+    * aggregate and the mark semi-join — needs only EQUALITY of grams,
+    * so shipping the ~60-byte token string through the exchange is
+    * pure shuffle weight; the 8-byte key cuts it ~7× at any corpus
+    * size. Collisions would need two distinct grams sharing a 60-bit
+    * md5 prefix (~n²/2^61 for n distinct grams — at 10^12 grams still
+    * ≪1 expected); the hashed≡string law is pinned in Round13Spec on
+    * real and planted corpora, and the oracle mirrors the hash with
+    * hex60 (d04's precedent). Marking is an equi-join on the hash; the
+    * island windows partition BY DOC (bounded by document length,
+    * never corpus-sized). No all-pairs stage exists — this is d12's
+    * linear shape at overlapping granularity.
     *
-    * Determinism: grams are exact strings; positions/run arithmetic is
-    * all-integer; per-doc zero-fill via left join mirrored in SQL.
+    * Determinism: the key is an exact md5-prefix integer; positions/run
+    * arithmetic is all-integer; per-doc zero-fill via left join
+    * mirrored in SQL.
     */
   /** The overlapping [[SpanGram]]-token gram stream of a (doc_id,
     * text) frame: (doc_id, gpos, gram) — a row-local generate, no
@@ -1315,6 +1324,20 @@ object Dedup extends QueryModule {
         posexplode(transform(sequence(lit(1), size(col("w")) - (SpanGram - 1)),
           i => concat_ws(" ", slice(col("w"), i, lit(SpanGram))))).as(Seq("p0", "gram")))
       .select(col("doc_id"), (col("p0") + 1).as("gpos"), col("gram"))
+
+  /** The gram stream re-keyed for the EXCHANGE: (doc_id, gpos, gk)
+    * where gk is the gram's shared 60-bit md5 fold when `hashed` (the
+    * 100 TB key — 8 bytes instead of the ~60-byte token string) or the
+    * raw string otherwise (kept so the Round13Spec law test can prove
+    * hashed islands ≡ string islands on the same machinery). The
+    * projection is row-local and drops the string BEFORE any shuffle.
+    */
+  private[graft] def gramKeyed(docs: DataFrame, hashed: Boolean): DataFrame = {
+    val g = gramStream(docs)
+    if (hashed)
+      g.select(col("doc_id"), col("gpos"), Sampling.hash60(col("gram")).as("gk"))
+    else g.select(col("doc_id"), col("gpos"), col("gram").as("gk"))
+  }
 
   /** Maximal consecutive runs of marked gram positions per doc — the
     * gaps-and-islands window (partitioned BY DOC, bounded by document
@@ -1340,16 +1363,22 @@ object Dedup extends QueryModule {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("max_span"), lit(0L)).as("max_span"))
 
-  private def d25(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val grams = gramStream(docs).persist()
-    val dup = grams.groupBy(col("gram"))
+  /** d25's whole pipeline over an arbitrary (doc_id, text) frame with
+    * an injectable key mode — the law test runs both modes and asserts
+    * byte-identical reports.
+    */
+  private[graft] def dupSpans(docs: DataFrame, hashed: Boolean): DataFrame = {
+    val grams = gramKeyed(docs, hashed).persist()
+    val dup = grams.groupBy(col("gk"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
-      .select(col("gram"))
+      .select(col("gk"))
     spanReport(docs.select(col("doc_id")),
-      islandSpans(grams.join(dup, Seq("gram"), "left_semi")))
+      islandSpans(grams.join(dup, Seq("gk"), "left_semi")))
   }
+
+  private def d25(s: SparkSession, dir: String): DataFrame =
+    dupSpans(Tables.documents(s, dir), hashed = true)
 
   /** The gram-stream CTEs (wd, g) and the islands→report tail (isl,
     * sp, agg) shared by d25's and d26/es28's oracles; the `mk` CTE
@@ -1364,7 +1393,9 @@ object Dedup extends QueryModule {
        |    unnest(range(1, len(w) - ${SpanGram - 2})) AS gpos,
        |    unnest(list_transform(range(1, len(w) - ${SpanGram - 2}),
        |      i -> array_to_string(w[i:i+${SpanGram - 1}], ' '))) AS gram
-       |  FROM wd WHERE len(w) >= $SpanGram)""".stripMargin
+       |  FROM wd WHERE len(w) >= $SpanGram),
+       |gx AS (
+       |  SELECT doc_id, gpos, ${OracleSql.hex60("gram")} AS gk FROM g)""".stripMargin
 
   private val spanTailCtes =
     s"""isl AS (
@@ -1380,8 +1411,8 @@ object Dedup extends QueryModule {
 
   private val d25Sql =
     s"""WITH $spanGramCtes,
-       |dup AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
-       |mk AS (SELECT g.doc_id, g.gpos FROM g JOIN dup USING (gram)),
+       |dup AS (SELECT gk FROM gx GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |mk AS (SELECT gx.doc_id, gx.gpos FROM gx JOIN dup USING (gk)),
        |$spanTailCtes
        |SELECT d.doc_id,
        |  coalesce(agg.n_spans, 0) AS n_spans,
@@ -1399,19 +1430,27 @@ object Dedup extends QueryModule {
     * (refreshed between runs by appending the delta's grams — a
     * distinct-union, the d23 seam). es28 is the live twin.
     */
-  private def d26(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** d26's whole pipeline with an injectable key mode (the Round13Spec
+    * law test's second subject). The corpus gram index carries only the
+    * 8-byte hash in the hashed mode — at 100 TB that IS the stored
+    * index, ~7× smaller than the string set.
+    */
+  private[graft] def seamSpans(docs: DataFrame, hashed: Boolean): DataFrame = {
     val isDelta = col("doc_id") % 10 === 0
-    val corpusGrams = gramStream(docs.filter(!isDelta)).select(col("gram")).distinct()
+    val corpusGrams = gramKeyed(docs.filter(!isDelta), hashed)
+      .select(col("gk")).distinct()
     spanReport(docs.filter(isDelta).select(col("doc_id")),
-      islandSpans(gramStream(docs.filter(isDelta))
-        .join(corpusGrams, Seq("gram"), "left_semi")))
+      islandSpans(gramKeyed(docs.filter(isDelta), hashed)
+        .join(corpusGrams, Seq("gk"), "left_semi")))
   }
+
+  private def d26(s: SparkSession, dir: String): DataFrame =
+    seamSpans(Tables.documents(s, dir), hashed = true)
 
   private[graft] val d26Sql =
     s"""WITH $spanGramCtes,
-       |cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 <> 0),
-       |mk AS (SELECT g.doc_id, g.gpos FROM g JOIN cg USING (gram) WHERE g.doc_id % 10 = 0),
+       |cg AS (SELECT DISTINCT gk FROM gx WHERE doc_id % 10 <> 0),
+       |mk AS (SELECT gx.doc_id, gx.gpos FROM gx JOIN cg USING (gk) WHERE gx.doc_id % 10 = 0),
        |$spanTailCtes
        |SELECT d.doc_id,
        |  coalesce(agg.n_spans, 0) AS n_spans,

@@ -54,6 +54,17 @@ object Zorder {
       .drop("__zva", "__zvb", "__mna", "__mxa", "__mnb", "__mxb")
   }
 
+  /** The bin basis a z-order layout was WRITTEN with. The read path's
+    * pruning predicate must bin the query box with exactly these bounds
+    * — a caller re-deriving them from memory (or from a table that has
+    * since grown) silently mis-bins and mis-prunes, which is why
+    * [[write]] persists this record as a `_zorder_manifest.json`
+    * sidecar next to the files and [[loadManifest]] reads it back.
+    */
+  case class ZManifest(mna: Long, mxa: Long, mnb: Long, mxb: Long, zbits: Int)
+
+  private val ManifestFile = "_zorder_manifest.json"
+
   /** Physically z-order `df` on `(aCol, bCol)` into `shards` range-
     * clustered parquet files under `path`. Every output file holds a
     * contiguous slice of the Morton curve (range bounds sampled by
@@ -63,11 +74,55 @@ object Zorder {
     * asserts and the p28 manifest plans for. The `ba`/`bb`/`z` columns
     * ride along in the output: `z` documents the layout and gives a
     * reader a directly range-prunable 1-D key for 2-D boxes.
+    *
+    * The writer-side min/max pass lands on the driver as FOUR longs
+    * (one tiny aggregate — the p07 two-pass contract), which makes the
+    * bins literal constants in the write plan AND gives the sidecar its
+    * contents: the returned [[ZManifest]] is also persisted as
+    * `_zorder_manifest.json` under `path` (underscore-prefixed, so
+    * parquet readers ignore it), closing the round-12 gap where
+    * [[boxPruningPredicate]] trusted whatever bounds the caller
+    * remembered.
     */
   def write(df: DataFrame, path: String, aCol: Column, bCol: Column,
-            shards: Int, maxRecordsPerFile: Long = 1000000L): Unit =
+            shards: Int, maxRecordsPerFile: Long = 1000000L): ZManifest = {
+    val in = df
+      .withColumn("__zva", aCol.cast("long"))
+      .withColumn("__zvb", bCol.cast("long"))
+    val r = in.agg(
+      min(col("__zva")), max(col("__zva")),
+      min(col("__zvb")), max(col("__zvb"))).head
+    val m = ZManifest(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), ZBits)
+    def bin(cn: String, mn: Long, mx: Long): Column =
+      if (mx > mn) expr(s"(($cn - $mn) * $ZGrid) DIV ${mx - mn + 1}")
+      else lit(0L)
+    val binned = in
+      .withColumn("ba", bin("__zva", m.mna, m.mxa))
+      .withColumn("bb", bin("__zvb", m.mnb, m.mxb))
+    val z = (0 until ZBits).map { i =>
+      shiftright(col("ba"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(col("bb"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
     graft.sources.ShardWriter.writeClustered(
-      withZ(df, aCol, bCol), path, Seq(col("z")), shards, maxRecordsPerFile)
+      binned.withColumn("z", z).drop("__zva", "__zvb"),
+      path, Seq(col("z")), shards, maxRecordsPerFile)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, ManifestFile),
+      s"""{"mna":${m.mna},"mxa":${m.mxa},"mnb":${m.mnb},"mxb":${m.mxb},"zbits":${m.zbits}}""")
+    m
+  }
+
+  /** The bin basis persisted by [[write]] — the read path's source of
+    * truth for [[boxPruningPredicate]]'s writer bounds.
+    */
+  def loadManifest(path: String): ZManifest = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(path, ManifestFile))
+    require(node.get("zbits").asInt == ZBits,
+      s"layout written with zbits=${node.get("zbits").asInt}, reader uses $ZBits")
+    ZManifest(node.get("mna").asLong, node.get("mxa").asLong,
+      node.get("mnb").asLong, node.get("mxb").asLong, node.get("zbits").asInt)
+  }
 
   /** The Morton code of one (binA, binB) cell — the Scala twin of the
     * column-expression interleave in [[withZ]].
@@ -90,6 +145,9 @@ object Zorder {
     */
   private[graft] def zRanges(a0: Long, a1: Long, b0: Long, b1: Long,
                              maxRanges: Int = 64): Seq[(Long, Long)] = {
+    // maxRanges = 0 would coalesce to a single run and then MatchError
+    // inside the sliding window — fail with the contract, not a crash
+    require(maxRanges >= 1, s"maxRanges must be >= 1, got $maxRanges")
     require(a0 <= a1 && b0 <= b1 && a0 >= 0 && b0 >= 0 &&
       a1 < ZGrid && b1 < ZGrid, s"bin box out of the ${ZGrid}x$ZGrid grid")
     val codes = for (ba <- a0 to a1; bb <- b0 to b1) yield interleave(ba, bb)
@@ -120,11 +178,26 @@ object Zorder {
   def boxPruningPredicate(zCol: Column,
                           mna: Long, mxa: Long, mnb: Long, mxb: Long,
                           aLo: Long, aHi: Long, bLo: Long, bHi: Long): Column = {
+    // a query box that misses the written data's value range entirely is
+    // a legitimately EMPTY query: prune everything (the clamped corners
+    // would otherwise invert and zRanges would reject the bin box)
+    if (aHi < mna || aLo > mxa || bHi < mnb || bLo > mxb) return lit(false)
     def bin(v: Long, mn: Long, mx: Long): Long =
       if (mx > mn) (v - mn) * ZGrid / (mx - mn + 1) else 0L
     val ranges = zRanges(
       bin(aLo.max(mna), mna, mxa), bin(aHi.min(mxa), mna, mxa),
       bin(bLo.max(mnb), mnb, mxb), bin(bHi.min(mxb), mnb, mxb))
     ranges.map { case (lo, hi) => zCol.between(lit(lo), lit(hi)) }.reduce(_ || _)
+  }
+
+  /** [[boxPruningPredicate]] against the PERSISTED bin basis — the read
+    * path that cannot mis-prune: the bounds come from the layout's own
+    * sidecar ([[loadManifest]]), not from whatever the caller remembers
+    * about the table at some earlier time.
+    */
+  def boxPruningPredicate(path: String, zCol: Column,
+                          aLo: Long, aHi: Long, bLo: Long, bHi: Long): Column = {
+    val m = loadManifest(path)
+    boxPruningPredicate(zCol, m.mna, m.mxa, m.mnb, m.mxb, aLo, aHi, bLo, bHi)
   }
 }

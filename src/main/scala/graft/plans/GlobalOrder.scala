@@ -55,9 +55,12 @@ object GlobalOrder {
     val ranged = df.repartitionByRange(order: _*)
       .withColumn(Pid, spark_partition_id())
       .persist()
+    // guard BEFORE the collect: the partition count is known from the
+    // plan, and tripping after materialization would document a ceiling
+    // the driver heap already paid for (round-12 advice)
+    checkDriverBound(ranged.rdd.getNumPartitions, "withGlobalRowNumber")
     val counts = ranged.groupBy(col(Pid)).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    checkDriverBound(counts.length, "withGlobalRowNumber")
     val total = counts.map(_._2).sum
     val offsets: Map[Int, Long] =
       counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
@@ -84,9 +87,11 @@ object GlobalOrder {
       .repartitionByRange(order: _*)
       .withColumn(Pid, spark_partition_id())
       .persist()
+    // same pre-collect guard as withGlobalRowNumber: trip on the plan's
+    // partition count, before the driver-side materialization
+    checkDriverBound(ranged.rdd.getNumPartitions, "withGlobalRunningSum")
     val partials = ranged.groupBy(col(Pid)).agg(sum(col(v)).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    checkDriverBound(partials.length, "withGlobalRunningSum")
     val offsets: Map[Int, Long] =
       partials.map(_._1).zip(partials.map(_._2).scanLeft(0L)(_ + _)).toMap
     val w = Window.partitionBy(col(Pid)).orderBy(order: _*)

@@ -280,6 +280,103 @@ object Relational3 extends QueryModule {
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin
 
+  /** q54: the HEAVY-HITTERS merge law — the last member of the sketch
+    * family (q25 HLL/quantile contracts, q53 HLL union, d24 MinHash
+    * min-merge): per-shard bounded top-k summaries in the
+    * Misra–Gries/SpaceSaving style, merged WITHOUT any shard re-reading
+    * another's rows, contract-gated against the exact q23-style counts.
+    *
+    * The summary is the deterministic mergeable form (Agarwal et al.,
+    * "Mergeable Summaries", PODS'12): each shard keeps its top-
+    * [[HhCap]] words by EXACT in-shard count (ties broken on the word)
+    * plus one error scalar ε_s = the largest dropped count. Merging
+    * sums the kept counts; a word's estimate `est` under-counts by at
+    * most Σ ε_s over the shards that dropped it — so for every true
+    * heavy hitter: est ≤ exact ≤ est + bound, and any word with
+    * exact > Σ ε_s is guaranteed kept somewhere. Those three
+    * inequalities ARE the emitted contract (q25's style: the oracle
+    * pins exact columns byte-for-byte and the law booleans TRUE); the
+    * shard-count replay invariance is pinned in Round13Spec.
+    *
+    * Scale shape: per-shard counts are one map-side-combined aggregate;
+    * the per-shard top-k window runs over the AGGREGATED (shard, word)
+    * frame partitioned by shard (vocabulary-bounded — Heaps-law sized,
+    * not corpus-sized; the production form at extreme vocabularies is
+    * a bounded-memory TopK aggregator, s01's machinery); the merged
+    * summary is ≤ shards×[[HhCap]] rows, broadcast back onto the
+    * exact top-[[HhK]]. At 100 TB the exact leg drops away and the
+    * merged summary IS the nightly top-k — each shard ships HhCap
+    * (word, count) pairs + one ε, nothing else crosses shards.
+    *
+    * Determinism: counts and ε are exact integers, every rank ties on
+    * the word — both the summary and the booleans are reproducible on
+    * any shard count, which is exactly what the law test replays.
+    */
+  private val HhShards = 4
+  private val HhCap    = 16 // per-shard summary capacity (vocab here is ~31)
+  private val HhK      = 10 // heavy hitters reported
+
+  /** The whole pipeline with an injectable shard count — Round13Spec
+    * replays it at S ∈ {1, 2, 8} and asserts the contract booleans
+    * hold on every split (d24's shard-invariance discipline).
+    */
+  private[graft] def heavyHitterReport(docs: DataFrame, shards: Int): DataFrame = {
+    val words = docs
+      .select((col("doc_id") % shards).as("shard"),
+        explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+    val perShard = words.groupBy(col("shard"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("cnt").desc, col("word"))
+    // two consumers (kept summary + dropped-side ε): persist the ranked
+    // frame so the corpus aggregate runs once
+    val ranked = perShard.withColumn("rn", row_number().over(w)).persist()
+    val kept = ranked.filter(col("rn") <= HhCap)
+    val eps = ranked.groupBy(col("shard"))
+      .agg(max(when(col("rn") > HhCap, col("cnt")).otherwise(lit(0L))).as("eps"))
+    val epsTotal = eps.agg(sum(col("eps")).as("eps_total"))
+    // bound(word) = Σ ε over the shards that did NOT keep the word
+    //             = eps_total − Σ ε over the shards that did
+    val summary = kept.join(broadcast(eps), "shard")
+      .groupBy(col("word"))
+      .agg(sum(col("cnt")).as("est"), sum(col("eps")).as("eps_kept"))
+      .crossJoin(broadcast(epsTotal))
+      .select(col("word"), col("est"),
+        (col("eps_total") - col("eps_kept")).as("bound"))
+    val exactTop = words.groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("word")).limit(HhK)
+    // rank window over the LIMIT-capped 10-row frame (lint-silent)
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("exact_cnt").desc, col("word"))
+    exactTop.withColumn("rk", row_number().over(wr).cast("long"))
+      .join(broadcast(summary), Seq("word"), "left_outer")
+      .select(col("word"), col("exact_cnt"), col("rk"),
+        col("est").isNotNull.as("found_in_summary"),
+        coalesce(col("est") <= col("exact_cnt"), lit(false)).as("underestimate_ok"),
+        coalesce(col("exact_cnt") <= col("est") + col("bound"), lit(false))
+          .as("within_bound"))
+  }
+
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    heavyHitterReport(documents(s, dir), HhShards)
+
+  private val q54Sql =
+    s"""WITH w AS (
+       |  SELECT word, count(*) AS exact_cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) > 0
+       |  GROUP BY 1)
+       |SELECT word, exact_cnt, rk,
+       |  TRUE AS found_in_summary,
+       |  TRUE AS underestimate_ok,
+       |  TRUE AS within_bound
+       |FROM (
+       |  SELECT word, exact_cnt,
+       |    CAST(row_number() OVER (ORDER BY exact_cnt DESC, word) AS BIGINT) AS rk
+       |  FROM w)
+       |WHERE rk <= $HhK""".stripMargin
+
   /** q26: EXACT percentiles (nearest-rank p25/p50/p75) at scale — the
     * exact counterpart to q25's sketches, built on the same two-pass
     * range-partitioned global order as q20 (plans/GlobalOrder): no
@@ -470,5 +567,6 @@ object Relational3 extends QueryModule {
     QueryDef("q30_outer_join", q30, Some(q30Sql)),
     QueryDef("q31_regex_funcs", q31, Some(q31Sql)),
     QueryDef("q53_hll_merge", q53, Some(q53Sql)),
+    QueryDef("q54_heavy_hitters", q54, Some(q54Sql)),
   )
 }

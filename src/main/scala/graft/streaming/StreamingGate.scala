@@ -955,7 +955,12 @@ object StreamingGate extends QueryModule {
     val isDelta = col("vec_id") % 10 === 0
     val (corpus, gArr) = graft.ops.Similarity.trainedGroupArray(
       graft.ops.Similarity.vecs(s, dir).filter(!isDelta))
-    gArr.count() // freeze the codebook before the stream starts
+    // freeze the codebook before the stream starts: persist THIS frame
+    // (one nested-array row) and materialize it — count() alone only
+    // caches the trainer's corpus lineage, so every micro-batch would
+    // re-run the K-row groupArray aggregate and re-broadcast it
+    // (round-12 advice); deterministic either way, wasteful without
+    gArr.persist().count()
     val base = java.nio.file.Files.createTempDirectory("graft-es26")
     try runDocBatchStream(s, readEmbeddings(s, dir).filter(isDelta),
         s"$base/out", s"$base/ckpt", Seq("vec_id", "cell"))(
@@ -1011,23 +1016,25 @@ object StreamingGate extends QueryModule {
     * arrival is already in my corpus, in how long a run".
     *
     * Scale shape: stateless stream; per-batch work ∝ batch grams; the
-    * gram index is probed by equi-join only (at 100 TB the join key
-    * becomes the shared 60-bit hash — d25's note); index refresh
-    * between runs is a distinct-union append (the d23 seam).
+    * gram index stores and probes the shared 60-BIT HASH of each gram
+    * (d25's key rule — 8 bytes against the ~60-byte string, and the
+    * per-batch mark join ships hashes only); index refresh between
+    * runs is a distinct-union append (the d23 seam).
     */
   private def es28(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val isDelta = col("doc_id") % 10 === 0
-    val corpusGrams = graft.ops.Dedup.gramStream(
-      graft.core.Tables.documents(s, dir).filter(!isDelta))
-      .select(col("gram")).distinct().persist()
+    val corpusGrams = graft.ops.Dedup.gramKeyed(
+      graft.core.Tables.documents(s, dir).filter(!isDelta), hashed = true)
+      .select(col("gk")).distinct().persist()
     corpusGrams.count() // materialize the gram index before ingest starts
     val base = java.nio.file.Files.createTempDirectory("graft-es28")
     try runDocBatchStream(s, readDocuments(s, dir).filter(isDelta),
         s"$base/out", s"$base/ckpt", Seq("doc_id", "n_spans", "max_span"))(
         batch => graft.ops.Dedup.spanReport(batch.select(col("doc_id")),
-          graft.ops.Dedup.islandSpans(graft.ops.Dedup.gramStream(batch)
-            .join(corpusGrams, Seq("gram"), "left_semi"))))
+          graft.ops.Dedup.islandSpans(
+            graft.ops.Dedup.gramKeyed(batch, hashed = true)
+              .join(corpusGrams, Seq("gk"), "left_semi"))))
       .localCheckpoint()
     finally org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
   }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 regression pins: the hashed-gram-key span-dedup law, the
+  * z-order manifest sidecar, and the pruning-predicate edge cases.
+  */
+class Round13Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- span-dedup key law ------------------------------------------------
+
+  test("span-dedup law: hashed gram keys produce byte-identical islands to string keys") {
+    import graft.ops.Dedup
+    // 1) the real corpus, both pipelines (d25 corpus-wide, d26 seam)
+    val docs = graft.core.Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      val dupH = rows(Dedup.dupSpans(docs, hashed = true))
+      val dupS = rows(Dedup.dupSpans(docs, hashed = false))
+      assert(dupH.exists(_._2 > 0), "corpus must contain duplicated spans")
+      assert(dupH === dupS, "d25: hashed-key islands diverged from string-key islands")
+      val seamH = rows(Dedup.seamSpans(docs, hashed = true))
+      val seamS = rows(Dedup.seamSpans(docs, hashed = false))
+      assert(seamH === seamS, "d26: hashed-key islands diverged from string-key islands")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  test("span-dedup law on a planted corpus: exact island geometry, both key modes") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // SpanGram = 8. doc 1: tokens a0..a19; doc 2: a unique prefix of 4
+    // tokens, then a VERBATIM 12-token quote of doc 1 (a5..a16), then 4
+    // unique tokens; doc 3: all-unique. Shared grams are exactly doc 1
+    // positions 6..10 (5 grams, 1-based: windows fully inside a5..a16)
+    // and doc 2 positions 5..9 — one island each, span_tokens = 5+7 = 12.
+    val a = (0 until 20).map(i => s"a$i")
+    val quote = a.slice(5, 17) // a5..a16, 12 tokens
+    val d1 = a.mkString(" ")
+    val d2 = ((0 until 4).map(i => s"b$i") ++ quote ++ (4 until 8).map(i => s"b$i")).mkString(" ")
+    val d3 = (0 until 20).map(i => s"c$i").mkString(" ")
+    val synth = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    try {
+      val want = Set((1L, 1L, 12L), (2L, 1L, 12L), (3L, 0L, 0L))
+      for (hashed <- Seq(true, false)) {
+        val got = Dedup.dupSpans(synth, hashed).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === want, s"hashed=$hashed: $got")
+      }
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  // ---- q54 heavy-hitters merge law ----------------------------------------
+
+  test("q54 shard invariance: the merge contract holds at S = 1, 2, 8 and the exact side never moves") {
+    // d24's replay discipline for the Misra–Gries-style summary: the
+    // ESTIMATES may move with the shard split (different truncations),
+    // but est <= exact <= est + bound must hold on every split, every
+    // true heavy hitter must be found, and the exact columns are
+    // split-independent by construction
+    val docs = graft.core.Tables.documents(spark, dir)
+    try {
+      val bySplit = Seq(1, 2, 8).map { s =>
+        s -> graft.queries.Relational3.heavyHitterReport(docs, s).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+      }
+      for ((s, rows) <- bySplit) {
+        assert(rows.length === 10, s"S=$s: expected 10 heavy hitters")
+        for ((word, _, _, found, under, within) <- rows) {
+          assert(found, s"S=$s: $word missing from the merged summary")
+          assert(under, s"S=$s: $word estimate exceeds the exact count")
+          assert(within, s"S=$s: $word exact count outside est + bound")
+        }
+      }
+      val exactSides = bySplit.map(_._2.map(t => (t._1, t._2, t._3)).toSet)
+      assert(exactSides.distinct.size === 1,
+        "the exact top-k must be identical under every shard split")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  // ---- z-order manifest sidecar ------------------------------------------
+
+  test("zorder sidecar: write persists the bin basis; stale caller bounds are the hazard it closes") {
+    import graft.ops.Zorder
+    // value range deliberately NOT 0..255: bins depend on min/max, so a
+    // caller who assumes the wrong range mis-bins the box
+    val df = spark.range(256L * 256)
+      .selectExpr("1000 + id DIV 256 AS a", "2000 + 2 * (id % 256) AS b")
+    val root = java.nio.file.Files.createTempDirectory("graft_zman").toFile
+    try {
+      val m = Zorder.write(df, root.getAbsolutePath, col("a"), col("b"), shards = 16)
+      // round-trip: the sidecar IS the returned basis
+      assert(Zorder.loadManifest(root.getAbsolutePath) === m)
+      assert(m.mna === 1000L && m.mxa === 1255L && m.mnb === 2000L && m.mxb === 2510L)
+      val back = spark.read.parquet(root.getAbsolutePath)
+      val box = col("a").between(1096, 1111) && col("b").between(2192, 2223)
+      val exact = back.filter(box).count()
+      assert(exact === 16L * 16, "sanity: the box holds one row per cell")
+      // manifest-based read path: prune + exact residual == plain box
+      val viaManifest = back.filter(
+        Zorder.boxPruningPredicate(root.getAbsolutePath, col("z"),
+          1096, 1111, 2192, 2223) && box).count()
+      assert(viaManifest === exact)
+      // the regression this sidecar closes: STALE bounds (say the caller
+      // remembers a 0-based, wider range — the table "grew since") bin
+      // the box into the wrong z cells and silently DROP rows when
+      // ANDed with the exact predicate
+      val stale = back.filter(
+        Zorder.boxPruningPredicate(col("z"), 0, 2000, 0, 4000,
+          1096, 1111, 2192, 2223) && box).count()
+      assert(stale < exact,
+        s"stale bounds should mis-prune in this geometry (got $stale of $exact) — " +
+          "if this ever equals exact, the fixture no longer demonstrates the hazard")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
+
+  test("zorder pruning edges: disjoint query box prunes everything; maxRanges >= 1 enforced") {
+    import graft.ops.Zorder
+    val df = spark.range(64).selectExpr("id AS a", "id AS b")
+    val root = java.nio.file.Files.createTempDirectory("graft_zedge").toFile
+    try {
+      Zorder.write(df, root.getAbsolutePath, col("a"), col("b"), shards = 4)
+      val back = spark.read.parquet(root.getAbsolutePath)
+      // a box entirely OUTSIDE the written value range is a legitimately
+      // empty query: lit(false), not a zRanges require-crash
+      val n = back.filter(Zorder.boxPruningPredicate(
+        root.getAbsolutePath, col("z"), 100, 200, 0, 63)).count()
+      assert(n === 0L)
+      intercept[IllegalArgumentException] {
+        Zorder.zRanges(0, 1, 0, 1, maxRanges = 0)
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(root)
+  }
+}
