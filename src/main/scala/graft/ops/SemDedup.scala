@@ -259,8 +259,15 @@ object SemDedup extends QueryModule {
       .persist()
   }
 
-  private def d08(s: SparkSession, dir: String): DataFrame = {
-    val base = Similarity.vecs(s, dir).persist()
+  /** The whole d08 pipeline over an arbitrary population: `seedIds`
+    * seeds the connected-components (every id gets a cluster row even
+    * when zero-norm-excluded from `base0`), `base0` is the (vec_id, v,
+    * nrm) population. Factored so d27 can run the IDENTICAL pipeline
+    * over corpus ∪ planted-hot-family and certify the refinement path
+    * cross-engine every round.
+    */
+  private[graft] def clustersOf(seedIds: DataFrame, base0: DataFrame): DataFrame = {
+    val base = base0.persist()
     // one count() drives K — the only driver action; deterministic, so
     // the oracle can rebuild the same K from its own count(*)
     val n = base.count()
@@ -292,12 +299,14 @@ object SemDedup extends QueryModule {
     refined.unpersist(blocking = false)
     assign.unpersist(blocking = false)
     base.unpersist(blocking = false)
-    Graph.connectedComponents(
-        Tables.embeddings(s, dir).select(col("vec_id")),
-        pairs.select(col("ida"), col("idb")))
+    Graph.connectedComponents(seedIds, pairs.select(col("ida"), col("idb")))
       .select(col("id").as("vec_id"), col("comp").as("cluster_id"),
         (col("id") === col("comp")).cast("long").as("kept"))
   }
+
+  private def d08(s: SparkSession, dir: String): DataFrame =
+    clustersOf(Tables.embeddings(s, dir).select(col("vec_id")),
+      Similarity.vecs(s, dir))
 
   // K and the membership thresholds count FROM n — the zero-norm-
   // FILTERED population, the same frame the Spark side counts via
@@ -339,8 +348,12 @@ object SemDedup extends QueryModule {
     * (within-chunk plus adjacent-chunk, (least, greatest)-normalized),
     * transitive closure via recursive CTE.
     */
-  private val d08Sql =
-    s"""WITH RECURSIVE ${Similarity.oracleVecs},
+  /** The d08 oracle chain over an injectable population (`popCtes`
+    * must define CTEs `v` and `n`) and CC seed set — d27 splices the
+    * corpus ∪ planted union through the LITERAL same chain.
+    */
+  private def d08SqlOn(popCtes: String, seedsSql: String): String =
+    s"""WITH RECURSIVE $popCtes,
        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
        |      WHERE ${OracleSql.hex60("CAST(vec_id AS VARCHAR)")} < ${threshSql(kSqlExpr)}),
        |g AS (SELECT vec_id AS gid, v AS gv, nrm AS gnrm FROM n
@@ -406,12 +419,69 @@ object SemDedup extends QueryModule {
        |    JOIN n x ON least(a.vec_id, b.vec_id) = x.vec_id
        |    JOIN n y ON greatest(a.vec_id, b.vec_id) = y.vec_id)
        |  WHERE sim >= $Threshold),
-       |${Graph.ccSqlCtes("pr", "SELECT vec_id, vec_id FROM embeddings")}
+       |${Graph.ccSqlCtes("pr", seedsSql)}
        |SELECT id AS vec_id, min(comp) AS cluster_id,
        |  CAST(id = min(comp) AS BIGINT) AS kept
        |FROM walk GROUP BY id""".stripMargin
 
+  private val d08Sql =
+    d08SqlOn(Similarity.oracleVecs, "SELECT vec_id, vec_id FROM embeddings")
+
+  // ---- d27: the refinement path, permanently gate-certified ------------
+
+  /** d27: d08 over corpus ∪ a PLANTED hot family — [[HotN]] identical
+    * unit-direction vectors under synthetic ids. Identical vectors
+    * co-assign unconditionally (every similarity ties at 1.0, every
+    * argmax breaks on the same smallest cid), so exactly one cell
+    * exceeds [[CellCap]] on ANY corpus and the hot-cell refinement
+    * stages (sizes / subc / best / ref — the DECIMAL(38,0)-vs-HUGEINT
+    * threshold arithmetic, the salted sub-sample, the (sim DESC, scid)
+    * argmax, the "cell/scid" string ids) execute LIVE in both engines.
+    * On the certified test corpora those CTEs are empty filters for
+    * d08 itself (no honest cell exceeds the cap), which left the
+    * refinement's cross-engine equivalence test-pinned on the Spark
+    * side only (round-12 advice); this entry closes that by hashing
+    * the full pipeline output against the DuckDB mirror every round.
+    * Any real corpus rows sharing the hot cell exercise the argmax on
+    * non-tied float similarities too.
+    *
+    * Scale shape: identical to d08 — the planted family is a bounded
+    * [[HotN]]-row in-plan union, not a corpus-sized stage.
+    */
+  private[graft] val HotN = 560 // > CellCap = 512
+  private[graft] val HotIdBase = 1000000L
+
+  private def d27(s: SparkSession, dir: String): DataFrame = {
+    val planted = s.range(HotN).select(
+      (lit(HotIdBase) + col("id")).as("vec_id"),
+      transform(sequence(lit(1), lit(Similarity.Dim)),
+        _ => lit(0.1f).cast("double")).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
+    val seeds = Tables.embeddings(s, dir).select(col("vec_id"))
+      .unionByName(s.range(HotN).select((lit(HotIdBase) + col("id")).as("vec_id")))
+    clustersOf(seeds, Similarity.vecs(s, dir).unionByName(planted))
+  }
+
+  private val plantedPopCtes =
+    s"""v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT $HotIdBase + r AS vec_id,
+       |    list_transform(range(1, ${Similarity.Dim + 1}),
+       |      i -> CAST(CAST(0.1 AS FLOAT) AS DOUBLE)) AS v
+       |  FROM range($HotN) t(r)),
+       |n AS (SELECT * FROM (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
+       |  WHERE nrm > 0)""".stripMargin
+
+  private val d27Sql = d08SqlOn(plantedPopCtes,
+    s"""SELECT vec_id, vec_id FROM embeddings
+       |  UNION ALL SELECT $HotIdBase + r, $HotIdBase + r FROM range($HotN) t(r)""".stripMargin)
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d08_semantic_dedup", d08, Some(d08Sql)),
+    QueryDef("d27_planted_refinement", d27, Some(d27Sql)),
   )
 }

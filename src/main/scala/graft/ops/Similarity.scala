@@ -1385,6 +1385,87 @@ object Similarity extends QueryModule {
        |FROM ex LEFT JOIN h ON ex.qid = h.qid
        |GROUP BY 1""".stripMargin
 
+  // ---- s28: filtered search through the TRAINED index ------------------
+
+  /** s28: s18's metadata predicate composed with s20's trained-IVF
+    * probe — the production vector-store default ("nearest neighbors
+    * WHERE label = ?") run against the corpus-scaled trained quantizer
+    * instead of s18's flat scan. The predicate rides IN the search:
+    * the candidate join matches on (cell, label) TOGETHER, so a corpus
+    * row whose label disagrees with the query's never reaches the
+    * distance work — in-search filtering, not post-filtering (which
+    * under-fills top-k under selective predicates), and never a
+    * post-scoring Filter (PlanSpec pins the shape).
+    *
+    * Scale shape: s20's exactly — training/membership/probing are
+    * row-local folds under the one nested broadcast; the label join
+    * adds one broadcast-joined corpus column; per-query candidates
+    * shrink by the label's selectivity (~1/|labels| here) BEFORE
+    * scoring. The query batch is a [[FqQueries]]-row md5-order sample
+    * (salt "fts_", independent of every other batch salt).
+    *
+    * Determinism: the trained chain is s20's (hash-threshold seeds,
+    * shared L2 fold, cid ties); the batch cut ties on md5; the top-5
+    * ties on (sim DESC, nid) — all mirrored verbatim in the oracle,
+    * which splices the LITERAL s20 CTE chain so a hash match
+    * re-certifies the whole composition.
+    */
+  private def s28(s: SparkSession, dir: String): DataFrame = {
+    val (base, ranked) = trainedRanked(s, dir)
+    val labels = vecsWithLabel(s, dir).select(col("vec_id"), col("label"))
+    val q = vecsWithLabel(s, dir)
+      .orderBy(md5(concat(lit("fts_"), col("vec_id").cast("string")))).limit(FqQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    val probes = ranked
+      .join(broadcast(q.withColumnRenamed("qid", "vec_id")), "vec_id")
+      .select(col("vec_id").as("qid"), col("cid").as("cell"), col("qlabel"))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("nid"), col("cid").as("cell"))
+      .join(labels.withColumnRenamed("vec_id", "nid"), "nid")
+    // the filter IS a join key: (cell, label) equi-join, so non-matching
+    // corpus rows never pay a dot product
+    val cand = probes.join(assign,
+        probes("cell") === assign("cell") && col("qlabel") === col("label"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    cand
+      .join(base.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb")), "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
+  /** Oracle: the literal s20 CTE chain + the label leg and batch cut —
+    * candidates must match the probe cell AND the query's label before
+    * any similarity is computed, exactly as the Spark join does.
+    */
+  private lazy val s28Sql =
+    s"""WITH $s20Ctes,
+       |lb AS (SELECT vec_id, label FROM embeddings),
+       |qb AS (
+       |  SELECT n.vec_id AS qid, l.label AS qlabel
+       |  FROM n JOIN lb l ON n.vec_id = l.vec_id
+       |  ORDER BY md5('fts_' || CAST(n.vec_id AS VARCHAR)) LIMIT $FqQueries),
+       |cf AS (
+       |  SELECT q.qid, a.vec_id AS nid
+       |  FROM qb q
+       |  JOIN pr p ON p.qid = q.qid
+       |  JOIN aidx a ON a.cell = p.cell
+       |  JOIN lb bl ON bl.vec_id = a.vec_id AND bl.label = q.qlabel
+       |  WHERE q.qid <> a.vec_id),
+       |scf AS (
+       |  SELECT c.qid, c.nid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
+       |  FROM cf c JOIN n x ON c.qid = x.vec_id JOIN n y ON c.nid = y.vec_id)
+       |SELECT qid, nid, sim, rn FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rn
+       |  FROM scf)
+       |WHERE rn <= 5""".stripMargin
+
   // ---- s11: IVF range (radius) search ---------------------------------
 
   private val RsCells   = 16   // coarse cells (md5-order sample, s06 contract)
@@ -1936,6 +2017,7 @@ object Similarity extends QueryModule {
     QueryDef("s25_hybrid_rrf", s25, Some(s25Sql)),
     QueryDef("s26_cluster_cards", s26, Some(s26Sql)),
     QueryDef("s27_mined_pairs", s27, Some(s27Sql)),
+    QueryDef("s28_filtered_trained", s28, Some(s28Sql)),
   )
 
   // ---- s24: frozen-index delta assignment (the cheap ingest path) -----

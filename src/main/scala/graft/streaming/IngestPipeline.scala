@@ -74,7 +74,49 @@ object IngestPipeline extends QueryModule {
       |  event_type, value
       |FROM events""".stripMargin
 
+  /** p29: small-file COMPACTION — p15's sink layout (one file per
+    * micro-batch per day, tiny by construction) rewritten into
+    * byte-budget files by [[graft.ops.Compaction]], gated on the
+    * manifest recomputed FROM THE COMPACTED FILES: day and file_idx
+    * come back as physical partition directories, so a hash match
+    * proves the written layout equals the deterministic plan the
+    * DuckDB oracle computes from the raw events (m05's offset rule,
+    * per day). The physical before/after win and idempotence are
+    * pinned in ScaleTechniquesSpec.
+    */
+  private[graft] val CompactBudgetBytes = 4096L
+
+  private def p29(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-compact-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")))
+    org.apache.commons.io.FileUtils.deleteDirectory(base)
+    val root = new java.io.File(base, "shards").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val out = new java.io.File(base, "compacted").getAbsolutePath
+    ingest(s, dir, root, ckpt)
+    graft.ops.Compaction.compact(s, root, out, CompactBudgetBytes)
+    graft.ops.Compaction.manifestOf(s, out)
+  }
+
+  private val p29Sql =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+       |  FROM events),
+       |o AS (
+       |  SELECT day, event_id, 32 + strlen(event_type) AS nb,
+       |    sum(32 + strlen(event_type)) OVER (
+       |      PARTITION BY day
+       |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+       |  FROM e)
+       |SELECT day, CAST((s - nb) // $CompactBudgetBytes AS BIGINT) AS file_idx,
+       |  count(*) AS n_rows, CAST(sum(nb) AS BIGINT) AS sum_bytes,
+       |  min(event_id) AS min_event, max(event_id) AS max_event
+       |FROM o GROUP BY 1, 2""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p15_stream_ingest", p15, Some(p15Sql)),
+    QueryDef("p29_compact_manifest", p29, Some(p29Sql)),
   )
 }

@@ -73,6 +73,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s28: the label predicate is a JOIN key on the corpus leg, never a post-scoring filter") {
+    // the round-13 contract: filtered trained-IVF search applies the
+    // metadata predicate IN the search — rows with the wrong label must
+    // be dropped by the candidate equi-join (cell AND label), so no
+    // Filter node anywhere references the label column (post-filtering
+    // would pay the distance work first and under-fill top-k)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val plan = SparkEntry.queries("s28_filtered_trained")(spark, dir)
+      .queryExecution.optimizedPlan
+    try {
+      val labelJoins = plan.collect {
+        case j: Join if j.condition.exists(_.references.exists(
+          _.name.toLowerCase.contains("label"))) => j
+      }
+      assert(labelJoins.nonEmpty, "the label equality must ride in a join condition")
+      // Catalyst inserts isnotnull(label) null guards BELOW the join for
+      // its keys — that is pushdown, the opposite of the hazard. Flag
+      // only filters that COMPARE labels (a post-hoc qlabel = label
+      // residual would surface here as an EqualTo conjunct).
+      import org.apache.spark.sql.catalyst.expressions.IsNotNull
+      def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      val labelFilters = plan.collect {
+        case f: Filter if conjuncts(f.condition).exists {
+          case _: IsNotNull => false
+          case c => c.references.exists(_.name.toLowerCase.contains("label"))
+        } => f
+      }
+      assert(labelFilters.isEmpty,
+        s"label must never be a post-hoc comparison filter:\n${labelFilters.mkString("\n")}")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
   test("d20: the sweep reuses d03's inverted-index shape — no cartesian, no global window") {
     val p = plan("d20_jaccard_sweep")
     assert(!p.contains("CartesianProduct"))

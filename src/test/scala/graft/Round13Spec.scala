@@ -82,6 +82,54 @@ class Round13Spec extends AnyFunSuite {
     } finally graft.core.Sessions.sweepPersistedState(spark)
   }
 
+  // ---- s28 filtered trained search ----------------------------------------
+
+  test("s28 semantics: every neighbor carries the query's label (in-search filter, never under-filled silently)") {
+    val labels = graft.core.Tables.embeddings(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](2).longValue).toMap
+    try {
+      val out = SparkEntry.queries("s28_filtered_trained")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(out.nonEmpty)
+      for ((qid, nid, rn) <- out) {
+        assert(labels(nid) === labels(qid), s"neighbor $nid of $qid crossed labels")
+        assert(rn >= 1 && rn <= 5)
+      }
+      // per-query result lists are dense from rank 1
+      for ((q, rows) <- out.groupBy(_._1))
+        assert(rows.map(_._3).sorted === (1L to rows.length).toSeq, s"ranks not dense for $q")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  // ---- d27 planted refinement ----------------------------------------------
+
+  test("d27: the planted family forces an over-cap cell, the refinement fires, and the family stays one cluster") {
+    import graft.ops.{SemDedup, Similarity}
+    try {
+      // white-box: on corpus ∪ planted the refinement must actually run
+      // (refined cell ids carry the "cell/scid" shape) — this is the
+      // stage that is an empty filter on the honest corpora
+      val planted = spark.range(SemDedup.HotN).select(
+        (lit(SemDedup.HotIdBase) + col("id")).as("vec_id"),
+        transform(sequence(lit(1), lit(Similarity.Dim)),
+          _ => lit(0.1f).cast("double")).as("v"))
+        .withColumn("nrm", sqrt(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))))
+      val base = Similarity.vecs(spark, dir).unionByName(planted).persist()
+      val assign = SemDedup.cellAssignments(base, base.count())
+      val refined = SemDedup.refineHotCells(assign, base)
+      val refinedIds = refined.filter(col("cell").contains("/")).count()
+      assert(refinedIds >= SemDedup.HotN,
+        s"refinement must re-quantize the over-cap cell (got $refinedIds refined rows)")
+      // black-box: identical vectors are mutual near-dups — one cluster
+      val out = SparkEntry.queries("d27_planted_refinement")(spark, dir)
+        .filter(col("vec_id") >= SemDedup.HotIdBase)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.length === SemDedup.HotN)
+      assert(out.map(_._2).distinct.length === 1,
+        "the planted identical family must resolve to ONE cluster")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
   // ---- z-order manifest sidecar ------------------------------------------
 
   test("zorder sidecar: write persists the bin basis; stale caller bounds are the hazard it closes") {

@@ -1185,4 +1185,91 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(sroot)
     }
   }
+
+  test("compaction planning 10x scaling: linear wall, ~10x planned files, offsets stay per-day") {
+    // p29's corpus-sized stage is the packing plan (two-pass running
+    // sum + rebase); the physical write and the ingest stream it fixes
+    // are covered elsewhere. Synthetic frames make the law exact: rows
+    // spread over 37 days, so 10x rows must plan ~10x files (file
+    // boundaries shift only inside each day) and wall must stay
+    // ~linear — a super-linear blowup would mean the running sum
+    // degenerated into a day-funnel or a global sort.
+    import graft.ops.Compaction
+    def mk(n: Long) = spark.range(n).selectExpr(
+      "id AS event_id", "id % 37 AS day", "concat('t', id % 5) AS event_type")
+    def run(n: Long): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val files = Compaction.planLayout(mk(n), 4096)
+        .select(col("day"), col("file_idx")).distinct().count()
+      (files, (System.nanoTime() - t0) / 1e9)
+    }
+    try {
+      run(20000) // warm
+      val (f1, t1) = run(20000)
+      val (f10, t10) = run(200000)
+      info(f"plan 1x: $f1 files ${t1}%.1fs; 10x: $f10 files ${t10}%.1fs")
+      assert(f1 > 37, "budget must split every day at 1x")
+      assert(f10 >= f1 * 8 && f10 <= f1 * 12,
+        s"planned files must scale with bytes: $f1 -> $f10")
+      assert(t10 <= t1 * 25 + 5.0, f"plan wall super-linear: $t1%.1fs -> $t10%.1fs")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  test("compaction: rows conserved, one budget-bounded file per plan entry, re-run is a no-op") {
+    import graft.ops.Compaction
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toFile
+    val shards = new java.io.File(base, "shards").getAbsolutePath
+    val out1 = new java.io.File(base, "c1").getAbsolutePath
+    val out2 = new java.io.File(base, "c2").getAbsolutePath
+    try {
+      // stage the source as 8 files and ingest one file per trigger:
+      // every micro-batch spans most days, so the sink layout holds
+      // ~8 files per day dir — the small-file problem at honest scale
+      val src = new java.io.File(base, "src"); src.mkdirs()
+      val stage = new java.io.File(base, "stage")
+      spark.read.parquet(s"$dir/events.parquet").repartition(8)
+        .write.parquet(stage.getAbsolutePath)
+      stage.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) => java.nio.file.Files.move(f.toPath,
+          new java.io.File(src, s"events_$i.parquet").toPath) }
+      graft.streaming.IngestPipeline.ingest(spark, src.getAbsolutePath, shards,
+        new java.io.File(base, "ckpt").getAbsolutePath, maxFilesPerTrigger = Some(1))
+      val budget = 1024L
+      val (before, after) = Compaction.compact(spark, shards, out1, budget)
+      info(s"before: ${before.nFiles} files/${before.bytes} B; after: ${after.nFiles} files/${after.bytes} B")
+      assert(before.nFiles > after.nFiles,
+        "compaction must reduce the file count on a micro-batch layout")
+
+      // row multiset unchanged (the rewrite moves rows, never edits them)
+      def rows(root: String) = graft.streaming.IngestPipeline.readShards(spark, root)
+        .collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
+      assert(rows(out1) === rows(shards), "compaction changed the row multiset")
+
+      // one physical file per planned (day, file_idx); logical bytes
+      // within budget + one record's overflow allowance
+      val manifest = Compaction.manifestOf(spark, out1).collect()
+      assert(Compaction.layoutStats(out1).nFiles === manifest.length.toLong,
+        "every planned file must be exactly one parquet file")
+      val perFileMaxRow = spark.read.parquet(out1)
+        .groupBy(col("day"), col("file_idx"))
+        .agg(max(Compaction.rowBytes).as("mx"))
+        .collect().map(r => (r.getAs[Any]("day").toString,
+          r.getAs[Any]("file_idx").toString) -> r.getLong(2)).toMap
+      for (m <- manifest) {
+        val mx = perFileMaxRow((m.getLong(0).toString, m.getLong(1).toString))
+        assert(m.getLong(3) <= budget + mx,
+          s"file (${m.getLong(0)},${m.getLong(1)}): ${m.getLong(3)} B exceeds budget+last-record")
+      }
+
+      // idempotence: compacting the compacted layout plans the same files
+      val (_, after2) = Compaction.compact(spark, out1, out2, budget)
+      assert(after2.nFiles === after.nFiles)
+      def mrows(root: String) = Compaction.manifestOf(spark, root)
+        .collect().map(_.toSeq.toList).toSet
+      assert(mrows(out2) === mrows(out1), "re-compaction must be a layout no-op")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
 }

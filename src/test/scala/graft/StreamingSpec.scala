@@ -1002,6 +1002,39 @@ class StreamingSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(quotaGot.size === quotaGot.toSet.size, "duplicate (user, day) rows under RocksDB")
       assert(quotaGot.toSet === quotaWant, "quota counts diverged from batch gold under RocksDB")
+
+      // es04/es08: the WATERMARK-BUFFERED twins — the heaviest per-key
+      // state in the library (each key holds a pending-event buffer
+      // until the watermark passes, not just a scalar), so they are the
+      // twins a beyond-heap RocksDB deployment actually needs; both
+      // must converge to their batch golds with state on disk
+      // (round-12 verdict #6). Same shuffled-across replay input.
+      val asofRocks = run(rocks, "rx_asof_r", EventStream.asofSignup(
+        rocks, EventStream.readEvents(rocks, tmp.getAbsolutePath), None, "35 days").toDF())
+      def asofKey(r: Seq[Any]) = (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long], Option(r(2)))
+      val asofWant = SparkEntry.queries("e04_asof_last_signup")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+      assert(asofWant.nonEmpty)
+      assert(asofRocks.map(r => asofKey(r.toSeq)) === asofWant,
+        "as-of join diverged from batch gold under RocksDB")
+
+      val funnelRocks = run(rocks, "rx_funnel_r", EventStream.funnel(
+        rocks, EventStream.readEvents(rocks, tmp.getAbsolutePath), None, "35 days").toDF())
+      val funnelGot = funnelRocks.toSeq
+        .groupBy(_(0).asInstanceOf[Long])
+        .map { case (u, rs) =>
+          def m(i: Int) = rs.flatMap(r => Option(r(i)).map(_.asInstanceOf[Long])) match {
+            case Nil => None; case xs => Some(xs.min)
+          }
+          (u, m(1), m(2), m(3))
+        }.toSet
+      val funnelWant = SparkEntry.queries("e08_funnel")(spark, dir)
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      assert(funnelWant.nonEmpty)
+      assert(funnelGot === funnelWant, "funnel diverged from batch gold under RocksDB")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
   }
 }
