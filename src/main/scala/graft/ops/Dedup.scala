@@ -1458,6 +1458,101 @@ object Dedup extends QueryModule {
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |WHERE d.doc_id % 10 = 0""".stripMargin
 
+  // ---- d28: span SCRUB — the APPLY stage of d25 -----------------------
+
+  /** d28: span-level scrub — d25 DETECTS duplicated spans; this entry
+    * performs the removal a cleaning pipeline actually ships (the
+    * exact-substring dedup of Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", at [[SpanGram]]-token
+    * granularity): a gram occurrence is scrubbed when the gram is
+    * verbatim-shared by ≥ 2 DISTINCT documents AND this document is not
+    * the gram's CANONICAL OWNER (the smallest sharing doc_id) — so each
+    * duplicated passage survives exactly once corpus-wide, in its
+    * owner, instead of d12's drop-everywhere rule (which deletes
+    * boilerplate from every copy and is the right tool only when the
+    * repeated text is worthless). The scrubbed token set is the union
+    * of the marked grams' [gpos, gpos+[[SpanGram]]−1] windows; output
+    * per doc: token totals and the reassembled surviving text — the
+    * rewritten corpus is the deliverable, exactly like d12.
+    *
+    * Scale shape: d25's exactly, plus the apply tail. The dup decision
+    * and the owner ride ONE map-side-combined hash aggregate over the
+    * 60-bit gram key (min(doc_id) is algebraic — no second corpus
+    * pass); marking is the same equi-join on the 8-byte hash; the
+    * window→token expansion is a row-local explode ×[[SpanGram]] on
+    * MARKED grams only (bounded by the duplicated share of the corpus,
+    * not the corpus); the per-doc distinct and the reassembly group BY
+    * DOC (bounded by document length, never corpus-sized). No all-pairs
+    * stage — a 100 TB corpus streams through in token-count time.
+    *
+    * Determinism: the owner is an exact integer min; token positions
+    * are unique per doc, so the (tpos, tok) struct sort == the oracle's
+    * array_agg ORDER BY tpos; a doc wholly owned elsewhere keeps empty
+    * text via the same coalesce('') as d12. The hashed≡string law and
+    * the exact planted geometry (owner keeps all, the copy loses
+    * exactly the quote) are pinned in Round13Spec.
+    */
+  private[graft] def spanScrub(docs: DataFrame, hashed: Boolean): DataFrame = {
+    val grams = gramKeyed(docs, hashed)
+    val own = grams.groupBy(col("gk"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= 2)
+      .select(col("gk"), col("owner"))
+    val markedGrams = grams.join(own, Seq("gk"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("gpos"))
+    // gram windows → covered token positions; distinct collapses the
+    // overlap of adjacent marked grams per doc
+    val covered = markedGrams
+      .select(col("doc_id"),
+        explode(sequence(col("gpos"), col("gpos") + (SpanGram - 1))).as("tpos"))
+      .distinct()
+      .withColumn("cut", lit(1L))
+    val toks = docs
+      .select(col("doc_id"), filter(split(col("text"), " "), x => length(x) > 0).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("tpos"), col("tok"))
+    toks.join(covered, Seq("doc_id", "tpos"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("tok_total"),
+        coalesce(sum(col("cut")), lit(0L)).as("tok_scrubbed"),
+        // collect_list skips the null struct for scrubbed tokens; sort
+        // by the doc-unique position (d12's reassembly idiom)
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("cut").isNull,
+              struct(col("tpos"), col("tok"))))),
+            x => x.getField("tok")), " ").as("clean_text"))
+  }
+
+  private def d28(s: SparkSession, dir: String): DataFrame =
+    spanScrub(Tables.documents(s, dir), hashed = true)
+
+  private val d28Sql =
+    s"""WITH $spanGramCtes,
+       |own AS (
+       |  SELECT gk, min(doc_id) AS owner FROM gx
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |mk AS (
+       |  SELECT gx.doc_id, gx.gpos FROM gx JOIN own USING (gk)
+       |  WHERE gx.doc_id <> own.owner),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, tpos FROM (
+       |    SELECT doc_id, unnest(range(gpos, gpos + $SpanGram)) AS tpos FROM mk)),
+       |tk AS (
+       |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS tpos, unnest(w) AS tok
+       |  FROM wd WHERE len(w) > 0)
+       |SELECT t.doc_id,
+       |  count(*) AS tok_total,
+       |  CAST(count(c.tpos) AS BIGINT) AS tok_scrubbed,
+       |  coalesce(array_to_string(
+       |    array_agg(t.tok ORDER BY t.tpos) FILTER (WHERE c.tpos IS NULL), ' '),
+       |    '') AS clean_text
+       |FROM tk t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+       |GROUP BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
     QueryDef("d02_dedup_normalized", d02, Some(d02Sql)),
@@ -1484,6 +1579,7 @@ object Dedup extends QueryModule {
     QueryDef("d24_shard_sketch_merge", d24, Some(d24Sql)),
     QueryDef("d25_dup_spans", d25, Some(d25Sql)),
     QueryDef("d26_span_ingest", d26, Some(d26Sql)),
+    QueryDef("d28_span_scrub", d28, Some(d28Sql)),
   )
 
   /** d18: cross-source duplication matrix — project the d03 near-dup

@@ -1242,11 +1242,11 @@ object Similarity extends QueryModule {
     * membership aidx / probe list pr → candidate scores sc) — shared by
     * s20's top-5 tail and s21's recall tail.
     */
-  private def s20CtesOn(nn: String, x: String, assignPop: String = null): String = {
-    // `nn` trains the codebook; `ap` (defaults to nn) is the population
-    // the pg/prall/aidx/sc stanzas rank against it — s24/es26 train on
-    // the corpus and assign the delta
-    val ap = Option(assignPop).getOrElse(nn)
+  /** The codebook chain alone (seed cut c0 → Lloyd steps → final
+    * codebook's coarse groups g / fine→group map fa) — the trained
+    * index an arbitrary population can rank against.
+    */
+  private def codebookChainSql(nn: String, x: String): String = {
     val steps = (1 to KmSteps)
       .map(t => kmStepSql(if (t == 1) s"c0$x" else s"c${t - 1}$x", t, nn, x)).mkString(",\n")
     val fin = s"c$KmSteps$x"
@@ -1258,17 +1258,37 @@ object Similarity extends QueryModule {
        |fa$t$x AS (SELECT cid, gid FROM (
        |  SELECT f.cid, g.gid,
        |    row_number() OVER (PARTITION BY f.cid ORDER BY ${sqlL2("f.cv", "g.gv")}, g.gid) AS rn
-       |  FROM $fin f CROSS JOIN g$t$x g) WHERE rn = 1),
-       |pg$x AS (SELECT vec_id, gid FROM (
-       |  SELECT $ap.vec_id, g.gid,
-       |    row_number() OVER (PARTITION BY $ap.vec_id ORDER BY ${sqlL2(s"$ap.v", "g.gv")}, g.gid) AS rn
-       |  FROM $ap CROSS JOIN g$t$x g) WHERE rn <= $KmSearchGroups),
-       |prall$x AS (SELECT vec_id, cid, rn FROM (
+       |  FROM $fin f CROSS JOIN g$t$x g) WHERE rn = 1)""".stripMargin
+  }
+
+  /** The population-ranking stanzas (coarse cut pg → two-level prall,
+    * ranks 1..[[IvfProbes]]) for `pop` against the `x`-suffixed chain;
+    * `y` further suffixes the stanza names so TWO populations can rank
+    * against ONE trained chain (s30/es29's serving shape: the corpus
+    * provides membership, the arrivals provide probe lists).
+    */
+  private def rankStanzaSql(pop: String, x: String, y: String): String = {
+    val fin = s"c$KmSteps$x"
+    val t = KmSteps + 1
+    s"""pg$x$y AS (SELECT vec_id, gid FROM (
+       |  SELECT $pop.vec_id, g.gid,
+       |    row_number() OVER (PARTITION BY $pop.vec_id ORDER BY ${sqlL2(s"$pop.v", "g.gv")}, g.gid) AS rn
+       |  FROM $pop CROSS JOIN g$t$x g) WHERE rn <= $KmSearchGroups),
+       |prall$x$y AS (SELECT vec_id, cid, rn FROM (
        |  SELECT r.vec_id, f.cid,
        |    row_number() OVER (PARTITION BY r.vec_id ORDER BY ${sqlL2("x.v", "f.cv")}, f.cid) AS rn
-       |  FROM pg$x r JOIN $ap x ON r.vec_id = x.vec_id
+       |  FROM pg$x$y r JOIN $pop x ON r.vec_id = x.vec_id
        |    JOIN fa$t$x fm ON fm.gid = r.gid
-       |    JOIN $fin f ON f.cid = fm.cid) WHERE rn <= $IvfProbes),
+       |    JOIN $fin f ON f.cid = fm.cid) WHERE rn <= $IvfProbes)""".stripMargin
+  }
+
+  private def s20CtesOn(nn: String, x: String, assignPop: String = null): String = {
+    // `nn` trains the codebook; `ap` (defaults to nn) is the population
+    // the pg/prall/aidx/sc stanzas rank against it — s24/es26 train on
+    // the corpus and assign the delta
+    val ap = Option(assignPop).getOrElse(nn)
+    s"""${codebookChainSql(nn, x)},
+       |${rankStanzaSql(ap, x, "")},
        |aidx$x AS (SELECT vec_id, cid AS cell FROM prall$x WHERE rn = 1),
        |pr$x AS (SELECT vec_id AS qid, cid AS cell FROM prall$x),
        |cnd$x AS (
@@ -1464,6 +1484,87 @@ object Similarity extends QueryModule {
        |  SELECT qid, nid, sim,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rn
        |  FROM scf)
+       |WHERE rn <= 5""".stripMargin
+
+  // ---- s29: tombstone-aware search through the TRAINED index -----------
+
+  /** s29: s19's deletions composed with s20's trained-IVF probe — the
+    * OTHER production serving predicate, same composition discipline as
+    * s28's label filter. The index was trained and membership assigned
+    * BEFORE the erasure sweep (the serving reality s19 names: tombstoned
+    * entries sit in the index until the next rebuild), so the trained
+    * chain is s20's VERBATIM over the full corpus; the exclusion rides
+    * the INDEX leg of the candidate join — a membership row whose
+    * vec_id is tombstoned never becomes a candidate, so deleted vectors
+    * never pay distance work and can never resurface in a result list
+    * (in-search exclusion, not post-filtering, which under-fills top-k
+    * near heavily-deleted cells). Queries are a [[FqQueries]]-row
+    * md5-order batch drawn from LIVE rows only (a deleted vector does
+    * not query).
+    *
+    * Scale shape: s20's exactly; the exclusion is s19's row-local hash
+    * predicate standing in for the deletion-request table (the p21
+    * contract) — with a real table it becomes a broadcast anti-join at
+    * the same spot (requests ≪ corpus), either way composed before any
+    * similarity is computed. The query batch salt ("ttq_") is
+    * independent of every other batch salt.
+    *
+    * Determinism: the trained chain is s20's (hash-threshold seeds,
+    * shared L2 fold, cid ties); the tombstone cohort is the exact
+    * integer uhash compare; the batch cut ties on md5; the top-5 ties
+    * on (sim DESC, nid) — all mirrored verbatim in the oracle, which
+    * splices the LITERAL s20 CTE chain.
+    */
+  private def s29(s: SparkSession, dir: String): DataFrame = {
+    val (base, ranked) = trainedRanked(s, dir)
+    def isLive(c: Column): Column = Sampling.uhash("del_", c) >= DelFrac
+    val q = base.filter(isLive(col("vec_id")))
+      .orderBy(md5(concat(lit("ttq_"), col("vec_id").cast("string")))).limit(FqQueries)
+      .select(col("vec_id").as("qid"))
+    val probes = ranked
+      .join(broadcast(q.withColumnRenamed("qid", "vec_id")), "vec_id")
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    // the tombstone check rides the index leg, BEFORE candidates exist
+    val assign = ranked.filter(col("crn") === 1 && isLive(col("vec_id")))
+      .select(col("vec_id").as("nid"), col("cid").as("cell"))
+    val cand = probes.join(assign, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    cand
+      .join(base.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na")), "qid")
+      .join(base.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb")), "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
+  /** Oracle: the literal s20 CTE chain + the live predicate on BOTH the
+    * query batch and the index membership leg, exactly where the Spark
+    * joins place them.
+    */
+  private lazy val s29Sql =
+    s"""WITH $s20Ctes,
+       |qb AS (
+       |  SELECT vec_id AS qid FROM n
+       |  WHERE ${Sampling.uhashSql("del_", "vec_id")} >= $DelFrac
+       |  ORDER BY md5('ttq_' || CAST(vec_id AS VARCHAR)) LIMIT $FqQueries),
+       |ct AS (
+       |  SELECT q.qid, a.vec_id AS nid
+       |  FROM qb q
+       |  JOIN pr p ON p.qid = q.qid
+       |  JOIN aidx a ON a.cell = p.cell
+       |  WHERE ${Sampling.uhashSql("del_", "a.vec_id")} >= $DelFrac
+       |    AND q.qid <> a.vec_id),
+       |sct AS (
+       |  SELECT c.qid, c.nid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
+       |  FROM ct c JOIN n x ON c.qid = x.vec_id JOIN n y ON c.nid = y.vec_id)
+       |SELECT qid, nid, sim, rn FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rn
+       |  FROM sct)
        |WHERE rn <= 5""".stripMargin
 
   // ---- s11: IVF range (radius) search ---------------------------------
@@ -2018,6 +2119,8 @@ object Similarity extends QueryModule {
     QueryDef("s26_cluster_cards", s26, Some(s26Sql)),
     QueryDef("s27_mined_pairs", s27, Some(s27Sql)),
     QueryDef("s28_filtered_trained", s28, Some(s28Sql)),
+    QueryDef("s29_tombstone_trained", s29, Some(s29Sql)),
+    QueryDef("s30_serve_arrivals", s30, Some(s30Sql)),
   )
 
   // ---- s24: frozen-index delta assignment (the cheap ingest path) -----
@@ -2050,6 +2153,90 @@ object Similarity extends QueryModule {
        |nd AS (SELECT * FROM n WHERE vec_id % 10 = 0),
        |${s20CtesOn("nc", "_c", "nd")}
        |SELECT vec_id, cell FROM aidx_c""".stripMargin
+
+  // ---- s30: serve the arrivals through the frozen index ---------------
+
+  /** The tombstone-filtered serving INDEX: corpus membership under the
+    * frozen codebook (s24's rank-1 fold), dead entries dropped, the
+    * member vectors carried alongside so serving never re-joins the
+    * corpus. This is the table a serving node actually holds, built
+    * once per index generation.
+    */
+  private[graft] def liveIndex(corpus: DataFrame, gArr: DataFrame): DataFrame =
+    frozenAssign(corpus, gArr)
+      .filter(Sampling.uhash("del_", col("vec_id")) >= DelFrac)
+      .join(corpus.select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb")), "vec_id")
+      .select(col("vec_id").as("nid"), col("cell"), col("vb"), col("nb"))
+
+  /** One serving pass: each query row takes the two-level probe fold
+    * (row-local, O(√K) under the frozen broadcast), candidates come
+    * from the cell-keyed [[liveIndex]] equi-join (occupancy-bounded),
+    * exact cosine re-scores, top-5 ties on nid. Shared verbatim by the
+    * s30 batch entry and es29's per-micro-batch transform, so the live
+    * twin cannot drift from the gated semantics.
+    */
+  private[graft] def serveBatch(qs: DataFrame, index: DataFrame, gArr: DataFrame): DataFrame = {
+    val probes = rankCellsTwoLevel(qs, gArr, "l2", KmSearchGroups, IvfProbes)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    probes.join(index, "cell")
+      .join(qs.select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na")), "qid")
+      .select(col("qid"), col("nid"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
+  /** s30: SERVE the arrivals — the query side of the ingest loop s24
+    * assigns and s23 monitors: every arriving (delta) vector is a
+    * QUERY against the frozen corpus-trained index, answered top-5
+    * exact-cosine from live (non-tombstoned) corpus rows only. The
+    * "related items for every new arrival" / dedup-recommend-at-ingest
+    * shape a production vector store runs continuously, composing the
+    * round's two serving predicates: the index is FROZEN (s24 — train
+    * once, apply per arrival) and deletions are excluded IN-SEARCH on
+    * the index leg (s29 — a tombstoned row never pays a dot product).
+    *
+    * Scale shape: per-arrival work is one row-local O(√K) probe fold
+    * under the nested broadcast plus an occupancy-bounded candidate
+    * equi-join against the cell-keyed live index — no corpus exchange,
+    * no arrival×corpus product, work ∝ |Δ| at any corpus size. The
+    * live twin is es29 (same oracle, micro-batched arrivals).
+    *
+    * Oracle: the dual-population chain — ONE codebook trained on the
+    * corpus split, the corpus ranking (membership leg, tombstones
+    * dropped) and the delta ranking (probe leg) riding the same chain —
+    * so a hash match certifies train + index + probe + exclusion + rank
+    * end to end.
+    */
+  private def s30(s: SparkSession, dir: String): DataFrame = {
+    val isDelta = col("vec_id") % 10 === 0
+    val (corpus, gArr) = trainedGroupArray(vecs(s, dir).filter(!isDelta))
+    serveBatch(vecs(s, dir).filter(isDelta), liveIndex(corpus, gArr), gArr)
+  }
+
+  private[graft] lazy val s30Sql =
+    s"""WITH $oracleVecs,
+       |nc AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+       |nd AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+       |${codebookChainSql("nc", "")},
+       |${rankStanzaSql("nc", "", "")},
+       |${rankStanzaSql("nd", "", "q")},
+       |aidx AS (SELECT vec_id, cid AS cell FROM prall WHERE rn = 1),
+       |prq AS (SELECT vec_id AS qid, cid AS cell FROM prallq),
+       |cnd AS (
+       |  SELECT p.qid, a.vec_id AS nid
+       |  FROM prq p JOIN aidx a USING (cell)
+       |  WHERE ${Sampling.uhashSql("del_", "a.vec_id")} >= $DelFrac),
+       |sc AS (
+       |  SELECT c.qid, c.nid,
+       |    list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) AS sim
+       |  FROM cnd c JOIN nd x ON c.qid = x.vec_id JOIN nc y ON c.nid = y.vec_id)
+       |SELECT qid, nid, sim, rn FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rn
+       |  FROM sc)
+       |WHERE rn <= 5""".stripMargin
 
   // ---- s23: trained-index maintenance (retrain drift report) ----------
 

@@ -377,6 +377,107 @@ object Relational3 extends QueryModule {
        |  FROM w)
        |WHERE rk <= $HhK""".stripMargin
 
+  /** q55: the QUANTILE-sketch merge law — the sketch family's fourth
+    * member (q25 contracts, q53 HLL union, q54 heavy hitters, d24
+    * MinHash): per-shard equi-width HISTOGRAMS of l_extendedprice,
+    * merged by elementwise addition (the mergeable-summaries shape —
+    * each shard ships one [[QhBins]]-long count vector, nothing else
+    * crosses shards), and nearest-rank quantiles read off the merged
+    * cumulative histogram. The contract: the merged sketch loses no
+    * mass (Σ merged counts == n) and brackets every exact quantile to
+    * one bin — the exact rank-r value bins into EXACTLY the bin the
+    * merged cumulative histogram predicts (`bin_match`), which bounds
+    * the estimate error by one bin width by construction. The exact
+    * side reuses q26's two-pass range-partitioned global order, so the
+    * law is checked against values that never transit a single
+    * partition either.
+    *
+    * Scale shape: the per-shard histogram is one map-side-combined
+    * (shard, bin) aggregate (bin is a row-local double fold under a
+    * broadcast 1-row stats frame); each shard reduces to ONE row
+    * holding its count vector, the merge is an S-element fold of
+    * zip_with(+) on a 1-row frame, and the quantile read-off is
+    * row-local array arithmetic — at 100 TB the exact leg drops away
+    * and the merged vector IS the nightly distribution snapshot
+    * (Σ bytes crossing shards: S × 8·[[QhBins]]). Shard-count
+    * invariance (the merged vector and the whole report are identical
+    * at S ∈ {1, 2, 8} — addition is associative and bins are
+    * data-independent given the global stats) is replayed in
+    * Round13Spec, d24's discipline.
+    *
+    * Determinism: the booleans compare INTEGER bin ids computed by the
+    * same floor arithmetic on both legs (never float-vs-float at a bin
+    * edge); the emitted value columns are q26's raw rank rows, exact in
+    * both engines; the oracle pins them byte-for-byte and the law
+    * booleans TRUE.
+    */
+  private val QhBins   = 64
+  private val QhShards = 4
+
+  private[graft] def histQuantileReport(li: DataFrame, shards: Int): DataFrame = {
+    val s2 = li.sparkSession
+    import s2.implicits._
+    val xd = col("l_extendedprice").cast("double")
+    val stats = li.agg(min(xd).as("lo"), max(xd).as("hi"), count(lit(1)).as("nn"))
+    def binOf(x: org.apache.spark.sql.Column) =
+      least(floor((x - col("lo")) / ((col("hi") - col("lo")) / QhBins)),
+        lit(QhBins - 1)).cast("int")
+    val perShard = li
+      .select((col("l_orderkey") % shards).as("shard"), xd.as("x"))
+      .crossJoin(broadcast(stats))
+      .select(col("shard"), binOf(col("x")).as("bin"))
+      .groupBy(col("shard"), col("bin")).agg(count(lit(1)).as("cnt"))
+    // one count vector per shard — the sketch a shard would ship
+    val shardHist = perShard.groupBy(col("shard"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("cnt")))).as("m"))
+      .select(transform(sequence(lit(0), lit(QhBins - 1)),
+        b => coalesce(element_at(col("m"), b), lit(0L))).as("hist"))
+    // THE MERGE: elementwise addition of the shard vectors, then the
+    // cumulative read-off — all on a 1-row frame
+    val merged = shardHist.agg(collect_list(col("hist")).as("hs"))
+      .select(aggregate(col("hs"), array_repeat(lit(0L), QhBins),
+        (acc, h) => zip_with(acc, h, (a, c) => a + c)).as("hist"))
+      .select(col("hist"),
+        transform(sequence(lit(1), lit(QhBins)),
+          k => aggregate(slice(col("hist"), lit(1), k), lit(0L), (a, c) => a + c)).as("cum"))
+      .crossJoin(broadcast(stats))
+    // exact leg: q26's machinery verbatim
+    val (numbered, n) = graft.plans.GlobalOrder.withGlobalRowNumber(
+      li.select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")), "rn")
+    val targets = Seq(
+      ("p25", (n + 3) / 4),
+      ("p50", (n + 1) / 2),
+      ("p75", (3 * n + 3) / 4)).toDF("pct", "target_rn")
+    val estBin = array_min(filter(
+      transform(sequence(lit(1), lit(QhBins)),
+        k => when(element_at(col("cum"), k) >= col("target_rn"), k)),
+      e => e.isNotNull)) - 1
+    numbered.join(broadcast(targets), col("rn") === col("target_rn"))
+      .crossJoin(broadcast(merged))
+      .select(col("pct"), col("rn"), col("l_extendedprice").as("val"),
+        (binOf(col("l_extendedprice").cast("double")) === estBin).as("bin_match"),
+        (element_at(col("cum"), QhBins) === col("nn")).as("mass_ok"))
+  }
+
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    histQuantileReport(lineitem(s, dir), QhShards)
+
+  private val q55Sql =
+    """WITH o AS (
+      |  SELECT l_extendedprice, l_orderkey, l_linenumber,
+      |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |SELECT 'p25' AS pct, CAST(rn AS BIGINT) AS rn, l_extendedprice AS val,
+      |  TRUE AS bin_match, TRUE AS mass_ok
+      |FROM o WHERE rn = (SELECT (count(*) + 3) // 4 FROM lineitem)
+      |UNION ALL
+      |SELECT 'p50', CAST(rn AS BIGINT), l_extendedprice, TRUE, TRUE
+      |FROM o WHERE rn = (SELECT (count(*) + 1) // 2 FROM lineitem)
+      |UNION ALL
+      |SELECT 'p75', CAST(rn AS BIGINT), l_extendedprice, TRUE, TRUE
+      |FROM o WHERE rn = (SELECT (3 * count(*) + 3) // 4 FROM lineitem)""".stripMargin
+
   /** q26: EXACT percentiles (nearest-rank p25/p50/p75) at scale — the
     * exact counterpart to q25's sketches, built on the same two-pass
     * range-partitioned global order as q20 (plans/GlobalOrder): no
@@ -568,5 +669,6 @@ object Relational3 extends QueryModule {
     QueryDef("q31_regex_funcs", q31, Some(q31Sql)),
     QueryDef("q53_hll_merge", q53, Some(q53Sql)),
     QueryDef("q54_heavy_hitters", q54, Some(q54Sql)),
+    QueryDef("q55_quantile_merge", q55, Some(q55Sql)),
   )
 }

@@ -514,6 +514,7 @@ object StreamingGate extends QueryModule {
     QueryDef("es26_stream_assign", es26, Some(es26Sql)),
     QueryDef("es27_stream_sketch", es27, Some(es27Sql)),
     QueryDef("es28_stream_spans", es28, Some(es28Sql)),
+    QueryDef("es29_stream_serve", es29, Some(es29Sql)),
   )
 
   /** es20: per-closed-window event-type MATRIX — one row per finalized
@@ -1040,5 +1041,45 @@ object StreamingGate extends QueryModule {
   }
 
   private lazy val es28Sql = graft.ops.Dedup.d26Sql
+
+  /** es29: SERVE AT INGEST — s30 run live, closing the vector-store
+    * serving loop the es-family built up to: es26 ASSIGNS each arrival
+    * to the frozen index; es29 ANSWERS each arrival — every
+    * micro-batch of incoming embeddings is a query batch against the
+    * frozen corpus-trained index, top-5 exact-cosine from live
+    * (non-tombstoned) corpus rows, landed under an idempotent
+    * `batch_id` dir. Both the codebook (one nested-array row) AND the
+    * tombstone-filtered serving index (cell-keyed membership + member
+    * vectors) are built and materialized BEFORE the stream starts —
+    * the per-batch plan is a row-local probe fold plus one
+    * occupancy-bounded equi-join, exactly [[graft.ops.Similarity.serveBatch]],
+    * the SAME kernel the gated s30 entry runs, so the twin cannot
+    * drift.
+    *
+    * Scale shape: stateless stream (file-source progress log only);
+    * per-batch work ∝ batch rows × O(√K) + probed-cell occupancy; the
+    * per-query top-5 window partitions by qid WITHIN the batch (a
+    * query's candidates never span batches — the index is frozen and
+    * each arrival is served exactly once), so batching cannot change
+    * the result and the oracle is s30's dual-population SQL verbatim.
+    */
+  private def es29(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val isDelta = col("vec_id") % 10 === 0
+    val (corpus, gArr) = graft.ops.Similarity.trainedGroupArray(
+      graft.ops.Similarity.vecs(s, dir).filter(!isDelta))
+    gArr.persist().count() // freeze the codebook frame itself (es26's rule)
+    val index = graft.ops.Similarity.liveIndex(corpus, gArr).persist()
+    index.count() // materialize the serving index before ingest starts
+    val base = java.nio.file.Files.createTempDirectory("graft-es29")
+    try runDocBatchStream(s, readEmbeddings(s, dir).filter(isDelta),
+        s"$base/out", s"$base/ckpt", Seq("qid", "nid", "sim", "rn"))(
+        batch => graft.ops.Similarity.serveBatch(
+          graft.ops.Similarity.vecsOf(batch), index, gArr))
+      .localCheckpoint()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
+  private lazy val es29Sql = graft.ops.Similarity.s30Sql
 }
 

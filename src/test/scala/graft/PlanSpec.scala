@@ -110,6 +110,28 @@ class PlanSpec extends AnyFunSuite {
     } finally graft.core.Sessions.sweepPersistedState(spark)
   }
 
+  test("s29: the tombstone predicate sits on join INPUTS, never after scoring") {
+    // the round-13 contract: the deletion check rides the index leg of
+    // the candidate join — every Filter carrying the del_ hash compare
+    // must have a join-free subtree (it filters a join input), so a
+    // tombstoned vector is excluded BEFORE any distance work. A
+    // post-scoring exclusion would surface as a hash Filter sitting
+    // above the scoring joins.
+    import org.apache.spark.sql.catalyst.expressions.Md5
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val plan = SparkEntry.queries("s29_tombstone_trained")(spark, dir)
+      .queryExecution.optimizedPlan
+    try {
+      val hashFilters = plan.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[Md5]) => f
+      }
+      assert(hashFilters.nonEmpty, "the tombstone hash filter must exist")
+      for (f <- hashFilters)
+        assert(f.collect { case j: Join => j }.isEmpty,
+          s"tombstone filter must precede every join:\n$f")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
   test("d20: the sweep reuses d03's inverted-index shape — no cartesian, no global window") {
     val p = plan("d20_jaccard_sweep")
     assert(!p.contains("CartesianProduct"))

@@ -53,6 +53,177 @@ class Round13Spec extends AnyFunSuite {
     } finally graft.core.Sessions.sweepPersistedState(spark)
   }
 
+  // ---- d28 span scrub ------------------------------------------------------
+
+  test("d28 law: hashed-key scrub is byte-identical to string-key scrub and reconciles with d25") {
+    import graft.ops.Dedup
+    val docs = graft.core.Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    try {
+      val h = rows(Dedup.spanScrub(docs, hashed = true))
+      val s = rows(Dedup.spanScrub(docs, hashed = false))
+      assert(h.exists(_._3 > 0), "corpus must contain scrubbed tokens")
+      assert(h === s, "d28: hashed-key scrub diverged from string-key scrub")
+      // reconciliation with the DETECT stage: a doc that lost tokens must
+      // be a doc d25 reports as carrying duplicated spans (the converse
+      // is false by design — the canonical owner keeps its copy)
+      val spans = Dedup.dupSpans(docs, hashed = true).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for ((id, _, cut, _) <- h if cut > 0)
+        assert(spans(id) > 0, s"doc $id scrubbed but d25 reports no duplicated span")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  test("d28 planted geometry: the owner keeps every token; the copy loses exactly the quote") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // the span-law fixture: doc 1 owns the 12-token quote (a5..a16),
+    // doc 2 repeats it between unique flanks, doc 3 is all-unique.
+    // Marked grams exist only in doc 2 (positions 5..9), covering
+    // exactly tokens 5..16 — the quote — so the scrub must remove those
+    // 12 tokens and nothing else, and must not touch docs 1 and 3.
+    val a = (0 until 20).map(i => s"a$i")
+    val quote = a.slice(5, 17)
+    val d1 = a.mkString(" ")
+    val d2 = ((0 until 4).map(i => s"b$i") ++ quote ++ (4 until 8).map(i => s"b$i")).mkString(" ")
+    val d3 = (0 until 20).map(i => s"c$i").mkString(" ")
+    val synth = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    try {
+      val want = Map(
+        1L -> (20L, 0L, d1),
+        2L -> (20L, 12L, ((0 until 4) ++ (4 until 8)).map(i => s"b$i").mkString(" ")),
+        3L -> (20L, 0L, d3))
+      for (hashed <- Seq(true, false)) {
+        val got = Dedup.spanScrub(synth, hashed).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+        assert(got === want, s"hashed=$hashed: $got")
+      }
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  // ---- q55 quantile-sketch merge law ---------------------------------------
+
+  test("q55 shard invariance: the merged-histogram report is identical at S = 1, 2, 8 and the laws hold") {
+    val li = graft.core.Tables.lineitem(spark, dir)
+    try {
+      val reps = Seq(1, 2, 8).map { s =>
+        s -> graft.queries.Relational3.histQuantileReport(li, s).collect()
+          .map(r => (r.getString(0), r.getLong(1), String.valueOf(r.get(2)),
+            r.getBoolean(3), r.getBoolean(4))).toSet
+      }
+      for ((s, rows) <- reps) {
+        assert(rows.size === 3, s"S=$s: expected the three percentile rows")
+        for ((pct, _, _, binMatch, massOk) <- rows) {
+          assert(binMatch, s"S=$s: $pct exact value landed outside the predicted bin")
+          assert(massOk, s"S=$s: the merged histogram lost mass")
+        }
+      }
+      // bins are data-independent given the global stats and addition is
+      // associative, so the WHOLE report — not just the booleans — must
+      // be split-invariant (d24's replay discipline)
+      assert(reps.map(_._2).distinct.size === 1,
+        "the merged report must be identical under every shard split")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  // ---- s29 tombstone-aware trained search ----------------------------------
+
+  /** The tombstone cohort under the same rule the queries use (s19's
+    * del_ uhash at 5%), recomputed independently of the query code.
+    */
+  private def tombstonedIds: Set[Long] =
+    graft.core.Tables.embeddings(spark, dir)
+      .filter(expr("conv(substring(md5(concat('del_', cast(vec_id as string))), 1, 15), 16, 10)" +
+        " / 1152921504606846976.0 < 0.05"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("s29 semantics: tombstoned vectors never appear on either side; result lists stay dense") {
+    val deleted = tombstonedIds
+    try {
+      assert(deleted.nonEmpty, "the tombstone cohort must be non-empty at this SF")
+      val out = SparkEntry.queries("s29_tombstone_trained")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(out.nonEmpty)
+      for ((qid, nid, rn) <- out) {
+        assert(!deleted(qid), s"deleted vector $qid issued a query")
+        assert(!deleted(nid), s"deleted vector $nid resurfaced as a neighbor of $qid")
+        assert(rn >= 1 && rn <= 5)
+      }
+      for ((q, rows) <- out.groupBy(_._1))
+        assert(rows.map(_._3).sorted === (1L to rows.length).toSeq, s"ranks not dense for $q")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  // ---- s30/es29 serving loop ------------------------------------------------
+
+  test("s30 semantics: queries are the arrivals; neighbors are live corpus rows only; ranks dense") {
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val deltaIds = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val deleted = tombstonedIds
+    try {
+      val out = SparkEntry.queries("s30_serve_arrivals")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      assert(out.nonEmpty)
+      for ((qid, nid, rn) <- out) {
+        assert(deltaIds(qid), s"query $qid is not an arrival (delta) row")
+        assert(!deltaIds(nid), s"neighbor $nid came from the arrivals, not the corpus index")
+        assert(!deleted(nid), s"tombstoned corpus row $nid resurfaced as a neighbor of $qid")
+        assert(rn >= 1 && rn <= 5)
+      }
+      for ((q, rows) <- out.groupBy(_._1))
+        assert(rows.map(_._3).sorted === (1L to rows.length).toSeq, s"ranks not dense for $q")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  test("es29 replay: a two-file micro-batched serving stream equals the one-shot s30") {
+    // batching must be invisible: the codebook and the tombstone-filtered
+    // serving index are frozen before the stream starts, and each
+    // arrival's top-5 completes within its own batch (candidates never
+    // span batches), so two micro-batches must emit exactly the batch
+    // s30 serving result
+    import graft.ops.Similarity
+    val isDelta = col("vec_id") % 10 === 0
+    val (corpus, gArr) = Similarity.trainedGroupArray(
+      Similarity.vecs(spark, dir).filter(!isDelta))
+    gArr.persist().count()
+    val index = Similarity.liveIndex(corpus, gArr).persist()
+    index.count()
+    val emb = graft.core.Tables.embeddings(spark, dir)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_es29spec").toFile
+    val runBase = java.nio.file.Files.createTempDirectory("graft_es29run").toFile
+    def writeOne(part: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(streamDir, s"stage_$name")
+      part.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val f = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(streamDir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    writeOne(emb.filter(isDelta && col("vec_id") % 20 === 0), "embeddings_a")
+    writeOne(emb.filter(isDelta && col("vec_id") % 20 =!= 0), "embeddings_b")
+    try {
+      val streamed = graft.streaming.StreamingGate.runDocBatchStream(spark,
+        graft.streaming.StreamingGate.readEmbeddings(spark, streamDir.getAbsolutePath, Some(1)),
+        new java.io.File(runBase, "out").getAbsolutePath,
+        new java.io.File(runBase, "ckpt").getAbsolutePath,
+        Seq("qid", "nid", "sim", "rn"))(
+        b => Similarity.serveBatch(Similarity.vecsOf(b), index, gArr))
+      val batchDirs = new java.io.File(runBase, "out").listFiles()
+        .filter(_.getName.startsWith("batch_id="))
+      assert(batchDirs.length >= 2, s"expected >= 2 micro-batches, got ${batchDirs.length}")
+      val batch = Similarity.serveBatch(
+        Similarity.vecs(spark, dir).filter(isDelta), index, gArr)
+      assert(batch.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "micro-batched serving must equal the one-shot batch serving")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(runBase)
+    }
+  }
+
   // ---- q54 heavy-hitters merge law ----------------------------------------
 
   test("q54 shard invariance: the merge contract holds at S = 1, 2, 8 and the exact side never moves") {
