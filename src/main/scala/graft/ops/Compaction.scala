@@ -50,7 +50,16 @@ object Compaction {
     */
   private[graft] def planLayout(rows: DataFrame, budget: Long): DataFrame = {
     require(budget >= 1, s"byte budget must be >= 1, got $budget")
-    val keyed = rows.withColumn("__cb", rowBytes)
+    planLayoutBy(rows, lit(budget))
+  }
+
+  /** [[planLayout]] with a per-row budget expression — p30's mixed
+    * starting layout packs even days at the target budget and odd days
+    * at litter size, all in one plan. The budget must be constant
+    * within a day (the offset rule is per-day).
+    */
+  private[graft] def planLayoutBy(rows: DataFrame, budget: Column): DataFrame = {
+    val keyed = rows.withColumn("__cb", rowBytes).withColumn("__budget", budget)
     val summed = graft.plans.GlobalOrder.withGlobalRunningSum(
       keyed,
       Seq(col("day"), md5(col("event_id").cast("string")), col("event_id")),
@@ -60,9 +69,21 @@ object Compaction {
     val dayStart = summed.groupBy(col("day"))
       .agg(min(col("__cs") - col("__cb")).as("__d0"))
     summed.join(broadcast(dayStart), "day")
-      .withColumn("file_idx", expr(s"(__cs - __cb - __d0) DIV $budget"))
-      .drop("__cs", "__d0")
+      .withColumn("file_idx", expr("(__cs - __cb - __d0) DIV __budget"))
+      .drop("__cs", "__d0", "__budget")
   }
+
+  /** The clustered write tail shared by [[compact]] and the p30 mixed
+    * fixture: one shuffle partition per planned (day, file_idx) →
+    * exactly one parquet file per planned entry; rows inside keep the
+    * md5 pack order so re-writes are byte-stable.
+    */
+  private[graft] def writeLayout(planned: DataFrame, outRoot: String): Unit =
+    planned.drop("__cb")
+      .repartition(col("day"), col("file_idx"))
+      .sortWithinPartitions(col("day"), col("file_idx"),
+        md5(col("event_id").cast("string")), col("event_id"))
+      .write.mode("overwrite").partitionBy("day", "file_idx").parquet(outRoot)
 
   /** Physical layout stats (parquet file count + bytes on disk) — the
     * before/after manifest's "what did this actually buy" half.
@@ -89,17 +110,74 @@ object Compaction {
   def compact(s: SparkSession, inRoot: String, outRoot: String,
               budget: Long): (LayoutStats, LayoutStats) = {
     val before = layoutStats(inRoot)
-    val planned = planLayout(
-      graft.streaming.IngestPipeline.readShards(s, inRoot), budget)
-    planned.drop("__cb")
-      // one shuffle partition per planned file -> exactly one parquet
-      // file per (day, file_idx) dir; rows inside keep the md5 pack
-      // order so re-writes are stable
-      .repartition(col("day"), col("file_idx"))
-      .sortWithinPartitions(col("day"), col("file_idx"),
-        md5(col("event_id").cast("string")), col("event_id"))
-      .write.mode("overwrite").partitionBy("day", "file_idx").parquet(outRoot)
+    writeLayout(planLayout(
+      graft.streaming.IngestPipeline.readShards(s, inRoot), budget), outRoot)
     (before, layoutStats(outRoot))
+  }
+
+  /** Incremental OPTIMIZE (the `OPTIMIZE ... WHERE` maintenance pass):
+    * rewrite IN PLACE only the days whose physical file count exceeds
+    * what the deterministic plan needs at `budget`; healthy days' files
+    * are left untouched byte-for-byte. The breach rule is exact, not a
+    * heuristic threshold: a day already at the planned layout has
+    * current == planned count (the plan is deterministic), so re-running
+    * the pass is a guaranteed no-op — and a day whose current count
+    * EQUALS the planned count while the layouts differ cannot exist
+    * (litter packing is strictly finer except in the 1-file case, where
+    * the layouts coincide).
+    *
+    * Scale shape: the physical census is a driver walk of day dirs
+    * (days are metadata-sized, the same O(days) budget as the rebase
+    * broadcast); the plan is ONE range exchange over the layout's rows;
+    * only breached days' rows are shuffled into the clustered rewrite.
+    * On an object store the pre-delete + append pair is the
+    * delete-then-commit a table format would make transactional; the
+    * layout is reconstructible from the plan either way.
+    *
+    * Returns (breached days ascending, before stats, after stats).
+    */
+  def compactWhere(s: SparkSession, root: String,
+                   budget: Long): (Seq[Long], LayoutStats, LayoutStats) = {
+    require(budget >= 1, s"byte budget must be >= 1, got $budget")
+    val before = layoutStats(root)
+    val dayDirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    val current: Map[Long, Long] = dayDirs.map { d =>
+      d.getName.stripPrefix("day=").toLong -> layoutStats(d.getAbsolutePath).nFiles
+    }.toMap
+    val planned = planLayout(graft.streaming.IngestPipeline.readShards(s, root), budget)
+    // days-sized collect (the GlobalOrder-offsets budget): planned file
+    // count per day
+    val plannedCount: Map[Long, Long] = planned
+      .groupBy(col("day")).agg(countDistinct(col("file_idx")).as("nf"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val breached = current.collect {
+      case (d, n) if n > plannedCount.getOrElse(d, 0L) => d
+    }.toSeq.sorted
+    if (breached.nonEmpty) {
+      // stage-then-swap: the rewrite reads the OLD files, so they must
+      // survive until the staged write commits — write the breached
+      // days under an underscore dir (parquet readers ignore it), then
+      // swap each day dir on the driver. The object-store form of the
+      // delete-then-commit a table format makes transactional.
+      val stage = new java.io.File(root, "_optimize_stage")
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      planned.filter(col("day").isin(breached: _*)).drop("__cb")
+        .repartition(col("day"), col("file_idx"))
+        .sortWithinPartitions(col("day"), col("file_idx"),
+          md5(col("event_id").cast("string")), col("event_id"))
+        .write.mode("overwrite").partitionBy("day", "file_idx")
+        .parquet(stage.getAbsolutePath)
+      breached.foreach { d =>
+        val dst = new java.io.File(root, s"day=$d")
+        org.apache.commons.io.FileUtils.deleteDirectory(dst)
+        java.nio.file.Files.move(
+          new java.io.File(stage, s"day=$d").toPath, dst.toPath)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    (breached, before, layoutStats(root))
   }
 
   /** The manifest recomputed FROM a compacted layout: per physical

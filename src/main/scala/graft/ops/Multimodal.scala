@@ -408,6 +408,65 @@ object Multimodal extends QueryModule {
        |  n_bytes AS survivor_bytes, cs - 1 AS n_dropped, tb - n_bytes AS bytes_freed
        |FROM r WHERE rn = 1 AND cs >= 2""".stripMargin
 
+  /** The deterministic erasure cohort for m13 (5% of docs by salted
+    * uhash — the p21 right-to-be-forgotten contract applied to the
+    * media corpus; salt "erase_" is independent of every other cohort).
+    */
+  private val EraseFrac = 0.05
+
+  /** m13: CAS GARBAGE COLLECTION — the maintenance pass m06's
+    * content-addressed store needs after an erasure sweep: deleting
+    * documents removes REFERENCES, not blocks (that's the point of a
+    * CAS — a block lives while ANY doc references it), so the store
+    * accretes orphans until a GC walks the refcounts. This entry emits
+    * the GC WORKLIST: every block whose referencing documents are ALL
+    * erased — the blocks a collector may physically reclaim without
+    * breaking a live document — with its total reference count and
+    * size. Completes the erasure story across the storage ladder: p21
+    * drops the rows, s19/s29 keep deleted vectors out of search
+    * results, m13 reclaims the bytes.
+    *
+    * Scale shape: m06's exactly — a row-local block split + hash (the
+    * scan re-keyed), then ONE map-side-combined aggregate keyed on the
+    * block hash; the erased flag is a row-local hash predicate folded
+    * into algebraic sums (live refs = sum of 0/1), so the GC over a
+    * 100 TB store is a single linear pass. With a real deletion-request
+    * table the flag becomes a broadcast join at the same spot
+    * (requests ≪ corpus). No joins, no windows, no all-pairs.
+    *
+    * Determinism: the cohort is an exact integer hash compare; counts
+    * are exact; block_chars of a given hash is constant (same content).
+    */
+  private def m13(s: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(
+        (Sampling.uhash("erase_", col("doc_id")) < EraseFrac).as("erased"),
+        explode(expr(
+          s"transform(sequence(0, CAST((length(text) + ${BlockChars - 1}) DIV $BlockChars AS INT) - 1), " +
+            s"i -> named_struct('bh', md5(substring(text, i * $BlockChars + 1, $BlockChars)), " +
+            s"'bc', length(substring(text, i * $BlockChars + 1, $BlockChars))))")).as("b"))
+      .select(col("erased"), col("b.bh").as("bh"), col("b.bc").as("bc"))
+      .groupBy(col("bh"))
+      .agg(
+        count(lit(1)).as("n_refs"),
+        max(col("bc")).cast("long").as("block_chars"),
+        sum(when(!col("erased"), 1L).otherwise(0L)).as("live_refs"))
+      .filter(col("live_refs") === 0L)
+      .select(col("bh"), col("n_refs"), col("block_chars"))
+
+  private val m13Sql =
+    s"""WITH b AS (
+       |  SELECT ${Sampling.uhashSql("erase_", "doc_id")} < $EraseFrac AS erased,
+       |    unnest(list_transform(range(0, (len(text) + ${BlockChars - 1}) // $BlockChars),
+       |      i -> md5(substring(text, CAST(i * $BlockChars + 1 AS INT), $BlockChars)))) AS bh,
+       |    unnest(list_transform(range(0, (len(text) + ${BlockChars - 1}) // $BlockChars),
+       |      i -> len(substring(text, CAST(i * $BlockChars + 1 AS INT), $BlockChars)))) AS bc
+       |  FROM documents WHERE len(text) > 0)
+       |SELECT bh, count(*) AS n_refs, CAST(max(bc) AS BIGINT) AS block_chars
+       |FROM b GROUP BY 1
+       |HAVING sum(CASE WHEN erased THEN 0 ELSE 1 END) = 0""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("m01_multimodal_features", m01, Some(m01Sql)),
     QueryDef("m02_frame_sample", m02, Some(m02Sql)),
@@ -421,6 +480,7 @@ object Multimodal extends QueryModule {
     QueryDef("m10_storage_report", m10, Some(m10Sql)),
     QueryDef("m11_batch_interleave", m11, Some(m11Sql)),
     QueryDef("m12_perceptual_clusters", m12, Some(m12Sql)),
+    QueryDef("m13_cas_gc", m13, Some(m13Sql)),
   )
 
   /** m08: cross-modal alignment audit — the referential-integrity check

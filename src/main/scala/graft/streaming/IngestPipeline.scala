@@ -115,8 +115,52 @@ object IngestPipeline extends QueryModule {
        |  min(event_id) AS min_event, max(event_id) AS max_event
        |FROM o GROUP BY 1, 2""".stripMargin
 
+  /** p30: INCREMENTAL compaction — `OPTIMIZE ... WHERE fragmented`, the
+    * pass a lakehouse actually schedules nightly (rewriting the whole
+    * table every night, p29's shape, is the demo form): the starting
+    * layout has even days already at the target budget and odd days
+    * littered at [[LitterBudgetBytes]]-byte files (micro-batch debris),
+    * and [[graft.ops.Compaction.compactWhere]] rewrites ONLY the days
+    * whose physical file count exceeds the deterministic plan's —
+    * healthy days are never read-modified (byte-identity pinned in
+    * ScaleTechniquesSpec, along with re-run no-op-ness).
+    *
+    * Gate: the final manifest, recomputed FROM THE FILES, must equal
+    * the FULL compaction plan — incremental and full OPTIMIZE converge
+    * to the same deterministic layout (both pack at the same budget and
+    * the unbreached days provably already sit at it), so the oracle is
+    * p29's SQL verbatim and a hash match proves selective-rewrite ==
+    * full-rewrite == plan.
+    */
+  // litter at budget/2: strictly finer than the target wherever a day
+  // needs more than one file (ceil(b/2048) > ceil(b/4096) for b > 2048,
+  // and the layouts coincide at one file for b <= 2048), so every
+  // fragmented day breaches and every unbreached day already IS the
+  // plan — while keeping the fixture's physical file count ~2x the
+  // target instead of the 16x a byte-sized litter would write
+  private[graft] val LitterBudgetBytes = CompactBudgetBytes / 2
+
+  private def p30(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, when}
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-optwhere-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")))
+    org.apache.commons.io.FileUtils.deleteDirectory(base)
+    val root = new java.io.File(base, "layout").getAbsolutePath
+    val rows = graft.core.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+        col("event_type"), col("value"))
+    graft.ops.Compaction.writeLayout(
+      graft.ops.Compaction.planLayoutBy(rows,
+        when(col("day") % 2 === 0, lit(CompactBudgetBytes))
+          .otherwise(lit(LitterBudgetBytes))), root)
+    graft.ops.Compaction.compactWhere(s, root, CompactBudgetBytes)
+    graft.ops.Compaction.manifestOf(s, root)
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p15_stream_ingest", p15, Some(p15Sql)),
     QueryDef("p29_compact_manifest", p29, Some(p29Sql)),
+    QueryDef("p30_optimize_where", p30, Some(p29Sql)),
   )
 }

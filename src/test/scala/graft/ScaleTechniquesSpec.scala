@@ -523,7 +523,7 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     }
   }
 
-  test("s25/s26/s27/d24 10x scaling: corpus-linear wall for the hybrid/card/sketch family") {
+  test("s25/s26/s27/d24/d25/d28/s30 10x scaling: corpus-linear wall for the hybrid/card/sketch/span/serve family") {
     // a dir carrying BOTH tables with matching ids (m04's contract):
     // clone-heavy documents + hash-synthesized embeddings per doc
     val src = graft.core.Tables.documents(spark, "/root/testdata/sf0.1")
@@ -553,11 +553,27 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     val (c1, c10) = (mk(400), mk(4000))
     try {
       for (q <- Seq("s25_hybrid_rrf", "s26_cluster_cards", "s27_mined_pairs",
-          "d24_shard_sketch_merge", "d25_dup_spans")) {
+          "d24_shard_sketch_merge", "d25_dup_spans", "d28_span_scrub",
+          "s30_serve_arrivals")) {
         val (t1, t10) = (time(q, c1), time(q, c10))
         info(f"$q 1x: $t1%.1fs; 10x: $t10%.1fs")
         assert(t10 <= t1 * 25 + 5.0, f"$q wall time must stay ~linear: $t1%.1fs -> $t10%.1fs")
       }
+      // d28 on the clone corpus: one row per doc; clones share almost
+      // everything, so the scrub must remove tokens from the non-owner
+      // copies while conserving totals
+      val scrub10 = SparkEntry.queries("d28_span_scrub")(spark, c10)
+        .agg(count(lit(1)), sum(col("tok_scrubbed")), sum(col("tok_total")))
+        .collect()(0)
+      assert(scrub10.getLong(0) === 20000L, "d28: one row per doc")
+      assert(scrub10.getLong(1) > 0L, "d28: clone corpus must scrub spans")
+      // s30: every arrival answered with at most k rows — output is
+      // |delta|-bounded, never corpus-bounded
+      val nDelta10 = graft.core.Tables.embeddings(spark, c10)
+        .filter(col("vec_id") % 10 === 0).count()
+      val serve10 = SparkEntry.queries("s30_serve_arrivals")(spark, c10).count()
+      assert(serve10 > 0L && serve10 <= nDelta10 * 5,
+        s"s30: $serve10 rows must be bounded by 5 x $nDelta10 arrivals")
       // fixed-size outputs at 10x: the query batch, the card deck, and
       // the source matrix are all corpus-INDEPENDENT row counts
       assert(SparkEntry.queries("s25_hybrid_rrf")(spark, c10)
@@ -1267,6 +1283,70 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       def mrows(root: String) = Compaction.manifestOf(spark, root)
         .collect().map(_.toSeq.toList).toSet
       assert(mrows(out2) === mrows(out1), "re-compaction must be a layout no-op")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
+  test("compactWhere: only fragmented days rewritten, healthy days byte-identical, re-run no-op") {
+    import graft.ops.Compaction
+    val base = java.nio.file.Files.createTempDirectory("graft_optwhere").toFile
+    val root = new java.io.File(base, "layout").getAbsolutePath
+    try {
+      val budget = 1024L
+      // mixed fixture (p30's shape): even days at the target budget,
+      // odd days littered at 128-byte files
+      val rows = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+          col("event_type"), col("value"))
+      Compaction.writeLayout(Compaction.planLayoutBy(rows,
+        when(col("day") % 2 === 0, lit(budget)).otherwise(lit(128L))), root)
+      def checksums(): Map[String, String] = {
+        val fs = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        try fs.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(p => p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p))
+          .map { p =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            p.toString -> md.digest(java.nio.file.Files.readAllBytes(p))
+              .map("%02x".format(_)).mkString
+          }.toMap
+        finally fs.close()
+      }
+      def rowsNow() = graft.streaming.IngestPipeline.readShards(spark, root)
+        .collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
+      val rowsBefore = rowsNow()
+      val sumsBefore = checksums()
+      val (breached, before, after) = Compaction.compactWhere(spark, root, budget)
+      info(s"breached ${breached.length} days; ${before.nFiles} -> ${after.nFiles} files")
+      assert(breached.nonEmpty, "the littered days must breach")
+      assert(breached.forall(_ % 2 == 1),
+        s"only littered (odd) days may be rewritten: $breached")
+      assert(after.nFiles < before.nFiles)
+      // healthy days' files byte-identical (same path, same content) —
+      // the incremental pass never read-modified them
+      val sumsAfter = checksums()
+      val evenBefore = sumsBefore.filter(_._1.contains("day=") )
+        .filter { case (p, _) =>
+          "day=(-?\\d+)".r.findFirstMatchIn(p).exists(_.group(1).toLong % 2 == 0) }
+      for ((p, h) <- evenBefore)
+        assert(sumsAfter.get(p).contains(h), s"healthy-day file touched: $p")
+      // conservation
+      assert(rowsNow() === rowsBefore, "compactWhere changed the row multiset")
+      // convergence: the incremental result IS the full plan's layout
+      val expect = Compaction.planLayout(
+        graft.streaming.IngestPipeline.readShards(spark, root), budget)
+        .select(col("day"), col("file_idx")).distinct().count()
+      assert(Compaction.layoutStats(root).nFiles === expect,
+        "incremental OPTIMIZE must land exactly the full plan's file set")
+      // re-run: nothing breaches, nothing moves
+      val sums1 = checksums()
+      val (breached2, _, after2) = Compaction.compactWhere(spark, root, budget)
+      assert(breached2.isEmpty, s"re-run must find nothing to do: $breached2")
+      assert(after2 === after)
+      assert(checksums() === sums1, "re-run touched files")
     } finally {
       graft.core.Sessions.sweepPersistedState(spark)
       org.apache.commons.io.FileUtils.deleteDirectory(base)
