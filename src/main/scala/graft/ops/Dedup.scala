@@ -1502,29 +1502,30 @@ object Dedup extends QueryModule {
       .filter(col("doc_id") =!= col("owner"))
       .select(col("doc_id"), col("gpos"))
     // gram windows → covered token positions; distinct collapses the
-    // overlap of adjacent marked grams per doc
-    val covered = markedGrams
+    // overlap of adjacent marked grams per doc. Only MARKED positions
+    // flow from here on — the corpus token stream itself never
+    // shuffles: the cut set reduces to one doc-bounded array row and
+    // the rewrite is a row-local filter over the doc's own tokens (a
+    // tpos-keyed join would push the full token stream through two
+    // exchanges — the dominant cost at corpus scale).
+    val cutSets = markedGrams
       .select(col("doc_id"),
         explode(sequence(col("gpos"), col("gpos") + (SpanGram - 1))).as("tpos"))
       .distinct()
-      .withColumn("cut", lit(1L))
-    val toks = docs
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("tpos")).as("cut"))
+    docs
       .select(col("doc_id"), filter(split(col("text"), " "), x => length(x) > 0).as("w"))
       .filter(size(col("w")) > 0)
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("tpos"), col("tok"))
-    toks.join(covered, Seq("doc_id", "tpos"), "left_outer")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("tok_total"),
-        coalesce(sum(col("cut")), lit(0L)).as("tok_scrubbed"),
-        // collect_list skips the null struct for scrubbed tokens; sort
-        // by the doc-unique position (d12's reassembly idiom)
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("cut").isNull,
-              struct(col("tpos"), col("tok"))))),
-            x => x.getField("tok")), " ").as("clean_text"))
+      .join(cutSets, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("tok_total"),
+        coalesce(size(col("cut")), lit(0)).cast("long").as("tok_scrubbed"),
+        when(col("cut").isNull, array_join(col("w"), " "))
+          .otherwise(array_join(
+            // positions are 1-based; filter's lambda index is 0-based
+            filter(col("w"), (x, i) => !array_contains(col("cut"), i + 1)),
+            " ")).as("clean_text"))
   }
 
   private def d28(s: SparkSession, dir: String): DataFrame =

@@ -437,8 +437,14 @@ object Multimodal extends QueryModule {
     * Determinism: the cohort is an exact integer hash compare; counts
     * are exact; block_chars of a given hash is constant (same content).
     */
-  private def m13(s: SparkSession, dir: String): DataFrame =
-    graft.core.Tables.documents(s, dir)
+  /** Per-block reference partials over any (doc_id, text) frame — the
+    * mergeable form (integer counts, DETERMINISM rule 17): batch-local
+    * total and live refcounts per block hash. Shared by m13 (one
+    * partial over the whole corpus) and es30 (one partial per
+    * micro-batch, landed and sum-merged at read-back).
+    */
+  private[graft] def partialBlockRefs(docs: DataFrame): DataFrame =
+    docs
       .filter(length(col("text")) > 0)
       .select(
         (Sampling.uhash("erase_", col("doc_id")) < EraseFrac).as("erased"),
@@ -450,12 +456,27 @@ object Multimodal extends QueryModule {
       .groupBy(col("bh"))
       .agg(
         count(lit(1)).as("n_refs"),
-        max(col("bc")).cast("long").as("block_chars"),
-        sum(when(!col("erased"), 1L).otherwise(0L)).as("live_refs"))
+        sum(when(!col("erased"), 1L).otherwise(0L)).as("live_refs"),
+        max(col("bc")).cast("long").as("block_chars"))
+
+  /** THE MERGE + read-off: partials sum by block hash (order-free
+    * integer addition — replayed partials of the same rows would
+    * double-count, which is why es30 lands them under idempotent
+    * batch_id dirs), and the worklist is the zero-live-refs cut.
+    */
+  private[graft] def gcWorklist(partials: DataFrame): DataFrame =
+    partials.groupBy(col("bh"))
+      .agg(
+        sum(col("n_refs")).as("n_refs"),
+        sum(col("live_refs")).as("live_refs"),
+        max(col("block_chars")).as("block_chars"))
       .filter(col("live_refs") === 0L)
       .select(col("bh"), col("n_refs"), col("block_chars"))
 
-  private val m13Sql =
+  private def m13(s: SparkSession, dir: String): DataFrame =
+    gcWorklist(partialBlockRefs(graft.core.Tables.documents(s, dir)))
+
+  private[graft] lazy val m13Sql =
     s"""WITH b AS (
        |  SELECT ${Sampling.uhashSql("erase_", "doc_id")} < $EraseFrac AS erased,
        |    unnest(list_transform(range(0, (len(text) + ${BlockChars - 1}) // $BlockChars),

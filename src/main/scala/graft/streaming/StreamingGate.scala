@@ -515,6 +515,7 @@ object StreamingGate extends QueryModule {
     QueryDef("es27_stream_sketch", es27, Some(es27Sql)),
     QueryDef("es28_stream_spans", es28, Some(es28Sql)),
     QueryDef("es29_stream_serve", es29, Some(es29Sql)),
+    QueryDef("es30_stream_blocks", es30, Some(es30Sql)),
   )
 
   /** es20: per-closed-window event-type MATRIX — one row per finalized
@@ -1081,5 +1082,37 @@ object StreamingGate extends QueryModule {
   }
 
   private lazy val es29Sql = graft.ops.Similarity.s30Sql
+
+  /** es30: CAS REFCOUNT MAINTENANCE AT INGEST — m13's bookkeeping run
+    * live, es27's discipline applied to storage: each micro-batch of
+    * arriving documents computes its own per-block reference PARTIALS
+    * (block split + hash row-local, one batch-local aggregate — integer
+    * total/live counts, the mergeable form of DETERMINISM rule 17) and
+    * lands them under an idempotent `batch_id` dir; after the stream
+    * drains, the landed partials sum-merge by block hash and the GC
+    * worklist is the zero-live-refs cut. This is how a store actually
+    * keeps refcounts current: ingest only ever ADDS partials (a
+    * replayed batch overwrites its own, so counts never double), and
+    * the nightly GC is a metadata-sized merge over landed partials —
+    * yesterday's text is never re-read.
+    *
+    * Scale shape: stateless stream (file-source progress log only);
+    * per-batch output ≤ distinct blocks in the batch; the read-back
+    * merge aggregates (bh) partial rows — batches × batch-blocks,
+    * never the corpus text. Batching cannot change an integer sum, so
+    * the oracle is m13's SQL verbatim.
+    */
+  private def es30(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-es30")
+    try graft.ops.Multimodal.gcWorklist(
+        runDocBatchStream(s, readDocuments(s, dir),
+          s"$base/out", s"$base/ckpt",
+          Seq("bh", "n_refs", "live_refs", "block_chars"))(
+          batch => graft.ops.Multimodal.partialBlockRefs(batch)))
+      .localCheckpoint()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
+  private lazy val es30Sql = graft.ops.Multimodal.m13Sql
 }
 

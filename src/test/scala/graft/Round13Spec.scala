@@ -224,6 +224,45 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  // ---- es30 streaming CAS refcounts ----------------------------------------
+
+  test("es30 replay: two micro-batched shards' block partials sum-merge to the one-shot worklist") {
+    // the merge law live (rule 17): batch boundaries are shards; landed
+    // integer partials must sum to exactly m13's corpus-wide GC cut
+    import graft.ops.Multimodal
+    val docs = graft.core.Tables.documents(spark, dir)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_es30spec").toFile
+    val runBase = java.nio.file.Files.createTempDirectory("graft_es30run").toFile
+    def writeOne(part: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(streamDir, s"stage_$name")
+      part.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val f = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(streamDir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    writeOne(docs.filter(col("doc_id") % 2 === 0), "documents_a")
+    writeOne(docs.filter(col("doc_id") % 2 =!= 0), "documents_b")
+    try {
+      val streamed = Multimodal.gcWorklist(
+        graft.streaming.StreamingGate.runDocBatchStream(spark,
+          graft.streaming.StreamingGate.readDocuments(spark, streamDir.getAbsolutePath, Some(1)),
+          new java.io.File(runBase, "out").getAbsolutePath,
+          new java.io.File(runBase, "ckpt").getAbsolutePath,
+          Seq("bh", "n_refs", "live_refs", "block_chars"))(Multimodal.partialBlockRefs))
+      val batchDirs = new java.io.File(runBase, "out").listFiles()
+        .filter(_.getName.startsWith("batch_id="))
+      assert(batchDirs.length >= 2, s"expected >= 2 micro-batches, got ${batchDirs.length}")
+      val oneShot = Multimodal.gcWorklist(Multimodal.partialBlockRefs(docs))
+      assert(oneShot.count() > 0, "the erasure cohort must orphan some blocks at this SF")
+      assert(streamed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamed).isEmpty,
+        "micro-batched refcount partials must merge to the one-shot worklist")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(runBase)
+    }
+  }
+
   // ---- q54 heavy-hitters merge law ----------------------------------------
 
   test("q54 shard invariance: the merge contract holds at S = 1, 2, 8 and the exact side never moves") {
