@@ -2121,6 +2121,7 @@ object Similarity extends QueryModule {
     QueryDef("s28_filtered_trained", s28, Some(s28Sql)),
     QueryDef("s29_tombstone_trained", s29, Some(s29Sql)),
     QueryDef("s30_serve_arrivals", s30, Some(s30Sql)),
+    QueryDef("s31_serving_recall", s31, Some(s31Sql)),
   )
 
   // ---- s24: frozen-index delta assignment (the cheap ingest path) -----
@@ -2237,6 +2238,107 @@ object Similarity extends QueryModule {
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rn
        |  FROM sc)
        |WHERE rn <= 5""".stripMargin
+
+  // ---- s31: recall audit of the SERVING path ---------------------------
+
+  /** s31: recall@5 of s30's served answers — the audit the serving
+    * family was missing (every index here ships one: s12 for LSH, s21
+    * for the trained index, THIS for the arrival-serving path). For a
+    * capped md5-order batch of arrivals (salt "svr_"), the ground
+    * truth is exact top-5 cosine over the LIVE corpus — tombstones
+    * excluded, because a deleted row is not an answer the deployment
+    * owes its callers and counting it as a miss would charge the
+    * quantizer for the erasure policy — and the served answer is the
+    * SAME [[serveBatch]] kernel s30/es29 run, so the audit measures
+    * production code, not a reimplementation.
+    *
+    * Scale shape: the exact leg is batch × live-corpus through the
+    * bounded-memory TopK aggregator (s21's lesson — 5·batch rows cross
+    * the shuffle, never a per-query window over the scored corpus);
+    * the serving leg probes only the batch (row-local fold + the
+    * occupancy-bounded cell join). Batch salt "svr_" is independent of
+    * every other sample salt.
+    */
+  private def s31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val isDelta = col("vec_id") % 10 === 0
+    val (corpus, gArr) = trainedGroupArray(vecs(s, dir).filter(!isDelta))
+    val index = liveIndex(corpus, gArr)
+    val arrivals = vecs(s, dir).filter(isDelta)
+    val sampled = arrivals
+      .orderBy(md5(concat(lit("svr_"), col("vec_id").cast("string")))).limit(RecallQueries)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val live = corpus.filter(Sampling.uhash("del_", col("vec_id")) >= DelFrac)
+    // arrivals and corpus are disjoint populations, so no self-pair cut
+    val exact = sampled.crossJoin(
+        live.select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb")))
+      .select(col("qid"), col("nid"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .as[graft.functions.KnnRow]
+      .groupByKey(_.qid)
+      .agg(new graft.functions.TopKNeighbors(5).toColumn.name("top"))
+      .flatMap { case (qid, top) => top.items.iterator.map(r => (qid, r.nid)) }
+      .toDF("qid", "nid")
+      .persist() // read twice: hit join + per-query k (the s21 rule)
+    val served = serveBatch(
+        arrivals.join(broadcast(sampled.select(col("qid").as("vec_id"))), "vec_id"),
+        index, gArr)
+      .select(col("qid"), col("nid"))
+    val hits = exact.join(served, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), col("k"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / col("k")).as("recall"))
+  }
+
+  /** Oracle: the dual-population chain (s30's) + the exact live-corpus
+    * leg and s21's recall tail, cut to the "svr_" batch.
+    */
+  private lazy val s31Sql =
+    s"""WITH $oracleVecs,
+       |nc AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+       |nd AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+       |${codebookChainSql("nc", "")},
+       |${rankStanzaSql("nc", "", "")},
+       |${rankStanzaSql("nd", "", "q")},
+       |lidx AS (
+       |  SELECT vec_id, cid AS cell FROM prall
+       |  WHERE rn = 1 AND ${Sampling.uhashSql("del_", "vec_id")} >= $DelFrac),
+       |smp AS (
+       |  SELECT vec_id FROM nd
+       |  ORDER BY md5('svr_' || CAST(vec_id AS VARCHAR)) LIMIT $RecallQueries),
+       |srv AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT c.qid, c.nid,
+       |      row_number() OVER (PARTITION BY c.qid ORDER BY
+       |        list_sum(list_transform(range(1, ${Dim + 1}), i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm) DESC,
+       |        c.nid) AS rn
+       |    FROM (
+       |      SELECT p.vec_id AS qid, a.vec_id AS nid
+       |      FROM prallq p JOIN lidx a ON a.cell = p.cid
+       |      WHERE p.vec_id IN (SELECT vec_id FROM smp)) c
+       |    JOIN nd x ON c.qid = x.vec_id JOIN nc y ON c.nid = y.vec_id)
+       |  WHERE rn <= 5),
+       |ex AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, ${Dim + 1}), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) DESC,
+       |        b.vec_id) AS rn
+       |    FROM nd a JOIN smp USING (vec_id)
+       |    JOIN nc b ON ${Sampling.uhashSql("del_", "b.vec_id")} >= $DelFrac)
+       |  WHERE rn <= 5),
+       |h AS (
+       |  SELECT ex.qid, count(*) AS n_hits
+       |  FROM ex JOIN srv ON ex.qid = srv.qid AND ex.nid = srv.nid
+       |  GROUP BY 1)
+       |SELECT ex.qid, count(*) AS k,
+       |  coalesce(any_value(h.n_hits), 0) AS n_hits,
+       |  coalesce(any_value(h.n_hits), 0) / count(*) AS recall
+       |FROM ex LEFT JOIN h ON ex.qid = h.qid
+       |GROUP BY 1""".stripMargin
 
   // ---- s23: trained-index maintenance (retrain drift report) ----------
 
