@@ -224,6 +224,24 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("s31 semantics: full-k ground truth, recall in [0,1], one row per sampled arrival") {
+    val nArrivals = graft.core.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === 0).count()
+    try {
+      val out = SparkEntry.queries("s31_serving_recall")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(out.length.toLong === math.min(64L, nArrivals),
+        "one audit row per sampled arrival")
+      for ((qid, k, hits, recall) <- out) {
+        assert(k === 5L, s"$qid: live corpus must fill the exact top-5 at this SF")
+        assert(hits >= 0L && hits <= k)
+        assert(recall >= 0.0 && recall <= 1.0 && recall === hits.toDouble / k)
+      }
+      // the audit must be informative: the serving path finds SOMETHING
+      assert(out.map(_._3).sum > 0L, "served answers never intersect the ground truth")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
   // ---- es30 streaming CAS refcounts ----------------------------------------
 
   test("es30 replay: two micro-batched shards' block partials sum-merge to the one-shot worklist") {
