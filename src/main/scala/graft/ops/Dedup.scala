@@ -1492,22 +1492,16 @@ object Dedup extends QueryModule {
     * the exact planted geometry (owner keeps all, the copy loses
     * exactly the quote) are pinned in Round13Spec.
     */
-  private[graft] def spanScrub(docs: DataFrame, hashed: Boolean): DataFrame = {
-    val grams = gramKeyed(docs, hashed)
-    val own = grams.groupBy(col("gk"))
-      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
-      .filter(col("nd") >= 2)
-      .select(col("gk"), col("owner"))
-    val markedGrams = grams.join(own, Seq("gk"))
-      .filter(col("doc_id") =!= col("owner"))
-      .select(col("doc_id"), col("gpos"))
-    // gram windows → covered token positions; distinct collapses the
-    // overlap of adjacent marked grams per doc. Only MARKED positions
-    // flow from here on — the corpus token stream itself never
-    // shuffles: the cut set reduces to one doc-bounded array row and
-    // the rewrite is a row-local filter over the doc's own tokens (a
-    // tpos-keyed join would push the full token stream through two
-    // exchanges — the dominant cost at corpus scale).
+  /** The APPLY tail shared by d28 (corpus scrub) and d29/es31 (seam
+    * scrub): marked gram windows → distinct covered token positions →
+    * ONE doc-bounded cut-set array row per scrubbed doc → a row-local
+    * indexed filter of the doc's own tokens under a fanout-1 doc_id
+    * join. Only MARKED positions flow through exchanges — the corpus
+    * token stream itself never shuffles (a tpos-keyed join would push
+    * every token through two exchanges, the dominant cost at corpus
+    * scale).
+    */
+  private[graft] def applyCuts(docs: DataFrame, markedGrams: DataFrame): DataFrame = {
     val cutSets = markedGrams
       .select(col("doc_id"),
         explode(sequence(col("gpos"), col("gpos") + (SpanGram - 1))).as("tpos"))
@@ -1528,8 +1522,41 @@ object Dedup extends QueryModule {
             " ")).as("clean_text"))
   }
 
+  private[graft] def spanScrub(docs: DataFrame, hashed: Boolean): DataFrame = {
+    val grams = gramKeyed(docs, hashed)
+    val own = grams.groupBy(col("gk"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
+      .filter(col("nd") >= 2)
+      .select(col("gk"), col("owner"))
+    val markedGrams = grams.join(own, Seq("gk"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"), col("gpos"))
+    applyCuts(docs, markedGrams)
+  }
+
   private def d28(s: SparkSession, dir: String): DataFrame =
     spanScrub(Tables.documents(s, dir), hashed = true)
+
+  /** cov/tk + the rewrite SELECT shared by d28's and d29's oracles —
+    * `mk` is each entry's marking rule (exactly as [[applyCuts]] is
+    * each entry's shared Spark tail); `docPred` restricts the
+    * rewritten population.
+    */
+  private def spanApplySql(docPred: String): String =
+    s"""cov AS (
+       |  SELECT DISTINCT doc_id, tpos FROM (
+       |    SELECT doc_id, unnest(range(gpos, gpos + $SpanGram)) AS tpos FROM mk)),
+       |tk AS (
+       |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS tpos, unnest(w) AS tok
+       |  FROM wd WHERE len(w) > 0 AND $docPred)
+       |SELECT t.doc_id,
+       |  count(*) AS tok_total,
+       |  CAST(count(c.tpos) AS BIGINT) AS tok_scrubbed,
+       |  coalesce(array_to_string(
+       |    array_agg(t.tok ORDER BY t.tpos) FILTER (WHERE c.tpos IS NULL), ' '),
+       |    '') AS clean_text
+       |FROM tk t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+       |GROUP BY 1""".stripMargin
 
   private val d28Sql =
     s"""WITH $spanGramCtes,
@@ -1539,20 +1566,46 @@ object Dedup extends QueryModule {
        |mk AS (
        |  SELECT gx.doc_id, gx.gpos FROM gx JOIN own USING (gk)
        |  WHERE gx.doc_id <> own.owner),
-       |cov AS (
-       |  SELECT DISTINCT doc_id, tpos FROM (
-       |    SELECT doc_id, unnest(range(gpos, gpos + $SpanGram)) AS tpos FROM mk)),
-       |tk AS (
-       |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS tpos, unnest(w) AS tok
-       |  FROM wd WHERE len(w) > 0)
-       |SELECT t.doc_id,
-       |  count(*) AS tok_total,
-       |  CAST(count(c.tpos) AS BIGINT) AS tok_scrubbed,
-       |  coalesce(array_to_string(
-       |    array_agg(t.tok ORDER BY t.tpos) FILTER (WHERE c.tpos IS NULL), ' '),
-       |    '') AS clean_text
-       |FROM tk t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
-       |GROUP BY 1""".stripMargin
+       |${spanApplySql("TRUE")}""".stripMargin
+
+  // ---- d29: seam scrub — d26's detection APPLIED at ingest -------------
+
+  /** d29: scrub the ARRIVALS — d26 measures how much of each arriving
+    * document is already in the corpus; d29 performs the removal the
+    * ingest gate ships (the published "strip the quoted run from the
+    * new crawl" cleaner): every delta-doc gram verbatim-present in the
+    * corpus gram set marks its window, and the arrival is rewritten
+    * with those tokens removed. The corpus always wins ownership at
+    * the seam (it was there first — d28's min-doc_id rule specialized
+    * to "corpus beats arrival"), so ingest never creates a second copy
+    * of any corpus passage.
+    *
+    * Scale shape: d26's exactly (work ∝ |Δ| grams against the stored
+    * 8-byte hash index) plus the shared [[applyCuts]] tail — cut sets
+    * reduce to one array row per scrubbed arrival and the rewrite is
+    * row-local; the corpus is touched only through the gram index,
+    * never re-read. es31 is the live twin (same kernel per
+    * micro-batch; a doc arrives whole, so its rewrite completes within
+    * its batch).
+    */
+  private[graft] def seamScrub(docs: DataFrame, hashed: Boolean): DataFrame = {
+    val isDelta = col("doc_id") % 10 === 0
+    val corpusGrams = gramKeyed(docs.filter(!isDelta), hashed)
+      .select(col("gk")).distinct()
+    applyCuts(docs.filter(isDelta),
+      gramKeyed(docs.filter(isDelta), hashed)
+        .join(corpusGrams, Seq("gk"), "left_semi")
+        .select(col("doc_id"), col("gpos")))
+  }
+
+  private def d29(s: SparkSession, dir: String): DataFrame =
+    seamScrub(Tables.documents(s, dir), hashed = true)
+
+  private[graft] val d29Sql =
+    s"""WITH $spanGramCtes,
+       |cg AS (SELECT DISTINCT gk FROM gx WHERE doc_id % 10 <> 0),
+       |mk AS (SELECT gx.doc_id, gx.gpos FROM gx JOIN cg USING (gk) WHERE gx.doc_id % 10 = 0),
+       |${spanApplySql("doc_id % 10 = 0")}""".stripMargin
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("d01_dedup_exact", d01, Some(d01Sql)),
@@ -1581,6 +1634,7 @@ object Dedup extends QueryModule {
     QueryDef("d25_dup_spans", d25, Some(d25Sql)),
     QueryDef("d26_span_ingest", d26, Some(d26Sql)),
     QueryDef("d28_span_scrub", d28, Some(d28Sql)),
+    QueryDef("d29_seam_scrub", d29, Some(d29Sql)),
   )
 
   /** d18: cross-source duplication matrix — project the d03 near-dup

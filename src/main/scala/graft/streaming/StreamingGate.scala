@@ -516,6 +516,7 @@ object StreamingGate extends QueryModule {
     QueryDef("es28_stream_spans", es28, Some(es28Sql)),
     QueryDef("es29_stream_serve", es29, Some(es29Sql)),
     QueryDef("es30_stream_blocks", es30, Some(es30Sql)),
+    QueryDef("es31_stream_scrub", es31, Some(es31Sql)),
   )
 
   /** es20: per-closed-window event-type MATRIX — one row per finalized
@@ -1114,5 +1115,43 @@ object StreamingGate extends QueryModule {
   }
 
   private lazy val es30Sql = graft.ops.Multimodal.m13Sql
+
+  /** es31: SCRUB AT THE DOOR — d29 run live, the last stage of the
+    * span family's detect→apply arc (es28 MEASURES each arrival's
+    * corpus-copied spans; es31 REMOVES them before the doc lands): the
+    * corpus gram set builds once before the stream starts (8-byte
+    * hashes, persisted), and each micro-batch of arriving documents
+    * marks its grams by semi-join against it and rewrites itself with
+    * the shared [[graft.ops.Dedup.applyCuts]] tail — the same kernel
+    * the gated d29 entry runs, so the twin cannot drift. A document
+    * arrives whole in one row, so its cut set and rewrite complete
+    * within its own batch — batching cannot change the result, and the
+    * oracle is d29's SQL verbatim.
+    *
+    * Scale shape: stateless stream; per-batch work ∝ batch grams +
+    * marked windows; the rewrite is row-local (cut sets are one array
+    * row per scrubbed arrival); index refresh between runs is the d23
+    * distinct-union seam.
+    */
+  private def es31(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val isDelta = col("doc_id") % 10 === 0
+    val corpusGrams = graft.ops.Dedup.gramKeyed(
+      graft.core.Tables.documents(s, dir).filter(!isDelta), hashed = true)
+      .select(col("gk")).distinct().persist()
+    corpusGrams.count() // materialize the gram index before ingest starts
+    val base = java.nio.file.Files.createTempDirectory("graft-es31")
+    try runDocBatchStream(s, readDocuments(s, dir).filter(isDelta),
+        s"$base/out", s"$base/ckpt",
+        Seq("doc_id", "tok_total", "tok_scrubbed", "clean_text"))(
+        batch => graft.ops.Dedup.applyCuts(batch,
+          graft.ops.Dedup.gramKeyed(batch, hashed = true)
+            .join(corpusGrams, Seq("gk"), "left_semi")
+            .select(col("doc_id"), col("gpos"))))
+      .localCheckpoint()
+    finally org.apache.commons.io.FileUtils.deleteQuietly(base.toFile)
+  }
+
+  private lazy val es31Sql = graft.ops.Dedup.d29Sql
 }
 

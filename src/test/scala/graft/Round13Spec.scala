@@ -102,6 +102,86 @@ class Round13Spec extends AnyFunSuite {
     } finally graft.core.Sessions.sweepPersistedState(spark)
   }
 
+  // ---- d29/es31 seam scrub ---------------------------------------------------
+
+  test("d29 law: hashed-key seam scrub is byte-identical to string-key; planted arrival loses exactly the quote") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // real corpus, both key modes
+    val docs = graft.core.Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    try {
+      val h = rows(Dedup.seamScrub(docs, hashed = true))
+      assert(h === rows(Dedup.seamScrub(docs, hashed = false)),
+        "d29: hashed-key seam scrub diverged from string-key")
+      assert(h.forall(_._1 % 10 == 0), "d29 rewrites arrivals only")
+      // planted: corpus doc 1 owns the 12-token quote; arrival doc 10
+      // repeats it between unique flanks; arrival doc 20 is all-new —
+      // the seam scrub must strip exactly the quote from 10, keep 20
+      // whole, and never emit a corpus doc
+      val a = (0 until 20).map(i => s"a$i")
+      val quote = a.slice(5, 17)
+      val d1 = a.mkString(" ")
+      val d10 = ((0 until 4).map(i => s"b$i") ++ quote ++ (4 until 8).map(i => s"b$i")).mkString(" ")
+      val d20 = (0 until 20).map(i => s"c$i").mkString(" ")
+      val synth = Seq((1L, d1), (10L, d10), (20L, d20)).toDF("doc_id", "text")
+      val want = Map(
+        10L -> (20L, 12L, (0 until 8).map(i => s"b$i").mkString(" ")),
+        20L -> (20L, 0L, d20))
+      for (hashed <- Seq(true, false)) {
+        val got = Dedup.seamScrub(synth, hashed).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+        assert(got === want, s"hashed=$hashed: $got")
+      }
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  test("es31 replay: a two-file micro-batched scrub stream equals the one-shot d29") {
+    // the index is static within the run and a doc's rewrite completes
+    // within its batch, so batching must be invisible
+    import graft.ops.Dedup
+    val docs = graft.core.Tables.documents(spark, dir)
+    val isDelta = col("doc_id") % 10 === 0
+    val corpusGrams = Dedup.gramKeyed(docs.filter(!isDelta), hashed = true)
+      .select(col("gk")).distinct().persist()
+    corpusGrams.count()
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_es31spec").toFile
+    val runBase = java.nio.file.Files.createTempDirectory("graft_es31run").toFile
+    def writeOne(part: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = new java.io.File(streamDir, s"stage_$name")
+      part.coalesce(1).write.parquet(stage.getAbsolutePath)
+      val f = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(f.toPath, new java.io.File(streamDir, s"$name.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    writeOne(docs.filter(isDelta && col("doc_id") % 20 === 0), "documents_a")
+    writeOne(docs.filter(isDelta && col("doc_id") % 20 =!= 0), "documents_b")
+    try {
+      val streamed = graft.streaming.StreamingGate.runDocBatchStream(spark,
+        graft.streaming.StreamingGate.readDocuments(spark, streamDir.getAbsolutePath, Some(1)),
+        new java.io.File(runBase, "out").getAbsolutePath,
+        new java.io.File(runBase, "ckpt").getAbsolutePath,
+        Seq("doc_id", "tok_total", "tok_scrubbed", "clean_text"))(
+        b => Dedup.applyCuts(b,
+          Dedup.gramKeyed(b, hashed = true)
+            .join(corpusGrams, Seq("gk"), "left_semi")
+            .select(col("doc_id"), col("gpos"))))
+      val batchDirs = new java.io.File(runBase, "out").listFiles()
+        .filter(_.getName.startsWith("batch_id="))
+      assert(batchDirs.length >= 2, s"expected >= 2 micro-batches, got ${batchDirs.length}")
+      val oneShot = Dedup.seamScrub(docs, hashed = true)
+      assert(oneShot.filter(col("tok_scrubbed") > 0).count() > 0,
+        "the seam must scrub something at this SF")
+      assert(streamed.exceptAll(oneShot).isEmpty && oneShot.exceptAll(streamed).isEmpty,
+        "micro-batched seam scrub must equal the one-shot batch scrub")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(streamDir)
+      org.apache.commons.io.FileUtils.deleteDirectory(runBase)
+    }
+  }
+
   // ---- q55 quantile-sketch merge law ---------------------------------------
 
   test("q55 shard invariance: the merged-histogram report is identical at S = 1, 2, 8 and the laws hold") {
