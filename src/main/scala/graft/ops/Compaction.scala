@@ -59,7 +59,13 @@ object Compaction {
     * within a day (the offset rule is per-day).
     */
   private[graft] def planLayoutBy(rows: DataFrame, budget: Column): DataFrame = {
-    val keyed = rows.withColumn("__cb", rowBytes).withColumn("__budget", budget)
+    // planLayout's require() can't see a per-row budget — guard in the
+    // expression so an invalid budget fails loudly instead of DIV'ing
+    // by zero into null file_idx (rows silently vanishing from
+    // partitionBy dirs) or negative file_idx dirs
+    val guarded = when(budget >= 1, budget).otherwise(raise_error(
+      concat(lit("byte budget must be >= 1, got "), budget.cast("string"))))
+    val keyed = rows.withColumn("__cb", rowBytes).withColumn("__budget", guarded)
     val summed = graft.plans.GlobalOrder.withGlobalRunningSum(
       keyed,
       Seq(col("day"), md5(col("event_id").cast("string")), col("event_id")),
@@ -115,6 +121,47 @@ object Compaction {
     (before, layoutStats(outRoot))
   }
 
+  /** The plan's per-day file count WITHOUT planning: under the offset
+    * rule a day's last row (max (md5, id)) starts at offset
+    * `day_bytes − last_row_bytes`, so its file_idx — and hence the
+    * day's planned file count − 1 — is that offset DIV budget. ONE
+    * per-day aggregate (map-side combined, no global running sum, no
+    * range exchange): the census a nightly no-op pass can afford at
+    * 100 TB, exact by the same arithmetic [[planLayout]] packs with
+    * (equivalence pinned in ScaleTechniquesSpec). Exact when no single
+    * row exceeds the budget (then offsets step by ≤ budget and no
+    * file_idx is skipped, so last_idx + 1 IS the distinct count) — the
+    * same regime the packing rule's "overflows by at most its last
+    * record" contract already assumes; an oversized-row day censuses
+    * HIGH, which can only delay a breach, never corrupt a rewrite.
+    */
+  private[graft] def plannedCountsByDay(rows: DataFrame, budget: Long): DataFrame =
+    rows.withColumn("__cb", rowBytes)
+      .groupBy(col("day"))
+      .agg(sum(col("__cb")).as("__db"),
+        max_by(col("__cb"),
+          struct(md5(col("event_id").cast("string")), col("event_id"))).as("__lb"))
+      .select(col("day"), expr("(__db - __lb) DIV " + budget + " + 1").as("nf"))
+
+  /** Crash recovery for [[compactWhere]]'s swap: a failure between a
+    * day dir's delete and its staged move leaves that day's ONLY copy
+    * under `_optimize_stage`. On entry, any staged day missing from the
+    * layout is moved back in (same-filesystem atomic rename); staged
+    * days whose layout dir still exists are stale duplicates of a
+    * never-deleted original and are dropped with the stage dir.
+    */
+  private def recoverStage(root: String): Unit = {
+    val stage = new java.io.File(root, "_optimize_stage")
+    if (stage.exists()) {
+      Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("day=")).foreach { d =>
+          val dst = new java.io.File(root, d.getName)
+          if (!dst.exists()) java.nio.file.Files.move(d.toPath, dst.toPath)
+        }
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+  }
+
   /** Incremental OPTIMIZE (the `OPTIMIZE ... WHERE` maintenance pass):
     * rewrite IN PLACE only the days whose physical file count exceeds
     * what the deterministic plan needs at `budget`; healthy days' files
@@ -126,19 +173,24 @@ object Compaction {
     * (litter packing is strictly finer except in the 1-file case, where
     * the layouts coincide).
     *
-    * Scale shape: the physical census is a driver walk of day dirs
-    * (days are metadata-sized, the same O(days) budget as the rebase
-    * broadcast); the plan is ONE range exchange over the layout's rows;
-    * only breached days' rows are shuffled into the clustered rewrite.
-    * On an object store the pre-delete + append pair is the
-    * delete-then-commit a table format would make transactional; the
-    * layout is reconstructible from the plan either way.
+    * Scale shape — work ∝ fragmented days, end to end: the physical
+    * census is a driver walk of day dirs (days are metadata-sized); the
+    * planned census is [[plannedCountsByDay]] — one per-day aggregate,
+    * NO range exchange, so the nightly no-breach pass never replans the
+    * table; only when days breach does [[planLayout]] run, and then
+    * over the breached days' rows ONLY (file_idx is per-day-rebased, so
+    * the restricted plan is identical to the full plan's restriction —
+    * and the day filter prunes the partitioned scan). On an object
+    * store the stage-then-swap pair is the delete-then-commit a table
+    * format would make transactional; [[recoverStage]] heals the one
+    * non-atomic window on the next run.
     *
     * Returns (breached days ascending, before stats, after stats).
     */
   def compactWhere(s: SparkSession, root: String,
                    budget: Long): (Seq[Long], LayoutStats, LayoutStats) = {
     require(budget >= 1, s"byte budget must be >= 1, got $budget")
+    recoverStage(root)
     val before = layoutStats(root)
     val dayDirs = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
@@ -146,24 +198,24 @@ object Compaction {
     val current: Map[Long, Long] = dayDirs.map { d =>
       d.getName.stripPrefix("day=").toLong -> layoutStats(d.getAbsolutePath).nFiles
     }.toMap
-    val planned = planLayout(graft.streaming.IngestPipeline.readShards(s, root), budget)
-    // days-sized collect (the GlobalOrder-offsets budget): planned file
-    // count per day
-    val plannedCount: Map[Long, Long] = planned
-      .groupBy(col("day")).agg(countDistinct(col("file_idx")).as("nf"))
+    // days-sized collect (the GlobalOrder-offsets budget)
+    val plannedCount: Map[Long, Long] = plannedCountsByDay(
+        graft.streaming.IngestPipeline.readShards(s, root), budget)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val breached = current.collect {
       case (d, n) if n > plannedCount.getOrElse(d, 0L) => d
     }.toSeq.sorted
     if (breached.nonEmpty) {
+      // the ONLY planning pass: breached days' rows, nothing else
+      val planned = planLayout(
+        graft.streaming.IngestPipeline.readShards(s, root)
+          .filter(col("day").isin(breached: _*)), budget)
       // stage-then-swap: the rewrite reads the OLD files, so they must
       // survive until the staged write commits — write the breached
       // days under an underscore dir (parquet readers ignore it), then
-      // swap each day dir on the driver. The object-store form of the
-      // delete-then-commit a table format makes transactional.
+      // swap each day dir on the driver.
       val stage = new java.io.File(root, "_optimize_stage")
-      org.apache.commons.io.FileUtils.deleteDirectory(stage)
-      planned.filter(col("day").isin(breached: _*)).drop("__cb")
+      planned.drop("__cb")
         .repartition(col("day"), col("file_idx"))
         .sortWithinPartitions(col("day"), col("file_idx"),
           md5(col("event_id").cast("string")), col("event_id"))

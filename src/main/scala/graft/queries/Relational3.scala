@@ -419,8 +419,14 @@ object Relational3 extends QueryModule {
     import s2.implicits._
     val xd = col("l_extendedprice").cast("double")
     val stats = li.agg(min(xd).as("lo"), max(xd).as("hi"), count(lit(1)).as("nn"))
+    // width clamped away from zero: on a degenerate column (hi == lo)
+    // every x - lo is 0 and the clamp sends it to bin 0 instead of the
+    // silent floor(NaN) -> null -> bin_match false the raw division gives
+    // (clamp the WIDTH, after the /QhBins — clamping the range first
+    // underflows back to zero when divided by the bin count)
     def binOf(x: org.apache.spark.sql.Column) =
-      least(floor((x - col("lo")) / ((col("hi") - col("lo")) / QhBins)),
+      least(floor((x - col("lo")) /
+          greatest((col("hi") - col("lo")) / QhBins, lit(Double.MinPositiveValue))),
         lit(QhBins - 1)).cast("int")
     val perShard = li
       .select((col("l_orderkey") % shards).as("shard"), xd.as("x"))

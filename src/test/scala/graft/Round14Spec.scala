@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 regression pins: the day-local compaction census (no range
+  * exchange on the no-breach pass), compactWhere's crash-recovery swap,
+  * the per-row budget guard, and the degenerate-histogram bin clamp.
+  */
+class Round14Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def eventRows() = spark.read.parquet(s"$dir/events.parquet")
+    .select(col("event_id"), col("user_id"),
+      graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+      col("event_type"), col("value"))
+
+  // ---- day-local census (r13 verdict #1) --------------------------------
+
+  test("census law: plannedCountsByDay equals the full plan's per-day file count") {
+    import graft.ops.Compaction
+    val rows = eventRows()
+    try {
+      for (budget <- Seq(256L, 1024L, 4096L)) {
+        val planned = Compaction.planLayout(rows, budget)
+          .groupBy(col("day")).agg(countDistinct(col("file_idx")).as("nf"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val census = Compaction.plannedCountsByDay(rows, budget)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(census === planned,
+          s"census diverged from the plan at budget=$budget")
+      }
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  test("census plan: one hash aggregate exchange, no range exchange, no window") {
+    import graft.ops.Compaction
+    val plan = Compaction.plannedCountsByDay(eventRows(), 4096L)
+      .queryExecution.executedPlan.toString
+    // the no-breach nightly pass must never replan the table: the
+    // census is ONE per-day aggregate — a global-order range exchange
+    // or a running-sum window here is the r13 scale-killer resurfacing
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"census plan contains a range exchange:\n$plan")
+    assert(!plan.contains("Window"), s"census plan contains a window:\n$plan")
+  }
+
+  test("compactWhere recovers a crashed swap from _optimize_stage on entry") {
+    import graft.ops.Compaction
+    val base = java.nio.file.Files.createTempDirectory("graft_optrecover").toFile
+    val root = new java.io.File(base, "layout").getAbsolutePath
+    try {
+      val budget = 1024L
+      Compaction.writeLayout(Compaction.planLayoutBy(eventRows(),
+        when(col("day") % 2 === 0, lit(budget)).otherwise(lit(128L))), root)
+      def rowsNow() = graft.streaming.IngestPipeline.readShards(spark, root)
+        .collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
+      val rowsBefore = rowsNow()
+      // simulate the crash window: a day dir fully staged, the layout
+      // copy already deleted, the move never issued — the day's ONLY
+      // copy now lives under _optimize_stage
+      val aDay = new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("day=")).head
+      val stage = new java.io.File(root, "_optimize_stage"); stage.mkdirs()
+      org.apache.commons.io.FileUtils.copyDirectory(
+        aDay, new java.io.File(stage, aDay.getName))
+      org.apache.commons.io.FileUtils.deleteDirectory(aDay)
+      // without recovery this run would delete the stage (and the day)
+      val (_, _, after) = Compaction.compactWhere(spark, root, budget)
+      assert(!stage.exists(), "stage dir must be cleaned up")
+      assert(rowsNow() === rowsBefore,
+        "recovery must restore the staged day before any delete")
+      assert(after.nFiles > 0)
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
+  test("planLayoutBy fails loudly on a zero or negative budget") {
+    import graft.ops.Compaction
+    val rows = eventRows().limit(10)
+    for (bad <- Seq(0L, -5L)) {
+      val e = intercept[Exception] {
+        Compaction.planLayoutBy(rows, lit(bad)).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("byte budget must be >= 1")),
+        s"budget=$bad must raise the guard, got: ${e.getMessage}")
+    }
+  }
+
+  // ---- degenerate histogram bins (r13 ADVICE #4) -------------------------
+
+  test("histQuantileReport on a single-value column bins to 0, never null") {
+    import spark.implicits._
+    val li = (1 to 40)
+      .map(i => (java.math.BigDecimal.valueOf(42.0), i.toLong, i))
+      .toDF("l_extendedprice", "l_orderkey", "l_linenumber")
+    try {
+      val out = graft.queries.Relational3.histQuantileReport(li, 4).collect()
+      assert(out.length === 3, "three percentile rows expected")
+      for (r <- out) {
+        assert(!r.isNullAt(r.fieldIndex("bin_match")),
+          "degenerate column must not produce null bin_match")
+        assert(r.getBoolean(r.fieldIndex("bin_match")),
+          "constant column: every value sits in bin 0 on both legs")
+        assert(r.getBoolean(r.fieldIndex("mass_ok")))
+      }
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+}
