@@ -1107,25 +1107,73 @@ object Similarity extends QueryModule {
     * ranking (vec_id, crn, cid) — crn 1 is membership, 1..IvfProbes
     * the probe list.
     */
-  private def trainedRanked(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    trainedRankedOf(vecs(s, dir), IvfProbes)
-
-  /** [[trainedRanked]] over an arbitrary (vec_id, v, nrm) population
-    * with an injectable probe depth — s23 trains the SAME pipeline on
-    * the corpus subset and on corpus+Δ, and only needs rank 1
-    * (membership) from each, so it passes probes = 1.
-    */
-  private def trainedRankedOf(base0: DataFrame, probes: Int): (DataFrame, DataFrame) = {
-    val (base, gArr) = trainedGroupArray(base0)
-    // ONE two-level ranking pass serves both faces of the index: rank 1
-    // is the membership cell (the closest cell the quantizer can see —
-    // strictly nearer the true argmin than a 1-group cut) and ranks
-    // 1..IvfProbes are the query's probe list. corpus×probes rows,
-    // persisted so membership and probing don't re-run the fold.
-    val ranked = rankCellsTwoLevel(base, gArr, "l2", KmSearchGroups, probes)
-      .persist()
-    (base, ranked)
+  private def trainedRanked(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (_, ranked) = sharedIndex(s, dir, split = false)
+    (vecs(s, dir).persist(), ranked)
   }
+
+  // ---- train ONCE per run: the shared index-artifact store -------------
+
+  /** The d22/es24 arrival-split convention (`vec_id % 10` is the Δ),
+    * defined once so the store's corpus-split population can never
+    * drift from the queries that consume it.
+    */
+  private[graft] def isDeltaVec: Column = col("vec_id") % 10 === 0
+
+  private lazy val indexStoreBase: java.io.File = {
+    val f = java.nio.file.Files.createTempDirectory("graft_index").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(f)
+      catch { case _: Throwable => () }))
+    f
+  }
+  private val indexStorePaths = scala.collection.mutable.HashMap[String, String]()
+
+  /** Train once, serve many (round-13 verdict #2): the trained chain —
+    * codebook + the corpus's (vec_id, crn, cid) two-level ranking — is
+    * built ONCE per (process, dir, population) and persisted through
+    * the real [[IndexArtifact]] write path; every consumer loads the
+    * stored artifact (Graph.materializedOnce's discipline — round 13
+    * measured the identical deterministic chain retraining at 10 call
+    * sites, ~35 s of the 268 s bench). Two populations, keyed apart:
+    * the full corpus (s20/s21/s22/s23/s28/s29) and the d22-convention
+    * corpus split (s23/s24/s30/s31/s32/es26/es29). The fingerprint key
+    * (length+mtime) catches an input rewritten under the same path
+    * within one process; ranks 1..[[IvfProbes]] are stored so probes=1
+    * consumers just filter crn = 1 (the ranking is prefix-stable in
+    * probe depth). Returns the artifact path.
+    */
+  private[graft] def sharedIndexPath(s: SparkSession, dir: String, split: Boolean): String = {
+    val key = s"trained|$dir|$split|" +
+      graft.core.Tables.fileFingerprint(s, s"$dir/embeddings.parquet")
+    indexStorePaths.synchronized {
+      indexStorePaths.getOrElseUpdate(key, {
+        val pop = if (split) vecs(s, dir).filter(!isDeltaVec) else vecs(s, dir)
+        val (base, gArr) = trainedGroupArray(pop)
+        // ONE two-level ranking pass serves both faces of the index:
+        // rank 1 is the membership cell, ranks 1..IvfProbes the probe
+        // list — corpus×probes rows, written once, read by every
+        // consumer with crn pushdown
+        val ranked = rankCellsTwoLevel(base, gArr, "l2", KmSearchGroups, IvfProbes)
+        val p = new java.io.File(indexStoreBase,
+          java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8")).toString).getAbsolutePath
+        IndexArtifact.write(s, p, gArr, ranked, IvfProbes, KmSearchGroups)
+        base.unpersist() // the build's training cache — consumers read parquet
+        p
+      })
+    }
+  }
+
+  /** (codebook, ranking) loaded from the store — the consumer face. */
+  private[graft] def sharedIndex(s: SparkSession, dir: String,
+                                 split: Boolean): (DataFrame, DataFrame) =
+    IndexArtifact.load(s, sharedIndexPath(s, dir, split), IvfProbes, KmSearchGroups)
+
+  /** The membership leg of a stored ranking: crn = 1 is the cell the
+    * quantizer assigned each corpus row to (parquet-pushdown cheap).
+    */
+  private[graft] def membershipOf(ranked: DataFrame): DataFrame =
+    ranked.filter(col("crn") === 1).select(col("vec_id"), col("cid").as("cell"))
 
   /** The training half alone: persist the population, run the seed cut
     * + [[KmSteps]] Lloyd steps, and return (population, nested group
@@ -2122,6 +2170,7 @@ object Similarity extends QueryModule {
     QueryDef("s29_tombstone_trained", s29, Some(s29Sql)),
     QueryDef("s30_serve_arrivals", s30, Some(s30Sql)),
     QueryDef("s31_serving_recall", s31, Some(s31Sql)),
+    QueryDef("s32_artifact_serve", s32, Some(s30Sql)),
   )
 
   // ---- s24: frozen-index delta assignment (the cheap ingest path) -----
@@ -2144,7 +2193,7 @@ object Similarity extends QueryModule {
     */
   private def s24(s: SparkSession, dir: String): DataFrame = {
     val isDelta = col("vec_id") % 10 === 0
-    val (_, gArr) = trainedGroupArray(vecs(s, dir).filter(!isDelta))
+    val (gArr, _) = sharedIndex(s, dir, split = true)
     frozenAssign(vecs(s, dir).filter(isDelta), gArr)
   }
 
@@ -2164,7 +2213,14 @@ object Similarity extends QueryModule {
     * once per index generation.
     */
   private[graft] def liveIndex(corpus: DataFrame, gArr: DataFrame): DataFrame =
-    frozenAssign(corpus, gArr)
+    liveIndexFrom(corpus, frozenAssign(corpus, gArr))
+
+  /** [[liveIndex]] from an ALREADY-ASSIGNED membership frame (vec_id,
+    * cell) — the stored-artifact path: the store's crn=1 leg replaces
+    * the in-plan assignment fold, so serving never re-ranks the corpus.
+    */
+  private[graft] def liveIndexFrom(corpus: DataFrame, membership: DataFrame): DataFrame =
+    membership
       .filter(Sampling.uhash("del_", col("vec_id")) >= DelFrac)
       .join(corpus.select(col("vec_id"), col("v").as("vb"), col("nrm").as("nb")), "vec_id")
       .select(col("vec_id").as("nid"), col("cell"), col("vb"), col("nb"))
@@ -2212,8 +2268,10 @@ object Similarity extends QueryModule {
     */
   private def s30(s: SparkSession, dir: String): DataFrame = {
     val isDelta = col("vec_id") % 10 === 0
-    val (corpus, gArr) = trainedGroupArray(vecs(s, dir).filter(!isDelta))
-    serveBatch(vecs(s, dir).filter(isDelta), liveIndex(corpus, gArr), gArr)
+    val (gArr, ranked) = sharedIndex(s, dir, split = true)
+    val corpus = vecs(s, dir).filter(!isDelta)
+    serveBatch(vecs(s, dir).filter(isDelta),
+      liveIndexFrom(corpus, membershipOf(ranked)), gArr)
   }
 
   private[graft] lazy val s30Sql =
@@ -2262,8 +2320,9 @@ object Similarity extends QueryModule {
   private def s31(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val isDelta = col("vec_id") % 10 === 0
-    val (corpus, gArr) = trainedGroupArray(vecs(s, dir).filter(!isDelta))
-    val index = liveIndex(corpus, gArr)
+    val (gArr, ranked) = sharedIndex(s, dir, split = true)
+    val corpus = vecs(s, dir).filter(!isDelta).persist()
+    val index = liveIndexFrom(corpus, membershipOf(ranked))
     val arrivals = vecs(s, dir).filter(isDelta)
     val sampled = arrivals
       .orderBy(md5(concat(lit("svr_"), col("vec_id").cast("string")))).limit(RecallQueries)
@@ -2340,6 +2399,33 @@ object Similarity extends QueryModule {
        |FROM ex LEFT JOIN h ON ex.qid = h.qid
        |GROUP BY 1""".stripMargin
 
+  // ---- s32: serve FROM the stored index artifact -----------------------
+
+  /** s32: the artifact LIFECYCLE certified end to end — load the
+    * persisted trained index ([[IndexArtifact.load]] with the manifest
+    * integrity check on) and answer s30's serving workload from the
+    * STORED codebook and membership, never re-training and never
+    * re-assigning the corpus. The oracle is s30's SQL verbatim: the
+    * stored index must serve exactly what the in-plan index serves —
+    * that hash match, plus the Round14Spec round-trip pins, is the
+    * write/load/verify story a production deployment runs (train once
+    * nightly, publish the artifact, serving nodes load it; d23's
+    * append law covers the incremental adds between publishes).
+    *
+    * Scale shape: load is two parquet scans (codebook one row; the
+    * membership leg crn-pruned at the scan); serving is s30's — a
+    * row-local O(√K) probe fold per arrival under the loaded-codebook
+    * broadcast plus the occupancy-bounded cell equi-join.
+    */
+  private def s32(s: SparkSession, dir: String): DataFrame = {
+    val (gArr, ranked) = IndexArtifact.load(
+      s, sharedIndexPath(s, dir, split = true),
+      IvfProbes, KmSearchGroups, verifyCounts = true)
+    val corpus = vecs(s, dir).filter(!isDeltaVec)
+    serveBatch(vecs(s, dir).filter(isDeltaVec),
+      liveIndexFrom(corpus, membershipOf(ranked)), gArr)
+  }
+
   // ---- s23: trained-index maintenance (retrain drift report) ----------
 
   /** s23: the TRAINED-index answer to d23's append law. The banded
@@ -2368,13 +2454,13 @@ object Similarity extends QueryModule {
     * training pipeline on BOTH populations.
     */
   private def s23(s: SparkSession, dir: String): DataFrame = {
-    val isDelta = col("vec_id") % 10 === 0
-    val (baseC, rankedC) = trainedRankedOf(vecs(s, dir).filter(!isDelta), probes = 1)
-    val oldA = rankedC.filter(col("crn") === 1)
-      .select(col("vec_id"), col("cid").as("old_cell"))
-    val (baseF, rankedF) = trainedRankedOf(vecs(s, dir), probes = 1)
-    val newA = rankedF.filter(col("crn") === 1)
-      .select(col("vec_id"), col("cid").as("new_cell"))
+    // both chains from the store (membership = crn 1 of the stored
+    // ranking — prefix-stable in probe depth, so the probes=1 chain
+    // this query used to train itself is exactly this filter)
+    val oldA = membershipOf(sharedIndex(s, dir, split = true)._2)
+      .withColumnRenamed("cell", "old_cell")
+    val newA = membershipOf(sharedIndex(s, dir, split = false)._2)
+      .withColumnRenamed("cell", "new_cell")
     newA.join(oldA, Seq("vec_id"), "left")
       .groupBy(col("old_cell"), col("new_cell"))
       .agg(count(lit(1)).as("n_rows"))

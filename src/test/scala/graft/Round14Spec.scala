@@ -92,6 +92,51 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  // ---- the trained index as a stored artifact (r13 verdict #2/#3) -------
+
+  test("index artifact: stored chain equals a freshly trained chain; guards fire") {
+    import graft.ops.{IndexArtifact, Similarity}
+    try {
+      val path = Similarity.sharedIndexPath(spark, dir, split = true)
+      val m = IndexArtifact.loadManifest(path)
+      val (gArrStored, rankedStored) = IndexArtifact.load(
+        spark, path, m.probes, m.coarseGroups, verifyCounts = true)
+      // the stored frames must be row-identical to training the same
+      // population fresh — the artifact IS the chain, not a cache of
+      // approximately it
+      val pop = Similarity.vecs(spark, dir).filter(!Similarity.isDeltaVec)
+      val (base, gArrFresh) = Similarity.trainedGroupArray(pop)
+      val rankedFresh = Similarity.rankCellsTwoLevel(
+        base, gArrFresh, "l2", m.coarseGroups, m.probes)
+      def rset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf).toList).toSet
+      assert(rset(rankedStored) === rset(rankedFresh),
+        "stored ranking diverged from a fresh train")
+      assert(gArrStored.collect().map(_.toString).toSeq ===
+        gArrFresh.collect().map(_.toString).toSeq,
+        "stored codebook diverged from a fresh train")
+      assert(m.membershipRows === rankedStored.count())
+      // a reader expecting different parameters must fail loudly
+      intercept[IllegalArgumentException] {
+        IndexArtifact.load(spark, path, m.probes + 1, m.coarseGroups)
+      }
+      // a manifest that disagrees with the stored tables must fail the
+      // integrity check (simulated corruption on a COPY of the artifact)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_idx_corrupt").toFile
+      try {
+        org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(path), tmp)
+        java.nio.file.Files.writeString(
+          new java.io.File(tmp, "_index_manifest.json").toPath,
+          s"""{"probes":${m.probes},"coarseGroups":${m.coarseGroups},""" +
+            s""""codebookRows":${m.codebookRows},"membershipRows":${m.membershipRows + 1}}""")
+        intercept[IllegalArgumentException] {
+          IndexArtifact.load(spark, tmp.getAbsolutePath, m.probes, m.coarseGroups,
+            verifyCounts = true)
+        }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
   // ---- degenerate histogram bins (r13 ADVICE #4) -------------------------
 
   test("histQuantileReport on a single-value column bins to 0, never null") {
