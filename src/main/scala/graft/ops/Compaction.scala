@@ -45,12 +45,40 @@ object Compaction {
   private[graft] def rowBytes: Column =
     lit(RowOverheadBytes) + length(col("event_type")).cast("long")
 
-  /** The deterministic packing plan: input rows + `file_idx`, assigned
-    * by per-day byte offset in md5 row order against `budget`.
+  /** The default within-day pack order: deterministic md5 shuffle of
+    * the rows (content-independent, skew-proof). The CLUSTERED pass
+    * swaps in [[zPackKey]] — same machinery, z-curve order.
     */
-  private[graft] def planLayout(rows: DataFrame, budget: Long): DataFrame = {
+  private[graft] def defaultPackKey: Seq[Column] =
+    Seq(md5(col("event_id").cast("string")), col("event_id"))
+
+  /** The z-curve pack order under a frozen basis: Morton code of
+    * (user_id, event_id) first, md5/id tiebreak — packing along this
+    * key is what makes every output file cover a narrow box of BOTH
+    * clustered columns (the OPTIMIZE ZORDER composition).
+    */
+  private[graft] def zPackKey(m: Zorder.ZManifest): Seq[Column] =
+    Zorder.zExpr("user_id", "event_id", m) +: defaultPackKey
+
+  /** The z bin basis of an event population — ONE tiny min/max
+    * aggregate (the p07 two-pass contract). Callers freeze the result
+    * in the layout's sidecar; they never re-derive it from a table
+    * that has since grown.
+    */
+  private[graft] def zBasisOf(rows: DataFrame): Zorder.ZManifest = {
+    val r = rows.agg(min(col("user_id")), max(col("user_id")),
+      min(col("event_id")), max(col("event_id"))).head
+    Zorder.ZManifest(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      Zorder.ZBits)
+  }
+
+  /** The deterministic packing plan: input rows + `file_idx`, assigned
+    * by per-day byte offset in `packKey` row order against `budget`.
+    */
+  private[graft] def planLayout(rows: DataFrame, budget: Long,
+      packKey: Seq[Column] = defaultPackKey): DataFrame = {
     require(budget >= 1, s"byte budget must be >= 1, got $budget")
-    planLayoutBy(rows, lit(budget))
+    planLayoutBy(rows, lit(budget), packKey)
   }
 
   /** [[planLayout]] with a per-row budget expression — p30's mixed
@@ -58,7 +86,8 @@ object Compaction {
     * at litter size, all in one plan. The budget must be constant
     * within a day (the offset rule is per-day).
     */
-  private[graft] def planLayoutBy(rows: DataFrame, budget: Column): DataFrame = {
+  private[graft] def planLayoutBy(rows: DataFrame, budget: Column,
+      packKey: Seq[Column] = defaultPackKey): DataFrame = {
     // planLayout's require() can't see a per-row budget — guard in the
     // expression so an invalid budget fails loudly instead of DIV'ing
     // by zero into null file_idx (rows silently vanishing from
@@ -67,9 +96,7 @@ object Compaction {
       concat(lit("byte budget must be >= 1, got "), budget.cast("string"))))
     val keyed = rows.withColumn("__cb", rowBytes).withColumn("__budget", guarded)
     val summed = graft.plans.GlobalOrder.withGlobalRunningSum(
-      keyed,
-      Seq(col("day"), md5(col("event_id").cast("string")), col("event_id")),
-      col("__cb"), "__cs")
+      keyed, col("day") +: packKey, col("__cb"), "__cs")
     // rebase the GLOBAL running sum to a per-day offset: the day's first
     // row has the day's minimal exclusive prefix (__cs - __cb)
     val dayStart = summed.groupBy(col("day"))
@@ -82,13 +109,14 @@ object Compaction {
   /** The clustered write tail shared by [[compact]] and the p30 mixed
     * fixture: one shuffle partition per planned (day, file_idx) →
     * exactly one parquet file per planned entry; rows inside keep the
-    * md5 pack order so re-writes are byte-stable.
+    * pack order so re-writes are byte-stable.
     */
-  private[graft] def writeLayout(planned: DataFrame, outRoot: String): Unit =
+  private[graft] def writeLayout(planned: DataFrame, outRoot: String,
+      packKey: Seq[Column] = defaultPackKey): Unit =
     planned.drop("__cb")
       .repartition(col("day"), col("file_idx"))
-      .sortWithinPartitions(col("day"), col("file_idx"),
-        md5(col("event_id").cast("string")), col("event_id"))
+      .sortWithinPartitions(
+        Seq(col("day"), col("file_idx")) ++ packKey: _*)
       .write.mode("overwrite").partitionBy("day", "file_idx").parquet(outRoot)
 
   /** Physical layout stats (parquet file count + bytes on disk) — the
@@ -135,12 +163,12 @@ object Compaction {
     * record" contract already assumes; an oversized-row day censuses
     * HIGH, which can only delay a breach, never corrupt a rewrite.
     */
-  private[graft] def plannedCountsByDay(rows: DataFrame, budget: Long): DataFrame =
+  private[graft] def plannedCountsByDay(rows: DataFrame, budget: Long,
+      packKey: Seq[Column] = defaultPackKey): DataFrame =
     rows.withColumn("__cb", rowBytes)
       .groupBy(col("day"))
       .agg(sum(col("__cb")).as("__db"),
-        max_by(col("__cb"),
-          struct(md5(col("event_id").cast("string")), col("event_id"))).as("__lb"))
+        max_by(col("__cb"), struct(packKey: _*)).as("__lb"))
       .select(col("day"), expr("(__db - __lb) DIV " + budget + " + 1").as("nf"))
 
   /** Crash recovery for [[compactWhere]]'s swap: a failure between a
@@ -185,12 +213,34 @@ object Compaction {
     * format would make transactional; [[recoverStage]] heals the one
     * non-atomic window on the next run.
     *
+    * With `zorder = true` this is OPTIMIZE ... WHERE ... ZORDER BY
+    * (user_id, event_id) — one rewrite that budget-packs AND clusters:
+    * breached days' rows pack along the Morton curve ([[zPackKey]]),
+    * so every rewritten file covers a narrow box of both columns (the
+    * pruning stats [[manifestClustered]] reports). The bin basis is
+    * FROZEN in the layout's `_zorder_manifest.json` sidecar (written on
+    * first optimize if absent, loaded thereafter — Zorder's rule: a
+    * basis re-derived from a table that has since grown silently
+    * re-bins every already-clustered day, breaching the whole table).
+    *
     * Returns (breached days ascending, before stats, after stats).
     */
-  def compactWhere(s: SparkSession, root: String,
-                   budget: Long): (Seq[Long], LayoutStats, LayoutStats) = {
+  def compactWhere(s: SparkSession, root: String, budget: Long,
+                   zorder: Boolean = false): (Seq[Long], LayoutStats, LayoutStats) = {
     require(budget >= 1, s"byte budget must be >= 1, got $budget")
     recoverStage(root)
+    val packKey =
+      if (!zorder) defaultPackKey
+      else zPackKey {
+        if (Zorder.manifestExists(root)) Zorder.loadManifest(root)
+        else {
+          // first optimize of this layout: freeze the basis NOW and
+          // persist the sidecar
+          val m = zBasisOf(graft.streaming.IngestPipeline.readShards(s, root))
+          Zorder.writeManifest(root, m)
+          m
+        }
+      }
     val before = layoutStats(root)
     val dayDirs = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
@@ -200,7 +250,7 @@ object Compaction {
     }.toMap
     // days-sized collect (the GlobalOrder-offsets budget)
     val plannedCount: Map[Long, Long] = plannedCountsByDay(
-        graft.streaming.IngestPipeline.readShards(s, root), budget)
+        graft.streaming.IngestPipeline.readShards(s, root), budget, packKey)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val breached = current.collect {
       case (d, n) if n > plannedCount.getOrElse(d, 0L) => d
@@ -209,18 +259,13 @@ object Compaction {
       // the ONLY planning pass: breached days' rows, nothing else
       val planned = planLayout(
         graft.streaming.IngestPipeline.readShards(s, root)
-          .filter(col("day").isin(breached: _*)), budget)
+          .filter(col("day").isin(breached: _*)), budget, packKey)
       // stage-then-swap: the rewrite reads the OLD files, so they must
       // survive until the staged write commits — write the breached
       // days under an underscore dir (parquet readers ignore it), then
       // swap each day dir on the driver.
       val stage = new java.io.File(root, "_optimize_stage")
-      planned.drop("__cb")
-        .repartition(col("day"), col("file_idx"))
-        .sortWithinPartitions(col("day"), col("file_idx"),
-          md5(col("event_id").cast("string")), col("event_id"))
-        .write.mode("overwrite").partitionBy("day", "file_idx")
-        .parquet(stage.getAbsolutePath)
+      writeLayout(planned, stage.getAbsolutePath, packKey)
       breached.foreach { d =>
         val dst = new java.io.File(root, s"day=$d")
         org.apache.commons.io.FileUtils.deleteDirectory(dst)
@@ -242,6 +287,22 @@ object Compaction {
         col("file_idx").cast("long").as("file_idx"))
       .agg(count(lit(1)).as("n_rows"),
         sum(rowBytes).as("sum_bytes"),
+        min(col("event_id")).as("min_event"),
+        max(col("event_id")).as("max_event"))
+
+  /** [[manifestOf]] for a CLUSTERED layout: per physical (day,
+    * file_idx), both clustered columns' min/max alongside the packing
+    * stats — the two-predicate data-skipping surface a z-ordered
+    * rewrite exists to narrow (and what the parquet footers carry).
+    */
+  def manifestClustered(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(root)
+      .groupBy(col("day").cast("long").as("day"),
+        col("file_idx").cast("long").as("file_idx"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rowBytes).as("sum_bytes"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"),
         min(col("event_id")).as("min_event"),
         max(col("event_id")).as("max_event"))
 }

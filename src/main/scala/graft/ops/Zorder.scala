@@ -24,8 +24,8 @@ import org.apache.spark.sql.functions._
 object Zorder {
 
   /** Bits per dimension: a 256×256 grid, 16-bit Morton codes. */
-  private[ops] val ZBits = 8
-  private[ops] val ZGrid = 1L << ZBits
+  private[graft] val ZBits = 8
+  private[graft] val ZGrid = 1L << ZBits
 
   /** Add 8-bit bins `ba`/`bb` and the 16-bit Morton code `z` for two
     * integral columns, keeping every input column. Bin = `(v - min) *
@@ -64,6 +64,37 @@ object Zorder {
   case class ZManifest(mna: Long, mxa: Long, mnb: Long, mxb: Long, zbits: Int)
 
   private val ManifestFile = "_zorder_manifest.json"
+
+  /** Persist a bin basis as the layout's sidecar — factored from
+    * [[write]] so layouts z-ordered by other writers (the clustered
+    * incremental OPTIMIZE, [[Compaction.compactWhere]]) carry the same
+    * record and [[loadManifest]] serves them all.
+    */
+  private[graft] def writeManifest(path: String, m: ZManifest): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, ManifestFile),
+      s"""{"mna":${m.mna},"mxa":${m.mxa},"mnb":${m.mnb},"mxb":${m.mxb},"zbits":${m.zbits}}""")
+
+  private[graft] def manifestExists(path: String): Boolean =
+    new java.io.File(path, ManifestFile).exists()
+
+  /** The Morton code under a FROZEN basis as one row-local column over
+    * two non-negative integral columns named `an`/`bn` — the expression
+    * form of [[write]]'s bin + interleave, for writers that compose the
+    * z order into their own plan (clustered compaction packs each day's
+    * rows along this curve).
+    */
+  private[graft] def zExpr(an: String, bn: String, m: ZManifest): Column = {
+    require(m.zbits == ZBits,
+      s"basis written with zbits=${m.zbits}, writer uses $ZBits")
+    def bin(cn: String, mn: Long, mx: Long): Column =
+      if (mx > mn) expr(s"(($cn - $mn) * $ZGrid) DIV ${mx - mn + 1}") else lit(0L)
+    val (ba, bb) = (bin(an, m.mna, m.mxa), bin(bn, m.mnb, m.mxb))
+    (0 until ZBits).map { i =>
+      shiftright(ba, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(bb, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }.reduce(_ + _)
+  }
 
   /** Physically z-order `df` on `(aCol, bCol)` into `shards` range-
     * clustered parquet files under `path`. Every output file holds a
@@ -106,9 +137,7 @@ object Zorder {
     graft.sources.ShardWriter.writeClustered(
       binned.withColumn("z", z).drop("__zva", "__zvb"),
       path, Seq(col("z")), shards, maxRecordsPerFile)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, ManifestFile),
-      s"""{"mna":${m.mna},"mxa":${m.mxa},"mnb":${m.mnb},"mxb":${m.mxb},"zbits":${m.zbits}}""")
+    writeManifest(path, m)
     m
   }
 

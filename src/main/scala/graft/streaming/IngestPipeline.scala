@@ -130,6 +130,30 @@ object IngestPipeline extends QueryModule {
     }
   }
 
+  /** p31's pristine starting layout: the p30 mixed shape packed along
+    * the Morton curve under a basis frozen from the full projected
+    * events — written once per (process, dir) with the sidecar, so
+    * compactWhere(zorder = true) loads the same basis the fixture
+    * packed with (never re-derives it) and even days provably sit at
+    * the z plan already.
+    */
+  private def pristineMixedZ(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.{lit, when}
+    fixtureOnce(s"mixedz|$dir") { base =>
+      val rows = graft.core.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+          col("event_type"), col("value"))
+      val m = graft.ops.Compaction.zBasisOf(rows)
+      val key = graft.ops.Compaction.zPackKey(m)
+      graft.ops.Compaction.writeLayout(
+        graft.ops.Compaction.planLayoutBy(rows,
+          when(col("day") % 2 === 0, lit(CompactBudgetBytes))
+            .otherwise(lit(LitterBudgetBytes)), key), base.getAbsolutePath, key)
+      graft.ops.Zorder.writeManifest(base.getAbsolutePath, m)
+    }
+  }
+
   /** Reset p30's working layout to the pristine mixed state: first call
     * copies the whole pristine tree; later calls restore ONLY the
     * littered (odd) days — compactWhere provably leaves even days
@@ -232,9 +256,79 @@ object IngestPipeline extends QueryModule {
     graft.ops.Compaction.manifestOf(s, work.getAbsolutePath)
   }
 
+  /** p31: OPTIMIZE ... WHERE ... ZORDER BY (user_id, event_id) — the
+    * full lakehouse maintenance pass: p30's incremental day-local
+    * breach scan composed with p28's multi-dimensional clustering in
+    * ONE rewrite. The starting layout is the p30 mixed shape but
+    * packed along the Morton curve (even days at the target budget,
+    * odd days littered — BOTH z-ordered under the same frozen basis,
+    * persisted as the layout's `_zorder_manifest.json` sidecar), so
+    * breached days re-pack onto the identical curve and incremental ==
+    * full rewrite == plan holds exactly as in p30.
+    *
+    * Gate: the final manifest, recomputed FROM THE FILES with both
+    * clustered columns' per-file min/max (the two-predicate pruning
+    * surface the rewrite exists to narrow), must hash-match the DuckDB
+    * z-plan — the oracle interleaves the same frozen bins (p28's
+    * literal Morton terms) and packs the same per-day running sum, so
+    * a match certifies budget-packing AND clustering end to end. The
+    * narrow-box pruning win and re-run no-op-ness are pinned in
+    * Round14Spec.
+    */
+  private def p31(s: SparkSession, dir: String): DataFrame = {
+    val pristine = pristineMixedZ(s, dir)
+    val work = new java.io.File(fixtureBase,
+      "optzorder-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")))
+    resetMixed(pristine, work)
+    graft.ops.Compaction.compactWhere(s, work.getAbsolutePath, CompactBudgetBytes,
+      zorder = true)
+    graft.ops.Compaction.manifestClustered(s, work.getAbsolutePath)
+  }
+
+  /** The composed mirror: the frozen z basis (one global min/max — the
+    * fixture derived it from the same full projected rows), p28's
+    * literal Morton bin + interleave terms, then p29's per-day running
+    * sum packing ordered by (z, md5, id) and the clustered manifest
+    * with both columns' per-file min/max.
+    */
+  private val p31Sql = {
+    val g = graft.ops.Zorder.ZGrid
+    val terms = (0 until graft.ops.Zorder.ZBits).map { i =>
+      s"((ba >> $i) & 1) * ${1L << (2 * i + 1)} + ((bb >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+       |  FROM events),
+       |mm AS (
+       |  SELECT min(user_id) AS mna, max(user_id) AS mxa,
+       |         min(event_id) AS mnb, max(event_id) AS mxb
+       |  FROM e),
+       |bins AS (
+       |  SELECT day, user_id, event_id, event_type,
+       |    CASE WHEN mxa > mna THEN ((user_id - mna) * $g) // (mxa - mna + 1)
+       |         ELSE CAST(0 AS BIGINT) END AS ba,
+       |    CASE WHEN mxb > mnb THEN ((event_id - mnb) * $g) // (mxb - mnb + 1)
+       |         ELSE CAST(0 AS BIGINT) END AS bb
+       |  FROM e CROSS JOIN mm),
+       |o AS (
+       |  SELECT day, user_id, event_id, 32 + strlen(event_type) AS nb,
+       |    sum(32 + strlen(event_type)) OVER (
+       |      PARTITION BY day
+       |      ORDER BY ($terms), md5(CAST(event_id AS VARCHAR)), event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+       |  FROM bins)
+       |SELECT day, CAST((s - nb) // $CompactBudgetBytes AS BIGINT) AS file_idx,
+       |  count(*) AS n_rows, CAST(sum(nb) AS BIGINT) AS sum_bytes,
+       |  min(user_id) AS min_user, max(user_id) AS max_user,
+       |  min(event_id) AS min_event, max(event_id) AS max_event
+       |FROM o GROUP BY 1, 2""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p15_stream_ingest", p15, Some(p15Sql)),
     QueryDef("p29_compact_manifest", p29, Some(p29Sql)),
     QueryDef("p30_optimize_where", p30, Some(p29Sql)),
+    QueryDef("p31_optimize_zorder", p31, Some(p31Sql)),
   )
 }

@@ -763,14 +763,19 @@ class PlanSpec extends AnyFunSuite {
     }
     // d08's assignment runs before the CC loop's checkpoint truncates
     // lineage, so its kernel nodes can vanish from the FINAL plan — the
-    // walk still proves no out-of-WSCG node; presence is asserted where
-    // the kernel survives to the executed tree (the search family).
+    // walk still proves no out-of-WSCG node. Since round 14 the trained
+    // family reads the STORED index artifact, so s20/s21/s22/s23's
+    // executed plans carry no kernel either (training ranks once, in
+    // the store build); the kernel still runs LIVE wherever arrivals or
+    // queries rank against the frozen codebook — presence is asserted
+    // on those serve/assign paths.
+    val liveKernel = Set("s24_frozen_assign", "s30_serve_arrivals", "s32_artifact_serve")
     for (q <- Seq("s20_trained_ivf", "s21_trained_recall", "s22_ivfpq_search",
-        "d08_semantic_dedup", "s23_index_maintenance", "s24_frozen_assign")) {
+        "d08_semantic_dedup", "s23_index_maintenance") ++ liveKernel.toSeq.sorted) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect() // materialize: finalizes adaptive plans and cache builds
       val n = walk(df.queryExecution.executedPlan, inWscg = false, q)
-      if (q.startsWith("s2"))
+      if (liveKernel.contains(q))
         assert(n > 0, s"$q: expected the native kernel somewhere in the executed plan")
       spark.sharedState.cacheManager.clearCache()
     }

@@ -92,6 +92,64 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  // ---- OPTIMIZE ... ZORDER (r13 verdict #5) ------------------------------
+
+  test("clustered OPTIMIZE: breached days z-packed, frozen basis, re-run no-op, pruning beats md5") {
+    import graft.ops.{Compaction, Zorder}
+    val base = java.nio.file.Files.createTempDirectory("graft_optz").toFile
+    val zroot = new java.io.File(base, "zlayout").getAbsolutePath
+    val mroot = new java.io.File(base, "mdlayout").getAbsolutePath
+    try {
+      val budget = 512L
+      val rows = eventRows()
+      val m = Compaction.zBasisOf(rows)
+      val key = Compaction.zPackKey(m)
+      // mixed start: even days packed at the z plan, odd days z-littered
+      Compaction.writeLayout(Compaction.planLayoutBy(rows,
+        when(col("day") % 2 === 0, lit(budget)).otherwise(lit(128L)), key), zroot, key)
+      Zorder.writeManifest(zroot, m)
+      val (breached, before, after) =
+        Compaction.compactWhere(spark, zroot, budget, zorder = true)
+      assert(breached.nonEmpty && breached.forall(_ % 2 == 1),
+        s"only littered (odd) days may breach: $breached")
+      assert(after.nFiles < before.nFiles)
+      // the basis stays FROZEN: the pass loads the sidecar, never re-derives
+      assert(Zorder.loadManifest(zroot) === m, "optimize must not rewrite the basis")
+      // convergence: incremental == the full z plan's file set
+      val expect = Compaction.planLayout(
+        graft.streaming.IngestPipeline.readShards(spark, zroot), budget, key)
+        .select(col("day"), col("file_idx")).distinct().count()
+      assert(Compaction.layoutStats(zroot).nFiles === expect)
+      // re-run: day-local census finds nothing, nothing moves
+      val (b2, _, a2) = Compaction.compactWhere(spark, zroot, budget, zorder = true)
+      assert(b2.isEmpty && a2 === after)
+      // THE POINT of clustering: per-file min/max prunes a narrow
+      // two-predicate box far better than the md5 shuffle pack — count
+      // files a (user_id, event_id) box reader must open in each layout
+      Compaction.writeLayout(
+        Compaction.planLayout(rows, budget), mroot)
+      def openCount(root: String, uLo: Long, uHi: Long, eLo: Long, eHi: Long) =
+        Compaction.manifestClustered(spark, root).collect().count { r =>
+          r.getLong(4) <= uHi && r.getLong(5) >= uLo &&
+            r.getLong(6) <= eHi && r.getLong(7) >= eLo
+        }
+      val (uw, ew) = (m.mxa - m.mna, m.mxb - m.mnb)
+      val (uLo, uHi) = (m.mna, m.mna + uw / 8)
+      val (eLo, eHi) = (m.mnb, m.mnb + ew / 8)
+      val zOpen = openCount(zroot, uLo, uHi, eLo, eHi)
+      val mdOpen = openCount(mroot, uLo, uHi, eLo, eHi)
+      val total = Compaction.layoutStats(zroot).nFiles
+      info(s"box scan opens $zOpen of $total z files vs $mdOpen md5 files")
+      assert(zOpen < mdOpen,
+        s"z layout must prune harder than the md5 pack: $zOpen vs $mdOpen")
+      assert(zOpen.toLong < total,
+        "a 1/8-wide box must not open every z file")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
   // ---- the trained index as a stored artifact (r13 verdict #2/#3) -------
 
   test("index artifact: stored chain equals a freshly trained chain; guards fire") {
