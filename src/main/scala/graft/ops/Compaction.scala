@@ -223,10 +223,18 @@ object Compaction {
     * basis re-derived from a table that has since grown silently
     * re-bins every already-clustered day, breaching the whole table).
     *
+    * `closed` is the WATERMARK contract for compacting under a live
+    * writer: the maintenance pass may only touch days the stream has
+    * finished with (closed(day) == true); open days are never censused,
+    * never planned, never swapped — the stream keeps appending to them
+    * while the pass runs (the Round14Spec seam test runs both
+    * concurrently and pins conservation + open-day non-interference).
+    *
     * Returns (breached days ascending, before stats, after stats).
     */
   def compactWhere(s: SparkSession, root: String, budget: Long,
-                   zorder: Boolean = false): (Seq[Long], LayoutStats, LayoutStats) = {
+                   zorder: Boolean = false,
+                   closed: Long => Boolean = _ => true): (Seq[Long], LayoutStats, LayoutStats) = {
     require(budget >= 1, s"byte budget must be >= 1, got $budget")
     recoverStage(root)
     val packKey =
@@ -244,13 +252,21 @@ object Compaction {
     val before = layoutStats(root)
     val dayDirs = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+      .filter(f => f.isDirectory && f.getName.startsWith("day=") &&
+        closed(f.getName.stripPrefix("day=").toLong))
     val current: Map[Long, Long] = dayDirs.map { d =>
       d.getName.stripPrefix("day=").toLong -> layoutStats(d.getAbsolutePath).nFiles
     }.toMap
-    // days-sized collect (the GlobalOrder-offsets budget)
+    if (current.isEmpty) {
+      val st = layoutStats(root)
+      return (Nil, st, st)
+    }
+    // days-sized collect (the GlobalOrder-offsets budget); the scan is
+    // partition-pruned to the closed days, so an open day's in-flight
+    // files are never read into the census
     val plannedCount: Map[Long, Long] = plannedCountsByDay(
-        graft.streaming.IngestPipeline.readShards(s, root), budget, packKey)
+        graft.streaming.IngestPipeline.readShards(s, root)
+          .filter(col("day").isin(current.keys.toSeq: _*)), budget, packKey)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val breached = current.collect {
       case (d, n) if n > plannedCount.getOrElse(d, 0L) => d

@@ -92,6 +92,107 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  // ---- compaction under a live writer (r13 verdict #7) -------------------
+
+  test("compact-under-append seam: closed days compact while the stream appends to open days") {
+    import graft.ops.Compaction
+    import graft.streaming.IngestPipeline
+    val base = java.nio.file.Files.createTempDirectory("graft_seam").toFile
+    val root = new java.io.File(base, "layout").getAbsolutePath
+    try {
+      val budget = 1024L
+      val rows = eventRows()
+      // litter EVERY day (the micro-batch debris shape)
+      Compaction.writeLayout(Compaction.planLayoutBy(rows, lit(128L)), root)
+      val days = rows.select(col("day")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val wm = days(days.length / 2) // watermark: days < wm are closed
+      def rowsOf(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
+      val origRows = rowsOf(IngestPipeline.readShards(spark, root))
+      def dayOf(p: String): Long =
+        "day=(-?\\d+)".r.findFirstMatchIn(p).map(_.group(1).toLong).getOrElse(Long.MinValue)
+      def layoutFiles(): Set[String] = {
+        val fs = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        try fs.toArray.map(_.toString).filter(_.endsWith(".parquet")).toSet
+        finally fs.close()
+      }
+      val preFiles = layoutFiles()
+
+      // the live writer: a real micro-batch stream of OPEN-day arrivals
+      // (event_id shifted so appended rows are disjoint from the
+      // layout's), publishing each batch into the live day dirs with
+      // per-file ATOMIC renames — an appender that never exposes a
+      // half-written file, the object-store visibility contract
+      val src = new java.io.File(base, "src"); src.mkdirs()
+      val srcStage = new java.io.File(base, "srcstage")
+      spark.read.parquet(s"$dir/events.parquet")
+        .filter(graft.queries.EventsQueries.epochDay(col("ts")) >= wm)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .repartition(8).write.parquet(srcStage.getAbsolutePath)
+      srcStage.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, i) => java.nio.file.Files.move(f.toPath,
+          new java.io.File(src, s"events_$i.parquet").toPath) }
+      val appendStage = new java.io.File(base, "astage")
+      val ev = graft.streaming.EventStream
+        .readEventsWith(spark, src.getAbsolutePath, maxFilesPerTrigger = Some(1))
+        .select(col("event_id"), col("user_id"),
+          graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+          col("event_type"), col("value"))
+      val writeBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+        (df, id) => {
+          val staged = new java.io.File(appendStage, s"b$id")
+          df.write.mode("overwrite").partitionBy("day").parquet(staged.getAbsolutePath)
+          // each batch lands as its own file_idx leaf under the open
+          // day — the micro-batch debris shape the layout's two-level
+          // (day=/file_idx=) partitioning expects
+          for (dd <- Option(staged.listFiles()).getOrElse(Array.empty[java.io.File])
+                 if dd.getName.startsWith("day=");
+               f <- dd.listFiles() if f.getName.endsWith(".parquet")) {
+            val dstDir = new java.io.File(root, s"${dd.getName}/file_idx=${1000000L + id}")
+            dstDir.mkdirs()
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(dstDir, s"append-$id-${f.getName}").toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
+      val q = ev.writeStream.foreachBatch(writeBatch)
+        .option("checkpointLocation", new java.io.File(base, "ckpt").getAbsolutePath)
+        .start()
+      // the maintenance pass runs WHILE the stream appends
+      val breached =
+        try Compaction.compactWhere(spark, root, budget, closed = _ < wm)._1
+        finally { q.processAllAvailable(); q.stop() }
+      // 1) the pass touched ONLY closed days
+      assert(breached.nonEmpty && breached.forall(_ < wm),
+        s"closed-day pass touched open days: $breached (wm=$wm)")
+      // 2) every pre-existing open-day file survived, byte-path intact
+      val postFiles = layoutFiles()
+      val openPre = preFiles.filter(p => dayOf(p) >= wm)
+      assert(openPre.subsetOf(postFiles),
+        s"open-day files lost: ${openPre.diff(postFiles).take(3)}")
+      // 3) conservation: layout rows == original + everything appended
+      val appended = rowsOf(graft.core.Tables.events(spark, dir)
+        .filter(graft.queries.EventsQueries.epochDay(col("ts")) >= wm)
+        .select((col("event_id") + 10000000L).as("event_id"), col("user_id"),
+          graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+          col("event_type"), col("value")))
+      val expected = (origRows.keySet ++ appended.keySet).map(k =>
+        k -> (origRows.getOrElse(k, 0) + appended.getOrElse(k, 0))).toMap
+      assert(rowsOf(IngestPipeline.readShards(spark, root)) === expected,
+        "rows lost or duplicated under the concurrent append")
+      // 4) closed days converged to the plan
+      val expectClosed = Compaction.planLayout(
+        IngestPipeline.readShards(spark, root).filter(col("day") < wm), budget)
+        .select(col("day"), col("file_idx")).distinct().count()
+      assert(postFiles.count(p => dayOf(p) < wm).toLong === expectClosed,
+        "closed days must land exactly the plan's file set")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
   // ---- OPTIMIZE ... ZORDER (r13 verdict #5) ------------------------------
 
   test("clustered OPTIMIZE: breached days z-packed, frozen basis, re-run no-op, pruning beats md5") {
