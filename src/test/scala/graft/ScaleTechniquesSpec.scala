@@ -1219,6 +1219,19 @@ class ScaleTechniquesSpec extends AnyFunSuite {
         .select(col("day"), col("file_idx")).distinct().count()
       (files, (System.nanoTime() - t0) / 1e9)
     }
+    // the round-14 census must agree with the plan at BOTH scales and
+    // stay one aggregate — a census that diverges under volume (or
+    // quietly regrows a range exchange) re-opens the p30 scale-killer
+    def census(n: Long): (Map[Long, Long], Double) = {
+      val t0 = System.nanoTime()
+      val m = Compaction.plannedCountsByDay(mk(n), 4096)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (m, (System.nanoTime() - t0) / 1e9)
+    }
+    def planCounts(n: Long): Map[Long, Long] =
+      Compaction.planLayout(mk(n), 4096)
+        .groupBy(col("day")).agg(countDistinct(col("file_idx")).as("nf"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     try {
       run(20000) // warm
       val (f1, t1) = run(20000)
@@ -1228,6 +1241,14 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       assert(f10 >= f1 * 8 && f10 <= f1 * 12,
         s"planned files must scale with bytes: $f1 -> $f10")
       assert(t10 <= t1 * 25 + 5.0, f"plan wall super-linear: $t1%.1fs -> $t10%.1fs")
+      val (c1, ct1) = census(20000)
+      val (c10, ct10) = census(200000)
+      info(f"census 1x ${ct1}%.1fs; 10x ${ct10}%.1fs")
+      assert(c1 === planCounts(20000), "census != plan at 1x")
+      assert(c10 === planCounts(200000), "census != plan at 10x")
+      assert(c10.values.sum === f10, "census total != planned file count")
+      assert(ct10 <= ct1 * 25 + 5.0,
+        f"census wall super-linear: $ct1%.1fs -> $ct10%.1fs")
     } finally graft.core.Sessions.sweepPersistedState(spark)
   }
 
