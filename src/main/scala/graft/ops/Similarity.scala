@@ -2171,6 +2171,7 @@ object Similarity extends QueryModule {
     QueryDef("s30_serve_arrivals", s30, Some(s30Sql)),
     QueryDef("s31_serving_recall", s31, Some(s31Sql)),
     QueryDef("s32_artifact_serve", s32, Some(s30Sql)),
+    QueryDef("s33_index_publish", s33, Some(s33Sql)),
   )
 
   // ---- s24: frozen-index delta assignment (the cheap ingest path) -----
@@ -2425,6 +2426,54 @@ object Similarity extends QueryModule {
     serveBatch(vecs(s, dir).filter(isDeltaVec),
       liveIndexFrom(corpus, membershipOf(ranked)), gArr)
   }
+
+  // ---- s33: publish the next index generation (append, no retrain) ----
+
+  /** s33: the INCREMENTAL PUBLISH between retrains — d23's append law
+    * applied to the stored artifact: load generation 1 (the published
+    * corpus-trained index), rank the day's arrivals against its FROZEN
+    * codebook (s24's row-local fold — work ∝ |Δ|, the corpus is never
+    * re-read), append the arrival ranking to the stored membership and
+    * write generation 2 as a new artifact; load generation 2 back
+    * (integrity check on) and emit its membership. This closes the
+    * artifact lifecycle arc: s32 proves a stored index SERVES exactly,
+    * s33 proves it GROWS exactly — the nightly publish a production
+    * vector store runs until s23's drift report calls for a retrain.
+    *
+    * Oracle: one codebook chain trained on the corpus split, BOTH
+    * populations' rank stanzas riding it — generation 2's membership
+    * must equal corpus ∪ Δ membership under the frozen codebook,
+    * row for row, after a round trip through disk.
+    *
+    * Scale shape: load is two parquet scans; the only ranking work is
+    * |Δ| row-local folds under the loaded-codebook broadcast; the
+    * publish write is membership-sized (corpus×probes rows), a plain
+    * columnar append-rewrite with no corpus exchange.
+    */
+  private def s33(s: SparkSession, dir: String): DataFrame = {
+    val (gArr, ranked) = IndexArtifact.load(
+      s, sharedIndexPath(s, dir, split = true), IvfProbes, KmSearchGroups)
+    val delta = vecs(s, dir).filter(isDeltaVec)
+    val deltaRanked = rankCellsTwoLevel(delta, gArr, "l2", KmSearchGroups, IvfProbes)
+    val gen2 = new java.io.File(indexStoreBase,
+      "gen2-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))).getAbsolutePath
+    IndexArtifact.write(s, gen2, gArr, ranked.unionByName(deltaRanked),
+      IvfProbes, KmSearchGroups)
+    val (_, m2) = IndexArtifact.load(s, gen2, IvfProbes, KmSearchGroups,
+      verifyCounts = true)
+    membershipOf(m2)
+  }
+
+  private lazy val s33Sql =
+    s"""WITH $oracleVecs,
+       |nc AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+       |nd AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+       |${codebookChainSql("nc", "")},
+       |${rankStanzaSql("nc", "", "")},
+       |${rankStanzaSql("nd", "", "q")}
+       |SELECT vec_id, cid AS cell FROM prall WHERE rn = 1
+       |UNION ALL
+       |SELECT vec_id, cid AS cell FROM prallq WHERE rn = 1""".stripMargin
 
   // ---- s23: trained-index maintenance (retrain drift report) ----------
 

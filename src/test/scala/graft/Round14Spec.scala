@@ -296,6 +296,27 @@ class Round14Spec extends AnyFunSuite {
     } finally graft.core.Sessions.sweepPersistedState(spark)
   }
 
+  test("index publish law: generation 2 = stored generation 1 + frozen-assigned arrivals") {
+    import graft.ops.{IndexArtifact, Similarity}
+    try {
+      val path = Similarity.sharedIndexPath(spark, dir, split = true)
+      val (gArr, ranked) = IndexArtifact.load(spark, path, 4, 2)
+      val delta = Similarity.vecs(spark, dir).filter(Similarity.isDeltaVec)
+      def mset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf).toList)
+          .groupBy(identity).view.mapValues(_.length).toMap
+      // the gate entry's published membership...
+      val published = mset(SparkEntry.queries("s33_index_publish")(spark, dir))
+      // ...must equal gen-1 membership + the delta's frozen assignment,
+      // row for row — the append law through the disk round trip
+      val law = mset(Similarity.membershipOf(ranked)
+        .unionByName(Similarity.frozenAssign(delta, gArr)))
+      assert(published === law, "publish diverged from the append law")
+      // arrivals and corpus are disjoint: no vec_id may double-assign
+      assert(published.values.forall(_ == 1), "a vec_id was published twice")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
   // ---- degenerate histogram bins (r13 ADVICE #4) -------------------------
 
   test("histQuantileReport on a single-value column bins to 0, never null") {
