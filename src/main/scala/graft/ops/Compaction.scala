@@ -171,18 +171,22 @@ object Compaction {
         max_by(col("__cb"), struct(packKey: _*)).as("__lb"))
       .select(col("day"), expr("(__db - __lb) DIV " + budget + " + 1").as("nf"))
 
-  /** Crash recovery for [[compactWhere]]'s swap: a failure between a
-    * day dir's delete and its staged move leaves that day's ONLY copy
-    * under `_optimize_stage`. On entry, any staged day missing from the
-    * layout is moved back in (same-filesystem atomic rename); staged
-    * days whose layout dir still exists are stale duplicates of a
-    * never-deleted original and are dropped with the stage dir.
+  /** Crash recovery for [[compactWhere]]'s swap. The swap itself never
+    * deletes before it has renamed (old dir aside into the stage as
+    * `day=N.old`, staged dir in, THEN delete the aside copy — both
+    * renames same-filesystem atomic), so at every crash point at least
+    * one COMPLETE copy of each day exists: either the layout dir, or
+    * the staged `day=N` (crash between aside-rename and move-in). On
+    * entry, any staged `day=N` whose layout dir is missing is moved
+    * back in; everything else in the stage — `.old` aside copies whose
+    * swap completed, partial write debris, duplicates of days that
+    * were never renamed aside — is superseded and dropped with it.
     */
   private def recoverStage(root: String): Unit = {
     val stage = new java.io.File(root, "_optimize_stage")
     if (stage.exists()) {
       Option(stage.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith("day=")).foreach { d =>
+        .filter(f => f.isDirectory && f.getName.matches("day=-?\\d+")).foreach { d =>
           val dst = new java.io.File(root, d.getName)
           if (!dst.exists()) java.nio.file.Files.move(d.toPath, dst.toPath)
         }
@@ -237,18 +241,6 @@ object Compaction {
                    closed: Long => Boolean = _ => true): (Seq[Long], LayoutStats, LayoutStats) = {
     require(budget >= 1, s"byte budget must be >= 1, got $budget")
     recoverStage(root)
-    val packKey =
-      if (!zorder) defaultPackKey
-      else zPackKey {
-        if (Zorder.manifestExists(root)) Zorder.loadManifest(root)
-        else {
-          // first optimize of this layout: freeze the basis NOW and
-          // persist the sidecar
-          val m = zBasisOf(graft.streaming.IngestPipeline.readShards(s, root))
-          Zorder.writeManifest(root, m)
-          m
-        }
-      }
     val before = layoutStats(root)
     val dayDirs = Option(new java.io.File(root).listFiles())
       .getOrElse(Array.empty[java.io.File])
@@ -257,16 +249,31 @@ object Compaction {
     val current: Map[Long, Long] = dayDirs.map { d =>
       d.getName.stripPrefix("day=").toLong -> layoutStats(d.getAbsolutePath).nFiles
     }.toMap
-    if (current.isEmpty) {
-      val st = layoutStats(root)
-      return (Nil, st, st)
-    }
-    // days-sized collect (the GlobalOrder-offsets budget); the scan is
-    // partition-pruned to the closed days, so an open day's in-flight
-    // files are never read into the census
-    val plannedCount: Map[Long, Long] = plannedCountsByDay(
-        graft.streaming.IngestPipeline.readShards(s, root)
-          .filter(col("day").isin(current.keys.toSeq: _*)), budget, packKey)
+    if (current.isEmpty) return (Nil, before, before)
+    // EVERY scan below is partition-pruned to the closed days — under a
+    // live writer, open days' in-flight files are never read, by the
+    // census, the first-optimize basis, or the replan
+    val closedRows = graft.streaming.IngestPipeline.readShards(s, root)
+      .filter(col("day").isin(current.keys.toSeq: _*))
+    val packKey =
+      if (!zorder) defaultPackKey
+      else zPackKey {
+        if (Zorder.manifestExists(root)) Zorder.loadManifest(root)
+        else {
+          // first optimize of this layout: freeze the basis NOW and
+          // persist the sidecar. The basis comes from the closed-day
+          // snapshot only (the deterministic population this pass may
+          // see); later values outside it bin beyond the grid edge —
+          // the pack order stays total and deterministic, only pruning
+          // sharpness degrades, which is what a basis refresh at the
+          // next full rewrite is for.
+          val m = zBasisOf(closedRows)
+          Zorder.writeManifest(root, m)
+          m
+        }
+      }
+    // days-sized collect (the GlobalOrder-offsets budget)
+    val plannedCount: Map[Long, Long] = plannedCountsByDay(closedRows, budget, packKey)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val breached = current.collect {
       case (d, n) if n > plannedCount.getOrElse(d, 0L) => d
@@ -284,9 +291,15 @@ object Compaction {
       writeLayout(planned, stage.getAbsolutePath, packKey)
       breached.foreach { d =>
         val dst = new java.io.File(root, s"day=$d")
-        org.apache.commons.io.FileUtils.deleteDirectory(dst)
+        // rename-aside swap: never delete a copy before its replacement
+        // is in place — a crash mid-deleteDirectory must not leave a
+        // partially-deleted dir as the day's only copy (the aside copy
+        // lives INSIDE the stage so recovery reclaims it)
+        val aside = new java.io.File(stage, s"day=$d.old")
+        if (dst.exists()) java.nio.file.Files.move(dst.toPath, aside.toPath)
         java.nio.file.Files.move(
           new java.io.File(stage, s"day=$d").toPath, dst.toPath)
+        org.apache.commons.io.FileUtils.deleteDirectory(aside)
       }
       org.apache.commons.io.FileUtils.deleteDirectory(stage)
     }

@@ -2193,9 +2193,8 @@ object Similarity extends QueryModule {
     * live twin is es26 (same oracle, micro-batched arrivals).
     */
   private def s24(s: SparkSession, dir: String): DataFrame = {
-    val isDelta = col("vec_id") % 10 === 0
     val (gArr, _) = sharedIndex(s, dir, split = true)
-    frozenAssign(vecs(s, dir).filter(isDelta), gArr)
+    frozenAssign(vecs(s, dir).filter(isDeltaVec), gArr)
   }
 
   private[graft] lazy val s24Sql =
@@ -2268,10 +2267,9 @@ object Similarity extends QueryModule {
     * end to end.
     */
   private def s30(s: SparkSession, dir: String): DataFrame = {
-    val isDelta = col("vec_id") % 10 === 0
     val (gArr, ranked) = sharedIndex(s, dir, split = true)
-    val corpus = vecs(s, dir).filter(!isDelta)
-    serveBatch(vecs(s, dir).filter(isDelta),
+    val corpus = vecs(s, dir).filter(!isDeltaVec)
+    serveBatch(vecs(s, dir).filter(isDeltaVec),
       liveIndexFrom(corpus, membershipOf(ranked)), gArr)
   }
 
@@ -2320,11 +2318,10 @@ object Similarity extends QueryModule {
     */
   private def s31(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val isDelta = col("vec_id") % 10 === 0
     val (gArr, ranked) = sharedIndex(s, dir, split = true)
-    val corpus = vecs(s, dir).filter(!isDelta).persist()
+    val corpus = vecs(s, dir).filter(!isDeltaVec).persist()
     val index = liveIndexFrom(corpus, membershipOf(ranked))
-    val arrivals = vecs(s, dir).filter(isDelta)
+    val arrivals = vecs(s, dir).filter(isDeltaVec)
     val sampled = arrivals
       .orderBy(md5(concat(lit("svr_"), col("vec_id").cast("string")))).limit(RecallQueries)
       .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))

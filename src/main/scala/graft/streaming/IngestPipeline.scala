@@ -240,11 +240,12 @@ object IngestPipeline extends QueryModule {
     * full-rewrite == plan.
     */
   // litter at budget/2: strictly finer than the target wherever a day
-  // needs more than one file (ceil(b/2048) > ceil(b/4096) for b > 2048,
-  // and the layouts coincide at one file for b <= 2048), so every
+  // needs more than one file (for day bytes b > budget/2, packing at
+  // budget/2 plans more files than packing at budget; for b <= budget/2
+  // both plan exactly one file and the layouts coincide), so every
   // fragmented day breaches and every unbreached day already IS the
   // plan — while keeping the fixture's physical file count ~2x the
-  // target instead of the 16x a byte-sized litter would write
+  // target instead of the blowup a byte-sized litter would write
   private[graft] val LitterBudgetBytes = CompactBudgetBytes / 2
 
   private def p30(s: SparkSession, dir: String): DataFrame = {

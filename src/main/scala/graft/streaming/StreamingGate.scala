@@ -955,7 +955,8 @@ object StreamingGate extends QueryModule {
     */
   private def es26(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val isDelta = col("vec_id") % 10 === 0
+    // the d22 split convention comes from the store's owner
+    val isDelta = graft.ops.Similarity.isDeltaVec
     // the codebook comes from the stored artifact (round-14 store:
     // trained once per process, the production frozen-index shape);
     // persist the one-row frame so every micro-batch re-broadcasts
@@ -1084,7 +1085,8 @@ object StreamingGate extends QueryModule {
     */
   private def es29(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val isDelta = col("vec_id") % 10 === 0
+    // the d22 split convention comes from the store's owner
+    val isDelta = graft.ops.Similarity.isDeltaVec
     // codebook AND membership from the stored artifact (the round-14
     // store): a serving node loads the published index, it never
     // re-trains or re-assigns the corpus

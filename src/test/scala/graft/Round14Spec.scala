@@ -65,12 +65,19 @@ class Round14Spec extends AnyFunSuite {
       val stage = new java.io.File(root, "_optimize_stage"); stage.mkdirs()
       org.apache.commons.io.FileUtils.copyDirectory(
         aDay, new java.io.File(stage, aDay.getName))
+      // ...and the OTHER crash window: a day whose swap completed but
+      // whose aside copy was not yet deleted — the .old entry is
+      // superseded and must be dropped, never restored as a bogus day
+      org.apache.commons.io.FileUtils.copyDirectory(
+        aDay, new java.io.File(stage, aDay.getName + ".old"))
       org.apache.commons.io.FileUtils.deleteDirectory(aDay)
       // without recovery this run would delete the stage (and the day)
       val (_, _, after) = Compaction.compactWhere(spark, root, budget)
       assert(!stage.exists(), "stage dir must be cleaned up")
       assert(rowsNow() === rowsBefore,
         "recovery must restore the staged day before any delete")
+      assert(!new java.io.File(root, aDay.getName + ".old").exists(),
+        "a superseded .old aside copy must never land in the layout")
       assert(after.nFiles > 0)
     } finally {
       graft.core.Sessions.sweepPersistedState(spark)
