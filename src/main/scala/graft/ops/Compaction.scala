@@ -68,6 +68,8 @@ object Compaction {
   private[graft] def zBasisOf(rows: DataFrame): Zorder.ZManifest = {
     val r = rows.agg(min(col("user_id")), max(col("user_id")),
       min(col("event_id")), max(col("event_id"))).head
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      "cannot derive a z basis from an empty population")
     Zorder.ZManifest(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
       Zorder.ZBits)
   }
@@ -291,14 +293,22 @@ object Compaction {
       writeLayout(planned, stage.getAbsolutePath, packKey)
       breached.foreach { d =>
         val dst = new java.io.File(root, s"day=$d")
+        val staged = new java.io.File(stage, s"day=$d")
+        // fail LOUDLY before touching the live dir if the rewrite
+        // produced nothing for a breached day (a day dir whose files
+        // hold zero readable rows censuses as breached but plans no
+        // output) — proceeding would rename the only copy aside and
+        // crash, and recovery drops .old entries
+        require(staged.exists(),
+          s"staged rewrite missing for day=$d (zero readable rows in a " +
+            s"breached day?) — refusing to swap")
         // rename-aside swap: never delete a copy before its replacement
         // is in place — a crash mid-deleteDirectory must not leave a
         // partially-deleted dir as the day's only copy (the aside copy
         // lives INSIDE the stage so recovery reclaims it)
         val aside = new java.io.File(stage, s"day=$d.old")
         if (dst.exists()) java.nio.file.Files.move(dst.toPath, aside.toPath)
-        java.nio.file.Files.move(
-          new java.io.File(stage, s"day=$d").toPath, dst.toPath)
+        java.nio.file.Files.move(staged.toPath, dst.toPath)
         org.apache.commons.io.FileUtils.deleteDirectory(aside)
       }
       org.apache.commons.io.FileUtils.deleteDirectory(stage)

@@ -226,17 +226,6 @@ object Graph {
 
   // ---- label-once materialization ------------------------------------
 
-  private val labelStoreRoot: java.io.File = {
-    val f = java.nio.file.Files.createTempDirectory("graft_labels").toFile
-    // deleteOnExit is a no-op on non-empty directories — a recursive
-    // shutdown hook is what actually reclaims the store's parquet frames
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try org.apache.commons.io.FileUtils.deleteDirectory(f)
-      catch { case _: Throwable => () }))
-    f
-  }
-  private val labelStorePaths = scala.collection.mutable.HashMap[String, String]()
-
   /** Build-once, read-many label materialization — the production shape
     * for expensive shared frames like connected-component labels: a real
     * pipeline labels the corpus ONCE per ingest, writes the frame, and
@@ -260,17 +249,10 @@ object Graph {
     * Oracle-neutral: same rows, same schema — only the plan's leaf
     * changes from the CC pipeline to a parquet relation.
     */
-  def materializedOnce(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val path = labelStorePaths.synchronized {
-      labelStorePaths.getOrElseUpdate(key, {
-        val p = new java.io.File(labelStoreRoot,
-          java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8")).toString).getAbsolutePath
-        val frame = build
-        frame.write.mode("overwrite").parquet(p)
-        release(frame)
-        p
-      })
-    }
-    s.read.parquet(path)
-  }
+  def materializedOnce(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    s.read.parquet(graft.core.ProcessStore.once(s"frame|$key") { p =>
+      val frame = build
+      frame.write.mode("overwrite").parquet(p.getAbsolutePath)
+      release(frame)
+    })
 }

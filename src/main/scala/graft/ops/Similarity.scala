@@ -1120,14 +1120,6 @@ object Similarity extends QueryModule {
     */
   private[graft] def isDeltaVec: Column = col("vec_id") % 10 === 0
 
-  private lazy val indexStoreBase: java.io.File = {
-    val f = java.nio.file.Files.createTempDirectory("graft_index").toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try org.apache.commons.io.FileUtils.deleteDirectory(f)
-      catch { case _: Throwable => () }))
-    f
-  }
-  private val indexStorePaths = scala.collection.mutable.HashMap[String, String]()
 
   /** Train once, serve many (round-13 verdict #2): the trained chain —
     * codebook + the corpus's (vec_id, crn, cid) two-level ranking — is
@@ -1146,21 +1138,16 @@ object Similarity extends QueryModule {
   private[graft] def sharedIndexPath(s: SparkSession, dir: String, split: Boolean): String = {
     val key = s"trained|$dir|$split|" +
       graft.core.Tables.fileFingerprint(s, s"$dir/embeddings.parquet")
-    indexStorePaths.synchronized {
-      indexStorePaths.getOrElseUpdate(key, {
-        val pop = if (split) vecs(s, dir).filter(!isDeltaVec) else vecs(s, dir)
-        val (base, gArr) = trainedGroupArray(pop)
-        // ONE two-level ranking pass serves both faces of the index:
-        // rank 1 is the membership cell, ranks 1..IvfProbes the probe
-        // list — corpus×probes rows, written once, read by every
-        // consumer with crn pushdown
-        val ranked = rankCellsTwoLevel(base, gArr, "l2", KmSearchGroups, IvfProbes)
-        val p = new java.io.File(indexStoreBase,
-          java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8")).toString).getAbsolutePath
-        IndexArtifact.write(s, p, gArr, ranked, IvfProbes, KmSearchGroups)
-        base.unpersist() // the build's training cache — consumers read parquet
-        p
-      })
+    graft.core.ProcessStore.once(key) { p =>
+      val pop = if (split) vecs(s, dir).filter(!isDeltaVec) else vecs(s, dir)
+      val (base, gArr) = trainedGroupArray(pop)
+      // ONE two-level ranking pass serves both faces of the index:
+      // rank 1 is the membership cell, ranks 1..IvfProbes the probe
+      // list — corpus×probes rows, written once, read by every
+      // consumer with crn pushdown
+      val ranked = rankCellsTwoLevel(base, gArr, "l2", KmSearchGroups, IvfProbes)
+      IndexArtifact.write(s, p.getAbsolutePath, gArr, ranked, IvfProbes, KmSearchGroups)
+      base.unpersist() // the build's training cache — consumers read parquet
     }
   }
 
@@ -2452,7 +2439,7 @@ object Similarity extends QueryModule {
       s, sharedIndexPath(s, dir, split = true), IvfProbes, KmSearchGroups)
     val delta = vecs(s, dir).filter(isDeltaVec)
     val deltaRanked = rankCellsTwoLevel(delta, gArr, "l2", KmSearchGroups, IvfProbes)
-    val gen2 = new java.io.File(indexStoreBase,
+    val gen2 = graft.core.ProcessStore.scratch(
       "gen2-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))).getAbsolutePath
     IndexArtifact.write(s, gen2, gArr, ranked.unionByName(deltaRanked),
       IvfProbes, KmSearchGroups)

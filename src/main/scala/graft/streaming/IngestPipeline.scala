@@ -83,24 +83,8 @@ object IngestPipeline extends QueryModule {
   // samples by copying back the littered days from the pristine copy —
   // driver-side file copies of day dirs, not a Spark rewrite.
 
-  private lazy val fixtureBase: java.io.File = {
-    val f = java.nio.file.Files.createTempDirectory("graft-fixtures").toFile
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try org.apache.commons.io.FileUtils.deleteDirectory(f)
-      catch { case _: Throwable => () }))
-    f
-  }
-  private val fixturePaths = scala.collection.mutable.HashMap[String, String]()
-
   private def fixtureOnce(key: String)(build: java.io.File => Unit): String =
-    fixturePaths.synchronized {
-      fixturePaths.getOrElseUpdate(key, {
-        val f = new java.io.File(fixtureBase,
-          java.util.UUID.nameUUIDFromBytes(key.getBytes("UTF-8")).toString)
-        build(f)
-        f.getAbsolutePath
-      })
-    }
+    graft.core.ProcessStore.once(s"fixture|$key")(build)
 
   /** p29's input: the p15 micro-batch shard layout, ingested once per
     * (process, dir). Read-only thereafter — compact() reads it and
@@ -199,7 +183,7 @@ object IngestPipeline extends QueryModule {
 
   private def p29(s: SparkSession, dir: String): DataFrame = {
     val root = ingestFixture(s, dir)
-    val out = new java.io.File(fixtureBase,
+    val out = graft.core.ProcessStore.scratch(
       "compacted-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))).getAbsolutePath
     graft.ops.Compaction.compact(s, root, out, CompactBudgetBytes)
     graft.ops.Compaction.manifestOf(s, out)
@@ -250,7 +234,7 @@ object IngestPipeline extends QueryModule {
 
   private def p30(s: SparkSession, dir: String): DataFrame = {
     val pristine = pristineMixed(s, dir)
-    val work = new java.io.File(fixtureBase,
+    val work = graft.core.ProcessStore.scratch(
       "optwhere-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")))
     resetMixed(pristine, work)
     graft.ops.Compaction.compactWhere(s, work.getAbsolutePath, CompactBudgetBytes)
@@ -278,7 +262,7 @@ object IngestPipeline extends QueryModule {
     */
   private def p31(s: SparkSession, dir: String): DataFrame = {
     val pristine = pristineMixedZ(s, dir)
-    val work = new java.io.File(fixtureBase,
+    val work = graft.core.ProcessStore.scratch(
       "optzorder-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")))
     resetMixed(pristine, work)
     graft.ops.Compaction.compactWhere(s, work.getAbsolutePath, CompactBudgetBytes,

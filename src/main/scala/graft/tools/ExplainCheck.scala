@@ -19,10 +19,12 @@ object ExplainCheck {
       if (args.nonEmpty) args.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
     for (q <- names) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.write.format("noop").mode("overwrite").save() // finalize AQE stages
       val p = df.queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(p).toList
       println(s"== $q pushed: ${pushed.mkString(" | ")}")
-      println(s"   exchanges: ${"Exchange ".r.findAllIn(p).size}, " +
+      println(s"   shuffles: ${"Exchange (hash|range)partitioning".r.findAllIn(p).size}, " +
+        s"broadcasts: ${"BroadcastExchange".r.findAllIn(p).size}, " +
         s"cartesian: ${p.contains("CartesianProduct")}")
       graft.core.Sessions.sweepPersistedState(spark)
     }

@@ -307,7 +307,8 @@ class Round14Spec extends AnyFunSuite {
     import graft.ops.{IndexArtifact, Similarity}
     try {
       val path = Similarity.sharedIndexPath(spark, dir, split = true)
-      val (gArr, ranked) = IndexArtifact.load(spark, path, 4, 2)
+      val mm = IndexArtifact.loadManifest(path)
+      val (gArr, ranked) = IndexArtifact.load(spark, path, mm.probes, mm.coarseGroups)
       val delta = Similarity.vecs(spark, dir).filter(Similarity.isDeltaVec)
       def mset(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(_.toSeq.map(String.valueOf).toList)
