@@ -2775,9 +2775,26 @@ object Similarity extends QueryModule {
     */
   /** The two ranked neighbor lists (lexical, semantic) shared by s25
     * (fusion) and s27 (training-pair mining): each (query_id, cand_id,
-    * lrank/srank) with rank <= [[HybListK]].
+    * lrank/srank) with rank <= [[HybListK]]. Retrieved ONCE per
+    * (process, corpus) through the store — the retrieval system runs
+    * one pass and every consumer (the fused ranking, the mined
+    * training pairs) reads the same materialized lists, the d07-labels
+    * discipline applied to retrieval output; round 14's bench paid the
+    * full BM25 + exact-cosine pass per entry per sample.
     */
   private def hybridLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = s"hybrid_lists|$dir|" +
+      graft.core.Tables.fileFingerprint(s, s"$dir/documents.parquet") + "|" +
+      graft.core.Tables.fileFingerprint(s, s"$dir/embeddings.parquet")
+    val p = graft.core.ProcessStore.once(key) { f =>
+      val (lex, sem) = buildHybridLists(s, dir)
+      lex.write.mode("overwrite").parquet(s"$f/lex")
+      sem.write.mode("overwrite").parquet(s"$f/sem")
+    }
+    (s.read.parquet(s"$p/lex"), s.read.parquet(s"$p/sem"))
+  }
+
+  private def buildHybridLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val base = vecs(s, dir)
