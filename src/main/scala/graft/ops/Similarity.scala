@@ -2794,7 +2794,7 @@ object Similarity extends QueryModule {
     (s.read.parquet(s"$p/lex"), s.read.parquet(s"$p/sem"))
   }
 
-  private def buildHybridLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def buildHybridLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val base = vecs(s, dir)

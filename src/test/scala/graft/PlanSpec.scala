@@ -307,19 +307,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), "no interpreted HOF fold in the hot path")
   }
 
-  test("s25: hybrid fusion — query frames broadcast, semantic top-k aggregated not windowed") {
-    val p = plan("s25_hybrid_rrf")
+  test("s25: hybrid retrieval BUILD — query frames broadcast, semantic top-k aggregated not windowed") {
+    // since the retrieval lists materialize once per process, the
+    // retrieval pass's scale shape lives in the BUILD plans — pin those
+    // (the s25 consumer plan is two parquet list scans + the RRF tail)
+    val (lex, sem) = graft.ops.Similarity.buildHybridLists(spark, dir)
+    val pl = lex.queryExecution.executedPlan.toString
+    val ps = sem.queryExecution.executedPlan.toString
     // the corpus meets the constant-size query batch only through
     // broadcasts: a plain CartesianProduct would be corpus x corpus
-    assert(!p.contains("CartesianProduct"), "hybrid stages must broadcast the query side")
-    assert(p.toLowerCase.contains("dotproduct"), "cosine must run the native kernel")
+    assert(!pl.contains("CartesianProduct") && !ps.contains("CartesianProduct"),
+      "hybrid stages must broadcast the query side")
+    assert(ps.toLowerCase.contains("dotproduct"), "cosine must run the native kernel")
     // the semantic per-query top-k is the bounded TopKNeighbors partial+
     // final aggregate (<= k rows per query cross the shuffle) — a window
     // ordered by sim would sort the whole scored corpus per query
-    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    val windowLines = ps.linesIterator.filter(_.contains("Window ")).toSeq
     assert(windowLines.forall(!_.contains("sim#")),
       s"no window may sort the raw scored corpus:\n${windowLines.mkString("\n")}")
-    assert(p.contains("ObjectHashAggregate"), "semantic top-k must be the typed Aggregator")
+    assert(ps.contains("ObjectHashAggregate"), "semantic top-k must be the typed Aggregator")
+    // the fusion consumer itself stays cartesian-free
+    assert(!plan("s25_hybrid_rrf").contains("CartesianProduct"))
+    spark.sharedState.cacheManager.clearCache()
   }
 
   test("round-12 family plans: no cartesian, gram generate row-local, sketch joins broadcast") {
@@ -330,13 +339,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p25.contains("Generate"), "gram stream must be a generator")
     assert(p25.contains("LeftSemi"), "dup marking must be a semi-join")
     assert(!p25.contains("CartesianProduct"))
-    // d24/s26/s27: the only corpus meetings are hash/broadcast joins
-    for (q <- Seq("d24_shard_sketch_merge", "s26_cluster_cards", "s27_mined_pairs")) {
+    // d24/s26: the only corpus meetings are hash/broadcast joins
+    for (q <- Seq("d24_shard_sketch_merge", "s26_cluster_cards")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian")
       assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
         s"$q should broadcast its small side")
     }
+    // s27 consumes the materialized retrieval lists (the corpus pass is
+    // pinned in the s25 BUILD test) — its own plan stays cartesian-free
+    assert(!plan("s27_mined_pairs").contains("CartesianProduct"),
+      "s27 must not plan a cartesian")
   }
 
   test("q32: lateral positional explode is a codegen Generate with no shuffle") {
