@@ -73,6 +73,86 @@ object Bench {
   private[graft] def isSuspect(samples: Seq[Double], load: Double, cores: Int): Boolean =
     spreadOf(samples) > SpreadMax || (load >= 0 && load >= cores.toDouble)
 
+  /** Parse bench_local_ref.json into (warm pin, plan fp) maps — shared
+    * by the delta table and the sustained-inflation re-sampler. Empty
+    * maps when the reference is absent, unparsable, or recorded at a
+    * different SF (cross-SF ratios are meaningless).
+    */
+  private[graft] def loadRefPins(refPath: String, sfDir: String)
+      : (Map[String, Double], Map[String, String]) =
+    try {
+      val f = new java.io.File(refPath)
+      if (!f.exists()) return (Map.empty, Map.empty)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val refSf = Option(node.get("sf")).map(_.asText).getOrElse("")
+      if (new java.io.File(refSf).getName != new java.io.File(sfDir).getName)
+        return (Map.empty, Map.empty)
+      def toMap[A](field: String, get: com.fasterxml.jackson.databind.JsonNode => A) =
+        Option(node.get(field)).map { q =>
+          val it = q.fields()
+          val b = Map.newBuilder[String, A]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> get(e.getValue) }
+          b.result()
+        }.getOrElse(Map.empty[String, A])
+      (toMap("queries", _.asDouble(-1.0)), toMap("plan_fp", _.asText))
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
+
+  /** A mover is a >2× AND >1 s delta vs the local pin — the one rule
+    * the delta table, the regression tripwire, and the sustained-
+    * inflation re-sampler all share.
+    */
+  private[graft] def isMover(warm: Double, ref: Double): Boolean =
+    ref > 0 && warm > 0 && (warm / ref > 2.0 || warm / ref < 0.5) &&
+      math.abs(warm - ref) > 1.0
+
+  /** Sustained-inflation candidates (round-14 verdict #1): the spike
+    * detector keys on sample SPREAD, so a co-tenant load window that
+    * inflates all three warm samples equally sails through — round
+    * 14's q48–q52 cluster ran 24–34× the pin in every sample with
+    * `fp == same` and landed in the delta table with no disposition.
+    * A query qualifies when its record is trusted (not already
+    * suspect), its plan fingerprint MATCHES the pin's (the delta is
+    * not code-attributable), and its warm median is a SLOWDOWN mover
+    * vs the pin. Qualifying queries are re-sampled at END of run —
+    * after the load window has had the whole remaining bench to pass —
+    * and resolved by [[resolveSustained]].
+    */
+  private[graft] def sustainedCandidates(
+      results: Seq[(String, QRec)],
+      refQ: Map[String, Double], refFp: Map[String, String]): Seq[String] =
+    results.collect {
+      case (name, r)
+        if !r.suspect && r.fp.nonEmpty && refFp.get(name).contains(r.fp) &&
+          refQ.get(name).exists(p => isMover(r.warm, p) && r.warm > p) => name
+    }
+
+  /** Fold an end-of-run re-sample into a sustained-inflation record.
+    * If the re-sampled median lands back inside the mover bound, the
+    * original inflation was the machine: the record reports the clean
+    * re-sample (disposition `transient_load`) with every sample kept
+    * for the artifact. If it is STILL a mover, the inflation survived
+    * the run — disposition `sustained`, median over all samples, and
+    * the record is marked suspect so no tripwire fires on a number
+    * that tracked the machine for the entire bench (a REAL stable-plan
+    * regression would be fp:diff, which never enters this path).
+    * A re-sample that produced no valid run resolves `resample_failed`
+    * and leaves the original record untouched.
+    */
+  private[graft] def resolveSustained(rec: QRec, resamples: Seq[Double],
+      refWarm: Double): (QRec, String) = {
+    val valid = resamples.filter(_ >= 0)
+    if (valid.isEmpty) (rec, "resample_failed")
+    else {
+      val rWarm = combineWarm(resamples)
+      val all = rec.samples ++ resamples
+      if (!isMover(rWarm, refWarm))
+        (rec.copy(warm = rWarm, samples = all), "transient_load")
+      else
+        (rec.copy(warm = combineWarm(all), samples = all, suspect = true),
+          "sustained")
+    }
+  }
+
   /** Driver-vs-local delta table (round-9 advice: make environment noise
     * separable from plan changes at a glance). Compares this run's warm
     * medians against a COMMITTED local reference record
@@ -96,7 +176,8 @@ object Bench {
     */
   private[graft] def deltaVsRef(
       results: Seq[(String, QRec)],
-      sfDir: String, refPath: String): (String, Seq[String]) = {
+      sfDir: String, refPath: String,
+      disps: Map[String, String] = Map.empty): (String, Seq[String]) = {
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     try {
       val f = new java.io.File(refPath)
@@ -128,8 +209,17 @@ object Bench {
           } else None
         }
       }.sortBy { case (_, _, _, ratio, _) => -math.abs(math.log(ratio)) }.take(8)
+      // every entry carries a DISPOSITION (round-14 verdict #1): fp:diff
+      // deltas are code-attributable by definition; fp:same slowdowns
+      // were re-sampled at end of run and carry that resolution; what
+      // remains is environmental speedup or genuinely unresolved
       val json = movers.map { case (n, w, r, x, tag) =>
-        s"""{"q":"$n","now":${fmt(w)},"ref":${fmt(r)},"x":${fmt(x)},"fp":"$tag"}"""
+        val disp = disps.getOrElse(n, tag match {
+          case "diff" => if (w > r) "plan_regression" else "plan_improvement"
+          case "same" => if (w > r) "unresolved" else "environment"
+          case _      => "unknown"
+        })
+        s"""{"q":"$n","now":${fmt(w)},"ref":${fmt(r)},"x":${fmt(x)},"fp":"$tag","disp":"$disp"}"""
       }.mkString("[", ",", "]")
       // only SLOWDOWNS regress; an fp:diff speedup is a plan improvement
       // awaiting a reference refresh, not a failure
@@ -154,7 +244,8 @@ object Bench {
   private[graft] def renderSummary(
       results: Seq[(String, QRec)],
       sfDir: String, out: String, deltaJson: String = "[]",
-      regressions: Seq[String] = Nil): (String, String) = {
+      regressions: Seq[String] = Nil,
+      resampleJson: String = "[]"): (String, String) = {
     def inverted(warm: Double, cold: Double): Boolean =
       cold > 0 && warm > cold * 1.5 && warm - cold > 1.0
     // 3-decimal times: ms resolution is below run-to-run noise, and the
@@ -196,14 +287,14 @@ object Bench {
       System.err.println(
         s"[bench] ${regressions.size} PLAN REGRESSIONS (fp:diff ≥2x slower vs local ref): ${regressions.mkString(", ")}")
     val regList = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_.warm)},"first_run":${map(_.cold)},"warm_samples":$samplesMap,"load":${map(_.load)},"plan_fp":$fpMap,"warm_exceeds_cold":$guard,"errors":$errList,"regressions":$regList,"load_suspect":$suspectList,"delta_vs_local":$deltaJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map(_.warm)},"first_run":${map(_.cold)},"warm_samples":$samplesMap,"load":${map(_.load)},"plan_fp":$fpMap,"warm_exceeds_cold":$guard,"errors":$errList,"regressions":$regList,"load_suspect":$suspectList,"sustained_resample":$resampleJson,"delta_vs_local":$deltaJson,"sf":"$sfDir"}"""
     // The per-query maps (~5 KB at 97 queries) overflow the bounded
     // stdout tail the driver captures — all four rounds' BENCH files
     // show "parsed": null from the line being truncated mid-JSON. So the
     // full record goes to the output FILE (and to stdout first, for
     // humans), and a short self-contained summary line prints LAST so
     // the captured tail always ends in parseable JSON.
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"errors":$errList,"regressions":$regList,"load_suspect":$suspectList,"delta_vs_local":$deltaJson,"queries_file":"$out","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"warm_exceeds_cold":$guard,"errors":$errList,"regressions":$regList,"load_suspect":$suspectList,"sustained_resample":$resampleJson,"delta_vs_local":$deltaJson,"queries_file":"$out","sf":"$sfDir"}"""
     (full, compact)
   }
 
@@ -313,29 +404,34 @@ object Bench {
     // iteration; the driver never sets it, so round artifacts stay full.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // one measured execution — shared by the per-query loop and the
+    // end-of-run sustained-inflation re-sampler, so a re-sample is the
+    // SAME protocol as the number it re-measures
+    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+        capture: org.apache.spark.sql.DataFrame => Unit = _ => ()): Double = {
+      if (spark.sparkContext.isStopped) spark = newSession()
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          val df = fn(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          capture(df) // fingerprint source: already analyzed, nothing re-executes
+          true
+        }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9 // before cache cleanup
+      // caches AND localCheckpoint blocks (the round-5 warm>cold
+      // inversion) must not survive into the next measured run
+      if (!spark.sparkContext.isStopped)
+        graft.core.Sessions.sweepPersistedState(spark)
+      if (ok) elapsed else -1.0
+    }
+    val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       var lastDf: org.apache.spark.sql.DataFrame = null
-      def once(): Double = {
-        if (spark.sparkContext.isStopped) spark = newSession()
-        val t0 = System.nanoTime()
-        val ok =
-          try {
-            val df = fn(spark, sfDir)
-            df.write.format("noop").mode("overwrite").save()
-            lastDf = df // fingerprint source: already analyzed, nothing re-executes
-            true
-          }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-          }
-        val elapsed = (System.nanoTime() - t0) / 1e9 // before cache cleanup
-        // caches AND localCheckpoint blocks (the round-5 warm>cold
-        // inversion) must not survive into the next measured run
-        if (!spark.sparkContext.isStopped)
-          graft.core.Sessions.sweepPersistedState(spark)
-        if (ok) elapsed else -1.0
-      }
+      def once(): Double = runOnce(name, fn, df => lastDf = df)
       val cold = once()
       // ALWAYS three warm samples, report the median: a single sample on a
       // loaded machine is indistinguishable from a leak (rounds 6 and 7
@@ -371,8 +467,44 @@ object Bench {
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val ref = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_local_ref.json")
-    val (deltaJson, regressions) = deltaVsRef(results, sfDir, ref)
-    val (full, compact) = renderSummary(results, sfDir, out, deltaJson, regressions)
+    // END-OF-RUN RE-SAMPLE (round-14 verdict #1): a sustained co-tenant
+    // load window inflates all of a query's samples equally, so the
+    // spread-keyed escalation above never fires — re-measure every
+    // trusted fp:same slowdown mover once the rest of the bench has run
+    // (the load window has had the whole remaining run to pass) and
+    // resolve it: transient_load (re-sample landed back at the pin — the
+    // clean number is reported), sustained (still inflated — quarantined
+    // into load_suspect), or resample_failed. Both measurements land in
+    // `sustained_resample` in both summary lines.
+    def fmt3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val (refQ, refFp) = loadRefPins(ref, sfDir)
+    val candidates = sustainedCandidates(results0, refQ, refFp)
+    var disps = Map.empty[String, String]
+    val resampleEntries = scala.collection.mutable.ListBuffer[String]()
+    val results =
+      if (candidates.isEmpty) results0
+      else {
+        System.err.println(s"[bench] ${candidates.size} sustained fp:same " +
+          s"inflations vs local pin — re-sampling at end of run: ${candidates.mkString(", ")}")
+        val fns = SparkEntry.queries
+        val byName = results0.toMap
+        val resolved = candidates.flatMap { name =>
+          fns.get(name).map { fn =>
+            val rs = Seq(runOnce(name, fn), runOnce(name, fn), runOnce(name, fn))
+            val (rec2, disp) = resolveSustained(byName(name), rs, refQ(name))
+            disps += name -> disp
+            resampleEntries += s"""{"q":"$name","disp":"$disp",""" +
+              s""""warm_main":${fmt3(byName(name).warm)},"warm_resample":${fmt3(combineWarm(rs))}}"""
+            System.err.println(s"[bench] $name re-sample → $disp " +
+              s"(main=${fmt3(byName(name).warm)}, resample=${fmt3(combineWarm(rs))}, pin=${fmt3(refQ(name))})")
+            name -> rec2
+          }
+        }.toMap
+        results0.map { case (n, r) => n -> resolved.getOrElse(n, r) }
+      }
+    val resampleJson = resampleEntries.mkString("[", ",", "]")
+    val (deltaJson, regressions) = deltaVsRef(results, sfDir, ref, disps)
+    val (full, compact) = renderSummary(results, sfDir, out, deltaJson, regressions, resampleJson)
     // stop BEFORE printing so no late executor/log line lands after the
     // JSON lines.
     spark.stop()

@@ -37,18 +37,46 @@ object IndexArtifact {
   /** Persist codebook + membership under `path` and return the written
     * manifest. Overwrites any prior artifact at the path (idempotent —
     * re-writing the same trained frames lands the identical artifact).
+    *
+    * The write is STAGED (round-14 ADVICE): tables and manifest land in
+    * a random `.tmp-*` sibling first, then the finished directory swaps
+    * into place — so a crash or concurrent reader mid-republish never
+    * sees new tables under an old manifest. The swap is the Compaction
+    * rename-aside discipline: the prior artifact is renamed aside
+    * before the staged one moves in, and only then deleted, so at every
+    * crash point at least one complete artifact exists at or beside the
+    * path.
     */
   def write(s: SparkSession, path: String, codebook: DataFrame,
             membership: DataFrame, probes: Int, coarseGroups: Int): Manifest = {
-    codebook.write.mode("overwrite").parquet(s"$path/codebook")
-    membership.write.mode("overwrite").parquet(s"$path/membership")
-    val m = Manifest(probes, coarseGroups,
-      s.read.parquet(s"$path/codebook").count(),
-      s.read.parquet(s"$path/membership").count())
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, ManifestFile),
-      s"""{"probes":${m.probes},"coarseGroups":${m.coarseGroups},""" +
-        s""""codebookRows":${m.codebookRows},"membershipRows":${m.membershipRows}}""")
+    val dst = new java.io.File(path)
+    Option(dst.getParentFile).foreach(_.mkdirs())
+    val tmp = new java.io.File(dst.getParentFile,
+      dst.getName + ".tmp-" + java.util.UUID.randomUUID())
+    val m =
+      try {
+        codebook.write.mode("overwrite").parquet(s"$tmp/codebook")
+        membership.write.mode("overwrite").parquet(s"$tmp/membership")
+        val mm = Manifest(probes, coarseGroups,
+          s.read.parquet(s"$tmp/codebook").count(),
+          s.read.parquet(s"$tmp/membership").count())
+        java.nio.file.Files.writeString(
+          new java.io.File(tmp, ManifestFile).toPath,
+          s"""{"probes":${mm.probes},"coarseGroups":${mm.coarseGroups},""" +
+            s""""codebookRows":${mm.codebookRows},"membershipRows":${mm.membershipRows}}""")
+        mm
+      } catch {
+        case t: Throwable =>
+          try org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+          catch { case _: Throwable => () }
+          throw t
+      }
+    val aside = new java.io.File(dst.getParentFile,
+      dst.getName + ".old-" + java.util.UUID.randomUUID())
+    if (dst.exists()) java.nio.file.Files.move(dst.toPath, aside.toPath)
+    java.nio.file.Files.move(tmp.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (aside.exists()) org.apache.commons.io.FileUtils.deleteDirectory(aside)
     m
   }
 

@@ -2159,6 +2159,9 @@ object Similarity extends QueryModule {
     QueryDef("s31_serving_recall", s31, Some(s31Sql)),
     QueryDef("s32_artifact_serve", s32, Some(s30Sql)),
     QueryDef("s33_index_publish", s33, Some(s33Sql)),
+    QueryDef("s34_generation_serve", s34, Some(s30Sql)),
+    QueryDef("s35_maintain_append", s35, Some(s33Sql)),
+    QueryDef("s36_maintain_retrain", s36, Some(s36Sql)),
   )
 
   // ---- s24: frozen-index delta assignment (the cheap ingest path) -----
@@ -2413,37 +2416,67 @@ object Similarity extends QueryModule {
 
   // ---- s33: publish the next index generation (append, no retrain) ----
 
+  /** The process-scoped generations ROOT for `tag`: a pointer store
+    * ([[IndexGenerations]]) whose generation 1 — the corpus-trained
+    * artifact, the store's own immutable content — is published through
+    * the REAL publish path (write → verify → pointer swap) on first
+    * request. Each gate entry publishes into its OWN tagged root, so
+    * repeated runs and the gate's alphabetical ordering can never
+    * couple entries through shared pointer state (an s33 publish must
+    * not change what s34 serves).
+    */
+  private def generationsRoot(s: SparkSession, dir: String, tag: String): String = {
+    val key = s"genroot|$tag|$dir|" +
+      graft.core.Tables.fileFingerprint(s, s"$dir/embeddings.parquet")
+    graft.core.ProcessStore.once(key) { p =>
+      val (gArr, ranked) = sharedIndex(s, dir, split = true)
+      IndexGenerations.publish(s, p.getAbsolutePath, gArr, ranked,
+        IvfProbes, KmSearchGroups)
+    }
+  }
+
   /** s33: the INCREMENTAL PUBLISH between retrains — d23's append law
     * applied to the stored artifact: load generation 1 (the published
     * corpus-trained index), rank the day's arrivals against its FROZEN
     * codebook (s24's row-local fold — work ∝ |Δ|, the corpus is never
     * re-read), append the arrival ranking to the stored membership and
-    * write generation 2 as a new artifact; load generation 2 back
-    * (integrity check on) and emit its membership. This closes the
-    * artifact lifecycle arc: s32 proves a stored index SERVES exactly,
-    * s33 proves it GROWS exactly — the nightly publish a production
-    * vector store runs until s23's drift report calls for a retrain.
+    * PUBLISH it as the next generation through [[IndexGenerations]] —
+    * write, verify, atomic `_current` pointer swap, predecessor
+    * reclaim (round-14 verdict #1: the scratch-write version proved
+    * the artifact grows exactly but nothing named it the serving
+    * generation). The emitted membership is read back THROUGH the
+    * pointer (integrity check on). This closes the artifact lifecycle
+    * arc: s32 proves a stored index SERVES exactly, s33 proves it
+    * GROWS exactly and lands atomically — the nightly publish a
+    * production vector store runs until s23's drift report calls for
+    * a retrain (s35/s36 are that decision).
+    *
+    * The appended membership is always computed from the IMMUTABLE
+    * gen-1 store content, never from the pointer — so re-running the
+    * entry publishes a fresh generation with identical content
+    * (pointer advances, output is deterministic) instead of
+    * compounding Δ on Δ.
     *
     * Oracle: one codebook chain trained on the corpus split, BOTH
-    * populations' rank stanzas riding it — generation 2's membership
+    * populations' rank stanzas riding it — the published membership
     * must equal corpus ∪ Δ membership under the frozen codebook,
-    * row for row, after a round trip through disk.
+    * row for row, after the round trip through disk and pointer.
     *
     * Scale shape: load is two parquet scans; the only ranking work is
     * |Δ| row-local folds under the loaded-codebook broadcast; the
     * publish write is membership-sized (corpus×probes rows), a plain
-    * columnar append-rewrite with no corpus exchange.
+    * columnar append-rewrite with no corpus exchange; the pointer swap
+    * is one rename.
     */
   private def s33(s: SparkSession, dir: String): DataFrame = {
     val (gArr, ranked) = IndexArtifact.load(
       s, sharedIndexPath(s, dir, split = true), IvfProbes, KmSearchGroups)
     val delta = vecs(s, dir).filter(isDeltaVec)
     val deltaRanked = rankCellsTwoLevel(delta, gArr, "l2", KmSearchGroups, IvfProbes)
-    val gen2 = graft.core.ProcessStore.scratch(
-      "gen2-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))).getAbsolutePath
-    IndexArtifact.write(s, gen2, gArr, ranked.unionByName(deltaRanked),
+    val root = generationsRoot(s, dir, "publish")
+    IndexGenerations.publish(s, root, gArr, ranked.unionByName(deltaRanked),
       IvfProbes, KmSearchGroups)
-    val (_, m2) = IndexArtifact.load(s, gen2, IvfProbes, KmSearchGroups,
+    val (_, m2) = IndexGenerations.loadCurrent(s, root, IvfProbes, KmSearchGroups,
       verifyCounts = true)
     membershipOf(m2)
   }
@@ -2458,6 +2491,116 @@ object Similarity extends QueryModule {
        |SELECT vec_id, cid AS cell FROM prall WHERE rn = 1
        |UNION ALL
        |SELECT vec_id, cid AS cell FROM prallq WHERE rn = 1""".stripMargin
+
+  // ---- s34: serve through the generation pointer -----------------------
+
+  /** s34: a serving node's actual read path — resolve the `_current`
+    * pointer ([[IndexGenerations.loadCurrent]], integrity check on) and
+    * answer s30's serving workload from the generation it names. s32
+    * certified serving from A stored artifact; THIS certifies serving
+    * through the pointer a live publish swings: the artifact a reader
+    * resolves mid-publish is always a complete, verified generation
+    * (the pointer swap is atomic, and [[IndexGenerations.publish]]
+    * verifies before it swaps). Oracle: s30's SQL verbatim — the
+    * pointer must serve exactly what the in-plan index serves.
+    *
+    * Scale shape: pointer resolution is one tiny file read; the rest is
+    * s32's — two parquet scans (codebook one row, membership crn-pruned)
+    * and the row-local probe fold + occupancy-bounded cell equi-join.
+    */
+  private def s34(s: SparkSession, dir: String): DataFrame = {
+    val root = generationsRoot(s, dir, "serve")
+    val (gArr, ranked) = IndexGenerations.loadCurrent(
+      s, root, IvfProbes, KmSearchGroups, verifyCounts = true)
+    val corpus = vecs(s, dir).filter(!isDeltaVec)
+    serveBatch(vecs(s, dir).filter(isDeltaVec),
+      liveIndexFrom(corpus, membershipOf(ranked)), gArr)
+  }
+
+  // ---- s35/s36: the drift-triggered retrain decision -------------------
+
+  /** Corpus migration rate between two memberships of the same rows:
+    * the fraction of matched vec_ids whose cell changed — the scalar
+    * s23's cell-flow matrix aggregates to, and the drift signal the
+    * maintenance decision thresholds on. One vec_id equi-join of two
+    * (vec_id, cell) frames + one avg; Δ rows (no old cell) don't vote —
+    * they measure arrival LOAD, not codebook drift.
+    */
+  private[graft] def migrationRate(oldM: DataFrame, newM: DataFrame): Double = {
+    val r = newM.withColumnRenamed("cell", "new_cell")
+      .join(oldM.withColumnRenamed("cell", "old_cell"), "vec_id")
+      .agg(avg(when(col("old_cell") =!= col("new_cell"), 1.0d).otherwise(0.0d)))
+      .head
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** The drift-triggered MAINTENANCE DECISION (round-14 verdict gap #2:
+    * "drift never triggers a retrain") — compactWhere's breach rule
+    * applied to the index lifecycle: measure how far the frozen
+    * generation has drifted from what a fresh retrain would build
+    * (s23's report reduced to [[migrationRate]]); a breach
+    * (rate > threshold) publishes a RETRAINED generation (codebook +
+    * ranking trained on corpus ∪ Δ — the split=false chain); no breach
+    * publishes s33's APPEND generation (frozen codebook, Δ ranked
+    * row-locally, membership appended). Either branch lands through
+    * [[IndexGenerations.publish]] — write, verify, atomic pointer swap
+    * — and the returned membership is read back THROUGH the pointer,
+    * so both branches certify the publish path, not just the decision.
+    *
+    * Scale shape: the decision is one membership equi-join + one avg
+    * (both memberships are stored artifacts — no training happens to
+    * decide); the append branch costs |Δ| row-local folds; the retrain
+    * branch costs one full train, the price the drift just justified —
+    * and at gate scale both trained chains already live in the process
+    * store, so the gate measures the decision + publish, not a
+    * redundant retrain.
+    */
+  private[graft] def maintainIndex(s: SparkSession, dir: String, root: String,
+                                   threshold: Double): DataFrame = {
+    val frozen = membershipOf(sharedIndex(s, dir, split = true)._2)
+    val fresh = membershipOf(sharedIndex(s, dir, split = false)._2)
+    val rate = migrationRate(frozen, fresh)
+    if (rate > threshold) {
+      val (gArr, ranked) = sharedIndex(s, dir, split = false)
+      IndexGenerations.publish(s, root, gArr, ranked, IvfProbes, KmSearchGroups)
+    } else {
+      val (gArr, ranked) = sharedIndex(s, dir, split = true)
+      val deltaRanked = rankCellsTwoLevel(
+        vecs(s, dir).filter(isDeltaVec), gArr, "l2", KmSearchGroups, IvfProbes)
+      IndexGenerations.publish(s, root, gArr, ranked.unionByName(deltaRanked),
+        IvfProbes, KmSearchGroups)
+    }
+    membershipOf(IndexGenerations.loadCurrent(
+      s, root, IvfProbes, KmSearchGroups, verifyCounts = true)._2)
+  }
+
+  /** s35: the decision operator in its APPEND-ONLY deployment
+    * configuration (threshold 1.0 — the rate is a fraction, so no
+    * drift short of total migration breaches): the nightly config of a
+    * store that retrains on a schedule, not on drift. Must publish
+    * exactly s33's generation — same oracle. The data-driven middle of
+    * the decision (a planted drift flipping the branch) is pinned in
+    * Round15Spec; the gate certifies each branch's published output.
+    */
+  private def s35(s: SparkSession, dir: String): DataFrame =
+    maintainIndex(s, dir, generationsRoot(s, dir, "maintain-append"), 1.0)
+
+  /** s36: the decision operator in its RETRAIN configuration
+    * (threshold 0.0 — ANY corpus migration under a fresh retrain
+    * breaches; measured rate is ~0.62 at sf0.01 / ~0.67 at sf0.001, so
+    * the branch is deterministic by a wide margin, and Round15Spec pins
+    * the rate above the middle threshold its planted test flips on):
+    * the "codebook is stale, rebuild it" branch. Publishes
+    * the corpus ∪ Δ retrained generation; the oracle is the full-
+    * population trained chain's membership, so the hash match
+    * certifies retrain + publish + pointer round trip end to end.
+    */
+  private def s36(s: SparkSession, dir: String): DataFrame =
+    maintainIndex(s, dir, generationsRoot(s, dir, "maintain-retrain"), 0.0)
+
+  private lazy val s36Sql =
+    s"""WITH $s20Ctes
+       |SELECT vec_id, cell FROM aidx""".stripMargin
 
   // ---- s23: trained-index maintenance (retrain drift report) ----------
 

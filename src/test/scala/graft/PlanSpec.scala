@@ -782,7 +782,12 @@ class PlanSpec extends AnyFunSuite {
     // the store build); the kernel still runs LIVE wherever arrivals or
     // queries rank against the frozen codebook — presence is asserted
     // on those serve/assign paths.
-    val liveKernel = Set("s24_frozen_assign", "s30_serve_arrivals", "s32_artifact_serve")
+    // s34 serves through the generation pointer but probes the arrivals
+    // LIVE, same as s32; s33/s35/s36 EMIT a stored membership (their
+    // ranking ran inside the eager publish), so their final plans are
+    // pointer-resolved parquet scans with no kernel
+    val liveKernel = Set("s24_frozen_assign", "s30_serve_arrivals",
+      "s32_artifact_serve", "s34_generation_serve")
     for (q <- Seq("s20_trained_ivf", "s21_trained_recall", "s22_ivfpq_search",
         "d08_semantic_dedup", "s23_index_maintenance") ++ liveKernel.toSeq.sorted) {
       val df = SparkEntry.queries(q)(spark, dir)

@@ -1,0 +1,330 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 regression pins: the per-key ProcessStore (concurrent
+  * distinct-key builds, crash-clean retry), the atomic index-generation
+  * publish (`_current` pointer, crash-between-write-and-swap recovery),
+  * the drift-triggered retrain decision (planted migration + the real
+  * operator's branch flip around the measured rate), the z-basis
+  * refresh on full rewrite, the oversized-row census fallback, and the
+  * bench's sustained-inflation re-sampler.
+  */
+class Round15Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // ---- ProcessStore: per-key locking + crash-clean builds ---------------
+
+  test("ProcessStore: distinct keys build concurrently; a throwing build retries clean") {
+    import graft.core.ProcessStore
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val slowEntered = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val slow = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = ProcessStore.once("r15-slow-key") { f =>
+          slowEntered.countDown()
+          assert(gate.await(10, java.util.concurrent.TimeUnit.SECONDS),
+            "slow build abandoned")
+          java.nio.file.Files.writeString(new java.io.File(f, "a").toPath, "a")
+        }
+      })
+      assert(slowEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // with the round-14 global store lock this would deadlock-until-
+      // timeout behind the slow build; per-key cells let it finish now
+      val fast = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = ProcessStore.once("r15-fast-key") { f =>
+          java.nio.file.Files.writeString(new java.io.File(f, "b").toPath, "b")
+        }
+      })
+      val fastPath = fast.get(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(new java.io.File(fastPath, "b").exists(),
+        "unrelated key must build while another key's build is in flight")
+      gate.countDown()
+      assert(new java.io.File(slow.get(10, java.util.concurrent.TimeUnit.SECONDS), "a").exists())
+    } finally { gate.countDown(); pool.shutdownNow() }
+
+    // crash hygiene: a build that throws mid-write leaves NO keyed dir
+    // (the tmp is reclaimed), and the retry builds from scratch
+    var attempts = 0
+    intercept[RuntimeException] {
+      graft.core.ProcessStore.once("r15-crash-key") { f =>
+        attempts += 1
+        java.nio.file.Files.writeString(new java.io.File(f, "partial").toPath, "x")
+        throw new RuntimeException("boom")
+      }
+    }
+    val retried = graft.core.ProcessStore.once("r15-crash-key") { f =>
+      attempts += 1
+      assert(!new java.io.File(f, "partial").exists(),
+        "retry must never see the crashed build's debris")
+      java.nio.file.Files.writeString(new java.io.File(f, "ok").toPath, "y")
+    }
+    assert(attempts === 2)
+    assert(new java.io.File(retried, "ok").exists())
+    // and the memoized path returns without rebuilding
+    assert(graft.core.ProcessStore.once("r15-crash-key")(_ => fail("must not rebuild")) === retried)
+  }
+
+  // ---- IndexGenerations: atomic publish + crash recovery ----------------
+
+  test("generation publish: pointer swap is atomic, predecessor reclaimed, crash debris recovered") {
+    import graft.ops.{IndexArtifact, IndexGenerations, Similarity}
+    val base = java.nio.file.Files.createTempDirectory("graft_gens").toFile
+    val root = new java.io.File(base, "gens").getAbsolutePath
+    try {
+      val (gArr, ranked) = Similarity.sharedIndex(spark, dir, split = true)
+      val m = IndexArtifact.loadManifest(Similarity.sharedIndexPath(spark, dir, split = true))
+      assert(IndexGenerations.current(root) === None)
+      intercept[IllegalStateException] { IndexGenerations.currentPath(root) }
+
+      // gen 1: corpus-trained
+      assert(IndexGenerations.publish(spark, root, gArr, ranked, m.probes, m.coarseGroups) === 1)
+      assert(IndexGenerations.current(root) === Some(1))
+      val (_, r1) = IndexGenerations.loadCurrent(spark, root, m.probes, m.coarseGroups,
+        verifyCounts = true)
+      assert(r1.count() === m.membershipRows)
+
+      // crash window: gen 2 fully written, pointer never swapped — the
+      // reader must keep serving gen 1, and recovery must drop the debris
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(root, "gen=1"), new java.io.File(root, "gen=2"))
+      java.nio.file.Files.writeString(
+        new java.io.File(root, "_current.tmp-deadbeef").toPath, "2")
+      assert(IndexGenerations.current(root) === Some(1),
+        "an unswapped pointer tmp must never change the serving generation")
+      assert(IndexGenerations.currentPath(root).endsWith("gen=1"))
+      IndexGenerations.recover(root)
+      assert(!new java.io.File(root, "gen=2").exists(), "unpublished gen debris must be dropped")
+      assert(!new java.io.File(root, "_current.tmp-deadbeef").exists())
+      assert(new java.io.File(root, "gen=1").exists(), "the pointed-to generation is never touched")
+
+      // the publish AFTER the crash lands generation 2 cleanly and
+      // reclaims generation 1
+      val delta = Similarity.vecs(spark, dir).filter(Similarity.isDeltaVec)
+      val deltaRanked = Similarity.rankCellsTwoLevel(
+        delta, gArr, "l2", m.coarseGroups, m.probes)
+      assert(IndexGenerations.publish(spark, root, gArr,
+        ranked.unionByName(deltaRanked), m.probes, m.coarseGroups) === 2)
+      assert(IndexGenerations.current(root) === Some(2))
+      assert(!new java.io.File(root, "gen=1").exists(), "superseded generation must be reclaimed")
+      val (_, r2) = IndexGenerations.loadCurrent(spark, root, m.probes, m.coarseGroups,
+        verifyCounts = true)
+      assert(r2.count() === ranked.count() + deltaRanked.count())
+      // no staging debris of any kind survives a clean publish
+      val leftovers = new java.io.File(root).listFiles()
+        .map(_.getName).filter(n => n.contains(".tmp-") || n.contains(".old-"))
+      assert(leftovers.isEmpty, s"publish left staging debris: ${leftovers.mkString(", ")}")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
+  test("s34 serves through the pointer exactly what s30 serves live; s33/s35/s36 publish their laws") {
+    import graft.ops.Similarity
+    def mset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).toList)
+        .groupBy(identity).view.mapValues(_.length).toMap
+    try {
+      val q = SparkEntry.queries
+      assert(mset(q("s34_generation_serve")(spark, dir)) ===
+        mset(q("s30_serve_arrivals")(spark, dir)),
+        "pointer-resolved serving diverged from the live index")
+      assert(mset(q("s35_maintain_append")(spark, dir)) ===
+        mset(q("s33_index_publish")(spark, dir)),
+        "no-breach maintenance must publish exactly the append generation")
+      assert(mset(q("s36_maintain_retrain")(spark, dir)) ===
+        mset(Similarity.membershipOf(
+          Similarity.sharedIndex(spark, dir, split = false)._2)),
+        "breach maintenance must publish exactly the fresh-train membership")
+    } finally graft.core.Sessions.sweepPersistedState(spark)
+  }
+
+  // ---- the drift decision: planted migration + real branch flip ---------
+
+  test("migrationRate: planted drift counts only matched rows, at the planted fraction") {
+    import spark.implicits._
+    // 10 corpus rows; rows 0..2 migrate cells, 3..9 stay; rows 100..101
+    // exist only in the NEW membership (arrivals) and must not vote
+    val oldM = (0 to 9).map(i => (i.toLong, (i % 4).toLong)).toDF("vec_id", "cell")
+    val newM = ((0 to 9).map(i => (i.toLong, if (i < 3) (i % 4 + 1).toLong else (i % 4).toLong)) ++
+      Seq((100L, 7L), (101L, 8L))).toDF("vec_id", "cell")
+    assert(graft.ops.Similarity.migrationRate(oldM, newM) === 0.3)
+    assert(graft.ops.Similarity.migrationRate(oldM, oldM) === 0.0)
+  }
+
+  test("maintainIndex: the branch flips around the measured drift rate, each branch lands its law") {
+    import graft.ops.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_maint").toFile
+    try {
+      val frozen = Similarity.membershipOf(Similarity.sharedIndex(spark, dir, split = true)._2)
+      val fresh = Similarity.membershipOf(Similarity.sharedIndex(spark, dir, split = false)._2)
+      val rate = Similarity.migrationRate(frozen, fresh)
+      // the gate thresholds (s35 at 1.0, s36 at 0.0) must sit on opposite
+      // sides of the measured rate by a wide margin — a regenerated
+      // dataset that collapses the rate toward either end fails HERE
+      // before it can flip a gate entry
+      assert(rate > 0.2 && rate < 0.98, s"measured drift rate $rate left the pinned band")
+      def mset(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf).toList)
+          .groupBy(identity).view.mapValues(_.length).toMap
+      // threshold just ABOVE the measured rate: no breach → append law
+      val rootA = new java.io.File(base, "a").getAbsolutePath
+      val outA = mset(Similarity.maintainIndex(spark, dir, rootA, math.min(rate + 0.01, 0.99)))
+      val (gArr, ranked) = Similarity.sharedIndex(spark, dir, split = true)
+      val appendLaw = mset(Similarity.membershipOf(ranked).unionByName(
+        Similarity.frozenAssign(Similarity.vecs(spark, dir).filter(Similarity.isDeltaVec), gArr)))
+      assert(outA === appendLaw, "below-threshold drift must take the append branch")
+      // threshold just BELOW the measured rate: breach → retrain law
+      val rootB = new java.io.File(base, "b").getAbsolutePath
+      val outB = mset(Similarity.maintainIndex(spark, dir, rootB, math.max(rate - 0.01, 0.01)))
+      assert(outB === mset(fresh), "above-threshold drift must take the retrain branch")
+      assert(outA !== outB, "the two branches must be observably different publishes")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
+  // ---- z-basis refresh on full rewrite (r14 verdict #4) ------------------
+
+  test("compact(zorder): full rewrite re-derives the basis and restores pruning on drifted data") {
+    import graft.ops.{Compaction, Zorder}
+    val base = java.nio.file.Files.createTempDirectory("graft_zrefresh").toFile
+    try {
+      val budget = 512L
+      val rows0 = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+          col("event_type"), col("value"))
+      val basis0 = Compaction.zBasisOf(rows0)
+      // the population drifts FAR outside the original basis: a shifted
+      // copy lands every new row beyond the old grid's edge
+      val (uShift, eShift) = (10L * (basis0.mxa - basis0.mna + 1),
+        10L * (basis0.mxb - basis0.mnb + 1))
+      val grown = rows0.unionByName(rows0
+        .withColumn("user_id", col("user_id") + uShift)
+        .withColumn("event_id", col("event_id") + eShift))
+      // stale layout: the grown population packed under the FROZEN old
+      // basis (what incremental optimize would keep producing forever)
+      val stale = new java.io.File(base, "stale").getAbsolutePath
+      val staleKey = Compaction.zPackKey(basis0)
+      Compaction.writeLayout(Compaction.planLayout(grown, budget, staleKey), stale, staleKey)
+      Zorder.writeManifest(stale, basis0)
+      // the FULL rewrite: re-derives the basis from the entire
+      // population and replaces the sidecar
+      val refreshed = new java.io.File(base, "refreshed").getAbsolutePath
+      val (_, after) = Compaction.compact(spark, stale, refreshed, budget, zorder = true)
+      assert(after.nFiles > 0)
+      val m1 = Zorder.loadManifest(refreshed)
+      assert(m1 !== basis0, "full rewrite must refresh the basis")
+      assert(m1 === Compaction.zBasisOf(grown),
+        "the refreshed basis must cover the full rewritten population")
+      // THE POINT: a box query in the drifted region opens far fewer
+      // files under the refreshed basis than under the stale one, where
+      // every drifted row binned at the old grid's edge
+      def openCount(root: String, uLo: Long, uHi: Long, eLo: Long, eHi: Long) =
+        Compaction.manifestClustered(spark, root).collect().count { r =>
+          r.getLong(4) <= uHi && r.getLong(5) >= uLo &&
+            r.getLong(6) <= eHi && r.getLong(7) >= eLo
+        }
+      val (uLo, uHi) = (basis0.mna + uShift, basis0.mna + uShift + (basis0.mxa - basis0.mna) / 8)
+      val (eLo, eHi) = (basis0.mnb + eShift, basis0.mnb + eShift + (basis0.mxb - basis0.mnb) / 8)
+      val freshOpen = openCount(refreshed, uLo, uHi, eLo, eHi)
+      val staleOpen = openCount(stale, uLo, uHi, eLo, eHi)
+      info(s"drifted-region box opens $freshOpen refreshed files vs $staleOpen stale files")
+      assert(freshOpen < staleOpen,
+        s"refreshed basis must prune the drifted region harder: $freshOpen vs $staleOpen")
+      // determinism: the md5 (non-z) full rewrite is untouched by the flag
+      val md = new java.io.File(base, "md").getAbsolutePath
+      Compaction.compact(spark, stale, md, budget)
+      assert(!Zorder.manifestExists(md), "a non-z rewrite must not write a basis sidecar")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
+  // ---- oversized-row census fallback (r14 ADVICE #2) ---------------------
+
+  test("compactWhere prices oversized-row days exactly: the closed-form suppression is gone") {
+    import graft.ops.Compaction
+    val base = java.nio.file.Files.createTempDirectory("graft_oversize").toFile
+    val root = new java.io.File(base, "layout").getAbsolutePath
+    try {
+      val budget = 64L
+      // one day, ten small rows + one row whose bytes exceed the budget
+      // (rowBytes = 32 + len(event_type)): the closed-form census reads
+      // HIGH on such a day (skipped file_idx values)
+      import spark.implicits._
+      val rows = ((1 to 10).map(i => (i.toLong, i.toLong, 1L, "t", 1.0)) :+
+        ((99L, 99L, 1L, "x" * 200, 1.0))).toDF(
+        "event_id", "user_id", "day", "event_type", "value")
+      val census = Compaction.plannedCountsByDay(rows, budget).collect()
+      assert(census.length === 1 && census.head.getBoolean(2),
+        "a day holding a row larger than the budget must flag oversized")
+      val closedForm = census.head.getLong(1)
+      val exact = Compaction.planLayout(rows, budget)
+        .select(col("file_idx")).distinct().count()
+      assert(exact < closedForm,
+        s"fixture must exercise the suppression gap: exact=$exact closed=$closedForm")
+      // litter the day to a file count INSIDE the gap: more files than
+      // the exact plan needs, fewer than the closed form claims — the
+      // round-14 census would call this day healthy FOREVER
+      val littered = rows.withColumn("file_idx",
+        (col("event_id") % closedForm).cast("long"))
+      littered.repartition(col("day"), col("file_idx"))
+        .write.partitionBy("day", "file_idx").parquet(root)
+      val current = Compaction.layoutStats(root).nFiles
+      assert(current > exact && current <= closedForm,
+        s"fixture layout must sit in the gap: current=$current exact=$exact closed=$closedForm")
+      val (breached, _, after) = Compaction.compactWhere(spark, root, budget)
+      assert(breached === Seq(1L),
+        "the oversized-row day must breach against the EXACT plan")
+      assert(after.nFiles === exact, "the rewrite must converge to the exact plan")
+      // and the pass is idempotent from there
+      val (b2, _, a2) = Compaction.compactWhere(spark, root, budget)
+      assert(b2.isEmpty && a2.nFiles === exact)
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
+  // ---- bench: sustained-inflation re-sampler (r14 verdict #1) ------------
+
+  test("sustained-inflation candidates and resolution obey the mover rule") {
+    import Bench.{QRec, isMover, resolveSustained, sustainedCandidates}
+    val refQ = Map("qa" -> 0.25, "qb" -> 0.25, "qc" -> 0.25, "qd" -> 0.25)
+    val refFp = Map("qa" -> "f1", "qb" -> "f1", "qc" -> "f1", "qd" -> "f2")
+    val results = Seq(
+      // 28x the pin, same fp, trusted — the round-14 q48 shape: candidate
+      "qa" -> QRec(7.0, 7.0, Seq(6.8, 7.0, 7.2), 3.0, "f1", suspect = false),
+      // inflated but fp CHANGED: code-attributable, the regression
+      // tripwire's case, never re-sampled
+      "qb" -> QRec(7.0, 7.0, Seq(6.8, 7.0, 7.2), 3.0, "f9", suspect = false),
+      // inflated but already quarantined by the spike detector
+      "qc" -> QRec(7.0, 7.0, Seq(0.3, 7.0, 21.0), 40.0, "f1", suspect = true),
+      // at the pin: not a mover
+      "qd" -> QRec(0.3, 0.4, Seq(0.3, 0.3, 0.3), 3.0, "f2", suspect = false))
+    assert(sustainedCandidates(results, refQ, refFp) === Seq("qa"))
+    assert(isMover(7.0, 0.25) && !isMover(0.3, 0.25) && !isMover(7.0, -1.0))
+
+    val rec = results.head._2
+    // re-sample lands back at the pin → the clean number is reported
+    val (r1, d1) = resolveSustained(rec, Seq(0.26, 0.25, 0.27), 0.25)
+    assert(d1 === "transient_load" && r1.warm === 0.26 && !r1.suspect)
+    assert(r1.samples === Seq(6.8, 7.0, 7.2, 0.26, 0.25, 0.27),
+      "both measurements must survive into the artifact")
+    // re-sample still inflated → sustained, quarantined from tripwires
+    val (r2, d2) = resolveSustained(rec, Seq(6.9, 7.1, 7.0), 0.25)
+    assert(d2 === "sustained" && r2.suspect)
+    assert(r2.warm === Bench.combineWarm(rec.samples ++ Seq(6.9, 7.1, 7.0)))
+    // re-sample produced nothing → original record untouched
+    val (r3, d3) = resolveSustained(rec, Seq(-1.0, -1.0, -1.0), 0.25)
+    assert(d3 === "resample_failed" && r3 === rec)
+  }
+}
