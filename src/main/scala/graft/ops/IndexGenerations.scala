@@ -34,9 +34,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * recover likewise reclaims. Readers NEVER need recovery: they resolve
   * the pointer and read a complete, verified artifact.
   *
+  * Reclaim LAGS one generation: publishing gen N retires gens ≤ N−2
+  * and KEEPS gen N−1 — the grace window for a reader that resolved the
+  * pointer just before the swap and is still scanning the previous
+  * generation's parquet (an immediate delete would yank files out from
+  * under an in-flight scan; a real deployment sizes this window to its
+  * longest query, and one generation is that bound here because every
+  * consumer resolves per query). The Round15Spec seam test runs readers
+  * and a publish concurrently and pins that every read lands a
+  * complete generation.
+  *
   * Scale shape: the pointer file is bytes; generation dirs are
   * membership-sized parquet (corpus×probes rows). Nothing here touches
-  * the raw corpus — publish cost is the artifact write it wraps.
+  * the raw corpus — publish cost is the artifact write it wraps, disk
+  * high-water is two generations.
   */
 object IndexGenerations {
 
@@ -71,10 +82,12 @@ object IndexGenerations {
                   verifyCounts: Boolean = false): (DataFrame, DataFrame) =
     IndexArtifact.load(s, currentPath(root), probes, coarseGroups, verifyCounts)
 
-  /** Drop publish debris: generation dirs the pointer does not name
-    * (unpublished — a crash between artifact write and pointer swap;
-    * or superseded — a crash during reclaim) and stale pointer tmp
-    * files. The pointed-to generation is never touched.
+  /** Drop publish debris: generation dirs ABOVE the pointer
+    * (unpublished — a crash between artifact write and pointer swap),
+    * dirs below the one-generation grace window (retired — a crash
+    * during reclaim), and stale pointer/staging tmp files. The
+    * pointed-to generation and its immediate predecessor (the reader
+    * grace window) are never touched.
     */
   def recover(root: String): Unit = {
     val dir = new java.io.File(root)
@@ -82,8 +95,13 @@ object IndexGenerations {
     val cur = current(root)
     Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
       val isStaleGen = f.isDirectory &&
-        "gen=(\\d+)".r.unapplySeq(f.getName).isDefined &&
-        !cur.contains(f.getName.stripPrefix("gen=").toInt)
+        "gen=(\\d+)".r.unapplySeq(f.getName).isDefined && {
+          val g = f.getName.stripPrefix("gen=").toInt
+          cur match {
+            case None    => true // nothing published: every gen dir is debris
+            case Some(c) => g > c || g < c - 1
+          }
+        }
       val isDebris = f.getName.startsWith(s"$Pointer.tmp-") ||
         f.getName.contains(".tmp-") || f.getName.contains(".old-")
       if (isStaleGen || isDebris)
@@ -93,7 +111,9 @@ object IndexGenerations {
   }
 
   /** Publish `(codebook, membership)` as the next generation: write,
-    * verify, swap the pointer, reclaim the predecessor. Returns the new
+    * verify, swap the pointer, retire everything older than the
+    * one-generation grace window (the predecessor stays until the NEXT
+    * publish, for readers still scanning it). Returns the new
     * generation number. Runs [[recover]] on entry so a crashed prior
     * publish never leaks a generation number or builds over debris.
     */
@@ -113,7 +133,8 @@ object IndexGenerations {
     java.nio.file.Files.writeString(tmp.toPath, next.toString)
     java.nio.file.Files.move(tmp.toPath, new java.io.File(root, Pointer).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    prev.foreach { g =>
+    // retire gens <= next - 2; gen next - 1 is the reader grace window
+    (1 until next - 1).foreach { g =>
       try org.apache.commons.io.FileUtils.deleteDirectory(genDir(root, g))
       catch { case _: Throwable => () }
     }

@@ -101,22 +101,71 @@ class Round15Spec extends AnyFunSuite {
       assert(!new java.io.File(root, "_current.tmp-deadbeef").exists())
       assert(new java.io.File(root, "gen=1").exists(), "the pointed-to generation is never touched")
 
-      // the publish AFTER the crash lands generation 2 cleanly and
-      // reclaims generation 1
+      // the publish AFTER the crash lands generation 2 cleanly; the
+      // predecessor stays as the reader GRACE WINDOW (a reader that
+      // resolved the pointer just before the swap is still scanning it)
       val delta = Similarity.vecs(spark, dir).filter(Similarity.isDeltaVec)
       val deltaRanked = Similarity.rankCellsTwoLevel(
         delta, gArr, "l2", m.coarseGroups, m.probes)
       assert(IndexGenerations.publish(spark, root, gArr,
         ranked.unionByName(deltaRanked), m.probes, m.coarseGroups) === 2)
       assert(IndexGenerations.current(root) === Some(2))
-      assert(!new java.io.File(root, "gen=1").exists(), "superseded generation must be reclaimed")
+      assert(new java.io.File(root, "gen=1").exists(),
+        "the immediate predecessor must survive as the reader grace window")
       val (_, r2) = IndexGenerations.loadCurrent(spark, root, m.probes, m.coarseGroups,
         verifyCounts = true)
       assert(r2.count() === ranked.count() + deltaRanked.count())
+      // the NEXT publish retires gen 1 — reclaim lags exactly one
+      assert(IndexGenerations.publish(spark, root, gArr,
+        ranked.unionByName(deltaRanked), m.probes, m.coarseGroups) === 3)
+      assert(!new java.io.File(root, "gen=1").exists(),
+        "a generation beyond the grace window must be retired")
+      assert(new java.io.File(root, "gen=2").exists())
       // no staging debris of any kind survives a clean publish
       val leftovers = new java.io.File(root).listFiles()
         .map(_.getName).filter(n => n.contains(".tmp-") || n.contains(".old-"))
       assert(leftovers.isEmpty, s"publish left staging debris: ${leftovers.mkString(", ")}")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
+  test("publish seam: readers resolving during a live publish always land a complete generation") {
+    import graft.ops.{IndexArtifact, IndexGenerations, Similarity}
+    val base = java.nio.file.Files.createTempDirectory("graft_genseam").toFile
+    val root = new java.io.File(base, "gens").getAbsolutePath
+    try {
+      val (gArr, ranked) = Similarity.sharedIndex(spark, dir, split = true)
+      val m = IndexArtifact.loadManifest(Similarity.sharedIndexPath(spark, dir, split = true))
+      IndexGenerations.publish(spark, root, gArr, ranked, m.probes, m.coarseGroups)
+      val c1 = ranked.count()
+      val delta = Similarity.vecs(spark, dir).filter(Similarity.isDeltaVec)
+      val deltaRanked = Similarity.rankCellsTwoLevel(delta, gArr, "l2", m.coarseGroups, m.probes)
+      val c2 = c1 + deltaRanked.count()
+      // the reader: a serving node re-resolving the pointer per query
+      // WHILE the publish runs — every read must land a complete
+      // generation (old or new, never a partial, never a vanished dir:
+      // the one-generation reclaim lag is what makes this safe)
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val reader = new Thread(() => {
+        while (!done.get()) {
+          try seen.add(IndexGenerations.loadCurrent(
+            spark, root, m.probes, m.coarseGroups)._2.count())
+          catch { case t: Throwable => failures.add(t); done.set(true) }
+        }
+      })
+      reader.start()
+      try IndexGenerations.publish(spark, root, gArr,
+        ranked.unionByName(deltaRanked), m.probes, m.coarseGroups)
+      finally { Thread.sleep(200); done.set(true); reader.join(30000) }
+      assert(failures.isEmpty,
+        s"a concurrent read failed mid-publish: ${Option(failures.peek()).map(_.toString)}")
+      val counts = { import scala.jdk.CollectionConverters._; seen.asScala.toSet }
+      assert(counts.nonEmpty && counts.subsetOf(Set(c1, c2)),
+        s"reads must land gen 1 ($c1) or gen 2 ($c2) rows, got $counts")
     } finally {
       graft.core.Sessions.sweepPersistedState(spark)
       org.apache.commons.io.FileUtils.deleteDirectory(base)
