@@ -73,6 +73,66 @@ object Bench {
   private[graft] def isSuspect(samples: Seq[Double], load: Double, cores: Int): Boolean =
     spreadOf(samples) > SpreadMax || (load >= 0 && load >= cores.toDouble)
 
+  /** Fingerprint of the canonicalized optimized logical plan (exprIds
+    * normalized away): identical fingerprint across rounds proves a
+    * timing delta is environmental, a changed one localizes it to a
+    * plan change. Comparability caveats: internally-persisted frames
+    * appear as InMemoryRelation in this plan — REDUCED here to a
+    * schema-only leaf, because the node prints its cached PHYSICAL plan
+    * verbatim: raw exprIds allocated from session-global counters, AQE
+    * final-vs-initial plans, runtime coalesce decisions — none of it
+    * is this query's structure, and all of it flapped fps between
+    * identical runs (round 15). For CC queries the optimized plan is
+    * the post-labeling LogicalRDD union, so the fp localizes changes
+    * in the consumer plan, not the hop pipeline.
+    */
+  private[graft] def planFp(df: org.apache.spark.sql.DataFrame): String = {
+    val p = df.queryExecution.optimizedPlan.canonicalized.transform {
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(imr.output)
+    }
+    fpOf(p.toString)
+  }
+
+  /** The normalization rule behind [[planFp]], on the plan STRING so the
+    * three strip rules are unit-testable. Canonicalization does not
+    * normalize everything that varies run-to-run:
+    *  - closure-bearing nodes (mapPartitions lambdas, typed Aggregators —
+    *    m01-m03/s01/wc02/wc03) print per-JVM object identities
+    *    ($$Lambda$123/0x7f..., @1a2b3c);
+    *  - GlobalOrder's two-pass operators embed the collected per-partition
+    *    offsets as a map LITERAL (`map(keys: [...], values: [...])`) —
+    *    the VALUES depend on where the range exchange drew its partition
+    *    bounds, which Spark seeds from the RDD id, i.e. on how many RDDs
+    *    the session created before this query: measured as seven
+    *    GlobalOrder consumers flapping fp between two identical full
+    *    bench runs (round 15). The payload is data, not structure —
+    *    strip it, keep the map node itself;
+    *  - an InMemoryRelation prints its cached PHYSICAL plan verbatim —
+    *    canonicalization never reaches inside it, so raw exprIds
+    *    (`spend#955`) and `[plan_id=78]` tags leak through, both
+    *    allocated from session-global counters (i.e. they encode how
+    *    many expressions/plans existed before this query, not what this
+    *    plan does). plan_ids are stripped; exprIds are RENUMBERED by
+    *    first appearance, which normalizes the counter offset while
+    *    keeping distinct columns distinct.
+    * The fingerprint must track plan STRUCTURE only.
+    */
+  private[graft] def fpOf(plan: String): String = {
+    val s = plan
+      .replaceAll("\\$\\$?Lambda\\$\\d+(/0x[0-9a-f]+)?", "\\$Lambda")
+      .replaceAll("@[0-9a-f]{4,}", "@id")
+      .replaceAll("keys: \\[[^\\]]*\\], values: \\[[^\\]]*\\]",
+        "keys: [...], values: [...]")
+      .replaceAll(", \\[plan_id=\\d+\\]", "")
+    val idRe = "#(\\d+)".r
+    val renumber = scala.collection.mutable.HashMap[String, Int]()
+    val canon = idRe.replaceAllIn(s,
+      m => "#" + renumber.getOrElseUpdate(m.group(1), renumber.size))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+  }
+
   /** Parse bench_local_ref.json into (warm pin, plan fp) maps — shared
     * by the delta table and the sustained-inflation re-sampler. Empty
     * maps when the reference is absent, unparsable, or recorded at a
@@ -375,31 +435,12 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    // Fingerprint of the canonicalized optimized logical plan (exprIds
-    // normalized away): identical fingerprint across rounds proves a
-    // timing delta is environmental, a changed one localizes it to a
-    // plan change. Computed from the LAST measured run's DataFrame —
+    // Fingerprint rule lives on the object (planFp) so its normalization
+    // is unit-testable; computed from the LAST measured run's DataFrame —
     // rebuilding via fn() would EXECUTE the iterative CC queries a fifth
     // time (their construction runs hop actions eagerly and
     // localCheckpoints blocks the inter-run sweep would then have to
-    // chase). Two comparability caveats: internally-persisted frames
-    // appear as InMemoryRelation in this plan (deterministic because the
-    // bench protocol — order, sweeps, run count — is fixed, so compare
-    // only bench-to-bench), and for CC queries the optimized plan is the
-    // post-labeling LogicalRDD union, so the fp localizes changes in the
-    // consumer plan, not the hop pipeline.
-    def planFp(df: org.apache.spark.sql.DataFrame): String = {
-      // closure-bearing nodes (mapPartitions lambdas, typed Aggregators —
-      // m01-m03/s01/wc02/wc03) print per-JVM object identities
-      // ($$Lambda$123/0x7f..., @1a2b3c) that canonicalization does NOT
-      // normalize; measured fp flapping across otherwise-identical runs.
-      // Strip them so the fingerprint tracks plan STRUCTURE only.
-      val s = df.queryExecution.optimizedPlan.canonicalized.toString
-        .replaceAll("\\$\\$?Lambda\\$\\d+(/0x[0-9a-f]+)?", "\\$Lambda")
-        .replaceAll("@[0-9a-f]{4,}", "@id")
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    }
+    // chase).
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run for local per-query
     // iteration; the driver never sets it, so round artifacts stay full.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -345,6 +345,30 @@ class Round15Spec extends AnyFunSuite {
 
   // ---- bench: sustained-inflation re-sampler (r14 verdict #1) ------------
 
+  test("plan fingerprint strips map-literal payloads and JVM identities, keeps structure") {
+    // GlobalOrder's offset maps are DATA (range-bound-dependent, RDD-id
+    // seeded), not structure: two plans differing only in map payload
+    // must fingerprint identically (round 15: seven GlobalOrder
+    // consumers flapped fp between two identical full bench runs)
+    val a = "Project [element_at(map(keys: [0,1,2], values: [0,10,20]), pid)]"
+    val b = "Project [element_at(map(keys: [0,1], values: [0,999]), pid)]"
+    val c = "Project [element_at(map(keys: [0,1], values: [0,999]), other)]"
+    assert(Bench.fpOf(a) === Bench.fpOf(b), "map payloads must not enter the fp")
+    assert(Bench.fpOf(b) !== Bench.fpOf(c), "structure outside the payload must still distinguish")
+    assert(Bench.fpOf("x $$Lambda$123/0x7fab8 MyAgg@1a2b3c4d") ===
+      Bench.fpOf("x $$Lambda$999/0x11111 MyAgg@deadbeef"),
+      "per-JVM object identities must not enter the fp")
+    // an InMemoryRelation's cached physical plan leaks raw exprIds and
+    // plan_ids, both session-global counters: first-appearance
+    // renumbering must make the counter OFFSET invisible while keeping
+    // distinct columns distinct
+    assert(Bench.fpOf("Project [spend#955, k#950L], [plan_id=78]") ===
+      Bench.fpOf("Project [spend#6, k#1L], [plan_id=2756]"),
+      "exprId/plan_id counter offsets must not enter the fp")
+    assert(Bench.fpOf("Project [a#1, b#2]") !== Bench.fpOf("Project [a#1, b#1]"),
+      "renumbering must keep distinct columns distinct")
+  }
+
   test("sustained-inflation candidates and resolution obey the mover rule") {
     import Bench.{QRec, isMover, resolveSustained, sustainedCandidates}
     val refQ = Map("qa" -> 0.25, "qb" -> 0.25, "qc" -> 0.25, "qd" -> 0.25)
