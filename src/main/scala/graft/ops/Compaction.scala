@@ -370,6 +370,63 @@ object Compaction {
     (breached, before, layoutStats(root))
   }
 
+  /** Basis-drift rate of a layout population against its frozen sidecar
+    * basis: the fraction of rows whose (user_id, event_id) falls
+    * OUTSIDE the frozen basis box — [[graft.ops.Similarity]]'s corpus
+    * migration rate, applied to the layout's geometry instead of the
+    * index's codebook. The out-of-basis mass is the honest staleness
+    * signal: rows INSIDE the frozen box keep their relative bins, so
+    * their pruning never degrades under a frozen basis (any consistent
+    * basis prunes them equally); rows BEYOND the edge bin past the
+    * grid, where the interleave's bit truncation aliases them across
+    * the curve — per-file min/max goes wide exactly in proportion to
+    * this mass. (The tempting alternative — "fraction of rows a fresh
+    * basis would re-BIN" — is hair-triggered: any basis change re-bins
+    * essentially every row because the bin denominator moves, measured
+    * 0.997 where this metric reads the true 0.5.)
+    *
+    * Scale shape: ONE row-local avg over four comparisons — no
+    * exchange beyond the scan, no fresh basis needed to decide; the
+    * census a nightly decision pass can afford at 100 TB.
+    */
+  private[graft] def basisDrift(rows: DataFrame, frozen: Zorder.ZManifest): Double = {
+    val outside = col("user_id") < frozen.mna || col("user_id") > frozen.mxa ||
+      col("event_id") < frozen.mnb || col("event_id") > frozen.mxb
+    val r = rows.agg(avg(when(outside, 1.0d).otherwise(0.0d))).head
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** The drift-triggered LAYOUT maintenance decision — the index
+    * lifecycle's s35/s36 rule applied to the clustered table, closing
+    * the arc from the other side: [[basisDrift]] measures how far the
+    * population has outgrown the frozen sidecar basis; a breach
+    * (rate > threshold) runs the FULL clustered rewrite
+    * ([[compact]]`(zorder = true)` into `reclusterRoot` — fresh basis,
+    * every day re-packed, sidecar replaced); no breach runs the
+    * incremental pass ([[compactWhere]]`(zorder = true)` in place —
+    * frozen basis, breached days only). Returns (branch taken, measured
+    * rate, root holding the maintained layout).
+    *
+    * Scale shape: the decision itself is one min/max + one row-local
+    * avg — no rewrite happens to decide; the incremental branch costs
+    * work ∝ breached days, the recluster branch one full rewrite — the
+    * price the drift just justified.
+    */
+  def maintainLayout(s: SparkSession, root: String, budget: Long,
+      threshold: Double, reclusterRoot: String): (String, Double, String) = {
+    require(Zorder.manifestExists(root),
+      s"maintainLayout needs a clustered layout (no basis sidecar under $root)")
+    val frozen = Zorder.loadManifest(root)
+    val rate = basisDrift(graft.streaming.IngestPipeline.readShards(s, root), frozen)
+    if (rate > threshold) {
+      compact(s, root, reclusterRoot, budget, zorder = true)
+      ("recluster", rate, reclusterRoot)
+    } else {
+      compactWhere(s, root, budget, zorder = true)
+      ("append", rate, root)
+    }
+  }
+
   /** The manifest recomputed FROM a compacted layout: per physical
     * (day, file_idx) partition — rows, logical bytes, event-id min/max
     * (the pruning stats a reader would use).

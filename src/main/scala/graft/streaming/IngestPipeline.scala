@@ -138,6 +138,36 @@ object IngestPipeline extends QueryModule {
     }
   }
 
+  /** p32/p33's pristine DRIFTED layout: the canonical basis-growth
+    * story. `event_id` is an ingest-time monotone id, so a basis frozen
+    * when the table had only reached the MIDPOINT of today's id range
+    * (frozen event max = `(min + max) DIV 2`, user basis global — every
+    * bin numerator stays non-negative, so Spark's DIV and DuckDB's `//`
+    * agree exactly) is what any real layout's sidecar looks like after
+    * the table doubles: the newer half of the corpus bins beyond the
+    * frozen grid edge. The layout is packed under THAT basis — even
+    * days at the target budget, odd days littered (micro-batch debris),
+    * sidecar = the frozen basis — so the maintenance decision has both
+    * real drift to measure and real fragmentation to fix.
+    */
+  private def pristineDriftedZ(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.{lit, when}
+    fixtureOnce(s"driftz|$dir") { base =>
+      val rows = graft.core.Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+          col("event_type"), col("value"))
+      val g = graft.ops.Compaction.zBasisOf(rows) // global basis
+      val m0 = g.copy(mxb = Math.floorDiv(g.mnb + g.mxb, 2L)) // frozen at the midpoint
+      val key = graft.ops.Compaction.zPackKey(m0)
+      graft.ops.Compaction.writeLayout(
+        graft.ops.Compaction.planLayoutBy(rows,
+          when(col("day") % 2 === 0, lit(CompactBudgetBytes))
+            .otherwise(lit(LitterBudgetBytes)), key), base.getAbsolutePath, key)
+      graft.ops.Zorder.writeManifest(base.getAbsolutePath, m0)
+    }
+  }
+
   /** Reset p30's working layout to the pristine mixed state: first call
     * copies the whole pristine tree; later calls restore ONLY the
     * littered (odd) days — compactWhere provably leaves even days
@@ -310,10 +340,110 @@ object IngestPipeline extends QueryModule {
        |FROM o GROUP BY 1, 2""".stripMargin
   }
 
+  /** p32: the drift-triggered layout MAINTENANCE DECISION
+    * ([[graft.ops.Compaction.maintainLayout]] — s35/s36's rule applied
+    * to the clustered table) in its INCREMENTAL deployment
+    * configuration (threshold 1.0 — the drift rate is a fraction, so
+    * no drift short of total re-binning breaches): the nightly config
+    * of a lakehouse that reclusters on a schedule, not on drift. The
+    * drifted fixture's rate is ~0.5 (half the corpus outgrew the
+    * frozen edge), so the decision provably takes the append branch:
+    * `compactWhere(zorder)` under the FROZEN basis — breached days
+    * re-pack onto the stale curve, healthy days untouched. Gate: the
+    * final clustered manifest must hash-match the z-plan under the
+    * frozen basis — proving the no-breach branch never re-bins.
+    * The data-driven branch flip (a threshold inside the measured
+    * rate flips recluster) is pinned in Round15Spec.
+    */
+  private def p32(s: SparkSession, dir: String): DataFrame = {
+    val pristine = pristineDriftedZ(s, dir)
+    val work = graft.core.ProcessStore.scratch(
+      "maintwhere-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")))
+    resetMixed(pristine, work)
+    val (_, _, served) = graft.ops.Compaction.maintainLayout(
+      s, work.getAbsolutePath, CompactBudgetBytes, 1.0,
+      graft.core.ProcessStore.scratch(
+        "maintwhere-out-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")))
+        .getAbsolutePath)
+    graft.ops.Compaction.manifestClustered(s, served)
+  }
+
+  /** The z-plan under the FROZEN basis: p31's mirror with the event
+    * dimension's bin edge at the midpoint of the global id range — the
+    * basis the fixture froze — instead of today's max. Rows beyond the
+    * edge bin past the grid (both engines truncate the interleave to
+    * ZBits low bits identically); all numerators are non-negative, so
+    * DIV and `//` agree.
+    */
+  private val p32Sql = {
+    val g = graft.ops.Zorder.ZGrid
+    val terms = (0 until graft.ops.Zorder.ZBits).map { i =>
+      s"((ba >> $i) & 1) * ${1L << (2 * i + 1)} + ((bb >> $i) & 1) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type,
+       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
+       |  FROM events),
+       |mm AS (
+       |  SELECT min(user_id) AS mna, max(user_id) AS mxa,
+       |         min(event_id) AS mnb,
+       |         (min(event_id) + max(event_id)) // 2 AS mxb
+       |  FROM e),
+       |bins AS (
+       |  SELECT day, user_id, event_id, event_type,
+       |    CASE WHEN mxa > mna THEN ((user_id - mna) * $g) // (mxa - mna + 1)
+       |         ELSE CAST(0 AS BIGINT) END AS ba,
+       |    CASE WHEN mxb > mnb THEN ((event_id - mnb) * $g) // (mxb - mnb + 1)
+       |         ELSE CAST(0 AS BIGINT) END AS bb
+       |  FROM e CROSS JOIN mm),
+       |o AS (
+       |  SELECT day, user_id, event_id, 32 + strlen(event_type) AS nb,
+       |    sum(32 + strlen(event_type)) OVER (
+       |      PARTITION BY day
+       |      ORDER BY ($terms), md5(CAST(event_id AS VARCHAR)), event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+       |  FROM bins)
+       |SELECT day, CAST((s - nb) // $CompactBudgetBytes AS BIGINT) AS file_idx,
+       |  count(*) AS n_rows, CAST(sum(nb) AS BIGINT) AS sum_bytes,
+       |  min(user_id) AS min_user, max(user_id) AS max_user,
+       |  min(event_id) AS min_event, max(event_id) AS max_event
+       |FROM o GROUP BY 1, 2""".stripMargin
+  }
+
+  /** p33: the same decision in its RECLUSTER configuration (threshold
+    * 0.0 — ANY drift breaches; the fixture's measured rate ~0.5 makes
+    * the branch deterministic by a wide margin, and Round15Spec pins
+    * the flip around a middle threshold): the "clustering is stale,
+    * rebuild it" branch. The full rewrite re-derives the basis from
+    * the ENTIRE population, re-packs every day, and replaces the
+    * sidecar — [[graft.ops.Compaction.compact]]`(zorder = true)`, the
+    * refresh path round 15 gave `compact()`. Gate: the manifest must
+    * hash-match p31's oracle VERBATIM (the z-plan under the fresh
+    * global basis) — the same certificate s36 carries: breach ⇒ the
+    * rebuilt artifact equals what a from-scratch build produces. Reads
+    * the pristine fixture read-only (the recluster branch writes to
+    * its own root) so re-runs are idempotent in content.
+    */
+  private def p33(s: SparkSession, dir: String): DataFrame = {
+    val pristine = pristineDriftedZ(s, dir)
+    val out = graft.core.ProcessStore.scratch(
+      "maintreclus-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")))
+    val (branch, rate, served) = graft.ops.Compaction.maintainLayout(
+      s, pristine, CompactBudgetBytes, 0.0, out.getAbsolutePath)
+    // the append branch would compactWhere the build-once fixture IN
+    // PLACE — at threshold 0.0 it requires rate == 0 exactly, which the
+    // drifted fixture makes impossible; fail loudly rather than mutate
+    require(branch == "recluster",
+      s"drifted fixture measured zero basis drift (rate=$rate)?")
+    graft.ops.Compaction.manifestClustered(s, served)
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("p15_stream_ingest", p15, Some(p15Sql)),
     QueryDef("p29_compact_manifest", p29, Some(p29Sql)),
     QueryDef("p30_optimize_where", p30, Some(p29Sql)),
     QueryDef("p31_optimize_zorder", p31, Some(p31Sql)),
+    QueryDef("p32_maintain_where", p32, Some(p32Sql)),
+    QueryDef("p33_maintain_recluster", p33, Some(p31Sql)),
   )
 }

@@ -297,6 +297,54 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("maintainLayout: the branch flips around the measured basis drift, each branch lands its law") {
+    import graft.ops.{Compaction, Zorder}
+    val base = java.nio.file.Files.createTempDirectory("graft_maintlayout").toFile
+    try {
+      val budget = 512L
+      val rows0 = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+          col("event_type"), col("value"))
+      // p32/p33's fixture shape: the basis frozen when the monotone
+      // event_id had only reached the midpoint of today's range
+      val g = Compaction.zBasisOf(rows0)
+      val m0 = g.copy(mxb = Math.floorDiv(g.mnb + g.mxb, 2L))
+      val root = new java.io.File(base, "layout").getAbsolutePath
+      val key = Compaction.zPackKey(m0)
+      Compaction.writeLayout(Compaction.planLayout(rows0, budget, key), root, key)
+      Zorder.writeManifest(root, m0)
+      val rate = Compaction.basisDrift(
+        graft.streaming.IngestPipeline.readShards(spark, root), m0)
+      info(s"measured basis drift at sf0.001: $rate")
+      assert(rate > 0.2 && rate < 0.98,
+        s"the drifted fixture must measure substantial partial drift, got $rate")
+      // threshold ABOVE the measured rate: the append branch — in
+      // place, frozen basis kept, the recluster root never written
+      val never = new java.io.File(base, "never")
+      val (b1, r1, s1) = Compaction.maintainLayout(
+        spark, root, budget, rate + 0.01, never.getAbsolutePath)
+      assert(b1 === "append" && s1 === root)
+      assert(r1 === rate, "the decision must report the measured rate")
+      assert(Zorder.loadManifest(root) === m0,
+        "the append branch must keep the frozen basis")
+      assert(!never.exists(), "the append branch must not write the recluster root")
+      // threshold BELOW the measured rate: the recluster branch — its
+      // own root, basis refreshed to the full population, rows conserved
+      val reclustered = new java.io.File(base, "reclustered").getAbsolutePath
+      val (b2, r2, s2) = Compaction.maintainLayout(
+        spark, root, budget, rate - 0.01, reclustered)
+      assert(b2 === "recluster" && s2 === reclustered && r2 === rate)
+      assert(Zorder.loadManifest(reclustered) === Compaction.zBasisOf(rows0),
+        "the recluster branch must refresh the sidecar from the full population")
+      assert(graft.streaming.IngestPipeline.readShards(spark, reclustered).count()
+        === rows0.count(), "recluster must conserve rows")
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
   // ---- oversized-row census fallback (r14 ADVICE #2) ---------------------
 
   test("compactWhere prices oversized-row days exactly: the closed-form suppression is gone") {
