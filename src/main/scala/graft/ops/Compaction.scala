@@ -160,9 +160,15 @@ object Compaction {
     * which the WHERE pass by design never touches).
     */
   def compact(s: SparkSession, inRoot: String, outRoot: String,
-              budget: Long, zorder: Boolean = false): (LayoutStats, LayoutStats) = {
+              budget: Long, zorder: Boolean = false,
+              dayFilter: Option[Seq[Long]] = None): (LayoutStats, LayoutStats) = {
     val before = layoutStats(inRoot)
-    val rows = graft.streaming.IngestPipeline.readShards(s, inRoot)
+    val all = graft.streaming.IngestPipeline.readShards(s, inRoot)
+    // dayFilter is maintainLayout's watermark restriction: a recluster
+    // under a live writer rewrites the CLOSED history only (open days
+    // stay in the live root), and the refreshed basis below derives
+    // from exactly the population being rewritten
+    val rows = dayFilter.map(ds => all.filter(col("day").isin(ds: _*))).getOrElse(all)
     if (!zorder) writeLayout(planLayout(rows, budget), outRoot)
     else {
       val m = zBasisOf(rows)
@@ -407,22 +413,53 @@ object Compaction {
     * frozen basis, breached days only). Returns (branch taken, measured
     * rate, root holding the maintained layout).
     *
-    * Scale shape: the decision itself is one min/max + one row-local
-    * avg — no rewrite happens to decide; the incremental branch costs
-    * work ∝ breached days, the recluster branch one full rewrite — the
-    * price the drift just justified.
+    * Scale shape: the decision itself is one row-local avg — no
+    * rewrite happens to decide; the incremental branch costs work ∝
+    * breached days, the recluster branch one full rewrite — the price
+    * the drift just justified.
+    *
+    * `closed` is the same WATERMARK contract [[compactWhere]] carries,
+    * threaded through the WHOLE pass — under a live writer the nightly
+    * decision must never read, census, or rewrite a day the stream is
+    * still appending to: the drift census reads closed days only, the
+    * append branch hands the watermark to compactWhere, and the
+    * recluster branch rewrites the closed history only (open days stay
+    * in the live root, and the refreshed basis covers exactly the
+    * rewritten population). `None` (the default) is the no-writer fast
+    * path: no day listing, no filter in the plan.
+    *
+    * `allowAppendInPlace = false` is for callers maintaining a SHARED
+    * read-only root (the append branch mutates `root` in place; the
+    * recluster branch writes its own): if the decision lands on append,
+    * the pass fails loudly BEFORE touching anything instead of
+    * compacting shared state.
     */
   def maintainLayout(s: SparkSession, root: String, budget: Long,
-      threshold: Double, reclusterRoot: String): (String, Double, String) = {
+      threshold: Double, reclusterRoot: String,
+      closed: Option[Long => Boolean] = None,
+      allowAppendInPlace: Boolean = true): (String, Double, String) = {
     require(Zorder.manifestExists(root),
       s"maintainLayout needs a clustered layout (no basis sidecar under $root)")
     val frozen = Zorder.loadManifest(root)
-    val rate = basisDrift(graft.streaming.IngestPipeline.readShards(s, root), frozen)
+    val closedDays: Option[Seq[Long]] = closed.map { f =>
+      Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(d => d.isDirectory && d.getName.startsWith("day="))
+        .map(_.getName.stripPrefix("day=").toLong).filter(f).toSeq
+    }
+    val all = graft.streaming.IngestPipeline.readShards(s, root)
+    val censusRows = closedDays
+      .map(ds => all.filter(col("day").isin(ds: _*))).getOrElse(all)
+    val rate = basisDrift(censusRows, frozen)
     if (rate > threshold) {
-      compact(s, root, reclusterRoot, budget, zorder = true)
+      compact(s, root, reclusterRoot, budget, zorder = true, dayFilter = closedDays)
       ("recluster", rate, reclusterRoot)
     } else {
-      compactWhere(s, root, budget, zorder = true)
+      require(allowAppendInPlace,
+        s"decision landed on the append branch (rate=$rate <= threshold=" +
+          s"$threshold), which mutates $root in place — forbidden by the caller")
+      compactWhere(s, root, budget, zorder = true,
+        closed = closed.getOrElse((_: Long) => true))
       ("append", rate, root)
     }
   }

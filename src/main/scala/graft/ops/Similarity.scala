@@ -2575,8 +2575,9 @@ object Similarity extends QueryModule {
   }
 
   /** s35: the decision operator in its APPEND-ONLY deployment
-    * configuration (threshold 1.0 — the rate is a fraction, so no
-    * drift short of total migration breaches): the nightly config of a
+    * configuration (threshold 1.0 — the rate is a fraction and the
+    * breach test strict, so NOTHING breaches, total migration
+    * included: the never-retrain config): the nightly config of a
     * store that retrains on a schedule, not on drift. Must publish
     * exactly s33's generation — same oracle. The data-driven middle of
     * the decision (a planted drift flipping the branch) is pinned in

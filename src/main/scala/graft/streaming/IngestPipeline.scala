@@ -114,21 +114,20 @@ object IngestPipeline extends QueryModule {
     }
   }
 
-  /** p31's pristine starting layout: the p30 mixed shape packed along
-    * the Morton curve under a basis frozen from the full projected
-    * events — written once per (process, dir) with the sidecar, so
-    * compactWhere(zorder = true) loads the same basis the fixture
-    * packed with (never re-derives it) and even days provably sit at
-    * the z plan already.
+  /** The shared z-layout fixture recipe: the p30 mixed shape (even
+    * days at the target budget, odd days littered) packed along the
+    * Morton curve under `freeze` of the full-population basis, sidecar
+    * included — written once per (process, tag, dir).
     */
-  private def pristineMixedZ(s: SparkSession, dir: String): String = {
+  private def pristineZ(s: SparkSession, dir: String, tag: String)(
+      freeze: graft.ops.Zorder.ZManifest => graft.ops.Zorder.ZManifest): String = {
     import org.apache.spark.sql.functions.{lit, when}
-    fixtureOnce(s"mixedz|$dir") { base =>
+    fixtureOnce(s"$tag|$dir") { base =>
       val rows = graft.core.Tables.events(s, dir)
         .select(col("event_id"), col("user_id"),
           graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
           col("event_type"), col("value"))
-      val m = graft.ops.Compaction.zBasisOf(rows)
+      val m = freeze(graft.ops.Compaction.zBasisOf(rows))
       val key = graft.ops.Compaction.zPackKey(m)
       graft.ops.Compaction.writeLayout(
         graft.ops.Compaction.planLayoutBy(rows,
@@ -138,6 +137,14 @@ object IngestPipeline extends QueryModule {
     }
   }
 
+  /** p31's pristine starting layout: packed under a basis frozen from
+    * the full projected events, so compactWhere(zorder = true) loads
+    * the same basis the fixture packed with (never re-derives it) and
+    * even days provably sit at the z plan already.
+    */
+  private def pristineMixedZ(s: SparkSession, dir: String): String =
+    pristineZ(s, dir, "mixedz")(identity)
+
   /** p32/p33's pristine DRIFTED layout: the canonical basis-growth
     * story. `event_id` is an ingest-time monotone id, so a basis frozen
     * when the table had only reached the MIDPOINT of today's id range
@@ -145,28 +152,11 @@ object IngestPipeline extends QueryModule {
     * bin numerator stays non-negative, so Spark's DIV and DuckDB's `//`
     * agree exactly) is what any real layout's sidecar looks like after
     * the table doubles: the newer half of the corpus bins beyond the
-    * frozen grid edge. The layout is packed under THAT basis — even
-    * days at the target budget, odd days littered (micro-batch debris),
-    * sidecar = the frozen basis — so the maintenance decision has both
-    * real drift to measure and real fragmentation to fix.
+    * frozen grid edge — so the maintenance decision has both real
+    * drift to measure and real fragmentation to fix.
     */
-  private def pristineDriftedZ(s: SparkSession, dir: String): String = {
-    import org.apache.spark.sql.functions.{lit, when}
-    fixtureOnce(s"driftz|$dir") { base =>
-      val rows = graft.core.Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"),
-          graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
-          col("event_type"), col("value"))
-      val g = graft.ops.Compaction.zBasisOf(rows) // global basis
-      val m0 = g.copy(mxb = Math.floorDiv(g.mnb + g.mxb, 2L)) // frozen at the midpoint
-      val key = graft.ops.Compaction.zPackKey(m0)
-      graft.ops.Compaction.writeLayout(
-        graft.ops.Compaction.planLayoutBy(rows,
-          when(col("day") % 2 === 0, lit(CompactBudgetBytes))
-            .otherwise(lit(LitterBudgetBytes)), key), base.getAbsolutePath, key)
-      graft.ops.Zorder.writeManifest(base.getAbsolutePath, m0)
-    }
-  }
+  private def pristineDriftedZ(s: SparkSession, dir: String): String =
+    pristineZ(s, dir, "driftz")(g => g.copy(mxb = Math.floorDiv(g.mnb + g.mxb, 2L)))
 
   /** Reset p30's working layout to the pristine mixed state: first call
     * copies the whole pristine tree; later calls restore ONLY the
@@ -300,13 +290,17 @@ object IngestPipeline extends QueryModule {
     graft.ops.Compaction.manifestClustered(s, work.getAbsolutePath)
   }
 
-  /** The composed mirror: the frozen z basis (one global min/max — the
-    * fixture derived it from the same full projected rows), p28's
-    * literal Morton bin + interleave terms, then p29's per-day running
-    * sum packing ordered by (z, md5, id) and the clustered manifest
-    * with both columns' per-file min/max.
+  /** The composed z-plan mirror, parameterized on the event
+    * dimension's frozen bin edge: the z basis (user global, event edge
+    * = `mxbExpr` — today's max for p31's fresh basis, the range
+    * midpoint for p32's frozen one), p28's literal Morton bin +
+    * interleave terms, then p29's per-day running sum packing ordered
+    * by (z, md5, id) and the clustered manifest with both columns'
+    * per-file min/max. One generator so the pack order, row-bytes
+    * formula, and manifest columns can never diverge between the two
+    * oracles.
     */
-  private val p31Sql = {
+  private def zPlanSql(mxbExpr: String): String = {
     val g = graft.ops.Zorder.ZGrid
     val terms = (0 until graft.ops.Zorder.ZBits).map { i =>
       s"((ba >> $i) & 1) * ${1L << (2 * i + 1)} + ((bb >> $i) & 1) * ${1L << (2 * i)}"
@@ -317,7 +311,8 @@ object IngestPipeline extends QueryModule {
        |  FROM events),
        |mm AS (
        |  SELECT min(user_id) AS mna, max(user_id) AS mxa,
-       |         min(event_id) AS mnb, max(event_id) AS mxb
+       |         min(event_id) AS mnb,
+       |         $mxbExpr AS mxb
        |  FROM e),
        |bins AS (
        |  SELECT day, user_id, event_id, event_type,
@@ -340,12 +335,15 @@ object IngestPipeline extends QueryModule {
        |FROM o GROUP BY 1, 2""".stripMargin
   }
 
+  private val p31Sql = zPlanSql("max(event_id)")
+
   /** p32: the drift-triggered layout MAINTENANCE DECISION
     * ([[graft.ops.Compaction.maintainLayout]] — s35/s36's rule applied
     * to the clustered table) in its INCREMENTAL deployment
-    * configuration (threshold 1.0 — the drift rate is a fraction, so
-    * no drift short of total re-binning breaches): the nightly config
-    * of a lakehouse that reclusters on a schedule, not on drift. The
+    * configuration (threshold 1.0 — the drift rate is a fraction and
+    * the breach test strict, so NOTHING breaches: the never-recluster
+    * config of a lakehouse that reclusters on a schedule, not on
+    * drift). The
     * drifted fixture's rate is ~0.5 (half the corpus outgrew the
     * frozen edge), so the decision provably takes the append branch:
     * `compactWhere(zorder)` under the FROZEN basis — breached days
@@ -368,47 +366,14 @@ object IngestPipeline extends QueryModule {
     graft.ops.Compaction.manifestClustered(s, served)
   }
 
-  /** The z-plan under the FROZEN basis: p31's mirror with the event
+  /** The z-plan under the FROZEN basis: [[zPlanSql]] with the event
     * dimension's bin edge at the midpoint of the global id range — the
     * basis the fixture froze — instead of today's max. Rows beyond the
     * edge bin past the grid (both engines truncate the interleave to
     * ZBits low bits identically); all numerators are non-negative, so
     * DIV and `//` agree.
     */
-  private val p32Sql = {
-    val g = graft.ops.Zorder.ZGrid
-    val terms = (0 until graft.ops.Zorder.ZBits).map { i =>
-      s"((ba >> $i) & 1) * ${1L << (2 * i + 1)} + ((bb >> $i) & 1) * ${1L << (2 * i)}"
-    }.mkString(" + ")
-    s"""WITH e AS (
-       |  SELECT event_id, user_id, event_type,
-       |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day
-       |  FROM events),
-       |mm AS (
-       |  SELECT min(user_id) AS mna, max(user_id) AS mxa,
-       |         min(event_id) AS mnb,
-       |         (min(event_id) + max(event_id)) // 2 AS mxb
-       |  FROM e),
-       |bins AS (
-       |  SELECT day, user_id, event_id, event_type,
-       |    CASE WHEN mxa > mna THEN ((user_id - mna) * $g) // (mxa - mna + 1)
-       |         ELSE CAST(0 AS BIGINT) END AS ba,
-       |    CASE WHEN mxb > mnb THEN ((event_id - mnb) * $g) // (mxb - mnb + 1)
-       |         ELSE CAST(0 AS BIGINT) END AS bb
-       |  FROM e CROSS JOIN mm),
-       |o AS (
-       |  SELECT day, user_id, event_id, 32 + strlen(event_type) AS nb,
-       |    sum(32 + strlen(event_type)) OVER (
-       |      PARTITION BY day
-       |      ORDER BY ($terms), md5(CAST(event_id AS VARCHAR)), event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
-       |  FROM bins)
-       |SELECT day, CAST((s - nb) // $CompactBudgetBytes AS BIGINT) AS file_idx,
-       |  count(*) AS n_rows, CAST(sum(nb) AS BIGINT) AS sum_bytes,
-       |  min(user_id) AS min_user, max(user_id) AS max_user,
-       |  min(event_id) AS min_event, max(event_id) AS max_event
-       |FROM o GROUP BY 1, 2""".stripMargin
-  }
+  private val p32Sql = zPlanSql("(min(event_id) + max(event_id)) // 2")
 
   /** p33: the same decision in its RECLUSTER configuration (threshold
     * 0.0 — ANY drift breaches; the fixture's measured rate ~0.5 makes
@@ -428,13 +393,14 @@ object IngestPipeline extends QueryModule {
     val pristine = pristineDriftedZ(s, dir)
     val out = graft.core.ProcessStore.scratch(
       "maintreclus-" + java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")))
-    val (branch, rate, served) = graft.ops.Compaction.maintainLayout(
-      s, pristine, CompactBudgetBytes, 0.0, out.getAbsolutePath)
     // the append branch would compactWhere the build-once fixture IN
     // PLACE — at threshold 0.0 it requires rate == 0 exactly, which the
-    // drifted fixture makes impossible; fail loudly rather than mutate
-    require(branch == "recluster",
-      s"drifted fixture measured zero basis drift (rate=$rate)?")
+    // drifted fixture makes impossible; allowAppendInPlace = false
+    // makes maintainLayout fail loudly BEFORE touching anything if the
+    // impossible ever happens
+    val (_, _, served) = graft.ops.Compaction.maintainLayout(
+      s, pristine, CompactBudgetBytes, 0.0, out.getAbsolutePath,
+      allowAppendInPlace = false)
     graft.ops.Compaction.manifestClustered(s, served)
   }
 

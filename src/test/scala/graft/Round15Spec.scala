@@ -345,6 +345,74 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("maintainLayout under a live writer: open days never censused, rewritten, or exported") {
+    import graft.ops.{Compaction, Zorder}
+    val base = java.nio.file.Files.createTempDirectory("graft_maintwm").toFile
+    try {
+      val (litter, budget) = (2048L, 4096L)
+      val rows0 = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"),
+          graft.queries.EventsQueries.epochDay(col("ts")).as("day"),
+          col("event_type"), col("value"))
+      val g = Compaction.zBasisOf(rows0)
+      val m0 = g.copy(mxb = Math.floorDiv(g.mnb + g.mxb, 2L))
+      val root = new java.io.File(base, "layout")
+      val key = Compaction.zPackKey(m0)
+      // EVERY day littered, so each closed day has real incremental work
+      Compaction.writeLayout(Compaction.planLayout(rows0, litter, key),
+        root.getAbsolutePath, key)
+      Zorder.writeManifest(root.getAbsolutePath, m0)
+      val days = root.listFiles().filter(_.getName.startsWith("day="))
+        .map(_.getName.stripPrefix("day=").toLong).sorted
+      val closedF: Long => Boolean = _ % 2 == 0
+      val (closedDays, openDays) = days.partition(closedF)
+      assert(closedDays.nonEmpty && openDays.nonEmpty)
+      def snap(d: Long): Seq[(String, Long)] = {
+        val dd = new java.io.File(root, s"day=$d")
+        java.nio.file.Files.walk(dd.toPath).filter(
+          java.nio.file.Files.isRegularFile(_)).toArray.toSeq
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .map(p => dd.toPath.relativize(p).toString ->
+            java.nio.file.Files.size(p)).sortBy(_._1)
+      }
+      val openBefore = openDays.map(d => d -> snap(d)).toMap
+      // append branch under the watermark: closed days compact, open
+      // days byte-identical (never read, never staged, never swapped)
+      val (b1, _, _) = Compaction.maintainLayout(spark, root.getAbsolutePath,
+        budget, 1.0, new java.io.File(base, "never").getAbsolutePath,
+        closed = Some(closedF))
+      assert(b1 === "append")
+      openDays.foreach(d => assert(snap(d) === openBefore(d),
+        s"open day=$d must be untouched by the append branch"))
+      // recluster branch under the watermark: the new root holds the
+      // CLOSED history only, its refreshed basis covers exactly that
+      val out = new java.io.File(base, "reclustered")
+      val (b2, _, s2) = Compaction.maintainLayout(spark, root.getAbsolutePath,
+        budget, 0.0, out.getAbsolutePath,
+        closed = Some(closedF), allowAppendInPlace = false)
+      assert(b2 === "recluster" && s2 === out.getAbsolutePath)
+      val outDays = out.listFiles().filter(_.getName.startsWith("day="))
+        .map(_.getName.stripPrefix("day=").toLong).sorted
+      assert(outDays === closedDays, "recluster must export closed days only")
+      openDays.foreach(d => assert(snap(d) === openBefore(d),
+        s"open day=$d must be untouched by the recluster branch"))
+      assert(Zorder.loadManifest(out.getAbsolutePath) ===
+        Compaction.zBasisOf(rows0.filter(col("day") % 2 === 0)),
+        "the refreshed basis must cover exactly the rewritten population")
+      // a caller forbidding in-place mutation fails BEFORE any work
+      val err = intercept[IllegalArgumentException] {
+        Compaction.maintainLayout(spark, root.getAbsolutePath, budget, 1.0,
+          new java.io.File(base, "never2").getAbsolutePath,
+          closed = Some(closedF), allowAppendInPlace = false)
+      }
+      assert(err.getMessage.contains("append branch"))
+      assert(!new java.io.File(base, "never2").exists())
+    } finally {
+      graft.core.Sessions.sweepPersistedState(spark)
+      org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+  }
+
   // ---- oversized-row census fallback (r14 ADVICE #2) ---------------------
 
   test("compactWhere prices oversized-row days exactly: the closed-form suppression is gone") {
