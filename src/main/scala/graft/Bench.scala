@@ -87,11 +87,48 @@ object Bench {
     * in the consumer plan, not the hop pipeline.
     */
   private[graft] def planFp(df: org.apache.spark.sql.DataFrame): String = {
-    val p = df.queryExecution.optimizedPlan.canonicalized.transform {
+    // The ANALYZED plan, not the optimized one: cache substitution runs
+    // AFTER analysis, so the analyzed plan can never contain an
+    // InMemoryRelation — whereas the optimized plan is bimodal on cache
+    // state at the moment its lazy val is first forced (persist still
+    // live → IMR subtree; first forced after the sweep → the same query
+    // re-optimizes to its raw lineage). Round 15 measured that flap
+    // twice: first as which write path forced the lazy val, then — with
+    // an explicit pre-sweep force — still flapping between identical
+    // full runs (G vs H/I, five GlobalOrder consumers). The analyzed
+    // plan is cache-independent by construction and still tracks every
+    // code-level change to what the query IS; optimizer-level behavior
+    // (pushdown, join strategy) is pinned where it belongs — PlanSpec
+    // and tools/ExplainCheck — not in a run-to-run drift tripwire.
+    // The IMR transform stays as belt-and-braces for any analyzed tree
+    // that embeds a pre-cached DataFrame directly.
+    fpOf(fpPlan(df).toString)
+  }
+
+  /** The normalized plan TREE behind [[planFp]] (also what the
+    * SPARK_GRAFT_FP_DUMP_DIR diagnostic stringifies). Map literals are
+    * EMPTIED BEFORE canonicalization: canonicalization reorders
+    * commutative operands by hash, and GlobalOrder's per-partition
+    * offsets map is a literal whose PAYLOAD varies run-to-run (range
+    * bounds seed from the RDD id) — so `rn + offset` vs `offset + rn`
+    * flipped between identical full runs depending on the payload's
+    * hash (the round-15 five-consumer flap, finally text-diffed via the
+    * dump dir). The string-level payload strip in [[normalize]] ran too
+    * late to fix ordering; pruning the payload from the TREE makes the
+    * canonical order payload-independent.
+    */
+  private[graft] def fpPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+    import org.apache.spark.sql.types.MapType
+    df.queryExecution.analyzed.transformAllExpressions {
+      case Literal(v, t: MapType) if v != null =>
+        Literal.create(ArrayBasedMapData(Array.empty[Any], Array.empty[Any]), t)
+    }.canonicalized.transform {
       case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(imr.output)
     }
-    fpOf(p.toString)
   }
 
   /** The normalization rule behind [[planFp]], on the plan STRING so the
@@ -118,7 +155,7 @@ object Bench {
     *    keeping distinct columns distinct.
     * The fingerprint must track plan STRUCTURE only.
     */
-  private[graft] def fpOf(plan: String): String = {
+  private[graft] def normalize(plan: String): String = {
     val s = plan
       .replaceAll("\\$\\$?Lambda\\$\\d+(/0x[0-9a-f]+)?", "\\$Lambda")
       .replaceAll("@[0-9a-f]{4,}", "@id")
@@ -127,11 +164,13 @@ object Bench {
       .replaceAll(", \\[plan_id=\\d+\\]", "")
     val idRe = "#(\\d+)".r
     val renumber = scala.collection.mutable.HashMap[String, Int]()
-    val canon = idRe.replaceAllIn(s,
+    idRe.replaceAllIn(s,
       m => "#" + renumber.getOrElseUpdate(m.group(1), renumber.size))
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
   }
+
+  private[graft] def fpOf(plan: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(normalize(plan).getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
 
   /** Parse bench_local_ref.json into (warm pin, plan fp) maps — shared
     * by the delta table and the sustained-inflation re-sampler. Empty
@@ -456,7 +495,7 @@ object Bench {
         try {
           val df = fn(spark, sfDir)
           df.write.format("noop").mode("overwrite").save()
-          capture(df) // fingerprint source: already analyzed, nothing re-executes
+          capture(df) // fingerprint source: analyzed plan, cache-independent
           true
         }
         catch { case e: Throwable =>
@@ -504,6 +543,19 @@ object Bench {
       val fp =
         try { if (lastDf != null) planFp(lastDf) else "" }
         catch { case _: Throwable => "" }
+      // diagnostic: SPARK_GRAFT_FP_DUMP_DIR=<dir> writes each query's
+      // NORMALIZED plan text (the exact string planFp hashes) so two
+      // runs' flapping fingerprints can be text-diffed (round 15)
+      sys.env.get("SPARK_GRAFT_FP_DUMP_DIR").foreach { d =>
+        try {
+          if (lastDf != null) {
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(d, s"$name.txt"),
+              normalize(fpPlan(lastDf).toString))
+          }
+        } catch { case _: Throwable => () }
+      }
       name -> QRec(warm, cold, warmSamples, load, fp, suspect)
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
