@@ -231,11 +231,18 @@ object Bench {
     * re-sample (disposition `transient_load`) with every sample kept
     * for the artifact. If it is STILL a mover, the inflation survived
     * the run — disposition `sustained`, median over all samples, and
-    * the record is marked suspect so no tripwire fires on a number
-    * that tracked the machine for the entire bench (a REAL stable-plan
-    * regression would be fp:diff, which never enters this path).
-    * A re-sample that produced no valid run resolves `resample_failed`
-    * and leaves the original record untouched.
+    * the record is marked suspect so the hard tripwires (regressions,
+    * warm>cold leak) don't fire on a number that may have tracked the
+    * machine for the entire bench. `sustained` is NOT proof of
+    * environment, though: the fingerprint is the ANALYZED plan, so an
+    * optimizer/physical-level regression (lost pushdown, a join-
+    * strategy flip, a dropped persist) is fp:same too — quarantining
+    * sustained entries out of sight would hide exactly that class
+    * (round-15 ADVICE). So a sustained record stays IN the delta table
+    * with `disp:"sustained"` — visible and adjudicable every round —
+    * it just can't fail the run on its own. A re-sample that produced
+    * no valid run resolves `resample_failed` and leaves the original
+    * record untouched.
     */
   private[graft] def resolveSustained(rec: QRec, resamples: Seq[Double],
       refWarm: Double): (QRec, String) = {
@@ -289,10 +296,17 @@ object Bench {
       // load-suspect records never enter the table: their medians carry
       // stamps the harness itself distrusts, and a delta built on them
       // is exactly the round-12 pollution this field exists to prevent —
-      // they are named in `load_suspect` instead
+      // they are named in `load_suspect` instead. ONE exception
+      // (round-15 ADVICE): a `sustained` resolution — inflated in every
+      // sample AND in the end-of-run re-sample, on a matching analyzed-
+      // plan fp — stays in the table. The analyzed fp cannot rule out
+      // an optimizer-level regression, so dropping these would
+      // quarantine a possible code regression as machine noise; they
+      // carry disp:"sustained" and are excluded only from the hard
+      // regression tripwire.
       val movers = results.flatMap { case (name, QRec(warm, _, _, _, fp, suspect)) =>
         val r = Option(refQ).flatMap(q => Option(q.get(name))).map(_.asDouble(-1.0)).getOrElse(-1.0)
-        if (suspect || warm <= 0 || r <= 0) None
+        if ((suspect && !disps.get(name).contains("sustained")) || warm <= 0 || r <= 0) None
         else {
           val ratio = warm / r
           if ((ratio > 2.0 || ratio < 0.5) && math.abs(warm - r) > 1.0) {
