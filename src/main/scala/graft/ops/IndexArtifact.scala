@@ -40,12 +40,19 @@ object IndexArtifact {
     *
     * The write is STAGED (round-14 ADVICE): tables and manifest land in
     * a random `.tmp-*` sibling first, then the finished directory swaps
-    * into place — so a crash or concurrent reader mid-republish never
-    * sees new tables under an old manifest. The swap is the Compaction
-    * rename-aside discipline: the prior artifact is renamed aside
-    * before the staged one moves in, and only then deleted, so at every
-    * crash point at least one complete artifact exists at or beside the
-    * path.
+    * into place. The guarantee is CRASH-safety only: at every crash
+    * point at least one complete artifact exists at or beside the path
+    * (the prior artifact is renamed aside before the staged one moves
+    * in, and only then deleted). It is NOT concurrent-reader-safe —
+    * between the aside-rename and the move-in nothing exists at `path`,
+    * so a reader resolving the bare path in that window gets
+    * FileNotFound (round-15 ADVICE). Concurrent-reader safety requires
+    * resolving through [[IndexGenerations]]' commit log, where
+    * generation dirs are write-once and never republished in place.
+    * This rename-based path is for PROCESS-PRIVATE store dirs
+    * ([[graft.core.ProcessStore]] — local scratch by contract); the
+    * shared-store publish path is [[writeFresh]] + the commit log,
+    * which performs no renames at all.
     */
   def write(s: SparkSession, path: String, codebook: DataFrame,
             membership: DataFrame, probes: Int, coarseGroups: Int): Manifest = {
@@ -77,6 +84,32 @@ object IndexArtifact {
     java.nio.file.Files.move(tmp.toPath, dst.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     if (aside.exists()) org.apache.commons.io.FileUtils.deleteDirectory(aside)
+    m
+  }
+
+  /** Persist codebook + membership into `path`, which must not yet
+    * exist — the COMMIT-LOG face of the writer (round-15 verdict #1):
+    * plain writes only, no staging, no rename, because visibility is
+    * the caller's commit protocol ([[IndexGenerations.publish]] stages
+    * into a uniquely-named dir that no reader can resolve until the
+    * write-once commit file names it). Object-store-safe by
+    * construction: nothing here needs an atomic rename or a consistent
+    * listing.
+    */
+  def writeFresh(s: SparkSession, path: String, codebook: DataFrame,
+                 membership: DataFrame, probes: Int, coarseGroups: Int): Manifest = {
+    val dst = new java.io.File(path)
+    require(!dst.exists(), s"writeFresh target already exists: $path")
+    Option(dst.getParentFile).foreach(_.mkdirs())
+    codebook.write.parquet(s"$path/codebook")
+    membership.write.parquet(s"$path/membership")
+    val m = Manifest(probes, coarseGroups,
+      s.read.parquet(s"$path/codebook").count(),
+      s.read.parquet(s"$path/membership").count())
+    java.nio.file.Files.writeString(
+      new java.io.File(dst, ManifestFile).toPath,
+      s"""{"probes":${m.probes},"coarseGroups":${m.coarseGroups},""" +
+        s""""codebookRows":${m.codebookRows},"membershipRows":${m.membershipRows}}""")
     m
   }
 

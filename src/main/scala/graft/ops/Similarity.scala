@@ -2534,32 +2534,81 @@ object Similarity extends QueryModule {
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
+  /** The RETRAIN-FREE drift signal (round-15 verdict #2):
+    * total-variation distance between the arrival population's cell
+    * distribution UNDER THE FROZEN CODEBOOK and the stored corpus
+    * membership's cell distribution — `0.5 · Σ_c |pΔ(c) − pC(c)|`,
+    * in [0, 1] by construction. This is [[Compaction.basisDrift]]'s
+    * shape applied to the index: measure how far the NEW data falls
+    * outside the frozen artifact's geometry using only the frozen
+    * artifact itself. In-distribution arrivals land across cells in
+    * the corpus's own proportions (TV ≈ sampling noise); drifted
+    * arrivals pile into few (or edge) cells the corpus barely uses
+    * (TV → 1). Nothing here trains: the decision [[maintainIndex]]
+    * thresholds this costs |Δ| row-local assignment folds under the
+    * stored codebook broadcast plus two cell-histogram aggregates
+    * (≤ K rows each) — the census a nightly decision pass can afford
+    * at 100 TB, where the old metric ([[migrationRate]] against a
+    * FRESH retrain) made the decision cost the very retrain it was
+    * deciding about.
+    *
+    * Relation to [[migrationRate]], honestly: migration under a fresh
+    * retrain mixes two effects — drift that the arrivals CAUSED, and
+    * retrain instability (K scales with n, the seed cut re-rolls, so
+    * even in-distribution growth migrates many rows; the gate corpus
+    * measures ~0.62 with Δ drawn from the same distribution). The TV
+    * proxy isolates the first effect: Round16Spec certifies it reads
+    * ≈ 0 on planted in-distribution arrivals and ≈ 1 on planted
+    * out-of-distribution arrivals, exactly the two regimes where a
+    * retrain is (respectively) wasted and justified — while s23's
+    * cell-flow REPORT still carries the full migration picture for
+    * the maintainer who wants it.
+    */
+  private[graft] def arrivalDrift(deltaCells: DataFrame,
+                                  corpusMembership: DataFrame): Double = {
+    val dh = deltaCells.groupBy(col("cell")).agg(count(lit(1)).cast("double").as("nd"))
+    val ch = corpusMembership.groupBy(col("cell")).agg(count(lit(1)).cast("double").as("nc"))
+    // K-sized frames from here on: the totals and the TV sum are
+    // driver-cheap actions over at most K rows each
+    val dt = dh.agg(sum(col("nd"))).head
+    val ct = ch.agg(sum(col("nc"))).head
+    if (dt.isNullAt(0) || ct.isNullAt(0)) return 0.0
+    val r = dh.join(ch, Seq("cell"), "full_outer")
+      .agg(sum(abs(
+        coalesce(col("nd"), lit(0.0)) / lit(dt.getDouble(0)) -
+          coalesce(col("nc"), lit(0.0)) / lit(ct.getDouble(0))))).head
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0) / 2.0
+  }
+
   /** The drift-triggered MAINTENANCE DECISION (round-14 verdict gap #2:
     * "drift never triggers a retrain") — compactWhere's breach rule
-    * applied to the index lifecycle: measure how far the frozen
-    * generation has drifted from what a fresh retrain would build
-    * (s23's report reduced to [[migrationRate]]); a breach
+    * applied to the index lifecycle: measure how far the arrivals have
+    * outgrown the frozen generation ([[arrivalDrift]] — the
+    * total-variation occupancy divergence of Δ, assigned under the
+    * STORED codebook, against the STORED corpus membership); a breach
     * (rate > threshold) publishes a RETRAINED generation (codebook +
     * ranking trained on corpus ∪ Δ — the split=false chain); no breach
     * publishes s33's APPEND generation (frozen codebook, Δ ranked
     * row-locally, membership appended). Either branch lands through
-    * [[IndexGenerations.publish]] — write, verify, atomic pointer swap
-    * — and the returned membership is read back THROUGH the pointer,
+    * [[IndexGenerations.publish]] — write, verify, atomic commit —
+    * and the returned membership is read back THROUGH the commit log,
     * so both branches certify the publish path, not just the decision.
     *
-    * Scale shape: the decision is one membership equi-join + one avg
-    * (both memberships are stored artifacts — no training happens to
-    * decide); the append branch costs |Δ| row-local folds; the retrain
-    * branch costs one full train, the price the drift just justified —
-    * and at gate scale both trained chains already live in the process
-    * store, so the gate measures the decision + publish, not a
-    * redundant retrain.
+    * Scale shape: NO training happens to decide — unconditionally
+    * (round-15 verdict #2: the old decision measured
+    * [[migrationRate]] against a fresh retrain, so at production scale
+    * deciding whether to retrain cost a full retrain; the proxy needs
+    * only the stored artifact + Δ, the same retrain-free shape as the
+    * layout twin [[Compaction.basisDrift]]). The decision is |Δ|
+    * row-local assignment folds + two K-sized histogram aggregates;
+    * the append branch costs |Δ| row-local folds; the retrain branch
+    * costs one full train — the price the drift just justified.
     */
   private[graft] def maintainIndex(s: SparkSession, dir: String, root: String,
                                    threshold: Double): DataFrame = {
-    val frozen = membershipOf(sharedIndex(s, dir, split = true)._2)
-    val fresh = membershipOf(sharedIndex(s, dir, split = false)._2)
-    val rate = migrationRate(frozen, fresh)
+    val (frozenArr, frozenRanked) = sharedIndex(s, dir, split = true)
+    val deltaCells = frozenAssign(vecs(s, dir).filter(isDeltaVec), frozenArr)
+    val rate = arrivalDrift(deltaCells, membershipOf(frozenRanked))
     if (rate > threshold) {
       val (gArr, ranked) = sharedIndex(s, dir, split = false)
       IndexGenerations.publish(s, root, gArr, ranked, IvfProbes, KmSearchGroups)
@@ -2575,26 +2624,29 @@ object Similarity extends QueryModule {
   }
 
   /** s35: the decision operator in its APPEND-ONLY deployment
-    * configuration (threshold 1.0 — the rate is a fraction and the
-    * breach test strict, so NOTHING breaches, total migration
-    * included: the never-retrain config): the nightly config of a
-    * store that retrains on a schedule, not on drift. Must publish
-    * exactly s33's generation — same oracle. The data-driven middle of
-    * the decision (a planted drift flipping the branch) is pinned in
-    * Round15Spec; the gate certifies each branch's published output.
+    * configuration (threshold 1.0 — [[arrivalDrift]] is a
+    * total-variation distance in [0, 1] and the breach test strict, so
+    * NOTHING breaches, total divergence included: the never-retrain
+    * config): the nightly config of a store that retrains on a
+    * schedule, not on drift. Must publish exactly s33's generation —
+    * same oracle. The data-driven middle of the decision (a planted
+    * drift flipping the branch) is pinned in Round15Spec; the planted
+    * in/out-of-distribution certification of the proxy itself is in
+    * Round16Spec; the gate certifies each branch's published output.
     */
   private def s35(s: SparkSession, dir: String): DataFrame =
     maintainIndex(s, dir, generationsRoot(s, dir, "maintain-append"), 1.0)
 
   /** s36: the decision operator in its RETRAIN configuration
-    * (threshold 0.0 — ANY corpus migration under a fresh retrain
-    * breaches; measured rate is ~0.62 at sf0.01 / ~0.67 at sf0.001, so
-    * the branch is deterministic by a wide margin, and Round15Spec pins
-    * the rate above the middle threshold its planted test flips on):
-    * the "codebook is stale, rebuild it" branch. Publishes
-    * the corpus ∪ Δ retrained generation; the oracle is the full-
-    * population trained chain's membership, so the hash match
-    * certifies retrain + publish + pointer round trip end to end.
+    * (threshold 0.0 — ANY arrival-occupancy divergence breaches; the
+    * gate Δ is a 10% same-distribution sample, whose TV against the
+    * corpus occupancy is pure sampling noise but strictly positive —
+    * Round15Spec pins the measured rate inside (0.02, 0.9), so the
+    * branch is deterministic by a wide margin): the "codebook is
+    * stale, rebuild it" branch. Publishes the corpus ∪ Δ retrained
+    * generation; the oracle is the full-population trained chain's
+    * membership, so the hash match certifies retrain + publish +
+    * commit-log round trip end to end.
     */
   private def s36(s: SparkSession, dir: String): DataFrame =
     maintainIndex(s, dir, generationsRoot(s, dir, "maintain-retrain"), 0.0)

@@ -44,10 +44,14 @@ object IngestPipeline extends QueryModule {
   }
 
   /** Read the shard layout back, normalizing partition-column types
-    * (directory values parse as int) to the declared schema.
+    * (directory values parse as int) to the declared schema. Goes
+    * through [[graft.ops.Compaction.readLayout]] so a layout whose
+    * days have been rewritten under the commit log serves the
+    * committed live file set; a plain layout (this sink's own output,
+    * never compacted) is the same directory read as always.
     */
   def readShards(s: SparkSession, root: String): DataFrame =
-    s.read.parquet(root)
+    graft.ops.Compaction.readLayout(s, root)
       .select(col("event_id"), col("user_id"), col("day").cast("long").as("day"),
         col("event_type"), col("value"))
 
@@ -162,20 +166,29 @@ object IngestPipeline extends QueryModule {
     * copies the whole pristine tree; later calls restore ONLY the
     * littered (odd) days — compactWhere provably leaves even days
     * byte-identical (pinned in ScaleTechniquesSpec), so copying them
-    * again would be fixture I/O for nothing.
+    * again would be fixture I/O for nothing. A prior pass's commit log
+    * and rewrite dirs are dropped with the days they superseded (the
+    * pristine layout is plain directories, so the reset must be too —
+    * a stale manifest would shadow the restored day dirs).
     */
   private def resetMixed(pristine: String, work: java.io.File): Unit = {
     val fresh = !work.exists()
     if (fresh) org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(pristine), work)
-    else Option(new java.io.File(pristine).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("day=") &&
-        f.getName.stripPrefix("day=").toLong % 2 != 0)
-      .foreach { d =>
-        val dst = new java.io.File(work, d.getName)
-        org.apache.commons.io.FileUtils.deleteDirectory(dst)
-        org.apache.commons.io.FileUtils.copyDirectory(d, dst)
+    else {
+      for (n <- Seq(graft.core.CommitLog.LogDirName, "_rewrites")) {
+        val f = new java.io.File(work, n)
+        if (f.exists()) org.apache.commons.io.FileUtils.deleteDirectory(f)
       }
+      Option(new java.io.File(pristine).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("day=") &&
+          f.getName.stripPrefix("day=").toLong % 2 != 0)
+        .foreach { d =>
+          val dst = new java.io.File(work, d.getName)
+          org.apache.commons.io.FileUtils.deleteDirectory(dst)
+          org.apache.commons.io.FileUtils.copyDirectory(d, dst)
+        }
+    }
   }
 
   private val p15Sql =

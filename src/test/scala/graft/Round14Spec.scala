@@ -46,7 +46,7 @@ class Round14Spec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"census plan contains a window:\n$plan")
   }
 
-  test("compactWhere recovers a crashed swap from _optimize_stage on entry") {
+  test("compactWhere crash matrix: uncommitted stages invisible, committed debris reclaimed") {
     import graft.ops.Compaction
     val base = java.nio.file.Files.createTempDirectory("graft_optrecover").toFile
     val root = new java.io.File(base, "layout").getAbsolutePath
@@ -57,28 +57,49 @@ class Round14Spec extends AnyFunSuite {
       def rowsNow() = graft.streaming.IngestPipeline.readShards(spark, root)
         .collect().map(_.toSeq.toList).groupBy(identity).view.mapValues(_.length).toMap
       val rowsBefore = rowsNow()
-      // simulate the crash window: a day dir fully staged, the layout
-      // copy already deleted, the move never issued — the day's ONLY
-      // copy now lives under _optimize_stage
+
+      // crash window A: a rewrite fully staged under _rewrites, never
+      // committed — INVISIBLE to every reader (no rename ever made it
+      // live), and the next pass censuses the old files as if the
+      // crashed pass never ran
       val aDay = new java.io.File(root).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("day=")).head
-      val stage = new java.io.File(root, "_optimize_stage"); stage.mkdirs()
+      val orphan = new java.io.File(root, "_rewrites/rw-crashed00001")
       org.apache.commons.io.FileUtils.copyDirectory(
-        aDay, new java.io.File(stage, aDay.getName))
-      // ...and the OTHER crash window: a day whose swap completed but
-      // whose aside copy was not yet deleted — the .old entry is
-      // superseded and must be dropped, never restored as a bogus day
-      org.apache.commons.io.FileUtils.copyDirectory(
-        aDay, new java.io.File(stage, aDay.getName + ".old"))
-      org.apache.commons.io.FileUtils.deleteDirectory(aDay)
-      // without recovery this run would delete the stage (and the day)
-      val (_, _, after) = Compaction.compactWhere(spark, root, budget)
-      assert(!stage.exists(), "stage dir must be cleaned up")
+        aDay, new java.io.File(orphan, aDay.getName))
       assert(rowsNow() === rowsBefore,
-        "recovery must restore the staged day before any delete")
-      assert(!new java.io.File(root, aDay.getName + ".old").exists(),
-        "a superseded .old aside copy must never land in the layout")
-      assert(after.nFiles > 0)
+        "an uncommitted stage must be invisible to readers")
+      // young orphan stages survive recovery (they may be in flight)...
+      Compaction.recoverLayout(root, staleMs = Long.MaxValue)
+      assert(orphan.exists())
+      // ...stale ones are vacuumed
+      Compaction.recoverLayout(root, staleMs = 0)
+      assert(!orphan.exists(), "a stale uncommitted stage must be vacuumed")
+      val dayBackup = new java.io.File(base, "daybackup")
+      org.apache.commons.io.FileUtils.copyDirectory(aDay, dayBackup)
+
+      // the real pass: breached (odd) days committed into the log
+      val (breached, _, after) = Compaction.compactWhere(spark, root, budget)
+      assert(breached.nonEmpty && after.nFiles > 0)
+      assert(rowsNow() === rowsBefore, "the committed rewrite must conserve rows")
+      val logNow = Compaction.LayoutLog.read(new java.io.File(root))
+      assert(logNow.keySet === breached.toSet)
+
+      // crash window B: commit landed but the superseded plain day dirs
+      // were never deleted — readers already serve the rewrite (the log
+      // wins), and the next pass's recovery drops the debris
+      val d0 = breached.head
+      val resurrect = new java.io.File(root, s"day=$d0")
+      org.apache.commons.io.FileUtils.copyDirectory(dayBackup, resurrect)
+      assert(rowsNow() === rowsBefore,
+        "a superseded plain day dir must be shadowed by the committed rewrite")
+      Compaction.recoverLayout(root, staleMs = Long.MaxValue)
+      assert(!resurrect.exists(),
+        "recovery must reclaim a committed-over plain day dir (no age gate needed)")
+      // and the pass stays idempotent from the committed state
+      val (b2, _, a2) = Compaction.compactWhere(spark, root, budget)
+      assert(b2.isEmpty && a2 === after)
+      assert(rowsNow() === rowsBefore)
     } finally {
       graft.core.Sessions.sweepPersistedState(spark)
       org.apache.commons.io.FileUtils.deleteDirectory(base)

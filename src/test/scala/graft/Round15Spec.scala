@@ -70,10 +70,14 @@ class Round15Spec extends AnyFunSuite {
 
   // ---- IndexGenerations: atomic publish + crash recovery ----------------
 
-  test("generation publish: pointer swap is atomic, predecessor reclaimed, crash debris recovered") {
+  test("generation publish: commit is atomic, predecessor reclaimed, crash debris recovered") {
     import graft.ops.{IndexArtifact, IndexGenerations, Similarity}
     val base = java.nio.file.Files.createTempDirectory("graft_gens").toFile
     val root = new java.io.File(base, "gens").getAbsolutePath
+    def genDirs() = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).toSet
+    def dirOf(gen: Long) = new graft.core.CommitLog(new java.io.File(root))
+      .entries.find(_._1 == gen).map(_._2).get
     try {
       val (gArr, ranked) = Similarity.sharedIndex(spark, dir, split = true)
       val m = IndexArtifact.loadManifest(Similarity.sharedIndexPath(spark, dir, split = true))
@@ -81,50 +85,61 @@ class Round15Spec extends AnyFunSuite {
       intercept[IllegalStateException] { IndexGenerations.currentPath(root) }
 
       // gen 1: corpus-trained
-      assert(IndexGenerations.publish(spark, root, gArr, ranked, m.probes, m.coarseGroups) === 1)
-      assert(IndexGenerations.current(root) === Some(1))
+      assert(IndexGenerations.publish(spark, root, gArr, ranked, m.probes, m.coarseGroups) === 1L)
+      assert(IndexGenerations.current(root) === Some(1L))
       val (_, r1) = IndexGenerations.loadCurrent(spark, root, m.probes, m.coarseGroups,
         verifyCounts = true)
       assert(r1.count() === m.membershipRows)
+      val gen1Dir = dirOf(1L)
 
-      // crash window: gen 2 fully written, pointer never swapped — the
-      // reader must keep serving gen 1, and recovery must drop the debris
+      // crash window: the next generation fully staged, never committed —
+      // the reader must keep serving gen 1 (the stage is invisible to the
+      // log), and age-gated recovery must drop the debris once stale
       org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(root, "gen=1"), new java.io.File(root, "gen=2"))
-      java.nio.file.Files.writeString(
-        new java.io.File(root, "_current.tmp-deadbeef").toPath, "2")
-      assert(IndexGenerations.current(root) === Some(1),
-        "an unswapped pointer tmp must never change the serving generation")
-      assert(IndexGenerations.currentPath(root).endsWith("gen=1"))
-      IndexGenerations.recover(root)
-      assert(!new java.io.File(root, "gen=2").exists(), "unpublished gen debris must be dropped")
-      assert(!new java.io.File(root, "_current.tmp-deadbeef").exists())
-      assert(new java.io.File(root, "gen=1").exists(), "the pointed-to generation is never touched")
+        new java.io.File(root, gen1Dir), new java.io.File(root, "gen-deadbeef"))
+      assert(IndexGenerations.current(root) === Some(1L),
+        "an uncommitted stage must never change the serving generation")
+      assert(IndexGenerations.currentPath(root).endsWith(gen1Dir))
+      // a burned commit file (crash mid-CREATE): readers skip it, the
+      // version is burned, recovery reclaims it past the age gate
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(root, "_commits", f"${2L}%020d"))
+      assert(IndexGenerations.current(root) === Some(1L),
+        "an empty commit file must be skipped by readers")
+      IndexGenerations.recover(root, staleMs = Long.MaxValue)
+      assert(new java.io.File(root, "gen-deadbeef").exists(),
+        "a YOUNG unreferenced stage may be a concurrent publisher's — aged recovery keeps it")
+      IndexGenerations.recover(root, staleMs = 0)
+      assert(!new java.io.File(root, "gen-deadbeef").exists(),
+        "stale uncommitted stage debris must be dropped")
+      assert(!new java.io.File(new java.io.File(root, "_commits"), f"${2L}%020d").exists(),
+        "stale burned commit files must be dropped")
+      assert(new java.io.File(root, gen1Dir).exists(),
+        "the committed generation is never touched")
 
-      // the publish AFTER the crash lands generation 2 cleanly; the
-      // predecessor stays as the reader GRACE WINDOW (a reader that
-      // resolved the pointer just before the swap is still scanning it)
+      // the publish AFTER the crash lands the next generation cleanly
+      // (version 2 was burned by the crash debris, so the log moves to 3);
+      // the predecessor stays as the reader GRACE WINDOW (a reader that
+      // resolved the log just before the commit is still scanning it)
       val delta = Similarity.vecs(spark, dir).filter(Similarity.isDeltaVec)
       val deltaRanked = Similarity.rankCellsTwoLevel(
         delta, gArr, "l2", m.coarseGroups, m.probes)
-      assert(IndexGenerations.publish(spark, root, gArr,
-        ranked.unionByName(deltaRanked), m.probes, m.coarseGroups) === 2)
-      assert(IndexGenerations.current(root) === Some(2))
-      assert(new java.io.File(root, "gen=1").exists(),
+      val g2 = IndexGenerations.publish(spark, root, gArr,
+        ranked.unionByName(deltaRanked), m.probes, m.coarseGroups)
+      assert(IndexGenerations.current(root) === Some(g2))
+      assert(new java.io.File(root, gen1Dir).exists(),
         "the immediate predecessor must survive as the reader grace window")
       val (_, r2) = IndexGenerations.loadCurrent(spark, root, m.probes, m.coarseGroups,
         verifyCounts = true)
       assert(r2.count() === ranked.count() + deltaRanked.count())
       // the NEXT publish retires gen 1 — reclaim lags exactly one
-      assert(IndexGenerations.publish(spark, root, gArr,
-        ranked.unionByName(deltaRanked), m.probes, m.coarseGroups) === 3)
-      assert(!new java.io.File(root, "gen=1").exists(),
+      val g3 = IndexGenerations.publish(spark, root, gArr,
+        ranked.unionByName(deltaRanked), m.probes, m.coarseGroups)
+      assert(g3 === g2 + 1)
+      assert(!new java.io.File(root, gen1Dir).exists(),
         "a generation beyond the grace window must be retired")
-      assert(new java.io.File(root, "gen=2").exists())
-      // no staging debris of any kind survives a clean publish
-      val leftovers = new java.io.File(root).listFiles()
-        .map(_.getName).filter(n => n.contains(".tmp-") || n.contains(".old-"))
-      assert(leftovers.isEmpty, s"publish left staging debris: ${leftovers.mkString(", ")}")
+      assert(genDirs() === Set(dirOf(g2), dirOf(g3)),
+        "exactly the grace window survives a clean publish — no stage debris")
     } finally {
       graft.core.Sessions.sweepPersistedState(spark)
       org.apache.commons.io.FileUtils.deleteDirectory(base)
@@ -209,27 +224,32 @@ class Round15Spec extends AnyFunSuite {
     import graft.ops.Similarity
     val base = java.nio.file.Files.createTempDirectory("graft_maint").toFile
     try {
-      val frozen = Similarity.membershipOf(Similarity.sharedIndex(spark, dir, split = true)._2)
-      val fresh = Similarity.membershipOf(Similarity.sharedIndex(spark, dir, split = false)._2)
-      val rate = Similarity.migrationRate(frozen, fresh)
+      // the decision metric is the RETRAIN-FREE proxy (round-15 verdict
+      // #2): Δ assigned under the stored codebook vs the stored corpus
+      // occupancy — nothing below trains anything to decide
+      val (gArr, ranked) = Similarity.sharedIndex(spark, dir, split = true)
+      val deltaCells = Similarity.frozenAssign(
+        Similarity.vecs(spark, dir).filter(Similarity.isDeltaVec), gArr)
+      val rate = Similarity.arrivalDrift(deltaCells, Similarity.membershipOf(ranked))
+      info(s"measured arrival drift at sf0.001: $rate")
       // the gate thresholds (s35 at 1.0, s36 at 0.0) must sit on opposite
       // sides of the measured rate by a wide margin — a regenerated
       // dataset that collapses the rate toward either end fails HERE
-      // before it can flip a gate entry
-      assert(rate > 0.2 && rate < 0.98, s"measured drift rate $rate left the pinned band")
+      // before it can flip a gate entry. The gate Δ is in-distribution,
+      // so the rate is sampling noise: strictly positive, far from 1.
+      assert(rate > 0.02 && rate < 0.9, s"measured drift rate $rate left the pinned band")
       def mset(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(_.toSeq.map(String.valueOf).toList)
           .groupBy(identity).view.mapValues(_.length).toMap
-      // threshold just ABOVE the measured rate: no breach → append law
+      // threshold ABOVE the measured rate: no breach → append law
       val rootA = new java.io.File(base, "a").getAbsolutePath
-      val outA = mset(Similarity.maintainIndex(spark, dir, rootA, math.min(rate + 0.01, 0.99)))
-      val (gArr, ranked) = Similarity.sharedIndex(spark, dir, split = true)
-      val appendLaw = mset(Similarity.membershipOf(ranked).unionByName(
-        Similarity.frozenAssign(Similarity.vecs(spark, dir).filter(Similarity.isDeltaVec), gArr)))
+      val outA = mset(Similarity.maintainIndex(spark, dir, rootA, rate + (1.0 - rate) / 2))
+      val appendLaw = mset(Similarity.membershipOf(ranked).unionByName(deltaCells))
       assert(outA === appendLaw, "below-threshold drift must take the append branch")
-      // threshold just BELOW the measured rate: breach → retrain law
+      // threshold BELOW the measured rate: breach → retrain law
+      val fresh = Similarity.membershipOf(Similarity.sharedIndex(spark, dir, split = false)._2)
       val rootB = new java.io.File(base, "b").getAbsolutePath
-      val outB = mset(Similarity.maintainIndex(spark, dir, rootB, math.max(rate - 0.01, 0.01)))
+      val outB = mset(Similarity.maintainIndex(spark, dir, rootB, rate / 2))
       assert(outB === mset(fresh), "above-threshold drift must take the retrain branch")
       assert(outA !== outB, "the two branches must be observably different publishes")
     } finally {
