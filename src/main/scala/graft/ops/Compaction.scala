@@ -110,7 +110,16 @@ object Compaction {
     * within a day (the offset rule is per-day).
     */
   private[graft] def planLayoutBy(rows: DataFrame, budget: Column,
-      packKey: Seq[Column] = defaultPackKey): DataFrame = {
+      packKey: Seq[Column] = defaultPackKey): DataFrame =
+    planLayoutByTotal(rows, budget, packKey)._1
+
+  /** [[planLayoutBy]] plus the population's TOTAL logical bytes — free
+    * on the driver (the global running sum already collects per-range
+    * partials), so the writer can size its output task count from it
+    * without a second pass.
+    */
+  private[graft] def planLayoutByTotal(rows: DataFrame, budget: Column,
+      packKey: Seq[Column] = defaultPackKey): (DataFrame, Long) = {
     // planLayout's require() can't see a per-row budget — guard in the
     // expression so an invalid budget fails loudly instead of DIV'ing
     // by zero into null file_idx (rows silently vanishing from
@@ -118,29 +127,82 @@ object Compaction {
     val guarded = when(budget >= 1, budget).otherwise(raise_error(
       concat(lit("byte budget must be >= 1, got "), budget.cast("string"))))
     val keyed = rows.withColumn("__cb", rowBytes).withColumn("__budget", guarded)
-    val summed = graft.plans.GlobalOrder.withGlobalRunningSum(
+    val (summed, totalBytes) = graft.plans.GlobalOrder.withGlobalRunningSumAndTotal(
       keyed, col("day") +: packKey, col("__cb"), "__cs")
     // rebase the GLOBAL running sum to a per-day offset: the day's first
     // row has the day's minimal exclusive prefix (__cs - __cb)
     val dayStart = summed.groupBy(col("day"))
       .agg(min(col("__cs") - col("__cb")).as("__d0"))
-    summed.join(broadcast(dayStart), "day")
+    (summed.join(broadcast(dayStart), "day")
       .withColumn("file_idx", expr("(__cs - __cb - __d0) DIV __budget"))
-      .drop("__cs", "__d0", "__budget")
+      .drop("__cs", "__d0", "__budget"), totalBytes)
   }
 
   /** The clustered write tail shared by [[compact]] and the p30 mixed
-    * fixture: one shuffle partition per planned (day, file_idx) →
-    * exactly one parquet file per planned entry; rows inside keep the
+    * fixture: rows hash to write tasks on the (day, file_idx) pair and
+    * `partitionBy` splits a task's groups into their own dirs, so each
+    * planned entry is exactly one parquet file; rows inside keep the
     * pack order so re-writes are byte-stable.
+    *
+    * `nFiles`/`budget` (> 0) size the exchange SCALE-ADAPTIVELY
+    * ([[writeTasksFor]]) instead of leaving it to
+    * `spark.sql.shuffle.partitions` — under which the tiny gate-scale
+    * exchange AQE-coalesced to ONE task writing every planned file
+    * sequentially: measured 1.9-2.1 s of the 2.3-2.8 s write in every
+    * p29-p32 bench sample (round 16; guide §2.4/§6 — the write stage
+    * must scale with planned output, not with a partition constant).
+    * Every (day, file_idx) group still lands whole in one task at any
+    * task count, so the FILE SET is identical — only parallelism moves.
     */
   private[graft] def writeLayout(planned: DataFrame, outRoot: String,
-      packKey: Seq[Column] = defaultPackKey): Unit =
-    planned.drop("__cb")
-      .repartition(col("day"), col("file_idx"))
+      packKey: Seq[Column] = defaultPackKey, nFiles: Long = 0L,
+      budget: Long = 0L): Unit = {
+    val keyed = planned.drop("__cb")
+    val parted =
+      if (nFiles > 0)
+        keyed.repartition(
+          writeTasksFor(planned.sparkSession, nFiles, budget),
+          col("day"), col("file_idx"))
+      else keyed.repartition(col("day"), col("file_idx"))
+    parted
       .sortWithinPartitions(
         Seq(col("day"), col("file_idx")) ++ packKey: _*)
       .write.mode("overwrite").partitionBy("day", "file_idx").parquet(outRoot)
+  }
+
+  /** The write exchange's task count, from the planned file count and
+    * byte budget: `min(nFiles, max(plannedBytes / advisory,
+    * defaultParallelism))` — the same sizing rule AQE applies to reduce
+    * partitions (advisoryPartitionSizeInBytes), bounded by ONE TASK PER
+    * PLANNED FILE above and full cluster parallelism below. At a
+    * production budget (files ≥ the advisory size) this is exactly one
+    * task per file — each write task materializes ~budget bytes however
+    * large the rewrite; at gate scale (toy 16 KiB files) it is one wave
+    * of cluster-wide tasks each writing a handful of files, instead of
+    * either one serial task (the AQE coalesce) or hundreds of
+    * per-tiny-file tasks whose fixed cost dominates (round-16
+    * measurement: 293 one-file tasks = 1.2 s, 32 nine-file tasks =
+    * one wave). Ceilinged at [[MaxWriteTasks]]: past a million write
+    * tasks the scheduler, not the file grain, is the bottleneck.
+    */
+  private[graft] def writeTasksFor(s: SparkSession, nFiles: Long, budget: Long): Int = {
+    val advisory =
+      try s.sessionState.conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+      catch { case _: Exception => 64L * 1024 * 1024 }
+    val parallelism = s.sparkContext.defaultParallelism.toLong
+    val byBytes =
+      if (budget > 0) (nFiles * budget) / math.max(advisory, 1L) else nFiles
+    nFiles.min(byBytes.max(parallelism)).min(MaxWriteTasks).max(1L).toInt
+  }
+
+  /** Ceiling on [[writeLayout]]'s write exchange: a million write tasks
+    * is far beyond any single rewrite this library plans (100 TB at a
+    * 512 MB budget is ~200k files) — past it, tasks carry multiple
+    * files rather than the scheduler carrying millions of task
+    * descriptors.
+    */
+  private[graft] val MaxWriteTasks = 1L << 20
 
   // ---- the layout commit log (round-15 verdict #1) -----------------------
 
@@ -192,6 +254,16 @@ object Compaction {
     * mid-flight right now. Tests pass 0 to reclaim immediately.
     */
   private[graft] val DefaultStaleMs: Long = 60L * 60 * 1000
+
+  /** Stage-timing instrumentation for the profiling mains (enabled via
+    * -Dgraft.compact.prof=1 or the env var; zero cost when off).
+    */
+  private[graft] def profStage[A](label: String)(f: => A): A =
+    if (sys.props.get("graft.compact.prof").contains("1")) {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[compact-prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    } else f
 
   private val warnings = new java.util.concurrent.atomic.AtomicLong
 
@@ -394,11 +466,19 @@ object Compaction {
     // files are never even listed; the refreshed basis below derives
     // from exactly the population being rewritten
     val rows = eventRows(s, inRoot, dayFilter)
-    if (!zorder) writeLayout(planLayout(rows, budget), outRoot)
-    else {
+    // output task count ≈ planned file count (totalBytes is free — the
+    // packing plan's own partial sums; +64 covers per-day round-up):
+    // the write parallelism scales with the rewrite, not with a
+    // partition constant (see writeLayout)
+    def nEst(totalBytes: Long) = totalBytes / budget + 64
+    if (!zorder) {
+      val (planned, tb) = planLayoutByTotal(rows, lit(budget))
+      writeLayout(planned, outRoot, nFiles = nEst(tb), budget = budget)
+    } else {
       val m = zBasisOf(rows)
       val key = zPackKey(m)
-      writeLayout(planLayout(rows, budget, key), outRoot, key)
+      val (planned, tb) = planLayoutByTotal(rows, lit(budget), key)
+      writeLayout(planned, outRoot, key, nFiles = nEst(tb), budget = budget)
       Zorder.writeManifest(outRoot, m) // refreshed basis supersedes any prior sidecar
     }
     (before, layoutStats(outRoot))
@@ -500,18 +580,18 @@ object Compaction {
                    closed: Long => Boolean = _ => true,
                    io: CommitIo = CommitIo.Local): (Seq[Long], LayoutStats, LayoutStats) = {
     require(budget >= 1, s"byte budget must be >= 1, got $budget")
-    recoverLayout(root, io = io)
+    profStage("recoverLayout") { recoverLayout(root, io = io) }
     val rootF = new java.io.File(root)
-    val before = layoutStats(root)
+    val before = profStage("layoutStats(before)") { layoutStats(root) }
     val log = LayoutLog.read(rootF, io)
     val plainClosed = plainDayDirs(rootF, log, io).filter { case (d, _) => closed(d) }
     val loggedClosed = log.filter { case (d, _) => closed(d) }
     // the physical census: manifest counts for rewritten days (no FS
     // walk — round-15 verdict #4), a listing walk for plain days
-    val current: Map[Long, Long] =
+    val current: Map[Long, Long] = profStage("physical census") {
       plainClosed.map { case (d, f) =>
         d -> liveParquetCount(f)
-      } ++ loggedClosed.map { case (d, r) => d -> r.files }
+      } ++ loggedClosed.map { case (d, r) => d -> r.files } }
     if (current.isEmpty) return (Nil, before, before)
     // EVERY scan below is path-selected to the closed days — under a
     // live writer, open days' in-flight files are never even listed
@@ -534,8 +614,9 @@ object Compaction {
         }
       }
     // days-sized collect (the GlobalOrder-offsets budget)
-    val censusRows = plannedCountsByDay(closedRows, budget, packKey)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val censusRows = profStage("planned census collect") {
+      plannedCountsByDay(closedRows, budget, packKey)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))) }
     // days holding a row larger than the budget: the closed-form count
     // reads high there (skipped file_idx values), which would suppress
     // the breach FOREVER (round-14 ADVICE #2) — price exactly those
@@ -559,15 +640,21 @@ object Compaction {
       // the ONLY planning pass: breached days' rows, nothing else
       val planned = planLayout(
         eventRows(s, root, Some(breachedSet.contains), io), budget, packKey)
+      // the census already knows the EXACT planned file count for the
+      // breached days — one write task per planned file (see writeLayout)
+      val nPlanned = breached.map(plannedCount).sum
+      profStage("breached plan built")(())
       // stage invisibly, then commit: the rewrite reads the OLD files,
       // which stay live (and stay on disk) until the manifest flips
       val stageName = s"$RewritesDirName/rw-" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       val stage = new java.io.File(rootF, stageName)
-      writeLayout(planned, stage.getAbsolutePath, packKey)
-      val stagedCounts: Map[Long, Long] = breached.map { d =>
+      profStage("stage write") {
+        writeLayout(planned, stage.getAbsolutePath, packKey,
+          nFiles = nPlanned, budget = budget) }
+      val stagedCounts: Map[Long, Long] = profStage("staged counts walk") { breached.map { d =>
         d -> liveParquetCount(new java.io.File(stage, dayName(d)))
-      }.toMap
+      }.toMap }
       // fail LOUDLY before committing if the rewrite produced nothing
       // for a breached day (a day dir whose files hold zero readable
       // rows censuses as breached but plans no output) — committing
@@ -593,7 +680,7 @@ object Compaction {
         tryDelete(new java.io.File(rootF, dir), io)
       }
     }
-    (breached, before, layoutStats(root))
+    (breached, before, profStage("layoutStats(after)") { layoutStats(root) })
   }
 
   private def liveParquetCount(dir: java.io.File): Long = {

@@ -81,7 +81,17 @@ object GlobalOrder {
     * The running sum is inclusive of the current row.
     */
   def withGlobalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
-                           sumCol: String): DataFrame = {
+                           sumCol: String): DataFrame =
+    withGlobalRunningSumAndTotal(df, order, value, sumCol)._1
+
+  /** [[withGlobalRunningSum]] plus the GRAND TOTAL of `value` — free on
+    * the driver (it is the sum of the per-partition partials this pass
+    * already collects), so callers sizing downstream work from the total
+    * (e.g. a byte-budget writer choosing its output task count) get it
+    * without a second pass over the data.
+    */
+  def withGlobalRunningSumAndTotal(df: DataFrame, order: Seq[Column], value: Column,
+                                   sumCol: String): (DataFrame, Long) = {
     val v = "__graft_val"
     val ranged = df.withColumn(v, value.cast("long"))
       .repartitionByRange(order: _*)
@@ -96,11 +106,12 @@ object GlobalOrder {
       partials.map(_._1).zip(partials.map(_._2).scanLeft(0L)(_ + _)).toMap
     val w = Window.partitionBy(col(Pid)).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
+    val out = ranged
       .withColumn(sumCol,
         sum(col(v)).over(w) +
           coalesce(element_at(typedLit(offsets), col(Pid)), lit(0L)))
       .drop(Pid, v)
+    (out, partials.map(_._2).sum)
   }
 
   /** ntile(k) over a global order, built from the global row number with
