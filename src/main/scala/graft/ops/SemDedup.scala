@@ -230,6 +230,22 @@ object SemDedup extends QueryModule {
   private[graft] def refineHotCells(assign: DataFrame, base: DataFrame,
                                     cap: Int = CellCap): DataFrame = {
     val sizes = assign.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+    // Fast path (round 16): on an honest corpus NO cell exceeds the cap
+    // and every refinement stage below is an empty filter — but the
+    // pair stage still drags the three joins and the argmax window
+    // through planning and execution. One cell-grain aggregate over the
+    // PERSISTED assignment (cells ≈ n/TargetCellRows rows, the same
+    // aggregate `sizes` runs anyway) decides whether any hot cell
+    // exists; when none does, the refined assignment IS the input
+    // assignment with the cell id cast to string — exactly what the
+    // left join with an empty `best` would produce, row for row, so the
+    // result (and the oracle, whose refinement CTEs are empty filters
+    // in the same regime) is unchanged. The d27 planted-hot-family
+    // entry keeps the full path live and gate-certified every round.
+    val anyHot = !sizes.filter(col("cnt") > cap).isEmpty
+    if (!anyHot)
+      return assign.select(col("vec_id"), col("cell").cast("string").as("cell"))
+        .persist()
     val hot = assign.join(sizes.filter(col("cnt") > cap), "cell")
     val subThresh = expr(
       s"""CAST(least($SubCellMax, (cnt + ${TargetCellRows - 1}) DIV $TargetCellRows)
