@@ -1523,7 +1523,14 @@ object Dedup extends QueryModule {
   }
 
   private[graft] def spanScrub(docs: DataFrame, hashed: Boolean): DataFrame = {
-    val grams = gramKeyed(docs, hashed)
+    // persisted for d25's reason (dupSpans): the owner aggregate and the
+    // marking join probe BOTH read the gram stream, and the stream is
+    // the expensive part (split + per-position concat_ws + md5 fold per
+    // gram — measured as d28's hot stage, round 16); un-persisted it is
+    // computed twice. Same (doc_id, gpos, 8-byte gk) rows d25 caches —
+    // ~24 bytes per corpus token, spilling storage at warehouse scale,
+    // against a full second tokenize+md5 pass saved.
+    val grams = gramKeyed(docs, hashed).persist()
     val own = grams.groupBy(col("gk"))
       .agg(countDistinct(col("doc_id")).as("nd"), min(col("doc_id")).as("owner"))
       .filter(col("nd") >= 2)
