@@ -295,6 +295,11 @@ object Dedup extends QueryModule {
     * aggregate-capped broadcasts, zero-guarded integer divisions.
     */
   private def d21(s: SparkSession, dir: String): DataFrame = {
+    // NOT persisted (round-17 measurement): nc and nb are broadcast
+    // sides of the final crossJoin, so their derivation jobs run
+    // CONCURRENTLY with nt's main leg against independent scans —
+    // persisting cand/truth serialized those legs on the cache build
+    // and measured 2.1 s → 3.5 s at sf0.1 (the q25 three-scans lesson).
     val cand = lshDocsAndCandidates(s, dir)._2
     val truth = d03(s, dir).select(col("ida"), col("idb"))
     val nt = truth.groupBy().agg(count(lit(1)).as("n_true"))

@@ -303,9 +303,17 @@ object Multimodal extends QueryModule {
     // simhash60(array_distinct(transform(sequence(...), substr(i, 4)))),
     // which materialized (len-3) string slices per row before hashing
     // (the measured bench hot spot); same distinct-gram vote bit-for-bit
+    //
+    // persisted (the d04 `banded` discipline): the band self-join's two
+    // legs are planned as two independent subtrees (no ReusedExchange —
+    // measured round 17 as two ~1 s fingerprint stages per run), so an
+    // un-persisted fp pays the gram-vote kernel ONCE PER LEG. The cached
+    // frame is (doc_id, 8-byte simhash) — ~16 bytes/doc at any corpus
+    // size, the textbook cache-the-proxy-not-the-payload shape.
     val fp = txt.filter(length(col("t")) >= 4)
       .select(col("doc_id"),
         graft.functions.TextFunctions.byte_gram_simhash60(col("t")).as("simhash"))
+      .persist()
     val banded = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until PercBands).map(b =>
         shiftrightunsigned(col("simhash"), b * bandBits)

@@ -242,11 +242,19 @@ object SemDedup extends QueryModule {
     // result (and the oracle, whose refinement CTEs are empty filters
     // in the same regime) is unchanged. The d27 planted-hot-family
     // entry keeps the full path live and gate-certified every round.
-    val anyHot = !sizes.filter(col("cnt") > cap).isEmpty
-    if (!anyHot)
+    // the probe RESULT seeds the refinement (round-16 follow-up): the
+    // hot-cell table is cells-grain and filtered to breaches — tiny in
+    // every regime — so persisting it lets the isEmpty probe and the
+    // three refinement joins share ONE sizes aggregate instead of
+    // re-running it per consumer
+    val hotSizes = sizes.filter(col("cnt") > cap).persist()
+    val anyHot = !hotSizes.isEmpty
+    if (!anyHot) {
+      hotSizes.unpersist(blocking = false)
       return assign.select(col("vec_id"), col("cell").cast("string").as("cell"))
         .persist()
-    val hot = assign.join(sizes.filter(col("cnt") > cap), "cell")
+    }
+    val hot = assign.join(hotSizes, "cell")
     val subThresh = expr(
       s"""CAST(least($SubCellMax, (cnt + ${TargetCellRows - 1}) DIV $TargetCellRows)
          |  AS DECIMAL(38,0)) * 1152921504606846976 DIV cnt""".stripMargin)

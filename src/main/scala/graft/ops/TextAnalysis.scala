@@ -781,12 +781,18 @@ object TextAnalysis extends QueryModule {
   private def t17(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), toks(lower(col("text"))).as("w"))
+    // persisted (d25/d28's gram-stream discipline): the stream feeds the
+    // top-K frequency aggregate AND the membership-probe join leg — un-
+    // persisted, the tokenize + slice + concat_ws explode ran twice per
+    // query. One 5-gram string per token position, memory-and-disk at
+    // warehouse scale, against a full second tokenize+explode pass saved.
     val grams = docs
       .select(col("doc_id"),
         explode(when(size(col("w")) >= BoilN,
           transform(sequence(lit(0), size(col("w")) - BoilN),
             i => concat_ws(" ", slice(col("w"), i + 1, lit(BoilN)))))
           .otherwise(array().cast("array<string>"))).as("gram"))
+      .persist()
     val top = grams.groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram")).limit(BoilTop)
       .select(col("gram"), lit(1L).as("hit"))
@@ -974,12 +980,23 @@ object TextAnalysis extends QueryModule {
     * the forced 1-row selection and the lazily-rewritten corpus.
     */
   private[graft] def mergeChain(docs0: DataFrame): Seq[(DataFrame, DataFrame)] = {
-    var corpus = docs0
+    // Each step's corpus is PERSISTED: step k's rewritten corpus is read
+    // by step k+1's pair aggregate AND by the caller's per-step reports
+    // (t24's tokens_after, t25/es25's encode) — un-persisted, step k's
+    // consumer replayed the whole k-deep tokenize+replace chain from the
+    // raw scan, so the loop re-did O(steps²) rewrites (measured round 17:
+    // six ~0.2-0.3 s chain-replay stages per t24 run). Persisting keeps
+    // each rewrite pass run-once — the same materialize-per-iteration
+    // discipline every production BPE trainer uses (and s20's per-step
+    // codebook rule applied to the corpus side). Memory: ≤ MergeSteps
+    // delimited-corpus copies, MEMORY_AND_DISK by default, swept by the
+    // caller's lifecycle (bench sweep / session end).
+    var corpus = docs0.persist()
     (1 to MergeSteps).map { _ =>
       val b = stepPairs(corpus)
         .orderBy(col("pair_n").desc, col("lhs"), col("rhs")).limit(1).persist()
       b.count() // force: the step's one corpus aggregate runs exactly here
-      corpus = applyMerge(corpus, b)
+      corpus = applyMerge(corpus, b).persist()
       (b, corpus)
     }
   }
