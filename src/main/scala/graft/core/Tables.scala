@@ -37,6 +37,76 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     widenIntegralCols(spark.read.parquet(s"$dir/$name.parquet"))
 
+  /** Scale-adaptive parallelism floor for kernel-heavy consumers —
+    * guide §2.5's "input skew: one huge unsplittable file … otherwise
+    * repartition immediately after the read". The driver's testdata
+    * writes each table as ONE parquet file with ONE row group, so a
+    * scan stage has one EFFECTIVE task no matter how many splits the
+    * bench's 2 MB split config produces (a parquet row group is read
+    * whole by the split holding its midpoint) — and every expensive
+    * row-local kernel downstream of the scan (tokenize + explode, md5
+    * gram folds, simhash votes, levenshtein, decimal partial
+    * aggregation) inherits that single thread while the other 31 cores
+    * idle. Measured (tools/SpreadProf, sf0.1): the d25-shaped 5-gram
+    * md5 kernel 1.5 s → 0.65 s, a q01-shaped decimal aggregate
+    * 2.0 s → 1.3 s, with per-task stage metrics showing 1283/260/163 ms
+    * across the 3 "parallel" scan tasks before the fix.
+    *
+    * The condition makes it scale-adaptive rather than a local[32]
+    * constant: a scan that already plans at least `defaultParallelism`
+    * splits (ANY healthy 100 TB layout — production files carry one row
+    * group per ~128 MB) passes through untouched, so no payload shuffle
+    * is ever added at scale; only a row-group-starved scan pays one
+    * round-robin exchange of the (already column-pruned) kernel input.
+    * Streaming frames pass through unconditionally: micro-batch sources
+    * size their own partitions and `.rdd` is undefined mid-plan on them.
+    */
+  def spread(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val s = df.sparkSession
+      val target = s.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target)
+      else {
+        // Many splits can still mean few EFFECTIVE tasks: a row group is
+        // read whole by the split holding its midpoint, so a scan over a
+        // few single-row-group files plans `target`+ splits of which all
+        // but a handful are empty (lineitem at sf0.1: 32 splits, 1 row
+        // group, one working task). Footers are consulted ONLY when the
+        // file count is below `target` — a production layout with ≥ cores
+        // files never pays any footer I/O — and cached per (path, len,
+        // mtime) for the life of the process.
+        val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+        if (files.nonEmpty && files.length < target &&
+            totalRowGroups(s, files) < target) df.repartition(target)
+        else df
+      }
+    }
+
+  /** Sum of parquet row-group counts across `files` (capped, saturating).
+    * Non-parquet or unreadable files count as infinitely splittable so a
+    * mixed source never triggers a spurious repartition.
+    */
+  private val rowGroupCache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+  private def totalRowGroups(s: SparkSession, files: Array[String]): Int = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sessionState.newHadoopConf()
+    files.foldLeft(0) { (acc, f) =>
+      val n = try {
+        val p = new Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        val key = s"$f:${st.getLen}:${st.getModificationTime}"
+        rowGroupCache.computeIfAbsent(key, _ => {
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+          try r.getFooter.getBlocks.size() finally r.close()
+        })
+      } catch { case _: Throwable => Int.MaxValue }
+      if (acc.toLong + n > Int.MaxValue) Int.MaxValue else acc + n
+    }
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

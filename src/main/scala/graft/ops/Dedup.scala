@@ -100,7 +100,8 @@ object Dedup extends QueryModule {
     * the corpus.
     */
   private def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingleArr(col("text")).as("sh")).persist()
+    Tables.spread(docs)
+      .select(col("doc_id"), shingleArr(col("text")).as("sh")).persist()
 
   private[graft] def jaccardCandidates(docs: DataFrame, dfCap: Long): DataFrame =
     jaccardCandidatesFromShingled(shingled(docs), dfCap)
@@ -187,7 +188,7 @@ object Dedup extends QueryModule {
     * signature would bucket every such doc together (and divide by zero
     * in the jaccard) — dropped up front.
     */
-  private[graft] def shingledDocs(src: DataFrame): DataFrame = src
+  private[graft] def shingledDocs(src: DataFrame): DataFrame = Tables.spread(src)
     .select(col("doc_id"), shingleArr(col("text")).as("sh"))
     .filter(size(col("sh")) > 0)
     // one 31-bit md5-derived base hash per shingle (native, one call
@@ -462,7 +463,7 @@ object Dedup extends QueryModule {
     * all-zero fingerprint would otherwise bucket every such doc together.
     */
   private[graft] def simhashFingerprints(docs: DataFrame): DataFrame =
-    docs
+    Tables.spread(docs)
       .select(col("doc_id"), shingleArr(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), graft.functions.TextFunctions.simhash60(col("sh")).as("simhash"))
@@ -588,7 +589,7 @@ object Dedup extends QueryModule {
     // reduction and the train probe side. The val split is audited by
     // neither consumer — drop it BEFORE the shingle kernel and explode
     // so its ~10% of the corpus costs nothing
-    val spans = tagged
+    val spans = Tables.spread(tagged)
       .filter(col("split").isin("train", "test"))
       .select(col("doc_id"), col("split"),
         explode(graft.functions.TextFunctions.word_shingles(col("text"), SpanN)).as("g"))
@@ -665,7 +666,9 @@ object Dedup extends QueryModule {
     */
   private[graft] def segmentScrub(docs: DataFrame): DataFrame = {
     val w = filter(split(col("text"), " "), x => length(x) > 0)
-    // persisted: feeds the df aggregate and the join probe side
+    // persisted: feeds the df aggregate and the join probe side.
+    // NOT spread: the segment kernel is a plain split/slice (no hashing),
+    // and the parallelism floor measured d12 0.81 s → 1.16 s at sf0.1.
     val segs = docs
       .select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) > 0)
@@ -976,7 +979,7 @@ object Dedup extends QueryModule {
     */
   private[graft] def editDistNearDup(docs: DataFrame): DataFrame = {
     val bandBits = SimBits / SimBands
-    val fp = docs
+    val fp = Tables.spread(docs)
       .select(col("doc_id"), length(col("text")).cast("long").as("len"),
         shingleArr(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -1322,7 +1325,7 @@ object Dedup extends QueryModule {
     * es28 (per micro-batch at ingest).
     */
   private[graft] def gramStream(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    Tables.spread(docs).select(col("doc_id"),
         filter(split(col("text"), " "), w => length(w) > 0).as("w"))
       .filter(size(col("w")) >= SpanGram)
       .select(col("doc_id"),

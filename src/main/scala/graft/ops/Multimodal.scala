@@ -247,7 +247,7 @@ object Multimodal extends QueryModule {
     * 100 TB the block stream is the scan itself re-keyed — linear.
     */
   private def m06(s: SparkSession, dir: String): DataFrame =
-    graft.core.Tables.documents(s, dir)
+    graft.core.Tables.spread(graft.core.Tables.documents(s, dir))
       .filter(length(col("text")) > 0)
       .select(col("source"), explode(expr(
         s"transform(sequence(0, CAST((length(text) + ${BlockChars - 1}) DIV $BlockChars AS INT) - 1), " +
@@ -310,7 +310,7 @@ object Multimodal extends QueryModule {
     // un-persisted fp pays the gram-vote kernel ONCE PER LEG. The cached
     // frame is (doc_id, 8-byte simhash) — ~16 bytes/doc at any corpus
     // size, the textbook cache-the-proxy-not-the-payload shape.
-    val fp = txt.filter(length(col("t")) >= 4)
+    val fp = graft.core.Tables.spread(txt).filter(length(col("t")) >= 4)
       .select(col("doc_id"),
         graft.functions.TextFunctions.byte_gram_simhash60(col("t")).as("simhash"))
       .persist()

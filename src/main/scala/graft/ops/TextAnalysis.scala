@@ -429,7 +429,7 @@ object TextAnalysis extends QueryModule {
     * can skew it.
     */
   private def t12(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+    val base = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), toks(lower(col("text"))).as("w"))
       .filter(size(col("w")) >= 2)
       .persist() // feeds both the stats branch and the bigram branch
@@ -513,7 +513,7 @@ object TextAnalysis extends QueryModule {
     * plant rare/common token mixes with hand-computable bit values.
     */
   private[graft] def unigramSurprise(docs: DataFrame): DataFrame = {
-    val tk = docs
+    val tk = Tables.spread(docs)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .persist()
     val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -558,7 +558,7 @@ object TextAnalysis extends QueryModule {
     * linear, with the model table ~vocab² bounded far below the corpus.
     */
   private[graft] def bigramSurprise(docs: DataFrame): DataFrame = {
-    val withBg = docs
+    val withBg = Tables.spread(docs)
       .select(col("doc_id"), toks(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"),
@@ -651,7 +651,7 @@ object TextAnalysis extends QueryModule {
     * plant corpora with hand-computable df/tf/idf-bits values.
     */
   private[graft] def bm25Retrieval(docs: DataFrame): DataFrame = {
-    val tf = docs
+    val tf = Tables.spread(docs)
       .select(col("doc_id"), explode(toks(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
@@ -714,7 +714,8 @@ object TextAnalysis extends QueryModule {
     * a constant 8× scan fanout, zero shuffles beyond the tiny df aggs
     * that pick the terms). Snippets never leave the row they came from.
     */
-  private[graft] def kwicSnippets(docs: DataFrame): DataFrame = {
+  private[graft] def kwicSnippets(docs0: DataFrame): DataFrame = {
+    val docs = Tables.spread(docs0)
     val tf = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
@@ -779,7 +780,7 @@ object TextAnalysis extends QueryModule {
     * rows per doc — linear in corpus size.
     */
   private def t17(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), toks(lower(col("text"))).as("w"))
     // persisted (d25/d28's gram-stream discipline): the stream feeds the
     // top-K frequency aggregate AND the membership-probe join leg — un-
@@ -843,7 +844,7 @@ object TextAnalysis extends QueryModule {
     * window); the 1-row total rides a broadcast.
     */
   private def t18(s: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(s, dir)
+    val counts = Tables.spread(Tables.documents(s, dir))
       .select(explode(toks(lower(col("text")))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("total"))
@@ -991,6 +992,10 @@ object TextAnalysis extends QueryModule {
     // codebook rule applied to the corpus side). Memory: ≤ MergeSteps
     // delimited-corpus copies, MEMORY_AND_DISK by default, swept by the
     // caller's lifecycle (bench sweep / session end).
+    // NOT spread (round-17 measurement): the per-step corpora are tiny
+    // cached frames consumed by six sequential 1-row aggregates — a
+    // parallelism floor here added a scheduling wave per step and
+    // measured t24 1.67 s → 2.41 s, t25 1.47 s → 1.82 s at sf0.1.
     var corpus = docs0.persist()
     (1 to MergeSteps).map { _ =>
       val b = stepPairs(corpus)
@@ -1212,7 +1217,7 @@ object TextAnalysis extends QueryModule {
     * dropped before the join bounds fanout.
     */
   private def t19(s: SparkSession, dir: String): DataFrame = {
-    val keys = Tables.documents(s, dir)
+    val keys = Tables.spread(Tables.documents(s, dir))
       .select(col("doc_id"), toks(col("text")).as("w"))
       .filter(size(col("w")) >= StitchK)
       .select(col("doc_id"),
@@ -1320,7 +1325,7 @@ object TextAnalysis extends QueryModule {
     */
   private def t22(s: SparkSession, dir: String): DataFrame = {
     val mx = Tables.documents(s, dir).groupBy().agg(max(col("doc_id")).as("mx"))
-    val tk = Tables.documents(s, dir).crossJoin(broadcast(mx))
+    val tk = Tables.spread(Tables.documents(s, dir)).crossJoin(broadcast(mx))
       .select(expr("least(9L, (doc_id * 10) DIV (mx + 1))").as("bkt"),
         explode(toks(col("text"))).as("tok"))
       .persist()
