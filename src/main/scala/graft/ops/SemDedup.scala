@@ -291,7 +291,7 @@ object SemDedup extends QueryModule {
     * cross-engine every round.
     */
   private[graft] def clustersOf(seedIds: DataFrame, base0: DataFrame): DataFrame = {
-    val base = base0.persist()
+    val base = graft.core.Tables.spread(base0).persist()
     // one count() drives K — the only driver action; deterministic, so
     // the oracle can rebuild the same K from its own count(*)
     val n = base.count()

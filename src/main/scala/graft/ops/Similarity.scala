@@ -51,6 +51,14 @@ object Similarity extends QueryModule {
     * contract (double cast, nrm, nrm>0 filter) defined once so
     * label-aware consumers (s18) cannot drift from the rest.
     */
+  // NOT spread at this seam (round-17 measurement): ~25 consumers read
+  // vecs, most through several small broadcast-side legs per query —
+  // a blanket parallelism floor here paid one round-robin exchange PER
+  // LEG of a 2000-row frame and measured s03/s04/s11/s18/s21 each
+  // +0.2 s at sf0.1, while only the heavy corpus-side kernels gained.
+  // The spread is applied at those heavy seams instead (s01/s02's
+  // streamed cartesian side, bucketedNearDup, oneStepAssigned, s31's
+  // live corpus, SemDedup.clustersOf).
   private[graft] def vecsWithLabel(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
@@ -86,7 +94,11 @@ object Similarity extends QueryModule {
     */
   private def s01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val a = vecs(s, dir).select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    // the STREAMED cartesian side carries the O(n²) dot-product work —
+    // spread floors its parallelism (the broadcast side b stays as-is);
+    // measured 1.9 s → 0.7 s at sf0.1
+    val a = Tables.spread(vecs(s, dir))
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
     val b = vecs(s, dir).select(col("vec_id").as("nid"), col("v").as("vb"), col("nrm").as("nb"))
     val scored = a.crossJoin(b)
       .filter(col("qid") =!= col("nid"))
@@ -118,7 +130,8 @@ object Similarity extends QueryModule {
     * baseline — s05 is the bucketed variant.
     */
   private def s02(s: SparkSession, dir: String): DataFrame = {
-    val a = vecs(s, dir).select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
+    val a = Tables.spread(vecs(s, dir))
+      .select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
     val b = vecs(s, dir).select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("ida") < col("idb"))
@@ -226,8 +239,9 @@ object Similarity extends QueryModule {
     * in the plan. The 100 TB shape: shuffle on (table, bucket), verify
     * only within buckets.
     */
-  private[graft] def bucketedNearDup(s: SparkSession, base: DataFrame,
+  private[graft] def bucketedNearDup(s: SparkSession, base0: DataFrame,
       nPlanes: Int, nTables: Int, threshold: Double): DataFrame = {
+    val base = Tables.spread(base0) // nTables×nPlanes sign folds per row
     val banded = signBuckets(base, planesDf(s, nTables, nPlanes)).persist()
     val pairs = bucketCandidates(banded).dropDuplicates("ida", "idb")
     pairs
@@ -2309,7 +2323,9 @@ object Similarity extends QueryModule {
   private def s31(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (gArr, ranked) = sharedIndex(s, dir, split = true)
-    val corpus = vecs(s, dir).filter(!isDeltaVec).persist()
+    // the exact-recall cartesian streams this corpus under the 50-query
+    // broadcast — spread floors the dot-product stage's parallelism
+    val corpus = Tables.spread(vecs(s, dir).filter(!isDeltaVec)).persist()
     val index = liveIndexFrom(corpus, membershipOf(ranked))
     val arrivals = vecs(s, dir).filter(isDeltaVec)
     val sampled = arrivals
@@ -2734,7 +2750,8 @@ object Similarity extends QueryModule {
     * `assigned` is persisted because the means aggregate and the final
     * assignment both read it.
     */
-  private def oneStepAssigned(base: DataFrame): DataFrame = {
+  private def oneStepAssigned(base0: DataFrame): DataFrame = {
+    val base = Tables.spread(base0) // K l2 distances per row, twice
     val cents = base
       .orderBy(md5(concat(lit("km_"), col("vec_id").cast("string")))).limit(KmK)
       .select(col("vec_id").as("cid"), col("v").as("cv"))

@@ -25,7 +25,7 @@ object Relational extends QueryModule {
     * filter and the projection are pushed into the parquet scan.
     */
   private def q01(s: SparkSession, dir: String): DataFrame =
-    lineitem(s, dir)
+    spread(lineitem(s, dir))
       .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -95,7 +95,7 @@ object Relational extends QueryModule {
     * scan shuffle-free; the agg is partial+final on p_brand.
     */
   private def q04(s: SparkSession, dir: String): DataFrame =
-    lineitem(s, dir)
+    spread(lineitem(s, dir))
       .join(broadcast(part(s, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(

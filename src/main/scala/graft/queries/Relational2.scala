@@ -49,7 +49,7 @@ object Relational2 extends QueryModule {
 
   /** Rollup: subtotals over (returnflag, linestatus) hierarchy. */
   private def q12(s: SparkSession, dir: String): DataFrame =
-    lineitem(s, dir)
+    spread(lineitem(s, dir))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(Num.dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
 
@@ -62,7 +62,7 @@ object Relational2 extends QueryModule {
 
   /** Cube: all grouping combinations over order status/priority. */
   private def q13(s: SparkSession, dir: String): DataFrame =
-    orders(s, dir)
+    spread(orders(s, dir))
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(Num.dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
 

@@ -167,6 +167,9 @@ object Relational3 extends QueryModule {
     // them on the cache build. At warehouse scale the exact-distinct
     // gate columns drop away entirely (the sketches are the answer), so
     // the scan count is gate instrumentation, not the production cost
+    // NOT spread (round-17): the three legs' broadcast-side jobs run
+    // concurrently against independent scans; a parallelism floor put a
+    // round-robin exchange under each leg and measured 2.2 s → 3.0 s.
     val li = lineitem(s, dir)
     // one distinct column per aggregation: TWO distinct columns in one
     // agg make Catalyst Expand every input row 3x through the sketch
@@ -249,7 +252,7 @@ object Relational3 extends QueryModule {
     * re-widen, don't debug.
     */
   private def q53(s: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(s, dir)
+    val li = spread(lineitem(s, dir))
     val shardSketches = (0 until 4).map(i =>
         li.filter(col("l_orderkey") % 4 === i)
           .groupBy(col("l_returnflag"))
@@ -493,6 +496,9 @@ object Relational3 extends QueryModule {
     */
   private def q26(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NOT spread (round-17): the range exchange's sampling pass would
+    // re-read through the extra round-robin exchange; measured
+    // 1.1 s → 1.4-1.7 s at sf0.1 (q55's two-pass report likewise).
     val base = lineitem(s, dir)
       .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     val (numbered, n) = graft.plans.GlobalOrder.withGlobalRowNumber(

@@ -41,7 +41,7 @@ object Relational5 extends QueryModule {
     val x = col("l_quantity").cast(D)      // qty, 2-dp exact
     val y = col("l_discount").cast(D)      // discount, 2-dp exact
     val p = col("l_extendedprice").cast(D) // price, 2-dp exact
-    val agg = Tables.lineitem(s, dir)
+    val agg = Tables.spread(Tables.lineitem(s, dir))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
