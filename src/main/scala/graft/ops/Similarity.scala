@@ -239,10 +239,12 @@ object Similarity extends QueryModule {
     * in the plan. The 100 TB shape: shuffle on (table, bucket), verify
     * only within buckets.
     */
-  private[graft] def bucketedNearDup(s: SparkSession, base0: DataFrame,
+  private[graft] def bucketedNearDup(s: SparkSession, base: DataFrame,
       nPlanes: Int, nTables: Int, threshold: Double): DataFrame = {
-    val base = Tables.spread(base0) // nTables×nPlanes sign folds per row
-    val banded = signBuckets(base, planesDf(s, nTables, nPlanes)).persist()
+    // only the sign-fold kernel gets the parallelism floor — the
+    // join-back legs hash-shuffle by ida/idb anyway, so spreading them
+    // would add two more exchanges for nothing
+    val banded = signBuckets(Tables.spread(base), planesDf(s, nTables, nPlanes)).persist()
     val pairs = bucketCandidates(banded).dropDuplicates("ida", "idb")
     pairs
       .join(base.select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na")), "ida")
